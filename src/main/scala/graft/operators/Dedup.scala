@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.OpDef
+import graft.sources.Tables
+
+/** Deduplication family over `documents`:
+  *  - exact (hash group-by),
+  *  - MinHash + LSH banding (near-dup candidate pairs + exact-Jaccard verify),
+  *  - SimHash (64-bit, chunk-banded Hamming pairs),
+  *  - blocked character-set Jaccard (the one SQL-expressible pair metric),
+  *  - rolling-hash document fingerprinting.
+  *
+  * Scale design: no O(n^2) anywhere — candidate pairs only ever come from
+  * equality joins on LSH bucket keys (minhash band signatures / simhash
+  * 16-bit chunks / (source, lang) blocks), so the self-join shuffles on the
+  * bucket key and each bucket is small by construction. All signatures are
+  * computed per-row with higher-order functions (no explode of the corpus,
+  * no UDFs), staying inside whole-stage codegen.
+  */
+object Dedup {
+
+  // --- MinHash parameters -------------------------------------------------
+  private val NumHashes = 32
+  private val NumBands = 8 // 8 bands x 4 rows
+  private val RowsPerBand = NumHashes / NumBands
+  // Carter-Wegman affine family mod p = 2^31 - 1: minhash_k over shingle
+  // hashes reduced to [0, p). Multipliers/offsets come from a fixed
+  // SplitMix64-style scramble, bounded so a*h + b stays well inside Long
+  // range (ANSI mode: no silent wraparound allowed).
+  private val P31 = 2147483647L // 2^31 - 1
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val As: Array[Long] = Array.tabulate(NumHashes)(i => (mix(2L * i) >>> 33) | 1L)
+  private val Bs: Array[Long] = Array.tabulate(NumHashes)(i => mix(2L * i + 1) >>> 33)
+
+  /** documents + `shingles`: distinct xxhash64 of 3-word shingles (per-row,
+    * codegen'd; the shingle set is the unit for both minhash and Jaccard).
+    */
+  private def withShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), "\\s+"))
+      .withColumn("shingles",
+        array_distinct(expr(
+          """transform(sequence(0, size(words) - 3),
+            |  i -> xxhash64(concat_ws(' ', words[i], words[i+1], words[i+2])))
+            |""".stripMargin)))
+      .filter(size(col("shingles")) > 0)
+
+  /** + `sig`: the NumHashes-wide minhash signature, computed per-row as
+    * min over shingles of each affine transform (array ops, no explode).
+    */
+  private def withMinhash(df: DataFrame): DataFrame = {
+    val aLit = As.mkString("array(", "L,", "L)")
+    val bLit = Bs.mkString("array(", "L,", "L)")
+    df.withColumn("sig", expr(
+      s"""transform(sequence(0, ${NumHashes - 1}),
+         |  k -> array_min(transform(shingles,
+         |         h -> pmod($aLit[k] * pmod(h, ${P31}L) + $bLit[k], ${P31}L))))
+         |""".stripMargin))
+  }
+
+  /** Exact Jaccard between two shingle-hash-set columns (both already
+    * distinct), as a double ratio of int counts — exact in both engines.
+    */
+  private def jaccard(a: String, b: String) =
+    size(array_intersect(col(a), col(b))).cast("double") /
+      size(array_union(col(a), col(b)))
+
+  val defs: Map[String, OpDef] = Map(
+
+    // Exact dedup: group identical texts, keep the lowest doc_id.
+    "d01_exact_dedup" -> OpDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies", "fp")
+        .orderBy("keep_id"),
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin),
+
+    // MinHash + LSH near-dup pairs. Candidates come only from band-bucket
+    // equality joins; each candidate is verified with exact shingle Jaccard.
+    "d02_minhash_lsh" -> OpDef.rowsOnly(
+      (s, d) => {
+        val sigs = withMinhash(withShingles(s, d))
+          .select(col("doc_id"), col("shingles"), col("sig"))
+        val bands = sigs.select(
+            col("doc_id"),
+            explode(expr(
+              s"""transform(sequence(0, ${NumBands - 1}),
+                 |  b -> struct(b AS band_id,
+                 |              xxhash64(concat_ws(',',
+                 |                slice(sig, b * $RowsPerBand + 1, $RowsPerBand))) AS band_sig))
+                 |""".stripMargin)).as("band"))
+          .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
+        val a = bands.toDF("a_id", "band_id", "band_sig")
+        val b = bands.toDF("b_id", "band_id", "band_sig")
+        val candidates = a.join(b, Seq("band_id", "band_sig"))
+          .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val sh = sigs.select(col("doc_id"), col("shingles"))
+        candidates
+          .join(sh.toDF("a_id", "a_sh"), "a_id")
+          .join(sh.toDF("b_id", "b_sh"), "b_id")
+          .withColumn("sim", round(jaccard("a_sh", "b_sh"), 4))
+          .filter(col("sim") >= 0.3)
+          .select("a_id", "b_id", "sim")
+          .orderBy("a_id", "b_id")
+      }),
+
+    // SimHash: 64-bit per-row signature via higher-order aggregate, then
+    // near-dup pairs sharing any 16-bit chunk with Hamming distance <= 12.
+    "d03_simhash" -> OpDef.rowsOnly(
+      (s, d) => {
+        val sigs = Tables.documents(s, d)
+          .withColumn("words", split(col("text"), "\\s+"))
+          .withColumn("bitsum", expr(
+            """aggregate(transform(words, w -> xxhash64(w)),
+              |  transform(sequence(0, 63), i -> 0L),
+              |  (acc, h) -> zip_with(acc,
+              |    transform(sequence(0, 63),
+              |      i -> CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1L ELSE -1L END),
+              |    (x, y) -> x + y))""".stripMargin))
+          .withColumn("simhash", expr(
+            // bitwise OR, not +: bit 63 is Long.MinValue and ANSI addition
+            // would overflow; OR of disjoint bits is exact.
+            """aggregate(sequence(0, 63), 0L,
+              |  (s2, i) -> s2 | CASE WHEN bitsum[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)
+              |""".stripMargin))
+          .select("doc_id", "simhash")
+        val chunks = sigs.select(
+            col("doc_id"), col("simhash"),
+            explode(expr(
+              """transform(sequence(0, 3),
+                |  c -> struct(c AS chunk_id,
+                |              shiftright(simhash, c * 16) & 65535 AS chunk))
+                |""".stripMargin)).as("ch"))
+          .select(col("doc_id"), col("simhash"), col("ch.chunk_id"), col("ch.chunk"))
+        val a = chunks.toDF("a_id", "a_hash", "chunk_id", "chunk")
+        val b = chunks.toDF("b_id", "b_hash", "chunk_id", "chunk")
+        a.join(b, Seq("chunk_id", "chunk"))
+          .filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"),
+                  bit_count(expr("a_hash ^ b_hash")).as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 12)
+          .orderBy("a_id", "b_id")
+      }),
+
+    // Blocked character-set Jaccard pairs (SQL-expressible near-dup metric).
+    // Blocking on (source, lang) bounds the per-block pair count by design.
+    "d04_char_jaccard" -> OpDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("chars", array_distinct(split(col("text"), "")))
+          .select("doc_id", "source", "lang", "chars")
+        val a = docs.toDF("a_id", "source", "lang", "a_chars")
+        val b = docs.toDF("b_id", "source", "lang", "b_chars")
+        a.join(b, Seq("source", "lang"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("sim_raw", jaccard("a_chars", "b_chars"))
+          .filter(col("sim_raw") >= 0.8)
+          .select(col("a_id"), col("b_id"),
+                  round(col("sim_raw") + lit(1e-8), 4).as("sim"))
+          .orderBy("a_id", "b_id")
+      },
+      """WITH c AS (
+        |  SELECT doc_id, source, lang,
+        |         list_distinct(string_split_regex(text, '')) AS chars
+        |  FROM documents)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.chars, b.chars))) + 1e-8, 4) AS sim
+        |FROM c a JOIN c b
+        |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.chars, b.chars))) >= 0.8
+        |ORDER BY a_id, b_id""".stripMargin),
+
+    // Rolling-hash fingerprinting: min/max/count over shingle hashes — a
+    // compact per-document sketch for containment-style matching.
+    "d08_fingerprint" -> OpDef.rowsOnly(
+      (s, d) => withShingles(s, d)
+        .select(
+          col("doc_id"),
+          size(col("shingles")).as("n_shingles"),
+          expr("array_min(shingles)").as("min_hash"),
+          expr("array_max(shingles)").as("max_hash"),
+          // Rolling polynomial hash mod 1e15+37 (modular form keeps ANSI
+          // arithmetic overflow-free: acc*31 + h' < 3.2e16 << Long.Max).
+          expr("""aggregate(shingles, 0L,
+                 |  (acc, h) -> pmod(acc * 31 + pmod(h, 1000000007L), 1000000000000037L))
+                 |""".stripMargin).as("fingerprint"))
+        .orderBy("doc_id"))
+  )
+}

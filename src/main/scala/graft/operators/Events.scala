@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.OpDef
+import graft.sources.Tables
+
+/** Event-time operators over the `events` intake stream (batch twins of the
+  * Structured Streaming ops in `graft.streaming.StreamOps`).
+  *
+  * All time arithmetic is integer math on `ts_us` (epoch microseconds,
+  * see [[graft.sources.Tables.events]]) so Spark and the DuckDB oracle
+  * (`epoch_ns(ts)//1000`) are bit-identical.
+  */
+object Events {
+
+  private val SessionGapUs = 1800L * 1000000L // 30 minutes
+
+  val defs: Map[String, OpDef] = Map(
+
+    // Gap-based sessionization: lag + cumulative-sum session ids per user.
+    // One shuffle on user_id; the window sort is the only per-key work, so
+    // this scales as a single sort-merge pass at 100 TB.
+    "q25_sessionize" -> OpDef.sql(
+      (s, d) => {
+        val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+        Tables.events(s, d)
+          .withColumn("prev_us", lag("ts_us", 1).over(wOrd))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull ||
+                 col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+          .withColumn("session_id", sum("new_sess").over(wCum))
+          .groupBy("user_id", "session_id")
+          .agg(count(lit(1)).as("n_events"),
+               expr("min(ts_us) DIV 1000000").as("start_s"),
+               expr("(max(ts_us) - min(ts_us)) DIV 1000000").as("dur_s"),
+               round(sum("value") + lit(1e-6), 2).as("session_value"))
+          .orderBy("user_id", "session_id")
+      },
+      """WITH e AS (
+        |  SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), flagged AS (
+        |  SELECT user_id, event_id, ts_us, value,
+        |         CASE WHEN lag(ts_us) OVER w IS NULL
+        |                OR ts_us - lag(ts_us) OVER w > 1800000000
+        |              THEN 1 ELSE 0 END AS new_sess
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sessed AS (
+        |  SELECT *, CAST(sum(new_sess) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts_us) // 1000000 AS start_s,
+        |       (max(ts_us) - min(ts_us)) // 1000000 AS dur_s,
+        |       round(sum(value) + 1e-6, 2) AS session_value
+        |FROM sessed GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin),
+
+    // As-of join (most-recent-<=): each purchase matched to the user's
+    // latest prior signup. Implemented as the scalable union+window pattern
+    // (tag both sides, one shuffle on the key, one sort, last-non-null) —
+    // no per-row probe; DuckDB verifies with a native ASOF JOIN.
+    "q26_asof_join" -> OpDef.sql(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("user_id"), col("ts_us"),
+                  lit(0).as("tag"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts_us"),
+                  lit(1).as("tag"), col("event_id"))
+        // At equal ts the signup sorts first (tag 0), matching ASOF's <=.
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "tag")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        signups.unionByName(purchases)
+          .withColumn("last_signup",
+            last(when(col("tag") === 0,
+              struct(col("ts_us").as("s_us"), col("event_id").as("s_id"))),
+              ignoreNulls = true).over(w))
+          .filter(col("tag") === 1 && col("last_signup").isNotNull)
+          .select(col("event_id"), col("user_id"),
+                  col("last_signup.s_id").as("signup_id"),
+                  expr("(ts_us - last_signup.s_us) DIV 1000000").as("wait_s"))
+          .orderBy("event_id")
+      },
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |       s.event_id AS signup_id,
+        |       (epoch_ns(p.ts) // 1000 - epoch_ns(s.ts) // 1000) // 1000000 AS wait_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY event_id""".stripMargin),
+
+    // Tumbling 1-hour windows per event type (intake micro-batch rollup).
+    "q27_event_windows" -> OpDef.sql(
+      (s, d) => Tables.events(s, d)
+        .withColumn("hour_s", expr("(ts_us DIV 3600000000) * 3600"))
+        .groupBy("hour_s", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value") + lit(1e-6), 2).as("total_value"))
+        .orderBy("hour_s", "event_type"),
+      """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS hour_s,
+        |       event_type, count(*) AS n, round(sum(value) + 1e-6, 2) AS total_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin)
+  )
+}

@@ -1,0 +1,459 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.OpDef
+import graft.sources.Tables
+
+/** Core relational surface of the reference engine (sotah-inc/server):
+  * pricelists, price histories, top-N sellers, item search, unmet demand,
+  * rollups — re-expressed as declarative Spark plans over the star schema.
+  *
+  * Conventions shared with the DuckDB oracles:
+  *  - double outputs are rounded with a +1e-6 (resp. 1e-8/1e-10 at 4/6dp)
+  *    epsilon applied IDENTICALLY in both engines. The epsilon shifts
+  *    exact-half quotients (e.g. sums of cents divided by a count) off the
+  *    rounding boundary, where Spark (shortest-decimal-string HALF_UP) and
+  *    DuckDB (binary-value rounding) systematically disagree;
+  *  - every query has a total deterministic ORDER BY (ties broken by keys);
+  *  - counts are BIGINT in both engines (DuckDB integer sums are cast).
+  */
+object Relational {
+
+  private[operators] def r2e(c: Column): Column = round(c + lit(1e-6), 2)
+  private[operators] def r4e(c: Column): Column = round(c + lit(1e-8), 4)
+  private[operators] def r6e(c: Column): Column = round(c + lit(1e-10), 6)
+  private val revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
+  val defs: Map[String, OpDef] = Map(
+
+    // Per-item pricelist: min/max/avg/volume per part (reference: per-item
+    // auction pricelists). Pure map-side-combinable aggregation.
+    "q01_pricelist" -> OpDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_partkey")
+        .agg(
+          count(lit(1)).as("n_auctions"),
+          r2e(sum("l_quantity")).as("volume"),
+          r2e(min("l_extendedprice")).as("min_price"),
+          r2e(max("l_extendedprice")).as("max_price"),
+          r2e(avg("l_extendedprice")).as("avg_price"))
+        .orderBy("l_partkey"),
+      """SELECT l_partkey,
+        |       count(*) AS n_auctions,
+        |       round(sum(l_quantity) + 1e-6, 2) AS volume,
+        |       round(min(l_extendedprice) + 1e-6, 2) AS min_price,
+        |       round(max(l_extendedprice) + 1e-6, 2) AS max_price,
+        |       round(avg(l_extendedprice) + 1e-6, 2) AS avg_price
+        |FROM lineitem GROUP BY l_partkey ORDER BY l_partkey""".stripMargin),
+
+    // Filtered scan + single-row agg (TPC-H Q6 shape): filters/projection
+    // must reach the parquet scan (PushedFilters).
+    "q02_filter_scan" -> OpDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+                col("l_shipdate") <  to_timestamp(lit("1997-01-01")) &&
+                col("l_discount").between(0.03, 0.08) &&
+                col("l_quantity") < 25)
+        .agg(count(lit(1)).as("n"),
+             r2e(sum(col("l_extendedprice") * col("l_discount"))).as("revenue")),
+      """SELECT count(*) AS n,
+        |       round(sum(l_extendedprice * l_discount) + 1e-6, 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate <  TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.08
+        |  AND l_quantity < 25""".stripMargin),
+
+    // Fact x dim broadcast join: revenue per brand (auctions x item catalog).
+    "q03_broadcast_join" -> OpDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), r2e(sum(revenue)).as("revenue"))
+        .orderBy("p_brand"),
+      """SELECT p_brand, count(*) AS n,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin),
+
+    // 5-way join rollup (TPC-H Q5 shape): revenue per nation in a region.
+    "q04_multi_join" -> OpDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+        val o  = Tables.orders(s, d)
+        val c  = Tables.customer(s, d)
+        val n  = Tables.nation(s, d)
+        val r  = Tables.region(s, d).filter(col("r_name") === "ASIA")
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+                  col("o_orderdate") <  to_timestamp(lit("1999-01-01")))
+          .groupBy("n_name")
+          .agg(r2e(sum(revenue)).as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      """SELECT n_name,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS revenue
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate <  TIMESTAMP '1999-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+
+    // Top-N sellers: top 10 customers by order revenue, ties broken by key.
+    "q05_topn" -> OpDef.sql(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(r2e(sum("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+        .orderBy(desc("revenue"), col("c_custkey"))
+        .limit(10),
+      """SELECT c_custkey, c_name, revenue, n_orders FROM (
+        |  SELECT o_custkey, round(sum(o_totalprice) + 1e-6, 2) AS revenue,
+        |         count(*) AS n_orders
+        |  FROM orders GROUP BY o_custkey) a
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 10""".stripMargin),
+
+    // Top-k per group via window rank: 3 priciest parts per brand.
+    "q06_topk_group" -> OpDef.sql(
+      (s, d) => {
+        val w = Window.partitionBy("p_brand")
+          .orderBy(desc("p_retailprice"), col("p_partkey"))
+        Tables.part(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select("p_brand", "rk", "p_partkey", "p_name", "p_retailprice")
+          .orderBy("p_brand", "rk")
+      },
+      """SELECT p_brand, rk, p_partkey, p_name, p_retailprice FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey
+        |  ) AS INT) AS rk FROM part) t
+        |WHERE rk <= 3 ORDER BY p_brand, rk""".stripMargin),
+
+    // Daily price history (reference: per-day min/avg/max price + volume).
+    "q07_price_history" -> OpDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg(count(lit(1)).as("n"),
+             r2e(min("l_extendedprice")).as("min_price"),
+             r2e(avg("l_extendedprice")).as("avg_price"),
+             r2e(max("l_extendedprice")).as("max_price"),
+             r2e(sum("l_quantity")).as("volume"))
+        .orderBy("day"),
+      """SELECT CAST(l_shipdate AS DATE) AS day, count(*) AS n,
+        |       round(min(l_extendedprice) + 1e-6, 2) AS min_price,
+        |       round(avg(l_extendedprice) + 1e-6, 2) AS avg_price,
+        |       round(max(l_extendedprice) + 1e-6, 2) AS max_price,
+        |       round(sum(l_quantity) + 1e-6, 2) AS volume
+        |FROM lineitem GROUP BY 1 ORDER BY day""".stripMargin),
+
+    // Exact distinct counts per segment (unique buyers with orders).
+    "q08_distinct" -> OpDef.sql(
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(countDistinct(col("o_custkey")).as("n_buyers"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment"),
+      """SELECT c_mktsegment, count(DISTINCT o_custkey) AS n_buyers,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // EXISTS / left-semi: customers having at least one finalized order.
+    "q09_semi_join" -> OpDef.sql(
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_orderstatus") === "F"),
+              col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin),
+
+    // NOT EXISTS / left-anti: parts never sold (reference: unmet demand).
+    "q10_unmet_demand" -> OpDef.sql(
+      (s, d) => Tables.part(s, d)
+        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey"),
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin),
+
+    // Union of heterogeneous sources: entity counts per nation.
+    "q11_union" -> OpDef.sql(
+      (s, d) => {
+        val n = broadcast(Tables.nation(s, d))
+        val cust = Tables.customer(s, d)
+          .join(n, col("c_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(count(lit(1)).as("n_entities"))
+          .withColumn("entity_type", lit("customer"))
+        val supp = Tables.supplier(s, d)
+          .join(n, col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name").agg(count(lit(1)).as("n_entities"))
+          .withColumn("entity_type", lit("supplier"))
+        cust.unionByName(supp)
+          .select("n_name", "entity_type", "n_entities")
+          .orderBy("n_name", "entity_type")
+      },
+      """SELECT n_name, entity_type, n_entities FROM (
+        |  SELECT n_name, 'customer' AS entity_type, count(*) AS n_entities
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name
+        |  UNION ALL
+        |  SELECT n_name, 'supplier' AS entity_type, count(*) AS n_entities
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey GROUP BY n_name)
+        |ORDER BY n_name, entity_type""".stripMargin),
+
+    // Pivoted conditional aggregation: revenue per priority x status grid.
+    "q12_pivot" -> OpDef.sql(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          r2e(sum(when(col("o_orderstatus") === "F", col("o_totalprice")).otherwise(0.0))).as("f_total"),
+          r2e(sum(when(col("o_orderstatus") === "O", col("o_totalprice")).otherwise(0.0))).as("o_total"),
+          r2e(sum(when(col("o_orderstatus") === "P", col("o_totalprice")).otherwise(0.0))).as("p_total"))
+        .orderBy("o_orderpriority"),
+      """SELECT o_orderpriority,
+        |  round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END) + 1e-6, 2) AS f_total,
+        |  round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END) + 1e-6, 2) AS o_total,
+        |  round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END) + 1e-6, 2) AS p_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+
+    // Hierarchical ROLLUP (reference: realm -> region -> global rollups).
+    "q13_rollup" -> OpDef.sql(
+      (s, d) => {
+        // Spark SQL ROLLUP (the DataFrame rollup + post-agg coalesce trips
+        // the ambiguous-self-join detector on the Expand node's lineage).
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "n_name", "c_acctbal")
+          .createOrReplaceTempView("graft_q13_base")
+        s.sql(
+          """SELECT coalesce(r_name, 'ALL') AS region,
+            |       coalesce(n_name, 'ALL') AS nation,
+            |       count(*) AS n_customers,
+            |       round(sum(c_acctbal) + 1e-6, 2) AS total_bal
+            |FROM graft_q13_base
+            |GROUP BY ROLLUP (r_name, n_name)
+            |ORDER BY region, nation""".stripMargin)
+      },
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(n_name, 'ALL') AS nation,
+        |       count(*) AS n_customers,
+        |       round(sum(c_acctbal) + 1e-6, 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name) ORDER BY region, nation""".stripMargin),
+
+    // Post-aggregation filter (HAVING) on the rounded aggregate.
+    "q14_having" -> OpDef.sql(
+      (s, d) => Tables.part(s, d)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_parts"), r2e(avg("p_retailprice")).as("avg_price"))
+        .filter(col("avg_price") > 950.0)
+        .orderBy("p_brand"),
+      """SELECT p_brand, count(*) AS n_parts,
+        |       round(avg(p_retailprice) + 1e-6, 2) AS avg_price
+        |FROM part GROUP BY p_brand
+        |HAVING round(avg(p_retailprice) + 1e-6, 2) > 950.0
+        |ORDER BY p_brand""".stripMargin),
+
+    // Exact percentiles (reference: median buyout): linear interpolation.
+    "q15_percentile" -> OpDef.sql(
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(round(expr("percentile(c_acctbal, 0.5)") + lit(1e-8), 4).as("median_bal"),
+             round(expr("percentile(c_acctbal, 0.9)") + lit(1e-8), 4).as("p90_bal"),
+             count(lit(1)).as("n"))
+        .orderBy("c_mktsegment"),
+      """SELECT c_mktsegment,
+        |       round(quantile_cont(c_acctbal, 0.5) + 1e-8, 4) AS median_bal,
+        |       round(quantile_cont(c_acctbal, 0.9) + 1e-8, 4) AS p90_bal,
+        |       count(*) AS n
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // Conditional bucket counts (price-band histogram shape).
+    "q16_case_agg" -> OpDef.sql(
+      (s, d) => Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("n_urgent"),
+          sum(when(col("o_orderpriority") === "3-MEDIUM", 1L).otherwise(0L)).as("n_medium"),
+          sum(when(col("o_orderpriority").isin("4-NOT SPECIFIED", "5-LOW"), 1L).otherwise(0L)).as("n_low"))
+        .orderBy("o_orderstatus"),
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('4-NOT SPECIFIED','5-LOW') THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin),
+
+    // Aggregate-subquery join-back: customers above their nation's average.
+    "q17_sub_avg" -> OpDef.sql(
+      (s, d) => {
+        val avgs = Tables.customer(s, d)
+          .groupBy("c_nationkey")
+          .agg(r2e(avg("c_acctbal")).as("nation_avg"))
+          .withColumnRenamed("c_nationkey", "nk")
+        Tables.customer(s, d)
+          .join(broadcast(avgs), col("c_nationkey") === col("nk"))
+          .filter(col("c_acctbal") > col("nation_avg"))
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .select("c_custkey", "c_name", "n_name", "c_acctbal", "nation_avg")
+          .orderBy("c_custkey")
+      },
+      """SELECT c_custkey, c_name, n_name, c_acctbal, nation_avg
+        |FROM customer
+        |JOIN (SELECT c_nationkey AS nk, round(avg(c_acctbal) + 1e-6, 2) AS nation_avg
+        |      FROM customer GROUP BY c_nationkey) a ON c_nationkey = nk
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > nation_avg
+        |ORDER BY c_custkey""".stripMargin),
+
+    // Share-of-total window ratio (reference: per-owner share of realm volume).
+    "q18_owner_share" -> OpDef.sql(
+      (s, d) => {
+        val perSupp = Tables.lineitem(s, d)
+          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+          .groupBy("n_name", "s_suppkey", "s_name")
+          .agg(r2e(sum(revenue)).as("supp_revenue"))
+        val w = Window.partitionBy("n_name")
+        perSupp
+          .withColumn("share", r6e(col("supp_revenue") / sum("supp_revenue").over(w)))
+          .select("n_name", "s_suppkey", "s_name", "supp_revenue", "share")
+          .orderBy("n_name", "s_suppkey")
+      },
+      """SELECT n_name, s_suppkey, s_name, supp_revenue,
+        |       round(supp_revenue / sum(supp_revenue) OVER (PARTITION BY n_name) + 1e-10, 6) AS share
+        |FROM (
+        |  SELECT n_name, s_suppkey, s_name,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS supp_revenue
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  GROUP BY n_name, s_suppkey, s_name)
+        |ORDER BY n_name, s_suppkey""".stripMargin),
+
+    // Substring item search (reference: query-items endpoint).
+    "q19_item_search" -> OpDef.sql(
+      (s, d) => Tables.part(s, d)
+        .withColumn("pos", instr(lower(col("p_name")), "widget"))
+        .filter(col("pos") > 0)
+        .select("p_partkey", "p_name", "p_brand", "pos")
+        .orderBy("p_partkey"),
+      """SELECT p_partkey, p_name, p_brand,
+        |       CAST(strpos(lower(p_name), 'widget') AS INT) AS pos
+        |FROM part WHERE strpos(lower(p_name), 'widget') > 0
+        |ORDER BY p_partkey""".stripMargin),
+
+    // Calendar breakdown: monthly order counts + revenue.
+    "q20_date_parts" -> OpDef.sql(
+      (s, d) => Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"), r2e(sum("o_totalprice")).as("revenue"))
+        .orderBy("yr", "mo"),
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice) + 1e-6, 2) AS revenue
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin),
+
+    // Cumulative window sum over the daily series (token-history shape).
+    "q21_running_total" -> OpDef.sql(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(r2e(sum(revenue)).as("day_revenue"))
+        val w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        daily.withColumn("cum_revenue", r2e(sum("day_revenue").over(w)))
+          .orderBy("day")
+      },
+      """SELECT day, day_revenue,
+        |       round(sum(day_revenue) OVER (ORDER BY day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1e-6, 2) AS cum_revenue
+        |FROM (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |         round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS day_revenue
+        |  FROM lineitem GROUP BY 1)
+        |ORDER BY day""".stripMargin),
+
+    // Lag delta vs previous day (reference: price change vs yesterday).
+    "q22_lag_delta" -> OpDef.sql(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(r2e(avg("l_extendedprice")).as("avg_price"))
+        val w = Window.orderBy("day")
+        daily
+          .withColumn("prev_price", lag("avg_price", 1).over(w))
+          .withColumn("delta", r2e(col("avg_price") - col("prev_price")))
+          .orderBy("day")
+      },
+      """SELECT day, avg_price, prev_price,
+        |       round(avg_price - prev_price + 1e-6, 2) AS delta
+        |FROM (
+        |  SELECT day, avg_price,
+        |         lag(avg_price, 1) OVER (ORDER BY day) AS prev_price
+        |  FROM (
+        |    SELECT CAST(l_shipdate AS DATE) AS day,
+        |           round(avg(l_extendedprice) + 1e-6, 2) AS avg_price
+        |    FROM lineitem GROUP BY 1))
+        |ORDER BY day""".stripMargin),
+
+    // Trailing 7-row moving average over the daily series.
+    "q23_moving_avg" -> OpDef.sql(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .groupBy(to_date(col("l_shipdate")).as("day"))
+          .agg(r2e(avg("l_extendedprice")).as("avg_price"))
+        val w = Window.orderBy("day").rowsBetween(-6, 0)
+        daily.withColumn("ma7", r2e(avg("avg_price").over(w))).orderBy("day")
+      },
+      """SELECT day, avg_price,
+        |       round(avg(avg_price) OVER (ORDER BY day
+        |         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) + 1e-6, 2) AS ma7
+        |FROM (
+        |  SELECT CAST(l_shipdate AS DATE) AS day,
+        |         round(avg(l_extendedprice) + 1e-6, 2) AS avg_price
+        |  FROM lineitem GROUP BY 1)
+        |ORDER BY day""".stripMargin),
+
+    // Semi-structured extraction from the JSON props payload.
+    "q24_json_extract" -> OpDef.sql(
+      (s, d) => Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .withColumn("k_bucket", col("k") % 10)
+        .groupBy("k_bucket")
+        .agg(count(lit(1)).as("n"), r2e(sum("value")).as("total_value"))
+        .orderBy("k_bucket"),
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+        |       count(*) AS n, round(sum(value) + 1e-6, 2) AS total_value
+        |FROM events GROUP BY 1 ORDER BY k_bucket""".stripMargin),
+
+    // Exact-group collapse (reference: miniauctions — identical auctions
+    // collapsed to one row + count).
+    "q28_miniauctions" -> OpDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_partkey", "l_extendedprice", "l_quantity")
+        .agg(count(lit(1)).as("n_listings"))
+        .orderBy("l_partkey", "l_extendedprice", "l_quantity"),
+      """SELECT l_partkey, l_extendedprice, l_quantity, count(*) AS n_listings
+        |FROM lineitem GROUP BY 1, 2, 3
+        |ORDER BY l_partkey, l_extendedprice, l_quantity""".stripMargin)
+  )
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.OpDef
+import graft.sources.Tables
+import graft.expressions.GraftFunctions
+
+/** Similarity search over the `embeddings` table (`array<float>`, dim 64).
+  *
+  *  - e01: brute-force cosine top-k — the exact baseline. The query set is
+  *    broadcast, so the corpus streams through one codegen'd stage; scoring
+  *    uses the native [[graft.expressions.CosineSimilarity]] expression.
+  *  - e02: LSH (sign-random-projection) bucketed ANN — the scale path: the
+  *    corpus is bucketed by an 8-bit hyperplane sign code and candidates
+  *    only come from the query's bucket (equality join, no cross product).
+  */
+object Similarity {
+
+  private val Dim = 64
+  private val NumPlanes = 8
+  private val NumQueries = 5
+  private val TopK = 10
+
+  // Deterministic pseudo-random hyperplanes in [-1, 1] (SplitMix64 scramble
+  // of the flat index) — fixed literals, identical across runs and engines.
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  private val Planes: Array[Array[Double]] =
+    Array.tabulate(NumPlanes, Dim)((j, k) =>
+      (mix(j.toLong * Dim + k) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
+
+  /** 8-bit sign code: bit j = sign(plane_j . vec). Pure array expressions. */
+  private def signCode(vecCol: String): org.apache.spark.sql.Column = {
+    val bitExprs = Planes.zipWithIndex.map { case (p, j) =>
+      val planeLit = p.mkString("array(", "D,", "D)")
+      s"""CASE WHEN aggregate(zip_with($vecCol, $planeLit,
+         |  (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) > 0
+         |  THEN ${1 << j} ELSE 0 END""".stripMargin
+    }
+    expr(bitExprs.mkString("(", " + ", ")"))
+  }
+
+  val defs: Map[String, OpDef] = Map(
+
+    // Brute-force cosine top-k for a fixed query set (vec_id < 5), ranked
+    // on the rounded score with vec_id tie-break for full determinism.
+    "e01_knn_brute" -> OpDef.sql(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val queries = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val scored = emb
+          .join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+        scored
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= TopK)
+          .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy("q_id", "rk")
+      },
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec) + 1e-10, 6) AS sim
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+         |SELECT q_id,
+         |       CAST(row_number() OVER (PARTITION BY q_id
+         |         ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
+         |       neighbor_id, sim
+         |FROM scored
+         |QUALIFY rk <= $TopK
+         |ORDER BY q_id, rk""".stripMargin),
+
+    // LSH-bucketed approximate nearest neighbors: equality join on the
+    // hyperplane sign code, then exact cosine only within the bucket.
+    "e02_ann_lsh" -> OpDef.rowsOnly(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+          .withColumn("code", signCode("embedding"))
+        val queries = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("code"))
+        val candidates = emb
+          .join(broadcast(queries), Seq("code"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
+        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
+        candidates
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= TopK)
+          .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
+                  col("sim"), col("code"))
+          .orderBy("q_id", "rk")
+      })
+  )
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.OpDef
+import graft.sources.Tables
+
+/** Text-analysis operators for training-data curation over `documents`:
+  * language-ID (stopword n-gram heuristic), quality scoring, token
+  * counting. Everything is built from codegen'd `functions._` — per-row,
+  * no shuffle, so these stream through 100 TB at scan speed.
+  */
+object TextAnalysis {
+
+  /** Count of regex matches in a column (codegen'd, no UDF). */
+  private def nMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  // Stopword alternations per language; kept identical in the DuckDB SQL.
+  private val EnPat = "\\b(the|and|of|a|is)\\b"
+  private val EsPat = "\\b(el|la|los|las|es)\\b"
+  private val DePat = "\\b(der|die|das|und|ist)\\b"
+  private val FrPat = "\\b(le|les|et|est|une)\\b"
+
+  private val WsTokenPat = "\\S+"
+  private val BpeTokenPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  private val PunctPat = "[.,!?;:]"
+
+  private def scored(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("en_hits", nMatches(col("text"), EnPat))
+      .withColumn("es_hits", nMatches(col("text"), EsPat))
+      .withColumn("de_hits", nMatches(col("text"), DePat))
+      .withColumn("fr_hits", nMatches(col("text"), FrPat))
+
+  val defs: Map[String, OpDef] = Map(
+
+    // Language ID by stopword-hit scoring (deterministic CASE cascade;
+    // the oracle runs the identical cascade in SQL).
+    "d05_langid" -> OpDef.sql(
+      (s, d) => scored(s, d)
+        .withColumn("predicted_lang",
+          when(col("en_hits") >= col("es_hits") &&
+               col("en_hits") >= col("de_hits") &&
+               col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("de_hits") &&
+                col("es_hits") >= col("fr_hits"), "es")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr"))
+        .select("doc_id", "en_hits", "es_hits", "de_hits", "fr_hits",
+                "predicted_lang")
+        .orderBy("doc_id"),
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$EnPat')) AS INT) AS en_hits,
+         |  CAST(len(regexp_extract_all(text, '$EsPat')) AS INT) AS es_hits,
+         |  CAST(len(regexp_extract_all(text, '$DePat')) AS INT) AS de_hits,
+         |  CAST(len(regexp_extract_all(text, '$FrPat')) AS INT) AS fr_hits,
+         |  CASE
+         |    WHEN len(regexp_extract_all(text, '$EnPat')) >= len(regexp_extract_all(text, '$EsPat'))
+         |     AND len(regexp_extract_all(text, '$EnPat')) >= len(regexp_extract_all(text, '$DePat'))
+         |     AND len(regexp_extract_all(text, '$EnPat')) >= len(regexp_extract_all(text, '$FrPat')) THEN 'en'
+         |    WHEN len(regexp_extract_all(text, '$EsPat')) >= len(regexp_extract_all(text, '$DePat'))
+         |     AND len(regexp_extract_all(text, '$EsPat')) >= len(regexp_extract_all(text, '$FrPat')) THEN 'es'
+         |    WHEN len(regexp_extract_all(text, '$DePat')) >= len(regexp_extract_all(text, '$FrPat')) THEN 'de'
+         |    ELSE 'fr'
+         |  END AS predicted_lang
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Quality scoring: length, token count, avg token length, punctuation /
+    // uppercase / stopword ratios, plus an integer-threshold quality bucket.
+    "d06_quality" -> OpDef.sql(
+      (s, d) => scored(s, d)
+        .withColumn("n_chars_txt", length(col("text")))
+        .withColumn("n_tokens", nMatches(col("text"), WsTokenPat))
+        .withColumn("n_nonws", length(regexp_replace(col("text"), "\\s", "")))
+        .withColumn("avg_token_len",
+          round(col("n_nonws").cast("double") / col("n_tokens") + lit(1e-8), 4))
+        .withColumn("punct_ratio",
+          round((col("n_chars_txt") -
+                 length(regexp_replace(col("text"), PunctPat, "")))
+                .cast("double") / col("n_chars_txt") + lit(1e-8), 4))
+        .withColumn("upper_ratio",
+          round((col("n_chars_txt") -
+                 length(regexp_replace(col("text"), "[A-Z]", "")))
+                .cast("double") / col("n_chars_txt") + lit(1e-8), 4))
+        .withColumn("stop_ratio",
+          round(col("en_hits").cast("double") / col("n_tokens") + lit(1e-8), 4))
+        .withColumn("quality_bucket",
+          when(col("n_tokens") >= 60, "long")
+          .when(col("n_tokens") >= 30, "mid")
+          .otherwise("short"))
+        .select("doc_id", "n_chars_txt", "n_tokens", "avg_token_len",
+                "punct_ratio", "upper_ratio", "stop_ratio", "quality_bucket")
+        .orderBy("doc_id"),
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS INT) AS n_chars_txt,
+         |  CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
+         |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+         |        / len(regexp_extract_all(text, '\\S+')) + 1e-8, 4) AS avg_token_len,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)
+         |        / length(text) + 1e-8, 4) AS punct_ratio,
+         |  round(CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS DOUBLE)
+         |        / length(text) + 1e-8, 4) AS upper_ratio,
+         |  round(CAST(len(regexp_extract_all(text, '$EnPat')) AS DOUBLE)
+         |        / len(regexp_extract_all(text, '\\S+')) + 1e-8, 4) AS stop_ratio,
+         |  CASE WHEN len(regexp_extract_all(text, '\\S+')) >= 60 THEN 'long'
+         |       WHEN len(regexp_extract_all(text, '\\S+')) >= 30 THEN 'mid'
+         |       ELSE 'short' END AS quality_bucket
+         |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Token counting: whitespace tokens and a BPE-ish regex tokenization.
+    "d07_token_count" -> OpDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("ws_tokens", nMatches(col("text"), WsTokenPat))
+        .withColumn("bpe_tokens", nMatches(col("text"), BpeTokenPat))
+        .select("doc_id", "ws_tokens", "bpe_tokens")
+        .orderBy("doc_id"),
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  )
+}
