@@ -52,17 +52,24 @@ object Dedup {
             |""".stripMargin)))
       .filter(size(col("shingles")) > 0)
 
-  /** + `sig`: the NumHashes-wide minhash signature, computed per-row as
-    * min over shingles of each affine transform (array ops, no explode).
+  /** Minhash signatures from a (doc_id, shingles) frame, Spark-native:
+    * explode the shingle hashes, reduce each doc with NumHashes codegen'd
+    * scalar `min` aggregates of the affine transforms, reassemble the
+    * signature array. Map-side combinable — at 100 TB this shuffles only
+    * NumHashes-long partials per doc, and the whole reduction stays in
+    * whole-stage codegen (the per-row higher-order-function alternative
+    * runs interpreted and is an order of magnitude slower).
     */
-  private def withMinhash(df: DataFrame): DataFrame = {
-    val aLit = As.mkString("array(", "L,", "L)")
-    val bLit = Bs.mkString("array(", "L,", "L)")
-    df.withColumn("sig", expr(
-      s"""transform(sequence(0, ${NumHashes - 1}),
-         |  k -> array_min(transform(shingles,
-         |         h -> pmod($aLit[k] * pmod(h, ${P31}L) + $bLit[k], ${P31}L))))
-         |""".stripMargin))
+  private def minhashSigs(shing: DataFrame): DataFrame = {
+    val mins = Array.tabulate(NumHashes)(k =>
+      min(pmod(lit(As(k)) * pmod(col("h"), lit(P31)) + lit(Bs(k)), lit(P31)))
+        .as(s"m$k"))
+    shing
+      .select(col("doc_id"), explode(col("shingles")).as("h"))
+      .groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+              array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sig"))
   }
 
   /** Exact Jaccard between two shingle-hash-set columns (both already
@@ -88,8 +95,11 @@ object Dedup {
     // equality joins; each candidate is verified with exact shingle Jaccard.
     "d02_minhash_lsh" -> OpDef.rowsOnly(
       (s, d) => {
-        val sigs = withMinhash(withShingles(s, d))
-          .select(col("doc_id"), col("shingles"), col("sig"))
+        // Materialized once: the shingle table feeds the signature path and
+        // both sides of the verify join (at 100 TB this is the signature
+        // table you'd persist to the lake between pipeline stages).
+        val shing = withShingles(s, d).select("doc_id", "shingles").persist()
+        val sigs = minhashSigs(shing)
         val bands = sigs.select(
             col("doc_id"),
             explode(expr(
@@ -104,7 +114,7 @@ object Dedup {
         val candidates = a.join(b, Seq("band_id", "band_sig"))
           .filter(col("a_id") < col("b_id"))
           .select("a_id", "b_id").distinct()
-        val sh = sigs.select(col("doc_id"), col("shingles"))
+        val sh = shing
         candidates
           .join(sh.toDF("a_id", "a_sh"), "a_id")
           .join(sh.toDF("b_id", "b_sh"), "b_id")
@@ -114,26 +124,34 @@ object Dedup {
           .orderBy("a_id", "b_id")
       }),
 
-    // SimHash: 64-bit per-row signature via higher-order aggregate, then
-    // near-dup pairs sharing any 16-bit chunk with Hamming distance <= 12.
+    // SimHash: 64-bit per-row signature, then near-dup pairs sharing any
+    // 16-bit chunk with Hamming distance <= 12.
+    //
+    // The signature is computed Spark-native: explode words -> one
+    // hash-aggregate with 64 codegen'd scalar sums (bit i set => +1 else
+    // -1), then OR the signs into a 64-bit code. Higher-order-function
+    // variants (aggregate+zip_with per word) run interpreted and allocate
+    // a 64-long array per word — ~20x slower. The explode is map-side
+    // combinable, so at 100 TB this is one shuffle of 64-long partials.
     "d03_simhash" -> OpDef.rowsOnly(
       (s, d) => {
+        val bitSums = Array.tabulate(64)(i =>
+          sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+            .as(s"b$i"))
+        val simhashCol = (0 until 64).map(i =>
+            when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          // bitwise OR, not +: bit 63 is Long.MinValue and ANSI addition
+          // would overflow; OR of disjoint bits is exact.
+          .reduce((a, b) => a.bitwiseOR(b))
         val sigs = Tables.documents(s, d)
-          .withColumn("words", split(col("text"), "\\s+"))
-          .withColumn("bitsum", expr(
-            """aggregate(transform(words, w -> xxhash64(w)),
-              |  transform(sequence(0, 63), i -> 0L),
-              |  (acc, h) -> zip_with(acc,
-              |    transform(sequence(0, 63),
-              |      i -> CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1L ELSE -1L END),
-              |    (x, y) -> x + y))""".stripMargin))
-          .withColumn("simhash", expr(
-            // bitwise OR, not +: bit 63 is Long.MinValue and ANSI addition
-            // would overflow; OR of disjoint bits is exact.
-            """aggregate(sequence(0, 63), 0L,
-              |  (s2, i) -> s2 | CASE WHEN bitsum[i] > 0 THEN shiftleft(1L, i) ELSE 0L END)
-              |""".stripMargin))
-          .select("doc_id", "simhash")
+          .select(col("doc_id"),
+                  explode(split(col("text"), "\\s+")).as("w"))
+          .select(col("doc_id"), xxhash64(col("w")).as("h"))
+          .groupBy("doc_id")
+          .agg(bitSums.head, bitSums.tail: _*)
+          .select(col("doc_id"), simhashCol.as("simhash"))
+          // (doc_id, long) — tiny; both sides of the chunk self-join read it.
+          .persist()
         val chunks = sigs.select(
             col("doc_id"), col("simhash"),
             explode(expr(
