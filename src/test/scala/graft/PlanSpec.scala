@@ -1,0 +1,68 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan shape checks — the properties that make these plans hold
+  * at 100 TB (broadcasts, scan pushdown, partial aggregation) are asserted
+  * so a regression shows up as a test failure, not a slow cluster.
+  */
+class PlanSpec extends AnyFunSuite with SparkFixture {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q03 fact-dim join broadcasts the dimension (no lineitem shuffle)") {
+    assert(planOf("q03_broadcast_join").contains("BroadcastHashJoin"))
+  }
+
+  test("q04 five-way join broadcasts every dimension") {
+    val p = planOf("q04_multi_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"))
+  }
+
+  test("q02 filters reach the parquet scan") {
+    val f = formatted("q02_filter_scan")
+    assert(f.contains("PushedFilters"))
+    assert(f.contains("l_quantity") && f.contains("LessThan"),
+      "quantity filter not pushed to scan")
+  }
+
+  test("q01 scan is pruned to the referenced columns only") {
+    val f = formatted("q01_pricelist")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_partkey"))
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_orderkey"),
+      s"scan reads unused columns: $readSchema")
+  }
+
+  test("q01 aggregation is partial (map-side combine before the shuffle)") {
+    val p = planOf("q01_pricelist")
+    assert(p.contains("partial_"), "no partial aggregation in plan")
+  }
+
+  test("q02 single-row agg stays inside whole-stage codegen") {
+    // AQE only materializes codegen stages at execution: run, then inspect
+    // the finalized adaptive plan.
+    val df = SparkEntry.queries("q02_filter_scan")(spark, sfDir)
+    df.collect()
+    val cg = org.apache.spark.sql.execution.debug.codegenString(
+      df.queryExecution.executedPlan)
+    assert(!cg.contains("Found 0 WholeStageCodegen"), cg.linesIterator.next())
+  }
+
+  test("d03 signature aggregation is partial and codegen'd") {
+    val p = planOf("d03_simhash")
+    assert(p.contains("partial_"), "simhash bit sums not map-side combined")
+  }
+
+  test("e01 broadcasts the query set, not the corpus") {
+    val p = planOf("e01_knn_brute")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every declared operator builds and executes at sf0.001; spot checks pin
+  * semantics that the DuckDB oracle can't see (rows-only ops).
+  */
+class QueriesSpec extends AnyFunSuite with SparkFixture {
+
+  // Every query must plan and run; most must return rows at sf0.001.
+  // Pair-finding ops may legitimately be empty at tiny scale.
+  // (q14's HAVING threshold and the pair finders can be legitimately empty
+  // on 200-part / 500-doc inputs.)
+  private val mayBeEmpty = Set("q10_unmet_demand", "q14_having",
+    "d02_minhash_lsh", "d03_simhash", "d04_char_jaccard", "e02_ann_lsh")
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(df.columns.nonEmpty)
+      if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("entry returns the flagship pricelist") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.toSeq ==
+      Seq("l_partkey", "n_auctions", "volume", "min_price", "max_price", "avg_price"))
+  }
+
+  test("every oracleSql key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("q28 miniauction counts re-sum to the lineitem total") {
+    import org.apache.spark.sql.functions._
+    val li = graft.sources.Tables.lineitem(spark, sfDir).count()
+    val collapsed = SparkEntry.queries("q28_miniauctions")(spark, sfDir)
+      .agg(sum("n_listings")).head.getLong(0)
+    assert(collapsed == li)
+  }
+
+  test("d01 exact-dedup copy counts re-sum to the documents total") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, sfDir).count()
+    val total = SparkEntry.queries("d01_exact_dedup")(spark, sfDir)
+      .agg(sum("n_copies")).head.getLong(0)
+    assert(total == docs)
+  }
+
+  test("e01 top-k is k rows per query, ranked by descending similarity") {
+    val rows = SparkEntry.queries("e01_knn_brute")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.size == 5)
+    byQ.foreach { case (_, rs) =>
+      assert(rs.length == 10)
+      val sims = rs.sortBy(_._2).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}

@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole test JVM (Spark allows a single
+  * context; getOrCreate makes every suite reuse it).
+  */
+object SparkFixture {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val SfDir = "/root/testdata/sf0.001"
+}
+
+trait SparkFixture {
+  def spark: SparkSession = SparkFixture.spark
+  def sfDir: String = SparkFixture.SfDir
+}
