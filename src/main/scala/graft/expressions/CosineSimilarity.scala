@@ -69,7 +69,13 @@ object GraftFunctions {
   /** Register graft's native expressions with a session's function registry
     * so plans can use them via `expr("cosine_sim(a, b)")`.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "shingle3_hashes", exprs => ShingleHashes(exprs(0), 3), "built-in")
+    reg.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyHash(exprs(0)), "built-in")
+  }
 }

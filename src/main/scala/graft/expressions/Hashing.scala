@@ -1,0 +1,99 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Java-callable text/hash kernels invoked from generated code. */
+object HashKernels {
+
+  /** Distinct xxhash64 (seed 42 — Spark's `xxhash64` default) of all
+    * n-word shingles of `text`, word-split on `\s+`. Bit-identical to
+    * `array_distinct(transform(sequence(0, size(words)-n),
+    *    i -> xxhash64(concat_ws(' ', words[i], ..., words[i+n-1]))))`
+    * over `split(text, '\\s+')`, but a single tight loop instead of an
+    * interpreted higher-order-function chain (~20x on the documents scan).
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    val m = words.length - n + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](m)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val s = UTF8String.fromString(sb.toString)
+      seen.add(XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Rolling polynomial hash over a long array:
+    * fold(acc = (acc * 31 + pmod(h, 1000000007)) mod 1000000000000037).
+    * Matches the SQL `aggregate(...)` form used before (same constants),
+    * with explicit positive mods.
+    */
+  def polyHash(arr: ArrayData): Long = {
+    val mod = 1000000000000037L
+    val hmod = 1000000007L
+    var acc = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      var h = arr.getLong(i) % hmod
+      if (h < 0) h += hmod
+      acc = (acc * 31 + h) % mod
+      if (acc < 0) acc += mod
+      i += 1
+    }
+    acc
+  }
+}
+
+/** Native shingle-hash expression: text -> array<long> of distinct n-word
+  * shingle hashes. The unit of MinHash/Jaccard dedup; codegen'd as one
+  * kernel call per row.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashKernels.shingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Rolling polynomial hash over an array<long> (document fingerprint). */
+case class PolyHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.polyHash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.polyHash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
