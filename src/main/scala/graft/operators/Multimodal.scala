@@ -33,6 +33,33 @@ object Multimodal {
         |       md5(text) AS content_hash,
         |       CAST(octet_length(encode(text)) % 64 AS INT) AS fake_width,
         |       CAST(octet_length(encode(text)) % 48 AS INT) AS fake_height
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Frame sampling: chunk each payload into fixed-size "frames", keep
+    // every 2nd frame, emit per-frame metadata. This is the video
+    // frame-extraction batch shape — a per-row explode whose fan-out is
+    // bounded by payload size, shuffle-free, so it streams at scan speed;
+    // a real decoder would replace the substr with a codec call inside the
+    // same per-partition loop.
+    "m02_frame_sample" -> OpDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(expr(
+            "transform(sequence(0, CAST((length(text) - 1) DIV 100 AS INT)), i -> substr(text, i * 100 + 1, 100))")))
+        .withColumnRenamed("pos", "frame_idx")
+        .filter(col("frame_idx") % 2 === 0)
+        .select(col("doc_id"), col("frame_idx"),
+                length(col("col")).as("frame_len"),
+                md5(col("col").cast("binary")).as("frame_hash"))
+        .orderBy("doc_id", "frame_idx"),
+      """WITH f AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, (length(text) - 1) // 100)) AS i
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |       CAST(length(substr(text, CAST(i AS INT) * 100 + 1, 100)) AS INT) AS frame_len,
+        |       md5(substr(text, CAST(i AS INT) * 100 + 1, 100)) AS frame_hash
+        |FROM f WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin)
   )
 }

@@ -183,14 +183,21 @@ object Relational {
         |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
         |ORDER BY c_custkey""".stripMargin),
 
-    // NOT EXISTS / left-anti: parts never sold (reference: unmet demand).
+    // NOT EXISTS / left-anti: catalog parts with no auction activity in the
+    // recent window (reference: unmet demand — demanded items with no live
+    // auctions). The anti-join probe side is filtered BEFORE the join so
+    // the pushed predicate shrinks the build at scale.
     "q10_unmet_demand" -> OpDef.sql(
       (s, d) => Tables.part(s, d)
-        .join(Tables.lineitem(s, d), col("p_partkey") === col("l_partkey"), "left_anti")
+        .join(Tables.lineitem(s, d)
+                .filter(col("l_shipdate") >= to_timestamp(lit("2001-01-01"))),
+              col("p_partkey") === col("l_partkey"), "left_anti")
         .select("p_partkey", "p_name", "p_brand")
         .orderBy("p_partkey"),
       """SELECT p_partkey, p_name, p_brand FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey
+        |                    AND l_shipdate >= TIMESTAMP '2001-01-01')
         |ORDER BY p_partkey""".stripMargin),
 
     // Union of heterogeneous sources: entity counts per nation.

@@ -31,13 +31,18 @@ object Similarity {
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
     z ^ (z >>> 31)
   }
-  private val Planes: Array[Array[Double]] =
-    Array.tabulate(NumPlanes, Dim)((j, k) =>
+  private[operators] def planes(numPlanes: Int): Array[Array[Double]] =
+    Array.tabulate(numPlanes, Dim)((j, k) =>
       (mix(j.toLong * Dim + k) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
+  private val Planes: Array[Array[Double]] = planes(NumPlanes)
 
-  /** 8-bit sign code: bit j = sign(plane_j . vec). Pure array expressions. */
-  private def signCode(vecCol: String): org.apache.spark.sql.Column = {
-    val bitExprs = Planes.zipWithIndex.map { case (p, j) =>
+  /** n-bit sign code: bit j = sign(plane_j . vec). Pure array expressions;
+    * the dot product is a sequential left fold so the IEEE result is
+    * bit-identical to DuckDB's `list_dot_product` in the oracle.
+    */
+  private[operators] def signCode(vecCol: String,
+      ps: Array[Array[Double]] = Planes): org.apache.spark.sql.Column = {
+    val bitExprs = ps.zipWithIndex.map { case (p, j) =>
       val planeLit = p.mkString("array(", "D,", "D)")
       s"""CASE WHEN aggregate(zip_with($vecCol, $planeLit,
          |  (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) > 0
@@ -45,6 +50,14 @@ object Similarity {
     }
     expr(bitExprs.mkString("(", " + ", ")"))
   }
+
+  /** The same sign code as a DuckDB SQL expression (for oracles). */
+  private[operators] def signCodeSql(vecSql: String,
+      ps: Array[Array[Double]]): String =
+    ps.zipWithIndex.map { case (p, j) =>
+      val lit = p.mkString("[", ",", "]")
+      s"CASE WHEN list_dot_product($vecSql, $lit) > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString("(", " + ", ")")
 
   val defs: Map[String, OpDef] = Map(
 
@@ -80,6 +93,37 @@ object Similarity {
          |FROM scored
          |QUALIFY rk <= $TopK
          |ORDER BY q_id, rk""".stripMargin),
+
+    // Embedding-cosine near-dup pairs, LSH-bucketed: candidates are pairs
+    // sharing a 4-bit hyperplane sign code (16 buckets), kept when cosine
+    // >= 0.35. The DuckDB oracle replicates the SAME bucketing, so the
+    // LSH candidate generation itself is oracle-checked — at 100 TB the
+    // self-join shuffles on the code and never goes quadratic.
+    "d09_embed_dup" -> OpDef.sql(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val ps = planes(4)
+        val emb = Tables.embeddings(s, d)
+          .select(col("vec_id"), col("embedding"), signCode("embedding", ps).as("code"))
+        val a = emb.toDF("a_id", "a_vec", "code")
+        val b = emb.toDF("b_id", "b_vec", "code")
+        a.join(b, Seq("code"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("sim", round(expr("cosine_sim(a_vec, b_vec)") + lit(1e-10), 6))
+          .filter(col("sim") >= 0.35)
+          .select("a_id", "b_id", "code", "sim")
+          .orderBy("a_id", "b_id")
+      }, {
+        val codeSql = signCodeSql("embedding::DOUBLE[]", planes(4))
+        s"""WITH coded AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS vec, $codeSql AS code
+           |  FROM embeddings)
+           |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.code AS code,
+           |       round(list_cosine_similarity(a.vec, b.vec) + 1e-10, 6) AS sim
+           |FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id
+           |WHERE round(list_cosine_similarity(a.vec, b.vec) + 1e-10, 6) >= 0.35
+           |ORDER BY a_id, b_id""".stripMargin
+      }),
 
     // LSH-bucketed approximate nearest neighbors: equality join on the
     // hyperplane sign code, then exact cosine only within the bucket.
