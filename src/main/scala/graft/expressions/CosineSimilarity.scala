@@ -77,5 +77,13 @@ object GraftFunctions {
       "shingle3_hashes", exprs => ShingleHashes(exprs(0), 3), "built-in")
     reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "char_jaccard", exprs => CharSetJaccard(exprs(0), exprs(1)), "built-in")
   }
+
+  /** Register a hyperplane sign-code function bound to a plane matrix. */
+  def registerSignCode(spark: SparkSession, name: String,
+      planes: Array[Array[Double]]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => SignCode(exprs(0), planes), "built-in")
 }

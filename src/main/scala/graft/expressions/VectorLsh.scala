@@ -1,0 +1,97 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+object LshKernels {
+
+  /** Hyperplane sign code: bit j set iff dot(planes[j], vec) > 0. Each dot
+    * is a sequential ascending-index fold in double — the same order and
+    * widening as DuckDB's `list_dot_product(vec::DOUBLE[], [plane])`, so
+    * bucket assignments are bit-identical to the SQL oracle's.
+    */
+  def signCode(vec: ArrayData, planes: Array[Array[Double]]): Int = {
+    var code = 0
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(vec.numElements(), p.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += vec.getFloat(i).toDouble * p(i); i += 1 }
+      if (dot > 0) code |= 1 << j
+      j += 1
+    }
+    code
+  }
+
+  /** Jaccard similarity of the DISTINCT code-point sets of two strings —
+    * matches `len(list_intersect(a,b)) / len(list_distinct(a||b))` over
+    * DuckDB's `string_split_regex(text,'')` (and Spark's `split(text,'')`),
+    * both of which split into unicode code points.
+    */
+  def charJaccard(a: UTF8String, b: UTF8String): Double = {
+    val sa = toCpSet(a)
+    val sb = toCpSet(b)
+    if (sa.isEmpty && sb.isEmpty) return Double.NaN // 0/0, as in SQL
+    var inter = 0
+    val it = sa.iterator()
+    while (it.hasNext) if (sb.contains(it.next())) inter += 1
+    val union = sa.size + sb.size - inter
+    inter.toDouble / union
+  }
+
+  private def toCpSet(s: UTF8String): java.util.HashSet[Integer] = {
+    val set = new java.util.HashSet[Integer]()
+    val str = s.toString
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      set.add(cp)
+      i += Character.charCount(cp)
+    }
+    set
+  }
+}
+
+/** Codegen'd hyperplane sign code over an `array<float>` embedding; the
+  * plane matrix rides along as a referenced object in generated code.
+  */
+case class SignCode(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sign_code"
+
+  override def nullSafeEval(input: Any): Any =
+    LshKernels.signCode(input.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.LshKernels.signCode($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SignCode =
+    copy(child = newChild)
+}
+
+/** Codegen'd distinct-code-point Jaccard between two strings. */
+case class CharSetJaccard(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_jaccard"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LshKernels.charJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.LshKernels.charJaccard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CharSetJaccard =
+    copy(left = newLeft, right = newRight)
+}

@@ -175,14 +175,17 @@ object Dedup {
     // Blocking on (source, lang) bounds the per-block pair count by design.
     "d04_char_jaccard" -> OpDef.sql(
       (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d)
-          .withColumn("chars", array_distinct(split(col("text"), "")))
-          .select("doc_id", "source", "lang", "chars")
-        val a = docs.toDF("a_id", "source", "lang", "a_chars")
-        val b = docs.toDF("b_id", "source", "lang", "b_chars")
+          .select("doc_id", "source", "lang", "text")
+        val a = docs.toDF("a_id", "source", "lang", "a_text")
+        val b = docs.toDF("b_id", "source", "lang", "b_text")
         a.join(b, Seq("source", "lang"))
           .filter(col("a_id") < col("b_id"))
-          .withColumn("sim_raw", jaccard("a_chars", "b_chars"))
+          // native kernel: distinct-code-point Jaccard straight off the two
+          // strings (the array_distinct/split/array_intersect pipeline ran
+          // interpreted per candidate pair)
+          .withColumn("sim_raw", expr("char_jaccard(a_text, b_text)"))
           .filter(col("sim_raw") >= 0.8)
           .select(col("a_id"), col("b_id"),
                   round(col("sim_raw") + lit(1e-8), 4).as("sim"))

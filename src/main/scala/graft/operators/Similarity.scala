@@ -36,19 +36,18 @@ object Similarity {
       (mix(j.toLong * Dim + k) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
   private val Planes: Array[Array[Double]] = planes(NumPlanes)
 
-  /** n-bit sign code: bit j = sign(plane_j . vec). Pure array expressions;
-    * the dot product is a sequential left fold so the IEEE result is
-    * bit-identical to DuckDB's `list_dot_product` in the oracle.
+  /** n-bit sign code: bit j = sign(plane_j . vec), via the codegen'd
+    * [[graft.expressions.SignCode]] kernel. Each dot product is a
+    * sequential ascending-index fold in double, so bucket assignment is
+    * bit-identical to DuckDB's `list_dot_product` in the oracle (the
+    * interpreted aggregate/zip_with form computed the same value ~50x
+    * slower).
     */
-  private[operators] def signCode(vecCol: String,
+  private[operators] def signCode(s: SparkSession, vecCol: String,
       ps: Array[Array[Double]] = Planes): org.apache.spark.sql.Column = {
-    val bitExprs = ps.zipWithIndex.map { case (p, j) =>
-      val planeLit = p.mkString("array(", "D,", "D)")
-      s"""CASE WHEN aggregate(zip_with($vecCol, $planeLit,
-         |  (x, y) -> CAST(x AS DOUBLE) * y), 0D, (acc, v) -> acc + v) > 0
-         |  THEN ${1 << j} ELSE 0 END""".stripMargin
-    }
-    expr(bitExprs.mkString("(", " + ", ")"))
+    val name = s"sign_code_${ps.length}"
+    GraftFunctions.registerSignCode(s, name, ps)
+    expr(s"$name($vecCol)")
   }
 
   /** The same sign code as a DuckDB SQL expression (for oracles). */
@@ -104,7 +103,7 @@ object Similarity {
         GraftFunctions.register(s)
         val ps = planes(4)
         val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), signCode("embedding", ps).as("code"))
+          .select(col("vec_id"), col("embedding"), signCode(s, "embedding", ps).as("code"))
         val a = emb.toDF("a_id", "a_vec", "code")
         val b = emb.toDF("b_id", "b_vec", "code")
         a.join(b, Seq("code"))
@@ -131,7 +130,7 @@ object Similarity {
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-          .withColumn("code", signCode("embedding"))
+          .withColumn("code", signCode(s, "embedding"))
         val queries = emb.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("code"))
         val candidates = emb
