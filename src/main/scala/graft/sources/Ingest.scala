@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Intake-side sources and sinks (the reference ingests periodic JSON
+  * auction dumps and serves from storage; here: schema'd JSON line ingest
+  * and a partitioned-parquet lake sink whose layout prunes at read time).
+  */
+object Ingest {
+
+  /** Schema for JSON-lines event dumps (the `events` table's shape with a
+    * string timestamp). An explicit schema keeps ingest single-pass —
+    * schema inference would read every dump twice at 100 TB.
+    */
+  val eventDumpSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("ts", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("props", StringType, nullable = true)))
+
+  /** Read newline-delimited JSON dumps into the normalized event shape
+    * (`ts_us` epoch microseconds, like [[Tables.events]]). Corrupt lines
+    * land in `_corrupt_record`-free mode PERMISSIVE as nulls and are
+    * dropped explicitly, so one bad dump line can't fail an intake batch.
+    */
+  def readEventDumps(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(eventDumpSchema)
+      .option("mode", "PERMISSIVE")
+      .json(path)
+      .filter(col("event_id").isNotNull)
+      .withColumn("ts_us", unix_micros(to_timestamp(col("ts"))))
+      .drop("ts")
+
+  /** Write a day-partitioned event lake: directory layout `day=YYYY-MM-DD`
+    * so date-bounded reads prune whole partitions before any IO.
+    */
+  def writeEventLake(df: DataFrame, path: String): Unit =
+    df.withColumn("day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+      .repartition(col("day")) // one shuffle -> one file set per day
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("day")
+      .parquet(path)
+
+  /** Read the event lake with partition pruning driven by `day` filters. */
+  def readEventLake(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{Ingest, Tables}
+
+import java.nio.file.Files
+
+/** Intake source/sink round-trips: JSON dump ingest and the
+  * day-partitioned lake, including pruning behavior at read time.
+  */
+class IngestSpec extends AnyFunSuite with SparkFixture {
+
+  test("JSON dump ingest matches the parquet events table") {
+    val tmp = Files.createTempDirectory("graft_ingest").toString
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+              date_format(timestamp_micros(col("ts_us")),
+                "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+              col("value"), col("props"))
+    events.coalesce(1).write.json(s"$tmp/dumps")
+
+    val back = Ingest.readEventDumps(spark, s"$tmp/dumps")
+    val expected = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts_us", "value", "props")
+    assert(back.count() == expected.count())
+    assert(back.select("event_id", "ts_us").exceptAll(
+      expected.select("event_id", "ts_us")).isEmpty)
+  }
+
+  test("corrupt dump lines are dropped, not fatal") {
+    val tmp = Files.createTempDirectory("graft_corrupt").toString
+    Files.writeString(java.nio.file.Paths.get(tmp, "d.json"),
+      """{"event_id":1,"user_id":2,"event_type":"click","ts":"2024-01-01 10:00:00.000000","value":1.5,"props":"{}"}
+        |this is not json
+        |{"event_id":2,"user_id":3,"event_type":"buy","ts":"2024-01-01 11:00:00.000000","value":2.5,"props":null}
+        |""".stripMargin)
+    val df = Ingest.readEventDumps(spark, tmp)
+    assert(df.count() == 2)
+  }
+
+  test("day-partitioned lake prunes partitions on day filters") {
+    val tmp = Files.createTempDirectory("graft_lake").toString
+    Ingest.writeEventLake(
+      Tables.events(spark, sfDir)
+        .select("event_id", "user_id", "event_type", "ts_us", "value"),
+      s"$tmp/lake")
+
+    val lake = Ingest.readEventLake(spark, s"$tmp/lake")
+    val days = lake.select("day").distinct().count()
+    assert(days > 1, "expected multiple day partitions")
+
+    // the day=... directory value is type-inferred as DATE at read time
+    val oneDay = lake.select(max(col("day")).cast("string")).head.getString(0)
+    val filtered = lake.filter(col("day") === oneDay)
+    val explain = filtered.queryExecution.executedPlan.toString
+    assert(explain.contains("PartitionFilters: [isnotnull(day"),
+      s"day filter not applied as a partition filter:\n$explain")
+    // pruned scan reads strictly fewer files than the lake holds (checked
+    // via the scan's own numFiles metric after execution — inputFiles on
+    // the DataFrame lists the relation pre-pruning)
+    // collect() executes THIS queryExecution (count() would build its own),
+    // so the scan metrics below belong to the executed plan
+    assert(filtered.collect().nonEmpty)
+    val finalPlan = filtered.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // the materialized final plan, post-AQE
+      case p => p
+    }
+    val scanFiles = finalPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles")).map(_.value).sum
+    val allFiles = lake.inputFiles.length
+    assert(scanFiles > 0 && scanFiles < allFiles,
+      s"no file-level pruning: read $scanFiles of $allFiles files")
+  }
+}
