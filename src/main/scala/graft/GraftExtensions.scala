@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.expressions._
+
+/** Session-extensions entry point: installs graft's native functions at
+  * session build time, the standard way a Spark library ships —
+  *
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.GraftExtensions")
+  * }}}
+  *
+  * after which `cosine_sim`, `shingle3_hashes`, `poly_hash`,
+  * `char_jaccard`, and `sign_code_{4,8,16}` are available in SQL and
+  * `expr(...)` on every session of the context.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("shingle3_hashes"),
+      info("shingle3_hashes", "shingle3_hashes(text) - distinct xxhash64 of 3-word shingles"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs(0), 3)))
+    ext.injectFunction((FunctionIdentifier("poly_hash"),
+      info("poly_hash", "poly_hash(arr) - rolling polynomial hash of a long array"),
+      (exprs: Seq[Expression]) => PolyHash(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("char_jaccard"),
+      info("char_jaccard", "char_jaccard(a, b) - distinct-code-point Jaccard of two strings"),
+      (exprs: Seq[Expression]) => CharSetJaccard(exprs(0), exprs(1))))
+    for (n <- Seq(4, 8, 16)) {
+      val ps = LshKernels.planes(n)
+      ext.injectFunction((FunctionIdentifier(s"sign_code_$n"),
+        info(s"sign_code_$n", s"sign_code_$n(vec) - $n-bit hyperplane LSH bucket code"),
+        (exprs: Seq[Expression]) => SignCode(exprs(0), ps)))
+    }
+  }
+}

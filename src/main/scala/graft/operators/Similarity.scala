@@ -18,22 +18,14 @@ import graft.expressions.GraftFunctions
   */
 object Similarity {
 
-  private val Dim = 64
   private val NumPlanes = 8
   private val NumQueries = 5
   private val TopK = 10
 
-  // Deterministic pseudo-random hyperplanes in [-1, 1] (SplitMix64 scramble
-  // of the flat index) — fixed literals, identical across runs and engines.
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  // Deterministic hyperplanes shared with the expression layer (and
+  // reproduced literally in the DuckDB oracle SQL).
   private[operators] def planes(numPlanes: Int): Array[Array[Double]] =
-    Array.tabulate(numPlanes, Dim)((j, k) =>
-      (mix(j.toLong * Dim + k) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
+    graft.expressions.LshKernels.planes(numPlanes)
   private val Planes: Array[Array[Double]] = planes(NumPlanes)
 
   /** n-bit sign code: bit j = sign(plane_j . vec), via the codegen'd
