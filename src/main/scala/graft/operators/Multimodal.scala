@@ -4,6 +4,10 @@ import org.apache.spark.sql.functions._
 import graft.OpDef
 import graft.sources.Tables
 
+/** One decoded payload's features (m03 output row). */
+final case class DecodedFeatures(doc_id: Long, n_bytes: Int, sig32: Long,
+                                 fake_width: Int, n_frames: Int)
+
 /** Multimodal column plumbing: treat payloads as opaque `binary` columns
   * with typed metadata. The container has no image/audio codecs, so the
   * decode step is a clearly-marked deterministic STUB (metadata derived
@@ -60,6 +64,41 @@ object Multimodal {
         |       CAST(length(substr(text, CAST(i AS INT) * 100 + 1, 100)) AS INT) AS frame_len,
         |       md5(substr(text, CAST(i AS INT) * 100 + 1, 100)) AS frame_hash
         |FROM f WHERE i % 2 = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // Batched decode via mapPartitions: the pattern a real media decoder
+    // needs — one expensive decoder instance per PARTITION (here a reused
+    // MessageDigest standing in for a codec context), streaming rows
+    // through it. No shuffle, no driver collect, arbitrary per-row fan-in
+    // logic. The decode itself is a deterministic STUB (md5-derived
+    // features) so the oracle can reproduce it in SQL.
+    "m03_decode_batch" -> OpDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text").cast("binary").as("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            // per-partition decoder setup (the expensive part a codec
+            // would pay once per task, not once per row)
+            val md = java.security.MessageDigest.getInstance("MD5")
+            rows.map { case (id, bytes) =>
+              md.reset()
+              val hex = md.digest(bytes).take(4)
+                .map(b => f"${b & 0xff}%02x").mkString
+              val sig32 = java.lang.Long.parseLong(hex, 16)
+              DecodedFeatures(id, bytes.length, sig32,
+                (sig32 % 640).toInt, bytes.length / 100 + 1)
+            }
+          }
+          .toDF()
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |       ('0x' || substr(md5(text), 1, 8))::BIGINT AS sig32,
+        |       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 640 AS INT) AS fake_width,
+        |       CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }

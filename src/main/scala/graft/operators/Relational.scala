@@ -461,6 +461,38 @@ object Relational {
         .orderBy("l_partkey", "l_extendedprice", "l_quantity"),
       """SELECT l_partkey, l_extendedprice, l_quantity, count(*) AS n_listings
         |FROM lineitem GROUP BY 1, 2, 3
-        |ORDER BY l_partkey, l_extendedprice, l_quantity""".stripMargin)
+        |ORDER BY l_partkey, l_extendedprice, l_quantity""".stripMargin),
+
+    // Skew-safe two-phase aggregation: pre-aggregate on (key, salt) so a
+    // heavy-hitter key spreads across 16 reducers before the final merge —
+    // the manual fallback when AQE's skew handling can't kick in (e.g.
+    // pre-shuffle skew into a single agg key). Result is identical to the
+    // direct group-by, which is exactly what the oracle checks.
+    "q29_salted_agg" -> OpDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+        .groupBy("l_suppkey", "salt")
+        .agg(count(lit(1)).as("pn"), sum("l_quantity").as("pq"),
+             sum(revenue).as("pr"))
+        .groupBy("l_suppkey")
+        .agg(sum("pn").as("n"), r2e(sum("pq")).as("volume"),
+             r2e(sum("pr")).as("revenue"))
+        .orderBy("l_suppkey"),
+      """SELECT l_suppkey, count(*) AS n,
+        |       round(sum(l_quantity) + 1e-6, 2) AS volume,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS revenue
+        |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+
+    // Sketch-based distinct counting (HyperLogLog++): the 100-TB answer to
+    // q08's exact countDistinct — one pass, fixed memory, mergeable across
+    // partitions. Approximate, so rows-only here; the spec bounds the
+    // error against the exact count.
+    "q30_approx_distinct" -> OpDef.rowsOnly(
+      (s, d) => Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_buyers"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("c_mktsegment"))
   )
 }

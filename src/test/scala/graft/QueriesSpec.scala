@@ -50,6 +50,19 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(total == docs)
   }
 
+  test("q30 sketch distinct is within 5% of the exact count per segment") {
+    val approx = SparkEntry.queries("q30_approx_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = SparkEntry.queries("q08_distinct")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (seg, n) =>
+      val a = approx(seg)
+      assert(math.abs(a - n) <= math.max(1L, (0.05 * n).toLong),
+        s"$seg: approx=$a exact=$n")
+    }
+  }
+
   test("e01 top-k is k rows per query, ranked by descending similarity") {
     val rows = SparkEntry.queries("e01_knn_brute")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
