@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming/batch parity and sink round-trips for s01 tumbling windows. */
+class StreamParitySpec extends AnyFunSuite with SparkFixture {
+
+  test("s01 stream windows equal the batch q27 twin on the events table") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val rows = graft.sources.Tables.events(spark, sfDir)
+      .select(col("event_id"),
+              (col("ts_us") / 1000000.0).cast("timestamp").as("ts"),
+              col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+      .toSeq
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type", "value")
+    val query = StreamOps.tumblingWindows(events).writeStream
+      .format("memory").queryName("s01_parity").outputMode("complete").start()
+    try {
+      input.addData(rows)
+      query.processAllAvailable()
+      val streamed = spark.table("s01_parity")
+        .select(col("hour_s"), col("event_type"), col("n"),
+                round(col("total_value") + lit(1e-6), 2).as("tv"))
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      val batch = SparkEntry.queries("q27_event_windows")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+        .toMap
+      assert(streamed.nonEmpty)
+      assert(streamed.keySet == batch.keySet)
+      val diffs = batch.collect {
+        case (k, (n, tv)) if streamed(k)._1 != n ||
+          math.abs(streamed(k)._2 - tv) > 0.011 => k -> (streamed(k), (n, tv))
+      }
+      assert(diffs.isEmpty, s"first diff: ${diffs.headOption}")
+    } finally query.stop()
+  }
+
+  test("s01 writes to a parquet file sink with checkpointing") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_sink").toString
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val query = StreamOps.tumblingWindows(events).writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0))
+      query.processAllAvailable()
+      // advance the watermark far enough that the 10:00 window closes
+      // (append mode only emits finalized windows)
+      input.addData((t(14, 0), "click", 9.0))
+      query.processAllAvailable()
+      input.addData((t(15, 0), "click", 1.0))
+      query.processAllAvailable()
+      val out = spark.read.parquet(s"$tmp/out")
+      val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains((1704103200L, "click", 2L, 3.0)),
+        s"missing closed 10:00 window; got: ${rows.toSeq}")
+    } finally query.stop()
+  }
+}
