@@ -93,6 +93,32 @@ object Events {
         |  ON p.user_id = s.user_id AND p.ts >= s.ts
         |ORDER BY event_id""".stripMargin),
 
+    // The same as-of join through graft's custom whole-operator plan:
+    // LogicalPlan + SparkStrategy + physical merge-sweep SparkPlan
+    // (graft.plans.AsOfJoin*). Same oracle as q26 — both implementations
+    // must agree with DuckDB's native ASOF JOIN.
+    "q26_asof_custom" -> OpDef.sql(
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"))
+        val signups = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"),
+                  col("user_id").as("s_user"), col("ts_us").as("s_us"))
+        graft.plans.AsOf.join(purchases, signups,
+            "user_id", "s_user", "ts_us", "s_us")
+          .select(col("event_id"), col("user_id"), col("signup_id"),
+                  expr("(ts_us - s_us) DIV 1000000").as("wait_s"))
+          .orderBy("event_id")
+      },
+      """SELECT p.event_id AS event_id, p.user_id AS user_id,
+        |       s.event_id AS signup_id,
+        |       (epoch_ns(p.ts) // 1000 - epoch_ns(s.ts) // 1000) // 1000000 AS wait_s
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY event_id""".stripMargin),
+
     // Tumbling 1-hour windows per event type (intake micro-batch rollup).
     "q27_event_windows" -> OpDef.sql(
       (s, d) => Tables.events(s, d)

@@ -1,0 +1,169 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{Distribution, StatefulOpClusteredDistribution}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+
+/** Logical as-of join: for every left row, the single right row with the
+  * same key and the greatest time <= the left row's time (inner: left rows
+  * with no such right row are dropped). This is the whole-operator custom
+  * plan path — LogicalPlan + Strategy + SparkPlan — for the case the
+  * built-in operators can't express directly (the composed alternative is
+  * the union+window pattern in q26; this node does the same work in one
+  * co-partitioned merge sweep with no union materialization).
+  */
+case class AsOfJoin(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoin]] to [[AsOfJoinExec]]. Registered per-session via
+  * `spark.experimental.extraStrategies` (see [[AsOf.join]]) or session
+  * extensions.
+  */
+object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoin(l, r, lk, rk, lt, rt) =>
+      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical as-of join: both sides hash-partitioned on the key (pinned
+  * partition count, so AQE cannot coalesce the sides apart) and sorted by
+  * (key, time); one forward merge sweep per partition pairs each left row
+  * with the latest right row <= its time. One shuffle per side, no per-row
+  * probes, state = one buffered right row — scales like a sort-merge join.
+  */
+case class AsOfJoinExec(
+    leftKey: Expression, rightKey: Expression,
+    leftTime: Expression, rightTime: Expression,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def requiredChildDistribution: Seq[Distribution] = {
+    val n = conf.numShufflePartitions
+    Seq(StatefulOpClusteredDistribution(Seq(leftKey), n),
+        StatefulOpClusteredDistribution(Seq(rightKey), n))
+  }
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
+    val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
+    val lOut = left.output
+    val rOut = right.output
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyEval = BindReferences.bindReference(leftKey, lOut)
+      val lTimeEval = BindReferences.bindReference(leftTime, lOut)
+      val rKeyEval = BindReferences.bindReference(rightKey, rOut)
+      val rTimeEval = BindReferences.bindReference(rightTime, rOut)
+      val joiner = new JoinedRow
+      val project = UnsafeProjection.create(output, lOut ++ rOut)
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = _
+        private var rHeadKey: Any = _
+        private var rHeadTime: Any = _
+        private def advanceRight(): Unit =
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKey = rKeyEval.eval(rHead)
+            rHeadTime = rTimeEval.eval(rHead)
+          } else rHead = null
+        advanceRight()
+
+        // latest right row whose (key, time) <= the current left cursor
+        private var cand: InternalRow = _
+        private var candKey: Any = _
+
+        // Computed LAZILY on hasNext/next: the projection reuses one
+        // UnsafeRow buffer, so the next row must not be materialized until
+        // the consumer is done with the current one (the standard SparkPlan
+        // row-reuse contract — eager prefetch here corrupts emitted rows).
+        private var nextOut: InternalRow = _
+
+        private def computeNext(): Unit = {
+          nextOut = null
+          while (nextOut == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lk = lKeyEval.eval(l)
+            val lt = lTimeEval.eval(l)
+            // consume right rows at or before (lk, lt)
+            while (rHead != null && {
+              val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
+                                     lk.asInstanceOf[AnyRef])
+              c < 0 || (c == 0 &&
+                timeOrd.compare(rHeadTime.asInstanceOf[AnyRef],
+                                lt.asInstanceOf[AnyRef]) <= 0)
+            }) {
+              // buffered rows are reused by the child iterator: copy
+              cand = rHead.copy()
+              candKey = rHeadKey
+              advanceRight()
+            }
+            if (cand != null &&
+                keyOrd.compare(candKey.asInstanceOf[AnyRef],
+                               lk.asInstanceOf[AnyRef]) == 0)
+              nextOut = project(joiner(l, cand))
+          }
+        }
+        private var computed = false
+
+        override def hasNext: Boolean = {
+          if (!computed) { computeNext(); computed = true }
+          nextOut != null
+        }
+        override def next(): InternalRow = {
+          if (!computed) computeNext()
+          computed = false
+          nextOut
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: as-of join two DataFrames on a key and event-time column.
+  * Column names must be disjoint between the two sides (rename first).
+  */
+object AsOf {
+  def join(l: DataFrame, r: DataFrame,
+           leftKey: String, rightKey: String,
+           leftTime: String, rightTime: String): DataFrame = {
+    val spark: SparkSession = l.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    val lp = GraftSqlBridge.logicalPlan(l)
+    val rp = GraftSqlBridge.logicalPlan(r)
+    def res(p: LogicalPlan, name: String): Attribute =
+      p.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $name not in ${p.output.map(_.name).mkString(",")}"))
+    GraftSqlBridge.ofRows(spark,
+      AsOfJoin(lp, rp, res(lp, leftKey), res(rp, rightKey),
+               res(lp, leftTime), res(rp, rightTime)))
+  }
+}
