@@ -204,6 +204,44 @@ object Dedup {
         |      / len(list_distinct(list_concat(a.chars, b.chars))) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin),
 
+    // Word 3-gram Jaccard near-dup pairs, blocked on (source, lang). The
+    // Spark side measures Jaccard over the hashed shingle sets (native
+    // kernel, reused from minhash); the oracle over the raw shingle
+    // strings — identical values since xxhash64 is injective on these
+    // sets in practice, and the blocking bounds the pair count by design.
+    "d10_ngram_jaccard" -> OpDef.sql(
+      (s, d) => {
+        val docs = withShingles(s, d)
+          .select("doc_id", "source", "lang", "shingles")
+        val a = docs.toDF("a_id", "source", "lang", "a_sh")
+        val b = docs.toDF("b_id", "source", "lang", "b_sh")
+        a.join(b, Seq("source", "lang"))
+          .filter(col("a_id") < col("b_id"))
+          .withColumn("sim_raw", jaccard("a_sh", "b_sh"))
+          .filter(col("sim_raw") >= 0.2)
+          .select(col("a_id"), col("b_id"),
+                  round(col("sim_raw") + lit(1e-8), 4).as("sim"))
+          .orderBy("a_id", "b_id")
+      },
+      """WITH sh AS (
+        |  SELECT doc_id, source, lang,
+        |         list_distinct(list_transform(
+        |           generate_series(1, len(string_split_regex(text, '\s+')) - 2),
+        |           i -> concat_ws(' ',
+        |                  string_split_regex(text, '\s+')[i],
+        |                  string_split_regex(text, '\s+')[i+1],
+        |                  string_split_regex(text, '\s+')[i+2]))) AS shingles
+        |  FROM documents),
+        |nz AS (SELECT * FROM sh WHERE len(shingles) > 0)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |             / len(list_distinct(list_concat(a.shingles, b.shingles))) + 1e-8, 4) AS sim
+        |FROM nz a JOIN nz b
+        |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
+        |ORDER BY a_id, b_id""".stripMargin),
+
     // Rolling-hash fingerprinting: min/max/count over shingle hashes — a
     // compact per-document sketch for containment-style matching.
     "d08_fingerprint" -> OpDef.rowsOnly(

@@ -12,7 +12,8 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
   // (q14's HAVING threshold and the pair finders can be legitimately empty
   // on 200-part / 500-doc inputs.)
   private val mayBeEmpty = Set("q10_unmet_demand", "q14_having",
-    "d02_minhash_lsh", "d03_simhash", "d04_char_jaccard", "e02_ann_lsh")
+    "d02_minhash_lsh", "d03_simhash", "d04_char_jaccard", "d09_embed_dup",
+    "d10_ngram_jaccard", "e02_ann_lsh")
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
