@@ -13,11 +13,12 @@ import graft.sources.Tables
   *  - rolling-hash document fingerprinting.
   *
   * Scale design: no O(n^2) anywhere — candidate pairs only ever come from
-  * equality joins on LSH bucket keys (minhash band signatures / simhash
-  * 16-bit chunks / (source, lang) blocks), so the self-join shuffles on the
-  * bucket key and each bucket is small by construction. All signatures are
-  * computed per-row with higher-order functions (no explode of the corpus,
-  * no UDFs), staying inside whole-stage codegen.
+  * equality joins on bucket keys (minhash band signatures / simhash
+  * 16-bit chunks / (source, lang, length-band) blocks), so the self-join
+  * shuffles on the bucket key and each bucket is bounded by construction.
+  * Signatures come from native codegen'd kernels (ShingleHashes) or
+  * explode + scalar aggregates — nothing interpreted, nothing UDF-boxed
+  * on the corpus-sized path.
   */
 object Dedup {
 
@@ -79,6 +80,18 @@ object Dedup {
     size(array_intersect(col(a), col(b))).cast("double") /
       size(array_union(col(a), col(b)))
 
+  /** Persist with per-name tracking: rebuilding the same operator in a
+    * long-lived session (bench warmup + timed pass, repeated driver runs)
+    * unpersists the previous incarnation instead of accumulating cached
+    * partitions until LRU eviction.
+    */
+  private val tracked = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def persistTracked(name: String, df: DataFrame): DataFrame = {
+    val old = tracked.put(name, df)
+    if (old != null) old.unpersist(blocking = false)
+    df.persist()
+  }
+
   val defs: Map[String, OpDef] = Map(
 
     // Exact dedup: group identical texts, keep the lowest doc_id.
@@ -98,7 +111,8 @@ object Dedup {
         // Materialized once: the shingle table feeds the signature path and
         // both sides of the verify join (at 100 TB this is the signature
         // table you'd persist to the lake between pipeline stages).
-        val shing = withShingles(s, d).select("doc_id", "shingles").persist()
+        val shing = persistTracked("d02_shingles",
+          withShingles(s, d).select("doc_id", "shingles"))
         val sigs = minhashSigs(shing)
         val bands = sigs.select(
             col("doc_id"),
@@ -143,15 +157,13 @@ object Dedup {
           // bitwise OR, not +: bit 63 is Long.MinValue and ANSI addition
           // would overflow; OR of disjoint bits is exact.
           .reduce((a, b) => a.bitwiseOR(b))
-        val sigs = Tables.documents(s, d)
+        val sigs = persistTracked("d03_sigs", Tables.documents(s, d)
           .select(col("doc_id"),
                   explode(split(col("text"), "\\s+")).as("w"))
           .select(col("doc_id"), xxhash64(col("w")).as("h"))
           .groupBy("doc_id")
           .agg(bitSums.head, bitSums.tail: _*)
-          .select(col("doc_id"), simhashCol.as("simhash"))
-          // (doc_id, long) — tiny; both sides of the chunk self-join read it.
-          .persist()
+          .select(col("doc_id"), simhashCol.as("simhash")))
         val chunks = sigs.select(
             col("doc_id"), col("simhash"),
             explode(expr(
