@@ -117,8 +117,10 @@ object Similarity {
       }),
 
     // LSH-bucketed approximate nearest neighbors: equality join on the
-    // hyperplane sign code, then exact cosine only within the bucket.
-    "e02_ann_lsh" -> OpDef.rowsOnly(
+    // hyperplane sign code, then exact cosine only within the bucket. The
+    // oracle replicates the bucketing (same plane literals), so the ANN
+    // candidate generation is SQL-checked, not just row-counted.
+    "e02_ann_lsh" -> OpDef.sql(
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
@@ -136,6 +138,23 @@ object Similarity {
           .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
                   col("sim"), col("code"))
           .orderBy("q_id", "rk")
+      }, {
+        val codeSql = signCodeSql("embedding::DOUBLE[]", planes(NumPlanes))
+        s"""WITH coded AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS vec, $codeSql AS code
+           |  FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, vec AS q_vec, code FROM coded
+           |      WHERE vec_id < $NumQueries),
+           |cand AS (
+           |  SELECT q.q_id, e.vec_id AS neighbor_id, e.code AS code,
+           |         round(list_cosine_similarity(e.vec, q.q_vec) + 1e-10, 6) AS sim
+           |  FROM coded e JOIN q ON e.code = q.code AND e.vec_id <> q.q_id)
+           |SELECT q_id,
+           |       CAST(row_number() OVER (PARTITION BY q_id
+           |         ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
+           |       neighbor_id, sim, code
+           |FROM cand QUALIFY rk <= $TopK
+           |ORDER BY q_id, rk""".stripMargin
       })
   )
 }
