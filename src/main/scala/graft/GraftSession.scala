@@ -15,9 +15,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
-  def builder(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
-              shufflePartitions: Int = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
-      : SparkSession.Builder =
+  /** SPARK_GRAFT_CPUS, defaulting to every available core — a bench or
+    * verify run on a 32-core box should use all 32 without extra flags.
+    */
+  private def cpus: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors)
+
+  def builder(master: String = s"local[$cpus]",
+              shufflePartitions: Int = cpus): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
       .withExtensions(new GraftExtensions())

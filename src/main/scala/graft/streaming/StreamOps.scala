@@ -85,6 +85,17 @@ object StreamOps {
       }
   }
 
+  /** s03: streaming exact-dedup — drop repeated (event_id) rows across
+    * micro-batches (the reference's intake sees the same auction rows in
+    * consecutive dumps). State is bounded by the watermark: an id older
+    * than the delay is dropped from state, so memory is O(events per
+    * watermark window), not O(stream).
+    */
+  def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicates("event_id", "ts")
+
   /** Convenience: the batch `events` table lifted to the shape the
     * streaming ops expect (used by specs to cross-check stream results
     * against the batch twins on identical data).

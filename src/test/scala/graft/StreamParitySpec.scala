@@ -47,6 +47,26 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("s03 streaming dedup drops repeats across micro-batches") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val events = input.toDF().toDF("event_id", "ts", "event_type")
+    val query = StreamOps.dedupStream(events).writeStream
+      .format("memory").queryName("s03_out").outputMode("append").start()
+    try {
+      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData((1L, t(0), "click"), (2L, t(1), "click"), (1L, t(0), "click"))
+      query.processAllAvailable()
+      input.addData((1L, t(0), "click"), (3L, t(2), "buy")) // 1 repeats across batches
+      query.processAllAvailable()
+      val ids = spark.table("s03_out").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("s01 writes to a parquet file sink with checkpointing") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
