@@ -85,6 +85,67 @@ object StreamOps {
       }
   }
 
+  /** s04: sessionization with event-time timeout — like [[sessionize]],
+    * but open sessions are FLUSHED once the watermark passes the session
+    * gap after their last event, so every session is eventually emitted
+    * and state cannot grow unboundedly for users who go quiet.
+    *
+    * Input must carry an event-time `ts` (TimestampType), `user_id` and
+    * `value`; the watermark is set here (gap + delay) so the timeout
+    * clock is the stream's own event time.
+    */
+  def sessionizeWithTimeout(events: DataFrame,
+                            watermarkDelay: String = "10 minutes"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      // the watermarked ts column itself must reach the stateful operator
+      // (converting it to a long here would strip the watermark metadata)
+      .select(col("user_id").cast("long"),
+              col("ts"),
+              col("value").cast("double"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[SessionState]) =>
+          def micros(t: java.sql.Timestamp): Long =
+            t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
+          def emit(s: SessionState): SessionOut =
+            SessionOut(userId, s.sessionId, s.n, s.startUs / 1000000L,
+              (s.lastUs - s.startUs) / 1000000L,
+              math.round(s.sum * 100.0) / 100.0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          if (state.hasTimedOut) {
+            // watermark passed lastUs + gap: the session can never extend
+            state.getOption.foreach(out += emit(_))
+            state.remove()
+          } else {
+            var st = state.getOption.orNull
+            batch.toSeq.sortBy(e => micros(e._2)).foreach { case (_, t, value) =>
+              val tsUs = micros(t)
+              st match {
+                case null =>
+                  st = SessionState(1L, tsUs, tsUs, 1L, value)
+                case s if tsUs - s.lastUs > SessionGapUs =>
+                  out += emit(s)
+                  st = SessionState(s.sessionId + 1, tsUs, tsUs, 1L, value)
+                case s =>
+                  st = s.copy(lastUs = tsUs, n = s.n + 1, sum = s.sum + value)
+              }
+            }
+            if (st != null) {
+              state.update(st)
+              // fires when event-time watermark passes this instant
+              state.setTimeoutTimestamp((st.lastUs + SessionGapUs) / 1000L)
+            }
+          }
+          out.iterator
+      }
+  }
+
   /** s03: streaming exact-dedup — drop repeated (event_id) rows across
     * micro-batches (the reference's intake sees the same auction rows in
     * consecutive dumps). State is bounded by the watermark: an id older

@@ -67,6 +67,32 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("s04 timeout sessionization flushes idle sessions at the watermark") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import graft.streaming.SessionOut
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val query = StreamOps.sessionizeWithTimeout(events).writeStream
+      .format("memory").queryName("s04_out").outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      input.addData((1L, t(10, 0), 1.0), (1L, t(10, 10), 2.0))
+      query.processAllAvailable()
+      assert(spark.table("s04_out").isEmpty) // open, watermark not past gap
+      // another user's much-later event advances the watermark far past
+      // user 1's last event + gap -> user 1's session times out and flushes
+      input.addData((2L, t(14, 0), 5.0))
+      query.processAllAvailable()
+      input.addData((2L, t(14, 1), 1.0)) // one more batch so the timeout fires
+      query.processAllAvailable()
+      val flushed = spark.table("s04_out").as[SessionOut].collect().toSeq
+      assert(flushed.contains(SessionOut(1L, 1L, 2L, 1704103200L, 600L, 3.0)),
+        s"user 1 session not flushed: $flushed")
+    } finally query.stop()
+  }
+
   test("s01 writes to a parquet file sink with checkpointing") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
