@@ -83,6 +83,9 @@ object GraftFunctions {
       "codepoint_set", exprs => CodepointSet(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "sorted_jaccard", exprs => SortedSetJaccard(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "topk_by", exprs => TopKBy(exprs(0), exprs(1),
+        exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
   }
 
   /** Register a hyperplane sign-code function bound to a plane matrix. */

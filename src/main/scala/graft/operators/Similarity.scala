@@ -54,20 +54,24 @@ object Similarity {
 
     // Brute-force cosine top-k for a fixed query set (vec_id < 5), ranked
     // on the rounded score with vec_id tie-break for full determinism.
+    // Top-k selection is the custom TopKBy aggregate (map-side bounded
+    // heaps that merge), so only k rows per (query, map task) ever
+    // shuffle — a window-rank formulation would shuffle the entire
+    // scored corpus per query at 100 TB.
     "e01_knn_brute" -> OpDef.sql(
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
         val queries = emb.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        val scored = emb
+        Tables.embeddings(s, d)
           .join(broadcast(queries), col("vec_id") =!= col("q_id"))
           .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
-        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-        scored
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= TopK)
-          .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"), col("sim"))
+          .groupBy("q_id")
+          .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+                  col("col.id").as("neighbor_id"), col("col.score").as("sim"))
           .orderBy("q_id", "rk")
       },
       s"""WITH q AS (

@@ -65,4 +65,10 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     val p = planOf("e01_knn_brute")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"))
   }
+
+  test("e01 top-k selection is a partial (map-side) custom aggregate") {
+    val p = planOf("e01_knn_brute")
+    assert(p.contains("partial_topk_by"),
+      s"TopKBy not map-side combined:\n$p")
+  }
 }
