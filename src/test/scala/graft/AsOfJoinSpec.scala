@@ -41,6 +41,44 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     assert(out.toSeq == Seq((100L, 200L)))
   }
 
+  test("matches a naive reference on randomized inputs") {
+    val sp = spark
+    import sp.implicits._
+    val r = new scala.util.Random(99)
+    for (round <- 1 to 3) {
+      val nL = 40 + r.nextInt(40)
+      val nR = 30 + r.nextInt(30)
+      val lefts = (0 until nL).map(i =>
+        (i.toLong, r.nextInt(8).toLong, r.nextInt(1000).toLong))
+      val rights = (0 until nR).map(i =>
+        (1000L + i, r.nextInt(8).toLong, r.nextInt(1000).toLong))
+      val expected = lefts.flatMap { case (lid, u, lt) =>
+        val prior = rights.filter(s => s._2 == u && s._3 <= lt)
+        if (prior.isEmpty) None
+        else {
+          // latest time; ambiguous on exact ties, so skip tied cases
+          val best = prior.maxBy(_._3)
+          if (prior.count(_._3 == best._3) > 1) None else Some((lid, best._1))
+        }
+      }.toSet
+      val got = AsOf.join(
+          lefts.toDF("p_id", "user", "p_ts"),
+          rights.toDF("s_id", "s_user", "s_ts"),
+          "user", "s_user", "p_ts", "s_ts")
+        .select("p_id", "s_id").collect()
+        .map(row => (row.getLong(0), row.getLong(1))).toSet
+      assert(expected.subsetOf(got), s"round $round missing: ${expected.diff(got)}")
+      // every emitted pair must be a valid as-of match
+      got.foreach { case (lid, sid) =>
+        val (_, u, lt) = lefts.find(_._1 == lid).get
+        val s = rights.find(_._1 == sid).get
+        assert(s._2 == u && s._3 <= lt, s"invalid pair ($lid,$sid)")
+        val bestTime = rights.filter(x => x._2 == u && x._3 <= lt).map(_._3).max
+        assert(s._3 == bestTime, s"($lid,$sid) not the latest prior")
+      }
+    }
+  }
+
   test("picks the latest of several prior signups") {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expressions.{HashKernels, LshKernels, TopKBuffer}
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.util.Random
+
+/** Seeded randomized checks: every native kernel agrees with a naive
+  * reference implementation across a few hundred random inputs.
+  */
+class KernelPropertySpec extends AnyFunSuite {
+
+
+  test("TopKBuffer equals sort-take-k under random inserts and merges") {
+    val r = new Random(42)
+    for (_ <- 1 to 300) {
+      val k = 1 + r.nextInt(12)
+      val n = r.nextInt(60)
+      val entries = Seq.fill(n)((math.floor(r.nextDouble() * 10) / 10, r.nextLong() % 50))
+      val expected = entries.distinct
+        .sortBy { case (s, id) => (-s, id) }.take(k)
+      // random split into two buffers merged together
+      val (ea, eb) = entries.splitAt(if (n == 0) 0 else r.nextInt(n))
+      val a = new TopKBuffer(k); ea.foreach { case (s, id) => a.insert(s, id) }
+      val b = new TopKBuffer(k); eb.foreach { case (s, id) => b.insert(s, id) }
+      a.mergeFrom(b)
+      val got = (0 until a.n).map(i => (a.scores(i), a.ids(i)))
+      // duplicates: buffer keeps them, reference dedups — compare on the
+      // distinct prefix both ways
+      val gotD = got.distinct.take(expected.length)
+      assert(gotD == expected.take(gotD.length),
+        s"k=$k entries=$entries got=$got expected=$expected")
+    }
+  }
+
+  test("sortedJaccard equals naive set Jaccard on random sorted arrays") {
+    val r = new Random(7)
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(r.nextInt(40))(r.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(r.nextInt(40))(r.nextInt(60).toLong).distinct.sorted
+      val got = LshKernels.sortedJaccard(
+        ArrayData.toArrayData(a.toArray), ArrayData.toArrayData(b.toArray))
+      val inter = a.toSet.intersect(b.toSet).size
+      val union = a.toSet.union(b.toSet).size
+      if (union == 0) assert(got.isNaN)
+      else assert(got == inter.toDouble / union, s"a=$a b=$b")
+    }
+  }
+
+  test("polyHash equals the reference fold") {
+    val r = new Random(11)
+    for (_ <- 1 to 200) {
+      val xs = Seq.fill(r.nextInt(50))(r.nextLong())
+      val got = HashKernels.polyHash(ArrayData.toArrayData(xs.toArray))
+      val expected = xs.foldLeft(0L) { (acc, h) =>
+        val hm = ((h % 1000000007L) + 1000000007L) % 1000000007L
+        (((acc * 31 + hm) % 1000000000000037L) + 1000000000000037L) % 1000000000000037L
+      }
+      assert(got == expected)
+    }
+  }
+
+  test("shingleHashes yields distinct hashes of every n-word window") {
+    val r = new Random(23)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (_ <- 1 to 200) {
+      val n = r.nextInt(8)
+      val text = Seq.fill(n)(words(r.nextInt(words.length))).mkString(" ")
+      val got = HashKernels.shingleHashes(UTF8String.fromString(text), 3)
+      val ws = text.split("\\s+", -1)
+      val expectedCount =
+        if (ws.length < 3) 0
+        else ws.sliding(3).map(_.mkString(" ")).toSeq.distinct.length
+      assert(got.numElements() == expectedCount, s"text='$text'")
+    }
+  }
+
+  test("codepointSet is sorted, distinct, and covers exactly the text's chars") {
+    val r = new Random(31)
+    for (_ <- 1 to 200) {
+      val text = Seq.fill(r.nextInt(50))(('a' + r.nextInt(26)).toChar).mkString
+      val got = LshKernels.codepointSet(UTF8String.fromString(text)).toLongArray()
+      assert(got.toSeq == text.toSet.map((c: Char) => c.toLong).toSeq.sorted)
+    }
+  }
+
+  test("cosine kernel equals naive double-fold cosine") {
+    val r = new Random(5)
+    for (_ <- 1 to 200) {
+      val n = 1 + r.nextInt(64)
+      val a = Array.fill(n)(r.nextFloat() * 2 - 1)
+      val b = Array.fill(n)(r.nextFloat() * 2 - 1)
+      val got = graft.expressions.VecMath.cosine(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until n) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      val expected = if (na == 0 || nb == 0) 0.0
+        else dot / (math.sqrt(na) * math.sqrt(nb))
+      assert(got == expected)
+    }
+  }
+}
