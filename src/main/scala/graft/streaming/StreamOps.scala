@@ -157,6 +157,24 @@ object StreamOps {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicates("event_id", "ts")
 
+  /** s05: stream-stream interval join — each purchase joins signups of
+    * the same user that happened in the hour BEFORE it. Both sides are
+    * watermarked so Spark can discard join state once the interval can no
+    * longer match (state is bounded by watermark + interval, the standard
+    * stream-stream join discipline).
+    *
+    * Inputs: purchases(p_user, p_ts timestamp, p_id), signups(s_user,
+    * s_ts timestamp, s_id).
+    */
+  def intervalJoin(purchases: DataFrame, signups: DataFrame): DataFrame =
+    purchases.withWatermark("p_ts", "1 hour")
+      .join(signups.withWatermark("s_ts", "1 hour"),
+        expr("""p_user = s_user AND
+               |s_ts <= p_ts AND s_ts >= p_ts - interval 1 hour""".stripMargin))
+      .select(col("p_id"), col("s_id"), col("p_user").as("user_id"),
+              unix_timestamp(col("p_ts")).as("p_s"),
+              unix_timestamp(col("s_ts")).as("s_s"))
+
   /** Convenience: the batch `events` table lifted to the shape the
     * streaming ops expect (used by specs to cross-check stream results
     * against the batch twins on identical data).

@@ -93,6 +93,29 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("s05 stream-stream interval join matches purchases to in-window signups") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val pIn = MemoryStream[(Long, Timestamp, Long)]
+    val sIn = MemoryStream[(Long, Timestamp, Long)]
+    val purchases = pIn.toDF().toDF("p_user", "p_ts", "p_id")
+    val signups = sIn.toDF().toDF("s_user", "s_ts", "s_id")
+    val query = StreamOps.intervalJoin(purchases, signups).writeStream
+      .format("memory").queryName("s05_out").outputMode("append").start()
+    try {
+      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      sIn.addData((7L, t(10, 0), 100L),  // in window for the 10:30 purchase
+                  (7L, t(8, 0), 101L),   // too old
+                  (8L, t(10, 20), 102L)) // other user
+      pIn.addData((7L, t(10, 30), 200L))
+      query.processAllAvailable()
+      val rows = spark.table("s05_out").select("p_id", "s_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((200L, 100L)), s"got $rows")
+    } finally query.stop()
+  }
+
   test("s01 writes to a parquet file sink with checkpointing") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
