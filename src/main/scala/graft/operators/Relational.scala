@@ -483,6 +483,34 @@ object Relational {
         |       round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS revenue
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
 
+    // Full CUBE grouping sets (all region x segment combinations plus
+    // both margins and the grand total) — the rollup family's other half.
+    "q31_cube" -> OpDef.sql(
+      (s, d) => {
+        Tables.customer(s, d)
+          .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+          .select("r_name", "c_mktsegment", "c_acctbal")
+          .createOrReplaceTempView("graft_q31_base")
+        s.sql(
+          """SELECT coalesce(r_name, 'ALL') AS region,
+            |       coalesce(c_mktsegment, 'ALL') AS segment,
+            |       count(*) AS n_customers,
+            |       round(sum(c_acctbal) + 1e-6, 2) AS total_bal
+            |FROM graft_q31_base
+            |GROUP BY CUBE (r_name, c_mktsegment)
+            |ORDER BY region, segment""".stripMargin)
+      },
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |       coalesce(c_mktsegment, 'ALL') AS segment,
+        |       count(*) AS n_customers,
+        |       round(sum(c_acctbal) + 1e-6, 2) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, c_mktsegment)
+        |ORDER BY region, segment""".stripMargin),
+
     // Sketch-based distinct counting (HyperLogLog++): the 100-TB answer to
     // q08's exact countDistinct — one pass, fixed memory, mergeable across
     // partitions. Approximate, so rows-only here; the spec bounds the

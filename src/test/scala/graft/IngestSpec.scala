@@ -39,6 +39,21 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() == 2)
   }
 
+  test("gzipped dumps read transparently (the reference's dump format)") {
+    val tmp = Files.createTempDirectory("graft_gz").toString
+    val gz = new java.util.zip.GZIPOutputStream(
+      new java.io.FileOutputStream(s"$tmp/d.json.gz"))
+    gz.write(
+      """{"event_id":1,"user_id":2,"event_type":"click","ts":"2024-01-01 10:00:00.000000","value":1.5,"props":"{}"}
+        |{"event_id":2,"user_id":3,"event_type":"buy","ts":"2024-01-01 11:00:00.000000","value":2.5,"props":null}
+        |""".stripMargin.getBytes("UTF-8"))
+    gz.close()
+    val df = Ingest.readEventDumps(spark, tmp)
+    assert(df.count() == 2)
+    assert(df.filter(col("event_type") === "buy").head.getAs[Long]("ts_us")
+      == 1704106800000000L)
+  }
+
   test("day-partitioned lake prunes partitions on day filters") {
     val tmp = Files.createTempDirectory("graft_lake").toString
     Ingest.writeEventLake(
