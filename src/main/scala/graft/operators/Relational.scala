@@ -511,6 +511,18 @@ object Relational {
         |GROUP BY CUBE (r_name, c_mktsegment)
         |ORDER BY region, segment""".stripMargin),
 
+    // Sketch-based percentiles: the 100-TB answer to q15's exact
+    // percentile (which buffers per-group value multisets). One pass,
+    // bounded memory, mergeable. Approximate -> rows-only; the spec
+    // bounds the error against the exact percentile.
+    "q32_approx_percentile" -> OpDef.rowsOnly(
+      (s, d) => Tables.customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(expr("approx_percentile(c_acctbal, 0.5, 1000)").as("median_bal"),
+             expr("approx_percentile(c_acctbal, 0.9, 1000)").as("p90_bal"),
+             count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")),
+
     // Sketch-based distinct counting (HyperLogLog++): the 100-TB answer to
     // q08's exact countDistinct — one pass, fixed memory, mergeable across
     // partitions. Approximate, so rows-only here; the spec bounds the

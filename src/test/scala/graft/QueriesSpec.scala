@@ -64,6 +64,20 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("q32 sketch percentiles land within 2% of the exact values") {
+    val approx = SparkEntry.queries("q32_approx_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = SparkEntry.queries("q15_percentile")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (seg, (m, p90)) =>
+      val (am, ap90) = approx(seg)
+      val span = math.max(math.abs(p90), 1.0)
+      assert(math.abs(am - m) <= 0.02 * span, s"$seg median: $am vs $m")
+      assert(math.abs(ap90 - p90) <= 0.02 * span, s"$seg p90: $ap90 vs $p90")
+    }
+  }
+
   test("e01 top-k is k rows per query, ranked by descending similarity") {
     val rows = SparkEntry.queries("e01_knn_brute")(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
