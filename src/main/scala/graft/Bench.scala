@@ -15,8 +15,10 @@ object Bench {
       }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        name -> (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => name -> -1.0 } // failure, not a timing
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

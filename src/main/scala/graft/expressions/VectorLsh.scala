@@ -10,20 +10,20 @@ object LshKernels {
 
   val Dim = 64
 
-  /** Deterministic pseudo-random hyperplanes in [-1, 1]: a SplitMix64
-    * scramble of the flat (plane, component) index — fixed values,
-    * identical across runs, engines, and cluster nodes.
+  /** SplitMix64 finalizer — the ONE deterministic scramble behind every
+    * derived constant (LSH planes, minhash coefficients). Keep single:
+    * all uses must stay bit-identical across engines and rounds.
     */
-  def planes(numPlanes: Int): Array[Array[Double]] = {
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
+  def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def planes(numPlanes: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, Dim)((j, k) =>
       (mix(j.toLong * Dim + k) >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0)
-  }
 
   /** Hyperplane sign code: bit j set iff dot(planes[j], vec) > 0. Each dot
     * is a sequential ascending-index fold in double — the same order and

@@ -31,12 +31,7 @@ object Dedup {
   // SplitMix64-style scramble, bounded so a*h + b stays well inside Long
   // range (ANSI mode: no silent wraparound allowed).
   private val P31 = 2147483647L // 2^31 - 1
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(z: Long): Long = graft.expressions.LshKernels.mix(z)
   private val As: Array[Long] = Array.tabulate(NumHashes)(i => (mix(2L * i) >>> 33) | 1L)
   private val Bs: Array[Long] = Array.tabulate(NumHashes)(i => mix(2L * i + 1) >>> 33)
 

@@ -14,7 +14,8 @@ import graft.sources.Tables
   */
 object Events {
 
-  private val SessionGapUs = 1800L * 1000000L // 30 minutes
+  // one constant for the batch/streaming sessionization twins
+  private val SessionGapUs = graft.streaming.StreamOps.SessionGapUs
 
   val defs: Map[String, OpDef] = Map(
 
@@ -71,8 +72,9 @@ object Events {
         val purchases = ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("ts_us"),
                   lit(1).as("tag"), col("event_id"))
-        // At equal ts the signup sorts first (tag 0), matching ASOF's <=.
-        val w = Window.partitionBy("user_id").orderBy("ts_us", "tag")
+        // At equal ts the signup sorts first (tag 0), matching ASOF's <=;
+        // event_id breaks ties between equal-ts signups deterministically.
+        val w = Window.partitionBy("user_id").orderBy("ts_us", "tag", "event_id")
           .rowsBetween(Window.unboundedPreceding, 0)
         signups.unionByName(purchases)
           .withColumn("last_signup",
@@ -106,7 +108,8 @@ object Events {
           .select(col("event_id").as("signup_id"),
                   col("user_id").as("s_user"), col("ts_us").as("s_us"))
         graft.plans.AsOf.join(purchases, signups,
-            "user_id", "s_user", "ts_us", "s_us")
+            "user_id", "s_user", "ts_us", "s_us",
+            rightTieBreak = Some("signup_id"))
           .select(col("event_id"), col("user_id"), col("signup_id"),
                   expr("(ts_us - s_us) DIV 1000000").as("wait_s"))
           .orderBy("event_id")

@@ -38,7 +38,10 @@ object Similarity {
   private[operators] def signCode(s: SparkSession, vecCol: String,
       ps: Array[Array[Double]] = Planes): org.apache.spark.sql.Column = {
     val name = s"sign_code_${ps.length}"
-    GraftFunctions.registerSignCode(s, name, ps)
+    // GraftExtensions may already have injected this function at session
+    // build time with identical planes; only register when it's absent
+    if (!s.catalog.functionExists(name))
+      GraftFunctions.registerSignCode(s, name, ps)
     expr(s"$name($vecCol)")
   }
 

@@ -73,18 +73,25 @@ object TextAnalysis {
         .withColumn("n_chars_txt", length(col("text")))
         .withColumn("n_tokens", nMatches(col("text"), WsTokenPat))
         .withColumn("n_nonws", length(regexp_replace(col("text"), "\\s", "")))
+        // zero-denominator guards emit NULL, matching DuckDB's x/0 = NULL
+        // (Spark doubles would give NaN/Infinity and fail the oracle on
+        // empty or whitespace-only documents)
         .withColumn("avg_token_len",
-          round(col("n_nonws").cast("double") / col("n_tokens") + lit(1e-8), 4))
+          when(col("n_tokens") > 0,
+            round(col("n_nonws").cast("double") / col("n_tokens") + lit(1e-8), 4)))
         .withColumn("punct_ratio",
-          round((col("n_chars_txt") -
-                 length(regexp_replace(col("text"), PunctPat, "")))
-                .cast("double") / col("n_chars_txt") + lit(1e-8), 4))
+          when(col("n_chars_txt") > 0,
+            round((col("n_chars_txt") -
+                   length(regexp_replace(col("text"), PunctPat, "")))
+                  .cast("double") / col("n_chars_txt") + lit(1e-8), 4)))
         .withColumn("upper_ratio",
-          round((col("n_chars_txt") -
-                 length(regexp_replace(col("text"), "[A-Z]", "")))
-                .cast("double") / col("n_chars_txt") + lit(1e-8), 4))
+          when(col("n_chars_txt") > 0,
+            round((col("n_chars_txt") -
+                   length(regexp_replace(col("text"), "[A-Z]", "")))
+                  .cast("double") / col("n_chars_txt") + lit(1e-8), 4)))
         .withColumn("stop_ratio",
-          round(col("en_hits").cast("double") / col("n_tokens") + lit(1e-8), 4))
+          when(col("n_tokens") > 0,
+            round(col("en_hits").cast("double") / col("n_tokens") + lit(1e-8), 4)))
         .withColumn("quality_bucket",
           when(col("n_tokens") >= 60, "long")
           .when(col("n_tokens") >= 30, "mid")

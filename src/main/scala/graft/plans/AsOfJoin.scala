@@ -20,7 +20,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
 case class AsOfJoin(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTime: Expression, rightTime: Expression) extends BinaryNode {
+    leftTime: Expression, rightTime: Expression,
+    rightTie: Option[Expression]) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoin =
@@ -33,8 +34,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lt, rt) =>
-      AsOfJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsOfJoin(l, r, lk, rk, lt, rt, tie) =>
+      AsOfJoinExec(lk, rk, lt, rt, tie, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -48,6 +49,7 @@ object AsOfJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
 case class AsOfJoinExec(
     leftKey: Expression, rightKey: Expression,
     leftTime: Expression, rightTime: Expression,
+    rightTie: Option[Expression],
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -58,9 +60,13 @@ case class AsOfJoinExec(
         StatefulOpClusteredDistribution(Seq(rightKey), n))
   }
 
+  // the optional right-side tiebreaker makes the pick among equal
+  // (key, time) right rows deterministic (the sweep keeps the LAST row in
+  // sort order, i.e. the highest tiebreaker value)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
     Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+        Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)) ++
+          rightTie.map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
@@ -151,7 +157,8 @@ case class AsOfJoinExec(
 object AsOf {
   def join(l: DataFrame, r: DataFrame,
            leftKey: String, rightKey: String,
-           leftTime: String, rightTime: String): DataFrame = {
+           leftTime: String, rightTime: String,
+           rightTieBreak: Option[String] = None): DataFrame = {
     val spark: SparkSession = l.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -164,6 +171,7 @@ object AsOf {
           s"column $name not in ${p.output.map(_.name).mkString(",")}"))
     GraftSqlBridge.ofRows(spark,
       AsOfJoin(lp, rp, res(lp, leftKey), res(rp, rightKey),
-               res(lp, leftTime), res(rp, rightTime)))
+               res(lp, leftTime), res(rp, rightTime),
+               rightTieBreak.map(res(rp, _))))
   }
 }

@@ -33,7 +33,11 @@ object Ingest {
       .option("mode", "PERMISSIVE")
       .json(path)
       .filter(col("event_id").isNotNull)
-      .withColumn("ts_us", unix_micros(to_timestamp(col("ts"))))
+      // try_to_timestamp: ANSI mode is on by default in Spark 4, and a
+      // plain to_timestamp would throw on one malformed ts and fail the
+      // whole intake batch
+      .withColumn("ts_us", unix_micros(expr("try_to_timestamp(ts)")))
+      .filter(col("ts_us").isNotNull)
       .drop("ts")
 
   /** Write a day-partitioned event lake: directory layout `day=YYYY-MM-DD`

@@ -33,6 +33,14 @@ object StreamOps {
 
   val SessionGapUs: Long = 1800L * 1000000L // 30 minutes
 
+  /** The batch oracles' epsilon-rounding convention (see Relational.r2e),
+    * applied JVM-side for streaming session values: +1e-6 then HALF_UP at
+    * 2dp, so streaming sums agree with the batch twins at half-cent
+    * boundaries.
+    */
+  private def r2(x: Double): Double =
+    BigDecimal(x + 1e-6).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   /** s01: tumbling 1-hour windows per event type over an event-time
     * timestamp column `ts` (TimestampType), watermarked so state for
     * closed windows is dropped. Matches q27_event_windows per window.
@@ -41,7 +49,8 @@ object StreamOps {
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+           round(sum("value") + lit(1e-6), 2).as("total_value"))
       .select(unix_timestamp(col("window.start")).as("hour_s"),
               col("event_type"), col("n"), col("total_value"))
 
@@ -74,7 +83,7 @@ object StreamOps {
               case s if e.ts_us - s.lastUs > SessionGapUs =>
                 out += SessionOut(userId, s.sessionId, s.n,
                   s.startUs / 1000000L, (s.lastUs - s.startUs) / 1000000L,
-                  math.round(s.sum * 100.0) / 100.0)
+                  r2(s.sum))
                 st = SessionState(s.sessionId + 1, e.ts_us, e.ts_us, 1L, e.value)
               case s =>
                 st = s.copy(lastUs = e.ts_us, n = s.n + 1, sum = s.sum + e.value)
@@ -115,13 +124,17 @@ object StreamOps {
             t.toInstant.getEpochSecond * 1000000L + t.getNanos / 1000L
           def emit(s: SessionState): SessionOut =
             SessionOut(userId, s.sessionId, s.n, s.startUs / 1000000L,
-              (s.lastUs - s.startUs) / 1000000L,
-              math.round(s.sum * 100.0) / 100.0)
+              (s.lastUs - s.startUs) / 1000000L, r2(s.sum))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           if (state.hasTimedOut) {
-            // watermark passed lastUs + gap: the session can never extend
-            state.getOption.foreach(out += emit(_))
-            state.remove()
+            // watermark passed lastUs + gap: the session can never extend.
+            // Keep an idle marker (n = 0) so the session counter survives
+            // the flush — removing state entirely would restart the user's
+            // next session at id 1, colliding with the emitted one.
+            state.getOption.filter(_.n > 0).foreach { s =>
+              out += emit(s)
+              state.update(s.copy(sessionId = s.sessionId + 1, n = 0))
+            }
           } else {
             var st = state.getOption.orNull
             batch.toSeq.sortBy(e => micros(e._2)).foreach { case (_, t, value) =>
@@ -129,6 +142,8 @@ object StreamOps {
               st match {
                 case null =>
                   st = SessionState(1L, tsUs, tsUs, 1L, value)
+                case s if s.n == 0 => // idle marker from a timeout flush
+                  st = SessionState(s.sessionId, tsUs, tsUs, 1L, value)
                 case s if tsUs - s.lastUs > SessionGapUs =>
                   out += emit(s)
                   st = SessionState(s.sessionId + 1, tsUs, tsUs, 1L, value)
@@ -138,8 +153,9 @@ object StreamOps {
             }
             if (st != null) {
               state.update(st)
-              // fires when event-time watermark passes this instant
-              state.setTimeoutTimestamp((st.lastUs + SessionGapUs) / 1000L)
+              if (st.n > 0)
+                // fires when event-time watermark passes this instant
+                state.setTimeoutTimestamp((st.lastUs + SessionGapUs) / 1000L)
             }
           }
           out.iterator
@@ -155,7 +171,10 @@ object StreamOps {
   def dedupStream(events: DataFrame, watermarkDelay: String = "2 hours"): DataFrame =
     events
       .withWatermark("ts", watermarkDelay)
-      .dropDuplicates("event_id", "ts")
+      // id-only keys: a re-ingested event with a re-stamped timestamp is
+      // still a duplicate; WithinWatermark keeps state bounded without
+      // requiring the event-time column in the key set
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** s05: stream-stream interval join — each purchase joins signups of
     * the same user that happened in the hour BEFORE it. Both sides are

@@ -39,6 +39,16 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
     assert(df.count() == 2)
   }
 
+  test("a malformed timestamp drops the row, not the batch (ANSI mode)") {
+    val tmp = Files.createTempDirectory("graft_badts").toString
+    Files.writeString(java.nio.file.Paths.get(tmp, "d.json"),
+      """{"event_id":1,"user_id":2,"event_type":"click","ts":"2024-01-01 10:00:00.000000","value":1.5,"props":"{}"}
+        |{"event_id":2,"user_id":3,"event_type":"buy","ts":"not-a-date","value":2.5,"props":null}
+        |""".stripMargin)
+    val df = Ingest.readEventDumps(spark, tmp)
+    assert(df.collect().map(_.getAs[Long]("event_id")).toSeq == Seq(1L))
+  }
+
   test("gzipped dumps read transparently (the reference's dump format)") {
     val tmp = Files.createTempDirectory("graft_gz").toString
     val gz = new java.util.zip.GZIPOutputStream(

@@ -90,6 +90,19 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
       val flushed = spark.table("s04_out").as[SessionOut].collect().toSeq
       assert(flushed.contains(SessionOut(1L, 1L, 2L, 1704103200L, 600L, 3.0)),
         s"user 1 session not flushed: $flushed")
+
+      // the user returns after the flush: the session counter must
+      // CONTINUE (id 2), not restart at 1 colliding with the emitted one
+      input.addData((1L, t(15, 0), 4.0))
+      query.processAllAvailable()
+      input.addData((2L, t(20, 0), 1.0)) // advance watermark far past
+      query.processAllAvailable()
+      input.addData((2L, t(20, 1), 1.0)) // extra batch so the timeout fires
+      query.processAllAvailable()
+      val all = spark.table("s04_out").as[SessionOut].collect().toSeq
+        .filter(_.user_id == 1L)
+      assert(all.map(_.session_id).sorted == Seq(1L, 2L),
+        s"session ids not continuous across a timeout flush: $all")
     } finally query.stop()
   }
 
