@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "built-in")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the custom whole-operator plans are available session-wide too
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float vectors"),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))

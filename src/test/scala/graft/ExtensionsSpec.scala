@@ -31,6 +31,22 @@ class ExtensionsSpec extends AnyFunSuite with SparkFixture {
       assert(r.getLong(2) == (((1 * 31 + 2) * 31) + 3))
       assert(math.abs(r.getDouble(3) - 0.5) < 1e-12)
       assert(r.getInt(4) >= 0 && r.getInt(4) < 16)
+
+      // the injected planner strategy plans the custom AsOfJoin node
+      // WITHOUT AsOf.join's extraStrategies fallback
+      import s2.implicits._
+      val lp = org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+        Seq((1L, 10L, 100L)).toDF("p_id", "user", "p_ts"))
+      val rp = org.apache.spark.sql.GraftSqlBridge.logicalPlan(
+        Seq((2L, 10L, 50L)).toDF("s_id", "s_user", "s_ts"))
+      def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+               n: String) = p.output.find(_.name == n).get
+      val joined = org.apache.spark.sql.GraftSqlBridge.ofRows(s2,
+        graft.plans.AsOfJoin(lp, rp,
+          attr(lp, "user"), attr(rp, "s_user"),
+          attr(lp, "p_ts"), attr(rp, "s_ts"), None))
+      assert(joined.select("p_id", "s_id").collect().map(_.toSeq).toSeq ==
+        Seq(Seq(1L, 2L)))
     } finally {
       SparkSession.setActiveSession(spark)
       SparkSession.setDefaultSession(spark)

@@ -77,11 +77,13 @@ class StreamingSpec extends AnyFunSuite with SparkFixture {
       input.addData(evs)
       query.processAllAvailable()
       val streamed = spark.table("s02_batch_cmp").as[SessionOut].collect()
-        .map(s => (s.user_id, s.session_id) -> (s.n_events, s.start_s, s.dur_s))
+        .map(s => (s.user_id, s.session_id) ->
+          (s.n_events, s.start_s, s.dur_s, s.session_value))
         .toMap
       val batch = SparkEntry.queries("q25_sessionize")(spark, sfDir)
         .collect()
-        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
         .toMap
       assert(streamed.nonEmpty)
       // every streamed (closed) session exists in the batch result with
