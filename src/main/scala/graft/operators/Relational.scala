@@ -356,17 +356,19 @@ object Relational {
         |  GROUP BY n_name, s_suppkey, s_name)
         |ORDER BY n_name, s_suppkey""".stripMargin),
 
-    // Substring item search (reference: query-items endpoint).
+    // Substring item search (reference: query-items endpoint) with
+    // relevance ordering: earlier match position ranks higher, key breaks
+    // ties.
     "q19_item_search" -> OpDef.sql(
       (s, d) => Tables.part(s, d)
         .withColumn("pos", instr(lower(col("p_name")), "widget"))
         .filter(col("pos") > 0)
         .select("p_partkey", "p_name", "p_brand", "pos")
-        .orderBy("p_partkey"),
+        .orderBy("pos", "p_partkey"),
       """SELECT p_partkey, p_name, p_brand,
         |       CAST(strpos(lower(p_name), 'widget') AS INT) AS pos
         |FROM part WHERE strpos(lower(p_name), 'widget') > 0
-        |ORDER BY p_partkey""".stripMargin),
+        |ORDER BY pos, p_partkey""".stripMargin),
 
     // Calendar breakdown: monthly order counts + revenue.
     "q20_date_parts" -> OpDef.sql(
