@@ -32,6 +32,11 @@ private final case class SessionState(sessionId: Long, startUs: Long,
 object StreamOps {
 
   val SessionGapUs: Long = 1800L * 1000000L // 30 minutes
+  /** How long a flushed user's idle marker (the session counter) is kept
+    * before state is dropped entirely; a user returning later restarts at
+    * session id 1.
+    */
+  val IdleRetentionUs: Long = 7L * 24 * 3600 * 1000000L // 7 days
 
   /** The batch oracles' epsilon-rounding convention (see Relational.r2e),
     * applied JVM-side for streaming session values: +1e-6 then HALF_UP at
@@ -96,8 +101,11 @@ object StreamOps {
 
   /** s04: sessionization with event-time timeout — like [[sessionize]],
     * but open sessions are FLUSHED once the watermark passes the session
-    * gap after their last event, so every session is eventually emitted
-    * and state cannot grow unboundedly for users who go quiet.
+    * gap after their last event, so every session is eventually emitted.
+    * After a flush the user's state shrinks to an idle marker carrying
+    * the session counter (so a returning user's next session id doesn't
+    * collide with the emitted one), and the marker itself expires after
+    * [[IdleRetentionUs]] — state stays bounded by recently-active users.
     *
     * Input must carry an event-time `ts` (TimestampType), `user_id` and
     * `value`; the watermark is set here (gap + delay) so the timeout
@@ -127,13 +135,18 @@ object StreamOps {
               (s.lastUs - s.startUs) / 1000000L, r2(s.sum))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
           if (state.hasTimedOut) {
-            // watermark passed lastUs + gap: the session can never extend.
-            // Keep an idle marker (n = 0) so the session counter survives
-            // the flush — removing state entirely would restart the user's
-            // next session at id 1, colliding with the emitted one.
-            state.getOption.filter(_.n > 0).foreach { s =>
-              out += emit(s)
-              state.update(s.copy(sessionId = s.sessionId + 1, n = 0))
+            state.getOption match {
+              case Some(s) if s.n > 0 =>
+                // watermark passed lastUs + gap: the session can never
+                // extend. Keep an idle marker (n = 0) so the session
+                // counter survives the flush, with its own retention
+                // timeout so state stays bounded.
+                out += emit(s)
+                state.update(s.copy(sessionId = s.sessionId + 1, n = 0))
+                state.setTimeoutTimestamp(
+                  (s.lastUs + IdleRetentionUs) / 1000L)
+              case _ =>
+                state.remove() // idle marker expired: drop the user's state
             }
           } else {
             var st = state.getOption.orNull
@@ -153,9 +166,9 @@ object StreamOps {
             }
             if (st != null) {
               state.update(st)
-              if (st.n > 0)
-                // fires when event-time watermark passes this instant
-                state.setTimeoutTimestamp((st.lastUs + SessionGapUs) / 1000L)
+              // fires when the event-time watermark passes this instant
+              state.setTimeoutTimestamp((st.lastUs +
+                (if (st.n > 0) SessionGapUs else IdleRetentionUs)) / 1000L)
             }
           }
           out.iterator
