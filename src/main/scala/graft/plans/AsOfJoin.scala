@@ -71,6 +71,13 @@ case class AsOfJoinExec(
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending))
 
+  // the merge preserves both children's hash partitioning on the key;
+  // advertising it (as SortMergeJoin does) lets a downstream groupBy/join
+  // on the same key skip a redundant shuffle
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection(
+      Seq(left.outputPartitioning, right.outputPartitioning))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
@@ -112,23 +119,32 @@ case class AsOfJoinExec(
             val l = lIter.next()
             val lk = lKeyEval.eval(l)
             val lt = lTimeEval.eval(l)
-            // consume right rows at or before (lk, lt)
-            while (rHead != null && {
-              val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
-                                     lk.asInstanceOf[AnyRef])
-              c < 0 || (c == 0 &&
-                timeOrd.compare(rHeadTime.asInstanceOf[AnyRef],
-                                lt.asInstanceOf[AnyRef]) <= 0)
-            }) {
-              // buffered rows are reused by the child iterator: copy
-              cand = rHead.copy()
-              candKey = rHeadKey
-              advanceRight()
+            if (lk != null && lt != null) {
+              // consume right rows at or before (lk, lt); null-keyed or
+              // null-timed right rows never match (inner-join semantics)
+              // and sort nulls-first, so they are skipped up front
+              while (rHead != null && (rHeadKey == null || rHeadTime == null || {
+                val c = keyOrd.compare(rHeadKey.asInstanceOf[AnyRef],
+                                       lk.asInstanceOf[AnyRef])
+                c < 0 || (c == 0 &&
+                  timeOrd.compare(rHeadTime.asInstanceOf[AnyRef],
+                                  lt.asInstanceOf[AnyRef]) <= 0)
+              })) {
+                if (rHeadKey != null && rHeadTime != null) {
+                  // buffered rows are reused by the child iterator: copy
+                  // the row AND re-evaluate the key from the copy (the
+                  // evaluated key may point into the reused buffer for
+                  // non-primitive types)
+                  cand = rHead.copy()
+                  candKey = rKeyEval.eval(cand)
+                }
+                advanceRight()
+              }
+              if (cand != null &&
+                  keyOrd.compare(candKey.asInstanceOf[AnyRef],
+                                 lk.asInstanceOf[AnyRef]) == 0)
+                nextOut = project(joiner(l, cand))
             }
-            if (cand != null &&
-                keyOrd.compare(candKey.asInstanceOf[AnyRef],
-                               lk.asInstanceOf[AnyRef]) == 0)
-              nextOut = project(joiner(l, cand))
           }
         }
         private var computed = false
@@ -169,6 +185,11 @@ object AsOf {
       p.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"column $name not in ${p.output.map(_.name).mkString(",")}"))
+    def sameType(what: String, a: Attribute, b: Attribute): Unit =
+      require(a.dataType == b.dataType,
+        s"as-of $what types differ: ${a.name}: ${a.dataType} vs ${b.name}: ${b.dataType}")
+    sameType("key", res(lp, leftKey), res(rp, rightKey))
+    sameType("time", res(lp, leftTime), res(rp, rightTime))
     GraftSqlBridge.ofRows(spark,
       AsOfJoin(lp, rp, res(lp, leftKey), res(rp, rightKey),
                res(lp, leftTime), res(rp, rightTime),

@@ -134,6 +134,12 @@ object StreamOps {
             SessionOut(userId, s.sessionId, s.n, s.startUs / 1000000L,
               (s.lastUs - s.startUs) / 1000000L, r2(s.sum))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          // timeouts must never be set at or below the current watermark
+          // (Spark rejects that and kills the query — e.g. on a backfill
+          // whose watermark jumps far ahead in one batch)
+          def armTimeout(atUs: Long): Unit =
+            state.setTimeoutTimestamp(
+              math.max(atUs / 1000L, state.getCurrentWatermarkMs() + 1))
           if (state.hasTimedOut) {
             state.getOption match {
               case Some(s) if s.n > 0 =>
@@ -143,8 +149,7 @@ object StreamOps {
                 // timeout so state stays bounded.
                 out += emit(s)
                 state.update(s.copy(sessionId = s.sessionId + 1, n = 0))
-                state.setTimeoutTimestamp(
-                  (s.lastUs + IdleRetentionUs) / 1000L)
+                armTimeout(s.lastUs + IdleRetentionUs)
               case _ =>
                 state.remove() // idle marker expired: drop the user's state
             }
@@ -161,14 +166,19 @@ object StreamOps {
                   out += emit(s)
                   st = SessionState(s.sessionId + 1, tsUs, tsUs, 1L, value)
                 case s =>
-                  st = s.copy(lastUs = tsUs, n = s.n + 1, sum = s.sum + value)
+                  // a late-but-valid event from a previous batch may sort
+                  // before the session's current bounds: extend, never
+                  // shrink, so duration and the timeout stay correct
+                  st = s.copy(startUs = math.min(s.startUs, tsUs),
+                              lastUs = math.max(s.lastUs, tsUs),
+                              n = s.n + 1, sum = s.sum + value)
               }
             }
             if (st != null) {
               state.update(st)
-              // fires when the event-time watermark passes this instant
-              state.setTimeoutTimestamp((st.lastUs +
-                (if (st.n > 0) SessionGapUs else IdleRetentionUs)) / 1000L)
+              // st.n >= 1 here (the batch was non-empty for this key):
+              // fires when the event-time watermark passes last + gap
+              armTimeout(st.lastUs + SessionGapUs)
             }
           }
           out.iterator

@@ -129,6 +129,32 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
     } finally query.stop()
   }
 
+  test("s04 survives a backfill watermark jump far past the retention horizon") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    import graft.streaming.SessionOut
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("user_id", "ts", "value")
+    val query = StreamOps.sessionizeWithTimeout(events).writeStream
+      .format("memory").queryName("s04_jump").outputMode("append").start()
+    try {
+      input.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      query.processAllAvailable()
+      // watermark leaps eight months in one batch — the idle-marker
+      // timeout (last + 7 days) would land below the watermark; the
+      // clamp must keep the query alive
+      input.addData((2L, Timestamp.valueOf("2024-08-01 10:00:00"), 2.0))
+      query.processAllAvailable()
+      input.addData((2L, Timestamp.valueOf("2024-08-01 10:01:00"), 1.0))
+      query.processAllAvailable()
+      assert(query.exception.isEmpty, s"query died: ${query.exception}")
+      val u1 = spark.table("s04_jump").as[SessionOut].collect()
+        .filter(_.user_id == 1L)
+      assert(u1.map(s => (s.session_id, s.n_events)).toSeq == Seq((1L, 1L)))
+    } finally query.stop()
+  }
+
   test("s01 writes to a parquet file sink with checkpointing") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
