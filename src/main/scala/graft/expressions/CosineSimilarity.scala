@@ -14,7 +14,7 @@ object VecMath {
     * are bit-comparable with the oracle.
     */
   def cosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedDim(a, b)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -27,15 +27,26 @@ object VecMath {
       nb += y * y
       i += 1
     }
-    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    // 0/0 is NaN, matching DuckDB's list_cosine_similarity on a zero vector
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkedDim(a, b)
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
     s
+  }
+
+  /** Ragged vectors are data corruption — fail loudly, as the SQL oracle
+    * does, instead of scoring a silent common prefix.
+    */
+  private def checkedDim(a: ArrayData, b: ArrayData): Int = {
+    if (a.numElements() != b.numElements())
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector dims differ: ${a.numElements()} vs ${b.numElements()}")
+    a.numElements()
   }
 }
 
@@ -47,11 +58,13 @@ object VecMath {
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<float>; callers are internal to graft, so type
-  // enforcement stays with the call sites (AbstractDataType is private in
-  // Spark 4, ruling out ExpectsInputTypes here).
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+
+  // Inputs must be array<float>: ArrayData.getFloat on any other element
+  // width would read garbage bytes silently, so reject at analysis time.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.floatArrays(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     VecMath.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -63,6 +76,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
+}
+
+/** Analysis-time input checks shared by graft's native expressions
+  * (`ExpectsInputTypes` is unusable here — `AbstractDataType` is
+  * `private[sql]` in Spark 4 — so expressions override
+  * `checkInputDataTypes` directly).
+  */
+object GraftTypeChecks {
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  import org.apache.spark.sql.types._
+
+  private def check(name: String, ok: Boolean, exprs: Seq[Expression]): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name: unexpected input types ${exprs.map(_.dataType.simpleString).mkString(", ")}")
+
+  def floatArrays(name: String, exprs: Expression*): TypeCheckResult =
+    check(name, exprs.forall(_.dataType match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }), exprs)
+
+  def longArrays(name: String, exprs: Expression*): TypeCheckResult =
+    check(name, exprs.forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }), exprs)
+
+  def strings(name: String, exprs: Expression*): TypeCheckResult =
+    check(name, exprs.forall(_.dataType == StringType), exprs)
 }
 
 object GraftFunctions {
@@ -85,7 +128,12 @@ object GraftFunctions {
       "sorted_jaccard", exprs => SortedSetJaccard(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "topk_by", exprs => TopKBy(exprs(0), exprs(1),
-        exprs(2).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
+        exprs(2).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk_by: k must be an integer literal, got $other")
+        }).toAggregateExpression(), "built-in")
   }
 
   /** Register a hyperplane sign-code function bound to a plane matrix. */

@@ -72,6 +72,9 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, child)
+
   override def nullSafeEval(input: Any): Any =
     HashKernels.shingleHashes(input.asInstanceOf[UTF8String], n)
 
@@ -87,6 +90,9 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
 case class PolyHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "poly_hash"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, child)
 
   override def nullSafeEval(input: Any): Any =
     HashKernels.polyHash(input.asInstanceOf[ArrayData])

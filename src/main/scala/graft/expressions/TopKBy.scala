@@ -50,7 +50,16 @@ case class TopKBy(
     inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[TopKBuffer] {
 
+  require(k > 0, s"topk_by: k must be positive, got $k")
+
   override def children: Seq[Expression] = Seq(score, id)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"topk_by expects (double, bigint, int), got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("score", DoubleType, nullable = false),

@@ -35,7 +35,12 @@ object LshKernels {
     var j = 0
     while (j < planes.length) {
       val p = planes(j)
-      val n = math.min(vec.numElements(), p.length)
+      // a ragged embedding is data corruption: fail loudly (as the SQL
+      // oracle would) instead of bucketing on a silent prefix
+      if (vec.numElements() != p.length)
+        throw new IllegalArgumentException(
+          s"sign_code: embedding dim ${vec.numElements()} != plane dim ${p.length}")
+      val n = p.length
       var dot = 0.0
       var i = 0
       while (i < n) { dot += vec.getFloat(i).toDouble * p(i); i += 1 }
@@ -50,28 +55,11 @@ object LshKernels {
     * DuckDB's `string_split_regex(text,'')` (and Spark's `split(text,'')`),
     * both of which split into unicode code points.
     */
-  def charJaccard(a: UTF8String, b: UTF8String): Double = {
-    val sa = toCpSet(a)
-    val sb = toCpSet(b)
-    if (sa.isEmpty && sb.isEmpty) return Double.NaN // 0/0, as in SQL
-    var inter = 0
-    val it = sa.iterator()
-    while (it.hasNext) if (sb.contains(it.next())) inter += 1
-    val union = sa.size + sb.size - inter
-    inter.toDouble / union
-  }
-
-  private def toCpSet(s: UTF8String): java.util.HashSet[Integer] = {
-    val set = new java.util.HashSet[Integer]()
-    val str = s.toString
-    var i = 0
-    while (i < str.length) {
-      val cp = str.codePointAt(i)
-      set.add(cp)
-      i += Character.charCount(cp)
-    }
-    set
-  }
+  def charJaccard(a: UTF8String, b: UTF8String): Double =
+    // single implementation: the registered char_jaccard SQL function and
+    // the codepoint_set + sorted_jaccard operator path must stay
+    // bit-consistent (the d04 oracle depends on it)
+    sortedJaccard(codepointSet(a), codepointSet(b))
 
   /** Distinct code points of a string, ascending, as longs — the per-doc
     * precompute for pairwise set Jaccard (compute once per document, not
@@ -123,6 +111,9 @@ case class SignCode(child: Expression, planes: Array[Array[Double]])
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sign_code"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.floatArrays(prettyName, child)
+
   override def nullSafeEval(input: Any): Any =
     LshKernels.signCode(input.asInstanceOf[ArrayData], planes)
 
@@ -143,6 +134,9 @@ case class CodepointSet(child: Expression) extends UnaryExpression {
       containsNull = false)
   override def prettyName: String = "codepoint_set"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, child)
+
   override def nullSafeEval(input: Any): Any =
     LshKernels.codepointSet(input.asInstanceOf[UTF8String])
 
@@ -158,6 +152,9 @@ case class SortedSetJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "sorted_jaccard"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     LshKernels.sortedJaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
@@ -176,6 +173,9 @@ case class CharSetJaccard(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "char_jaccard"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, left, right)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     LshKernels.charJaccard(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])

@@ -127,9 +127,11 @@ object Dedup {
         candidates
           .join(sh.toDF("a_id", "a_sh"), "a_id")
           .join(sh.toDF("b_id", "b_sh"), "b_id")
-          .withColumn("sim", round(jaccard("a_sh", "b_sh"), 4))
-          .filter(col("sim") >= 0.3)
-          .select("a_id", "b_id", "sim")
+          .withColumn("sim_raw", jaccard("a_sh", "b_sh"))
+          .filter(col("sim_raw") >= 0.3) // threshold on the RAW value,
+          // like d04/d10 — rounding first would admit boundary pairs
+          .select(col("a_id"), col("b_id"),
+                  round(col("sim_raw"), 4).as("sim"))
           .orderBy("a_id", "b_id")
       }),
 
@@ -173,8 +175,10 @@ object Dedup {
           .filter(col("a_id") < col("b_id"))
           .select(col("a_id"), col("b_id"),
                   bit_count(expr("a_hash ^ b_hash")).as("hamming"))
-          .distinct()
+          // filter BEFORE distinct: drops the (majority) non-matching
+          // pairs map-side instead of shuffling them through the dedup
           .filter(col("hamming") <= 12)
+          .distinct()
           .orderBy("a_id", "b_id")
       }),
 

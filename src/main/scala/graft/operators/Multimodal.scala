@@ -47,6 +47,10 @@ object Multimodal {
     // same per-partition loop.
     "m02_frame_sample" -> OpDef.sql(
       (s, d) => Tables.documents(s, d)
+        // empty payload -> no frames (Spark DIV truncates toward zero
+        // while DuckDB // floors, so (0-1)/100 disagrees; excluding
+        // empties keeps the engines identical and is the right semantics)
+        .filter(length(col("text")) > 0)
         .select(col("doc_id"),
           posexplode(expr(
             "transform(sequence(0, CAST((length(text) - 1) DIV 100 AS INT)), i -> substr(text, i * 100 + 1, 100))")))
@@ -59,7 +63,7 @@ object Multimodal {
       """WITH f AS (
         |  SELECT doc_id, text,
         |         unnest(generate_series(0, (length(text) - 1) // 100)) AS i
-        |  FROM documents)
+        |  FROM documents WHERE length(text) > 0)
         |SELECT doc_id, CAST(i AS INT) AS frame_idx,
         |       CAST(length(substr(text, CAST(i AS INT) * 100 + 1, 100)) AS INT) AS frame_len,
         |       md5(substr(text, CAST(i AS INT) * 100 + 1, 100)) AS frame_hash

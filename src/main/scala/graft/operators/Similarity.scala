@@ -134,16 +134,19 @@ object Similarity {
           .withColumn("code", signCode(s, "embedding"))
         val queries = emb.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("code"))
-        val candidates = emb
+        emb
           .join(broadcast(queries), Seq("code"))
           .filter(col("vec_id") =!= col("q_id"))
           .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
-        val w = Window.partitionBy("q_id").orderBy(desc("sim"), col("vec_id"))
-        candidates
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") <= TopK)
-          .select(col("q_id"), col("rk"), col("vec_id").as("neighbor_id"),
-                  col("sim"), col("code"))
+          // same scale argument as e01: map-side bounded heaps, only k
+          // rows per (query, task) shuffle — never a window over the
+          // whole candidate set
+          .groupBy("q_id", "code")
+          .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
+          .select(col("q_id"), col("code"), posexplode(col("top")))
+          .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+                  col("col.id").as("neighbor_id"), col("col.score").as("sim"),
+                  col("code"))
           .orderBy("q_id", "rk")
       }, {
         val codeSql = signCodeSql("embedding::DOUBLE[]", planes(NumPlanes))

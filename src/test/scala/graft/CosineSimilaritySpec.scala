@@ -23,8 +23,15 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkFixture {
   test("opposite vectors score -1") {
     assert(math.abs(sim(Seq(1f, 1f), Seq(-1f, -1f)) + 1.0) < 1e-12)
   }
-  test("zero vector scores 0, not NaN") {
-    assert(sim(Seq(0f, 0f), Seq(1f, 2f)) == 0.0)
+  test("zero vector scores NaN (0/0), matching DuckDB") {
+    assert(sim(Seq(0f, 0f), Seq(1f, 2f)).isNaN)
+  }
+  test("mismatched dims fail loudly instead of scoring a prefix") {
+    val e = intercept[Exception](sim(Seq(1f, 2f), Seq(1f, 2f, 3f)))
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null && c.getMessage.contains("dims differ")))
   }
 
   test("codegen and interpreted paths agree on real embeddings") {
