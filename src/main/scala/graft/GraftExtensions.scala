@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("poly_hash"),
       info("poly_hash", "poly_hash(arr) - rolling polynomial hash of a long array"),
       (exprs: Seq[Expression]) => PolyHash(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(text) - 64-bit SimHash of the word multiset"),
+      (exprs: Seq[Expression]) => SimHash64(exprs(0))))
     ext.injectFunction((FunctionIdentifier("char_jaccard"),
       info("char_jaccard", "char_jaccard(a, b) - distinct-code-point Jaccard of two strings"),
       (exprs: Seq[Expression]) => CharSetJaccard(exprs(0), exprs(1))))

@@ -121,6 +121,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "char_jaccard", exprs => CharSetJaccard(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "codepoint_set", exprs => CodepointSet(exprs(0)), "built-in")

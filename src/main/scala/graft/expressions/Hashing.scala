@@ -42,6 +42,36 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** 64-bit SimHash of `text`'s word multiset (words split on `\s+`,
+    * hashed with xxhash64 seed 42 — Spark's default): bit i of the code is
+    * set iff the +1/-1 sum of bit i over all word hashes is positive.
+    * Semantically identical to exploding the words into 64 scalar
+    * bit-sum aggregates, but one tight per-row loop: no explode blow-up,
+    * no 64-column aggregation, no shuffle for the signature at all.
+    */
+  def simhash64(text: UTF8String): Long = {
+    val words = text.toString.split("\\s+", -1)
+    val counts = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val s = UTF8String.fromString(words(w))
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      w += 1
+    }
+    var code = 0L
+    var i = 0
+    while (i < 64) {
+      if (counts(i) > 0) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+
   /** Rolling polynomial hash over a long array:
     * fold(acc = (acc * 31 + pmod(h, 1000000007)) mod 1000000000000037).
     * Matches the SQL `aggregate(...)` form used before (same constants),
@@ -83,6 +113,24 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
       s"graft.expressions.HashKernels.shingleHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Native 64-bit SimHash of a text column's word multiset. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash64(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.simhash64($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
