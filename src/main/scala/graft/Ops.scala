@@ -16,3 +16,17 @@ object OpDef {
   def rowsOnly(build: (SparkSession, String) => DataFrame): OpDef =
     OpDef(build, None)
 }
+
+/** Persist with per-name tracking: rebuilding the same operator in a
+  * long-lived session (bench warmup + timed passes, repeated driver runs)
+  * unpersists the previous incarnation instead of accumulating cached
+  * partitions until LRU eviction.
+  */
+object Caching {
+  private val tracked = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  def persistTracked(name: String, df: DataFrame): DataFrame = {
+    val old = tracked.put(name, df)
+    if (old != null) old.unpersist(blocking = false)
+    df.persist()
+  }
+}

@@ -16,8 +16,13 @@ final class TopKBuffer(val k: Int) {
   val scores: Array[Double] = new Array[Double](k)
   val ids: Array[Long] = new Array[Long](k)
 
-  private def beats(s: Double, id: Long, i: Int): Boolean =
-    s > scores(i) || (s == scores(i) && id < ids(i))
+  // Total order via Double.compare: NaN ranks GREATEST, matching both
+  // Spark's sort and DuckDB's ORDER BY ... DESC (a raw `>` would rank NaN
+  // last and diverge from the oracle on e.g. zero-embedding cosines).
+  private def beats(s: Double, id: Long, i: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(i))
+    c > 0 || (c == 0 && id < ids(i))
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (n == k && !beats(s, id, n - 1)) return

@@ -331,17 +331,24 @@ object Relational {
         |WHERE c_acctbal > nation_avg
         |ORDER BY c_custkey""".stripMargin),
 
-    // Share-of-total window ratio (reference: per-owner share of realm volume).
+    // Share-of-total ratio (reference: per-owner share of realm volume).
+    // Deliberately NOT a Window.partitionBy(n_name): 25 distinct nations
+    // caps the window exchange at 25 tasks on any cluster size. Instead
+    // the per-supplier aggregate (supplier-sized, persisted once) feeds a
+    // tiny nation-totals aggregate that broadcast-joins back — full scan
+    // parallelism, one lineitem pass, same oracle hash.
     "q18_owner_share" -> OpDef.sql(
       (s, d) => {
-        val perSupp = Tables.lineitem(s, d)
-          .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
-          .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-          .groupBy("n_name", "s_suppkey", "s_name")
-          .agg(r2e(sum(revenue)).as("supp_revenue"))
-        val w = Window.partitionBy("n_name")
-        perSupp
-          .withColumn("share", r6e(col("supp_revenue") / sum("supp_revenue").over(w)))
+        val perSupp = graft.Caching.persistTracked("q18_per_supp",
+          Tables.lineitem(s, d)
+            .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+            .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+            .groupBy("n_name", "s_suppkey", "s_name")
+            .agg(r2e(sum(revenue)).as("supp_revenue")))
+        val totals = perSupp.groupBy("n_name")
+          .agg(sum("supp_revenue").as("nation_revenue"))
+        perSupp.join(broadcast(totals), "n_name")
+          .withColumn("share", r6e(col("supp_revenue") / col("nation_revenue")))
           .select("n_name", "s_suppkey", "s_name", "supp_revenue", "share")
           .orderBy("n_name", "s_suppkey")
       },

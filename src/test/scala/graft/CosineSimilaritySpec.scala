@@ -34,6 +34,27 @@ class CosineSimilaritySpec extends AnyFunSuite with SparkFixture {
       causes(e).exists(c => c.getMessage != null && c.getMessage.contains("dims differ")))
   }
 
+  test("topk_by over a corpus with a zero embedding matches Spark's own NaN-greatest sort") {
+    GraftFunctions.register(spark)
+    val sp = spark
+    import sp.implicits._
+    // corpus vec 99 is all-zero -> cosine NaN, which Spark sorts GREATEST
+    val corpus = (Seq((99L, Seq(0f, 0f, 0f))) ++
+        (1L to 10L).map(i => (i, Seq(i.toFloat, 1f, 0.5f))))
+      .toDF("cid", "cvec")
+    val query = Seq((1L, Seq(1f, 0f, 0f))).toDF("qid", "qvec")
+    val scored = query.crossJoin(corpus)
+      .select(col("qid"), col("cid"), expr("cosine_sim(qvec, cvec)").as("s"))
+    val viaTopk = scored
+      .groupBy("qid").agg(expr("topk_by(s, cid, 3)").as("top"))
+      .select(explode(col("top")).as("t")).select("t.id").as[Long].collect()
+    val viaSort = scored.orderBy(col("s").desc, col("cid"))
+      .limit(3).select("cid").as[Long].collect()
+    assert(viaTopk.toSeq == viaSort.toSeq,
+      s"topk_by=${viaTopk.toSeq} sort=${viaSort.toSeq}")
+    assert(viaTopk.head == 99L, "NaN-scored zero vector must rank first")
+  }
+
   test("codegen and interpreted paths agree on real embeddings") {
     GraftFunctions.register(spark)
     val emb = graft.sources.Tables.embeddings(spark, sfDir).limit(50)

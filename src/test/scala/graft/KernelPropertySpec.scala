@@ -100,9 +100,31 @@ class KernelPropertySpec extends AnyFunSuite {
         na += a(i).toDouble * a(i).toDouble
         nb += b(i).toDouble * b(i).toDouble
       }
-      val expected = if (na == 0 || nb == 0) 0.0
-        else dot / (math.sqrt(na) * math.sqrt(nb))
-      assert(got == expected)
+      if (na == 0 || nb == 0) assert(got.isNaN) // documented DuckDB-parity: 0/0
+      else assert(got == dot / (math.sqrt(na) * math.sqrt(nb)))
     }
+  }
+
+  test("cosine kernel returns NaN for a zero vector (DuckDB 0/0 parity)") {
+    val z = ArrayData.toArrayData(Array.fill(8)(0f))
+    val v = ArrayData.toArrayData(Array.tabulate(8)(i => (i + 1).toFloat))
+    assert(graft.expressions.VecMath.cosine(z, v).isNaN)
+    assert(graft.expressions.VecMath.cosine(v, z).isNaN)
+    assert(graft.expressions.VecMath.cosine(z, z).isNaN)
+  }
+
+  test("TopKBuffer ranks NaN scores greatest (Spark/DuckDB NaN ordering)") {
+    val buf = new TopKBuffer(3)
+    buf.insert(0.9, 1L)
+    buf.insert(Double.NaN, 2L)
+    buf.insert(0.5, 3L)
+    buf.insert(0.7, 4L)
+    val got = (0 until buf.n).map(i => (buf.scores(i), buf.ids(i)))
+    assert(got.head._2 == 2L && got.head._1.isNaN, s"NaN not ranked first: $got")
+    assert(got.map(_._2) == Seq(2L, 1L, 4L), s"order wrong: $got")
+    // NaN ties break by id ascending, like any equal score
+    val t = new TopKBuffer(2)
+    t.insert(Double.NaN, 9L); t.insert(Double.NaN, 4L); t.insert(1.0, 1L)
+    assert((0 until t.n).map(i => t.ids(i)) == Seq(4L, 9L))
   }
 }

@@ -56,9 +56,18 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(!cg.contains("Found 0 WholeStageCodegen"), cg.linesIterator.next())
   }
 
-  test("d03 signature aggregation is partial and codegen'd") {
+  test("d03 signature is computed in-scan by the native kernel (no signature shuffle)") {
     val p = planOf("d03_simhash")
-    assert(p.contains("partial_"), "simhash bit sums not map-side combined")
+    assert(p.contains("simhash64"), "native simhash64 kernel not in the plan")
+    assert(!p.contains("partial_sum"),
+      "signature still built by bit-sum aggregates instead of the kernel")
+  }
+
+  test("q18 share-of-total has no low-cardinality window exchange") {
+    val p = planOf("q18_owner_share")
+    assert(!p.contains("Window"),
+      "q18 still windows over n_name (25 partitions caps cluster parallelism)")
+    assert(p.contains("BroadcastHashJoin"), "nation totals not broadcast back")
   }
 
   test("e01 broadcasts the query set, not the corpus") {

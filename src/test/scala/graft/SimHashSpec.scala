@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** SimHash (d03) correctness:
+  *  - the native `simhash64` kernel is bit-identical to the explicit
+  *    explode-words + 64 bit-sum-aggregate formulation it replaced;
+  *  - the 28 block-pair candidate tables are COMPLETE at the operator's
+  *    radius: d03's output equals exhaustive all-pairs Hamming <= radius
+  *    (recall 1.0, measured — not just the pigeonhole argument).
+  */
+class SimHashSpec extends AnyFunSuite with SparkFixture {
+
+  /** The pre-kernel signature formulation: explode words, 64 codegen'd
+    * +1/-1 bit sums, OR the signs into a 64-bit code. Kept here as the
+    * executable reference the kernel must match.
+    */
+  private def aggregateSimhash(dir: String) = {
+    val bitSums = Array.tabulate(64)(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"b$i"))
+    val simhashCol = (0 until 64).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhashCol.as("simhash"))
+  }
+
+  test("simhash64 kernel matches the explode + 64-bit-sum aggregate formulation") {
+    graft.expressions.GraftFunctions.register(spark)
+    val kernel = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("simhash64(text)").as("k"))
+    val agg = aggregateSimhash(sfDir).withColumnRenamed("simhash", "a")
+    val diff = kernel.join(agg, "doc_id")
+      .filter(col("k") =!= col("a"))
+      .count()
+    assert(diff == 0, s"$diff documents where kernel and aggregate simhash differ")
+    assert(kernel.count() > 0)
+  }
+
+  test("d03 block-pair banding is exhaustively complete at the radius (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    graft.expressions.GraftFunctions.register(spark)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    // exhaustive ground truth: every pair within the radius
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= Dedup.SimHashRadius
+    } yield (sigs(i)._1, sigs(j)._1, h)).toSet
+    assert(expected.nonEmpty, "testdata has no near-dup pairs at this radius; spec is vacuous")
+
+    val got = SparkEntry.queries("d03_simhash")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val missed = expected -- got
+    val spurious = got -- expected
+    assert(missed.isEmpty, s"recall gap: ${missed.size} of ${expected.size} true pairs missed: ${missed.take(5)}")
+    assert(spurious.isEmpty, s"${spurious.size} pairs beyond the radius emitted: ${spurious.take(5)}")
+  }
+}
