@@ -31,6 +31,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("shingle3_hashes"),
       info("shingle3_hashes", "shingle3_hashes(text) - distinct xxhash64 of 3-word shingles"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs(0), 3)))
+    ext.injectFunction((FunctionIdentifier("md5_shingle3_hashes"),
+      info("md5_shingle3_hashes",
+        "md5_shingle3_hashes(text) - sorted distinct md5-60-bit hashes of 3-word shingles"),
+      (exprs: Seq[Expression]) => Md5ShingleHashes(exprs(0), 3)))
     ext.injectFunction((FunctionIdentifier("poly_hash"),
       info("poly_hash", "poly_hash(arr) - rolling polynomial hash of a long array"),
       (exprs: Seq[Expression]) => PolyHash(exprs(0))))

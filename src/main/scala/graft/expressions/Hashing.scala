@@ -72,6 +72,51 @@ object HashKernels {
     code
   }
 
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Sorted distinct md5-derived 60-bit hashes of all n-word shingles of
+    * `text`. The hash is the first 15 hex chars of md5(shingle) parsed as
+    * a long — a construction DuckDB reproduces exactly with
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT`, which is what makes the
+    * d08 fingerprint oracle-checkable (xxhash64 has no DuckDB twin).
+    * Sorted ascending so downstream order-dependent folds are canonical.
+    */
+  def md5ShingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    val m = words.length - n + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val md = md5Local.get()
+    val seen = new java.util.TreeSet[java.lang.Long]()
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      md.reset()
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex chars = 7 bytes + the high nibble of byte 7
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (dig(b) & 0xFF).toLong; b += 1 }
+      v = (v << 4) | ((dig(7) >> 4) & 0xF).toLong
+      seen.add(v)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+
   /** Rolling polynomial hash over a long array:
     * fold(acc = (acc * 31 + pmod(h, 1000000007)) mod 1000000000000037).
     * Matches the SQL `aggregate(...)` form used before (same constants),
@@ -113,6 +158,28 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
       s"graft.expressions.HashKernels.shingleHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Native sorted md5-60-bit shingle hashes: text -> array<long>, the
+  * DuckDB-reproducible twin of [[ShingleHashes]] (see
+  * [[HashKernels.md5ShingleHashes]]).
+  */
+case class Md5ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_shingle_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.md5ShingleHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashKernels.md5ShingleHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5ShingleHashes =
     copy(child = newChild)
 }
 

@@ -266,18 +266,41 @@ object Dedup {
         |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin),
 
-    // Rolling-hash fingerprinting: min/max/count over shingle hashes — a
-    // compact per-document sketch for containment-style matching.
-    "d08_fingerprint" -> OpDef.rowsOnly(
-      (s, d) => withShingles(s, d)
-        .select(
-          col("doc_id"),
-          size(col("shingles")).as("n_shingles"),
-          expr("array_min(shingles)").as("min_hash"),
-          expr("array_max(shingles)").as("max_hash"),
-          // Rolling polynomial hash mod 1e15+37 via the native PolyHash
-          // kernel (same fold as the SQL aggregate form, codegen'd).
-          expr("poly_hash(shingles)").as("fingerprint"))
-        .orderBy("doc_id"))
+    // Rolling-hash fingerprinting: min/max/count over shingle hashes plus a
+    // polynomial fold — a compact per-document sketch for containment-style
+    // matching. Shingle hashes are md5-derived (first 15 hex chars as a
+    // 60-bit long) and sorted ascending, which makes every column — the
+    // order-dependent fold included — exactly reproducible in DuckDB
+    // (xxhash64 has no DuckDB twin, md5 does), so this op is
+    // hash-oracle-checked, not rows-only.
+    "d08_fingerprint" -> OpDef.sql(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+          .filter(size(col("mh")) > 0)
+          .select(
+            col("doc_id"),
+            size(col("mh")).as("n_shingles"),
+            expr("array_min(mh)").as("min_hash"),
+            expr("array_max(mh)").as("max_hash"),
+            // Rolling polynomial hash mod 1e15+37 via the native PolyHash
+            // kernel (same fold as the SQL aggregate form, codegen'd).
+            expr("poly_hash(mh)").as("fingerprint"))
+          .orderBy("doc_id")
+      },
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 2),
+        |    i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15))::BIGINT))) AS hs
+        |  FROM w),
+        |nz AS (SELECT * FROM sh WHERE len(hs) > 0)
+        |SELECT doc_id, CAST(len(hs) AS INT) AS n_shingles,
+        |       list_min(hs) AS min_hash, list_max(hs) AS max_hash,
+        |       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
+        |         (acc, h) -> (acc * 31 + h % 1000000007) % 1000000000000037) AS fingerprint
+        |FROM nz ORDER BY doc_id""".stripMargin)
   )
 }

@@ -78,7 +78,101 @@ case class AsOfJoinExec(
     org.apache.spark.sql.catalyst.plans.physical.PartitioningCollection(
       Seq(left.outputPartitioning, right.outputPartitioning))
 
+  /** Physical accessor reading a fixed-width integral column as a long —
+    * non-null only for types whose internal representation is an integral
+    * primitive. When both the key and the time are such types the sweep
+    * takes a primitive fast path: codegen'd unsafe projections + long
+    * compares instead of per-row interpreted `eval` + boxed orderings
+    * (the typical as-of inputs — bigint keys, epoch-long or timestamp
+    * times — all qualify).
+    */
+  private def longGetter(dt: org.apache.spark.sql.types.DataType): (InternalRow, Int) => Long = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => (r, i) => r.getLong(i)
+      case IntegerType | DateType => (r, i) => r.getInt(i).toLong
+      case ShortType => (r, i) => r.getShort(i).toLong
+      case ByteType => (r, i) => r.getByte(i).toLong
+      case _ => null
+    }
+  }
+
   override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val keyGet = longGetter(leftKey.dataType)
+    val timeGet = longGetter(leftTime.dataType)
+    if (keyGet != null && timeGet != null) {
+      left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+        val lProj = UnsafeProjection.create(
+          Seq(BindReferences.bindReference(leftKey, lOut),
+              BindReferences.bindReference(leftTime, lOut)))
+        val rProj = UnsafeProjection.create(
+          Seq(BindReferences.bindReference(rightKey, rOut),
+              BindReferences.bindReference(rightTime, rOut)))
+        val joiner = new JoinedRow
+        val project = UnsafeProjection.create(output, lOut ++ rOut)
+
+        new Iterator[InternalRow] {
+          private var rHead: InternalRow = _
+          private var rHeadNull = false
+          private var rHeadKey = 0L
+          private var rHeadTime = 0L
+          private def advanceRight(): Unit =
+            if (rIter.hasNext) {
+              rHead = rIter.next()
+              val kt = rProj(rHead)
+              rHeadNull = kt.isNullAt(0) || kt.isNullAt(1)
+              if (!rHeadNull) { rHeadKey = keyGet(kt, 0); rHeadTime = timeGet(kt, 1) }
+            } else rHead = null
+          advanceRight()
+
+          // latest right row whose (key, time) <= the current left cursor;
+          // primitive key copy — no reused-buffer aliasing to defend against
+          private var cand: InternalRow = _
+          private var candKey = 0L
+          private var candSet = false
+
+          private var nextOut: InternalRow = _
+
+          private def computeNext(): Unit = {
+            nextOut = null
+            while (nextOut == null && lIter.hasNext) {
+              val l = lIter.next()
+              val kt = lProj(l)
+              if (!kt.isNullAt(0) && !kt.isNullAt(1)) {
+                val lk = keyGet(kt, 0)
+                val lt = timeGet(kt, 1)
+                while (rHead != null && (rHeadNull ||
+                    rHeadKey < lk || (rHeadKey == lk && rHeadTime <= lt))) {
+                  if (!rHeadNull) {
+                    cand = rHead.copy(); candKey = rHeadKey; candSet = true
+                  }
+                  advanceRight()
+                }
+                if (candSet && candKey == lk)
+                  nextOut = project(joiner(l, cand))
+              }
+            }
+          }
+          private var computed = false
+
+          override def hasNext: Boolean = {
+            if (!computed) { computeNext(); computed = true }
+            nextOut != null
+          }
+          override def next(): InternalRow = {
+            if (!computed) computeNext()
+            computed = false
+            nextOut
+          }
+        }
+      }
+    } else doExecuteGeneric()
+  }
+
+  /** Interpreted-ordering sweep for non-integral key/time types. */
+  private def doExecuteGeneric(): RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val timeOrd = TypeUtils.getInterpretedOrdering(leftTime.dataType)
     val lOut = left.output
@@ -176,6 +270,10 @@ object AsOf {
            leftTime: String, rightTime: String,
            rightTieBreak: Option[String] = None): DataFrame = {
     val spark: SparkSession = l.sparkSession
+    val overlap = l.columns.toSet.intersect(r.columns.toSet)
+    require(overlap.isEmpty,
+      s"as-of join requires disjoint column names between the two sides; " +
+        s"rename before joining: ${overlap.mkString(", ")}")
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy

@@ -79,6 +79,28 @@ class AsOfJoinSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("string keys and double times sweep via the generic path, same semantics") {
+    val sp = spark
+    import sp.implicits._
+    val purchases = Seq((100L, "u1", 50.0), (101L, "u1", 10.0), (102L, "u2", 99.0))
+      .toDF("p_id", "user", "p_ts")
+    val signups = Seq((200L, "u1", 50.0), (201L, "u3", 1.0))
+      .toDF("s_id", "s_user", "s_ts")
+    val out = AsOf.join(purchases, signups, "user", "s_user", "p_ts", "s_ts")
+      .select("p_id", "s_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((100L, 200L)))
+  }
+
+  test("overlapping column names between the sides fail fast") {
+    val sp = spark
+    import sp.implicits._
+    val l = Seq((1L, 2L, 3L)).toDF("id", "user", "ts")
+    val r = Seq((1L, 2L, 3L)).toDF("s_id", "user", "ts")
+    val e = intercept[IllegalArgumentException](
+      AsOf.join(l, r, "user", "user", "ts", "ts"))
+    assert(e.getMessage.contains("disjoint"))
+  }
+
   test("picks the latest of several prior signups") {
     val sp = spark
     import sp.implicits._
