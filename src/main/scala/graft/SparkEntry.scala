@@ -10,7 +10,8 @@ object SparkEntry {
 
   private val allDefs: Map[String, OpDef] =
     Relational.defs ++ Events.defs ++ TextAnalysis.defs ++
-      Dedup.defs ++ Similarity.defs ++ Multimodal.defs
+      Dedup.defs ++ Similarity.defs ++ Multimodal.defs ++
+      graft.streaming.StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

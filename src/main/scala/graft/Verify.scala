@@ -30,6 +30,25 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // stream-vs-batch parity for every streaming op (s02/s04 are only
+    // checkable under a moving watermark, which the oracle dump can't
+    // drive) — written as parquet so the gate's directory walk reads it,
+    // and echoed as JSON on stdout
+    try {
+      val parity = graft.streaming.StreamParity.run(spark)
+      val json = parity
+        .map(r => s"${q(r.op)}: {\"stream_rows\": ${r.streamRows}, " +
+          s"\"batch_rows\": ${r.batchRows}, \"match\": ${r.ok}}")
+        .mkString("{", ",", "}")
+      println(s"[verify] streaming_parity $json")
+      import spark.implicits._
+      parity.map(r => (r.op, r.streamRows, r.batchRows, r.ok))
+        .toDF("op", "stream_rows", "batch_rows", "parity_match")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/streaming_parity")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] streaming parity failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

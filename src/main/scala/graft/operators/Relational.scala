@@ -377,6 +377,43 @@ object Relational {
         |FROM part WHERE strpos(lower(p_name), 'widget') > 0
         |ORDER BY pos, p_partkey""".stripMargin),
 
+    // Normalized-name item search (reference: the query-items endpoint's
+    // normalized-name match, complementing q19's raw substring). The name
+    // is folded to a canonical form — lowercase, accents stripped,
+    // punctuation runs collapsed to single spaces — then searched, with
+    // word-prefix hits ranked above mid-word hits. Pure per-row codegen'd
+    // string ops: scan-speed at any scale, same plan shape as q19.
+    "q33_item_search_norm" -> OpDef.sql(
+      (s, d) => {
+        val accents = "àáâäéèêëíìîïóòôöúùûüñç"
+        val folded = "aaaaeeeeiiiioooouuuunc"
+        Tables.part(s, d)
+          .withColumn("norm_name",
+            trim(regexp_replace(
+              translate(lower(col("p_name")), accents, folded),
+              "[^a-z0-9]+", " ")))
+          .withColumn("pos", instr(col("norm_name"), "widget"))
+          .filter(col("pos") > 0)
+          .withColumn("prefix_hit",
+            when(instr(concat(lit(" "), col("norm_name")), " widget") > 0, 1)
+              .otherwise(0))
+          .select("p_partkey", "p_name", "norm_name", "prefix_hit", "pos")
+          .orderBy(col("prefix_hit").desc, col("pos"), col("p_partkey"))
+      },
+      """WITH n AS (
+        |  SELECT p_partkey, p_name,
+        |         trim(regexp_replace(
+        |           translate(lower(p_name),
+        |             'àáâäéèêëíìîïóòôöúùûüñç', 'aaaaeeeeiiiioooouuuunc'),
+        |           '[^a-z0-9]+', ' ', 'g')) AS norm_name
+        |  FROM part)
+        |SELECT p_partkey, p_name, norm_name,
+        |       CASE WHEN strpos(' ' || norm_name, ' widget') > 0
+        |            THEN 1 ELSE 0 END AS prefix_hit,
+        |       CAST(strpos(norm_name, 'widget') AS INT) AS pos
+        |FROM n WHERE strpos(norm_name, 'widget') > 0
+        |ORDER BY prefix_hit DESC, pos, p_partkey""".stripMargin),
+
     // Calendar breakdown: monthly order counts + revenue.
     "q20_date_parts" -> OpDef.sql(
       (s, d) => Tables.orders(s, d)
@@ -390,6 +427,16 @@ object Relational {
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin),
 
     // Cumulative window sum over the daily series (token-history shape).
+    //
+    // INVARIANT (q21/q22/q23): the global (partition-less) Window.orderBy
+    // here is safe ONLY because it runs on the POST-AGGREGATION daily
+    // series — one row per distinct l_shipdate, ~2.5k rows for a 7-year
+    // calendar — which is calendar-bounded and does NOT grow with the
+    // fact table. At 100 TB the lineitem scan + partial agg do the work;
+    // the single-partition window sees the same few thousand rows it sees
+    // at sf0.01. Never move such a window BELOW an aggregation (onto
+    // fact-table-sized input); that is the q18 anti-pattern this file
+    // deliberately avoids.
     "q21_running_total" -> OpDef.sql(
       (s, d) => {
         val daily = Tables.lineitem(s, d)

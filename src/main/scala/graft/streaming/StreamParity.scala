@@ -1,0 +1,181 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+import java.time.Instant
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Machine-readable stream-vs-batch parity: every streaming operator
+  * (s01–s05) run over a deterministic MemoryStream feed whose results are
+  * compared row-for-row with the equivalent batch computation on the same
+  * data. `Verify` serializes the results next to the oracle dump, so the
+  * correctness gate's consumers see the streaming half (the memory-sink
+  * file-feed entries in [[StreamQueries]] cover s01/s03/s05 with DuckDB
+  * oracles; s02/s04's event-time-timeout semantics only finalize under a
+  * moving watermark, which is exactly what this harness drives).
+  *
+  * All timestamps derive from explicit UTC instants — host-timezone
+  * independent by construction.
+  */
+object StreamParity {
+
+  final case class Result(op: String, streamRows: Long, batchRows: Long, ok: Boolean)
+
+  private val runId = new AtomicInteger()
+
+  private def ts(minutesFromBase: Long): Timestamp =
+    Timestamp.from(Instant.parse("2024-01-01T10:00:00Z")
+      .plusSeconds(minutesFromBase * 60))
+
+  /** Deterministic event feed: 3 users, sessions split by >30-min gaps. */
+  private def feed: Seq[(Long, Timestamp, String, Double)] = Seq(
+    (1L, ts(0), "click", 1.0), (1L, ts(10), "buy", 2.5), (1L, ts(20), "click", 0.5),
+    (1L, ts(70), "click", 4.0), (1L, ts(75), "buy", 1.25), // session 2 (50-min gap)
+    (2L, ts(5), "click", 3.0),
+    (2L, ts(50), "buy", 7.0), (2L, ts(55), "click", 0.125), // session 2 (45-min gap)
+    (3L, ts(30), "signup", 2.0), (3L, ts(95), "purchase", 6.0) // session 2 (65-min gap)
+  )
+
+  private def drain(spark: SparkSession, streamed: DataFrame, mode: String,
+                    feeds: Seq[() => Unit]): Seq[org.apache.spark.sql.Row] = {
+    val sink = s"parity_${runId.incrementAndGet()}"
+    val q = streamed.writeStream.format("memory").queryName(sink)
+      .outputMode(mode).start()
+    try feeds.foreach { f => f(); q.processAllAvailable() } finally q.stop()
+    val rows = spark.table(sink).collect().toSeq
+    spark.catalog.dropTempView(sink)
+    rows
+  }
+
+  /** Batch gap-sessionization twin (the q25 shape) over (user_id, ts_us, value). */
+  private def batchSessions(df: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("ts_us")
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("prev_us", lag("ts_us", 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+             col("ts_us") - col("prev_us") > StreamOps.SessionGapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_sess").over(wCum))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+           expr("min(ts_us) DIV 1000000").as("start_s"),
+           expr("(max(ts_us) - min(ts_us)) DIV 1000000").as("dur_s"),
+           round(sum("value") + lit(1e-6), 2).as("session_value"))
+  }
+
+  def run(spark: SparkSession): Seq[Result] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+
+    val sentinel = ts(60L * 24 * 2) // two days out: closes every real window
+
+    // --- s01: append-mode windows under a moving watermark ---------------
+    val s01 = {
+      val in = MemoryStream[(Timestamp, String, Double)]
+      val streamed = drain(spark,
+        StreamOps.tumblingWindows(in.toDF().toDF("ts", "event_type", "value")),
+        "append",
+        Seq(() => { in.addData(feed.map(e => (e._2, e._3, e._4))); () },
+            () => { in.addData((sentinel, "zz_sentinel", 0.0)); () }))
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = feed.map(e => (e._2, e._3, e._4)).toDF("ts", "event_type", "value")
+        .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).as("hour_s"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value") + lit(1e-6), 2).as("tv"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      Result("s01_stream_windows", streamed.size, batch.size, streamed == batch)
+    }
+
+    // --- s02: gap-emission sessionization (open sessions stay open) ------
+    val s02 = {
+      val in = MemoryStream[StreamEvent]
+      val streamed = drain(spark,
+        StreamOps.sessionize(in.toDS()).toDF(),
+        "append",
+        Seq(() => { in.addData(feed.map(e =>
+          StreamEvent(e._1, e._3, e._2.toInstant.toEpochMilli * 1000L, e._4))); () }))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                   r.getLong(4), r.getDouble(5))).toSet
+      // gap emission only closes a session when a LATER event arrives:
+      // the batch twin drops each user's final (still-open) session
+      val all = batchSessions(feed.map(e =>
+          (e._1, e._2.toInstant.toEpochMilli * 1000L, e._4))
+        .toDF("user_id", "ts_us", "value"))
+      val lastIds = all.groupBy("user_id").agg(max("session_id").as("last_id"))
+      val batch = all.join(lastIds, "user_id")
+        .filter(col("session_id") < col("last_id"))
+        .select("user_id", "session_id", "n_events", "start_s", "dur_s", "session_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                             r.getLong(4), r.getDouble(5))).toSet
+      Result("s02_stream_sessions", streamed.size, batch.size, streamed == batch)
+    }
+
+    // --- s04: timeout sessionization (every session eventually flushes) --
+    val s04 = {
+      val in = MemoryStream[(Long, Timestamp, Double)]
+      val streamed = drain(spark,
+        StreamOps.sessionizeWithTimeout(
+          in.toDF().toDF("user_id", "ts", "value")).toDF(),
+        "append",
+        Seq(() => { in.addData(feed.map(e => (e._1, e._2, e._4))); () },
+            // watermark rides forward on a sentinel user, then one more
+            // batch so the armed event-time timeouts actually fire
+            () => { in.addData((999L, sentinel, 0.0)); () },
+            () => { in.addData((999L, ts(60L * 24 * 2 + 1), 0.0)); () }))
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                   r.getLong(4), r.getDouble(5)))
+        .filter(_._1 != 999L).toSet
+      val batch = batchSessions(feed.map(e =>
+          (e._1, e._2.toInstant.toEpochMilli * 1000L, e._4))
+        .toDF("user_id", "ts_us", "value"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                             r.getLong(4), r.getDouble(5))).toSet
+      Result("s04_stream_sessions_timeout", streamed.size, batch.size, streamed == batch)
+    }
+
+    // --- s03: dedup across micro-batches ---------------------------------
+    val s03 = {
+      val in = MemoryStream[(Long, Timestamp, String)]
+      val streamed = drain(spark,
+        StreamOps.dedupStream(in.toDF().toDF("event_id", "ts", "event_type")),
+        "append",
+        Seq(() => { in.addData((1L, ts(0), "click"), (2L, ts(1), "click"), (1L, ts(0), "click")); () },
+            () => { in.addData((1L, ts(0), "click"), (3L, ts(2), "buy")); () }))
+        .map(r => r.getLong(0)).sorted
+      Result("s03_stream_dedup", streamed.size, 3, streamed == Seq(1L, 2L, 3L))
+    }
+
+    // --- s05: stream-stream interval join --------------------------------
+    val s05 = {
+      val pIn = MemoryStream[(Long, Timestamp, Long)]
+      val sIn = MemoryStream[(Long, Timestamp, Long)]
+      val streamed = drain(spark,
+        StreamOps.intervalJoin(
+          pIn.toDF().toDF("p_user", "p_ts", "p_id"),
+          sIn.toDF().toDF("s_user", "s_ts", "s_id")),
+        "append",
+        Seq(() => {
+          sIn.addData((7L, ts(0), 100L), (7L, ts(-130), 101L), (8L, ts(20), 102L))
+          pIn.addData((7L, ts(30), 200L), (8L, ts(25), 201L))
+          ()
+        }))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // batch twin on the same rows
+      val p = Seq((7L, ts(30), 200L), (8L, ts(25), 201L)).toDF("p_user", "p_ts", "p_id")
+      val s = Seq((7L, ts(0), 100L), (7L, ts(-130), 101L), (8L, ts(20), 102L))
+        .toDF("s_user", "s_ts", "s_id")
+      val batch = p.join(s, expr(
+          """p_user = s_user AND s_ts <= p_ts AND
+            |s_ts >= p_ts - interval 1 hour""".stripMargin))
+        .select("p_id", "s_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      Result("s05_stream_interval_join", streamed.size, batch.size, streamed == batch)
+    }
+
+    Seq(s01, s02, s03, s04, s05)
+  }
+}

@@ -11,6 +11,13 @@ import java.sql.Timestamp
 /** Streaming/batch parity and sink round-trips for s01 tumbling windows. */
 class StreamParitySpec extends AnyFunSuite with SparkFixture {
 
+  /** UTC-instant timestamps: `Timestamp.valueOf` interprets its argument in
+    * the host JVM's default timezone, which would make the hard-coded epoch
+    * assertions below pass only on UTC hosts.
+    */
+  private def utc(iso: String): Timestamp =
+    Timestamp.from(java.time.Instant.parse(iso))
+
   test("s01 stream windows equal the batch q27 twin on the events table") {
     val sp = spark
     implicit val sqlCtx = sp.sqlContext
@@ -56,7 +63,7 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
     val query = StreamOps.dedupStream(events).writeStream
       .format("memory").queryName("s03_out").outputMode("append").start()
     try {
-      def t(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      def t(m: Int) = utc(f"2024-01-01T10:$m%02d:00Z")
       input.addData((1L, t(0), "click"), (2L, t(1), "click"), (1L, t(0), "click"))
       query.processAllAvailable()
       input.addData((1L, t(0), "click"), (3L, t(2), "buy")) // 1 repeats across batches
@@ -77,7 +84,7 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
     val query = StreamOps.sessionizeWithTimeout(events).writeStream
       .format("memory").queryName("s04_out").outputMode("append").start()
     try {
-      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      def t(h: Int, m: Int) = utc(f"2024-01-01T$h%02d:$m%02d:00Z")
       input.addData((1L, t(10, 0), 1.0), (1L, t(10, 10), 2.0))
       query.processAllAvailable()
       assert(spark.table("s04_out").isEmpty) // open, watermark not past gap
@@ -117,7 +124,7 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
     val query = StreamOps.intervalJoin(purchases, signups).writeStream
       .format("memory").queryName("s05_out").outputMode("append").start()
     try {
-      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      def t(h: Int, m: Int) = utc(f"2024-01-01T$h%02d:$m%02d:00Z")
       sIn.addData((7L, t(10, 0), 100L),  // in window for the 10:30 purchase
                   (7L, t(8, 0), 101L),   // too old
                   (8L, t(10, 20), 102L)) // other user
@@ -139,20 +146,68 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
     val query = StreamOps.sessionizeWithTimeout(events).writeStream
       .format("memory").queryName("s04_jump").outputMode("append").start()
     try {
-      input.addData((1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0))
+      input.addData((1L, utc("2024-01-01T10:00:00Z"), 1.0))
       query.processAllAvailable()
       // watermark leaps eight months in one batch — the idle-marker
       // timeout (last + 7 days) would land below the watermark; the
       // clamp must keep the query alive
-      input.addData((2L, Timestamp.valueOf("2024-08-01 10:00:00"), 2.0))
+      input.addData((2L, utc("2024-08-01T10:00:00Z"), 2.0))
       query.processAllAvailable()
-      input.addData((2L, Timestamp.valueOf("2024-08-01 10:01:00"), 1.0))
+      input.addData((2L, utc("2024-08-01T10:01:00Z"), 1.0))
       query.processAllAvailable()
       assert(query.exception.isEmpty, s"query died: ${query.exception}")
       val u1 = spark.table("s04_jump").as[SessionOut].collect()
         .filter(_.user_id == 1L)
       assert(u1.map(s => (s.session_id, s.n_events)).toSeq == Seq((1L, 1L)))
     } finally query.stop()
+  }
+
+  test("s01 parquet sink is exactly-once across a stop and checkpoint restart") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_eo").toString
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    def start() = StreamOps.tumblingWindows(events).writeStream
+      .format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode("append")
+      .start()
+    def t(h: Int, m: Int) = utc(f"2024-01-01T$h%02d:$m%02d:00Z")
+
+    val q1 = start()
+    try {
+      input.addData((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0))
+      q1.processAllAvailable()
+      // advances the watermark to 12:00: the 10:00 window closes and is
+      // COMMITTED to the sink before the stop
+      input.addData((t(14, 0), "click", 9.0))
+      q1.processAllAvailable()
+    } finally q1.stop() // query goes down between commits
+
+    // restart from the same checkpoint: committed batches must not
+    // re-emit (the sink's metadata log dedups replayed batches), and the
+    // in-flight state (open 14:00 window, watermark) must be recovered
+    val q2 = start()
+    try {
+      input.addData((t(18, 0), "click", 4.0)) // watermark 16:00: closes 14:00
+      q2.processAllAvailable()
+      input.addData((t(22, 0), "click", 1.0)) // watermark 20:00: closes 18:00
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(s"$tmp/out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    // exactly one row per closed window — a replayed batch would duplicate
+    // the 10:00 window, a lost commit would drop one
+    assert(rows == Seq(
+      (1704103200L, "click", 2L, 3.0),  // 10:00, both pre-stop events
+      (1704117600L, "click", 1L, 9.0),  // 14:00, closed after the restart
+      (1704132000L, "click", 1L, 4.0)), // 18:00
+      s"got: $rows")
   }
 
   test("s01 writes to a parquet file sink with checkpointing") {
@@ -169,7 +224,7 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
       .outputMode("append")
       .start()
     try {
-      def t(h: Int, m: Int) = Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      def t(h: Int, m: Int) = utc(f"2024-01-01T$h%02d:$m%02d:00Z")
       input.addData((t(10, 5), "click", 1.0), (t(10, 40), "click", 2.0))
       query.processAllAvailable()
       // advance the watermark far enough that the 10:00 window closes

@@ -1,0 +1,35 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamParity
+
+/** The streaming driver-gate entries: real stream runs must reproduce
+  * their batch twins, and the parity artifact must be all-green.
+  */
+class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
+
+  test("s01 gate entry reproduces the batch q27 result exactly") {
+    val streamed = SparkEntry.queries("s01_stream_windows")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("q27_event_windows")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("s03 gate entry emits each event exactly once despite the doubled feed") {
+    val ids = SparkEntry.queries("s03_stream_dedup")(spark, sfDir)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    val n = graft.sources.Tables.events(spark, sfDir).count()
+    assert(ids.length == n, s"expected $n unique events, got ${ids.length}")
+    assert(ids.distinct.length == ids.length, "duplicate event ids survived dedup")
+  }
+
+  test("StreamParity reports stream/batch parity for all five ops") {
+    val results = StreamParity.run(spark)
+    assert(results.map(_.op).sorted == Seq(
+      "s01_stream_windows", "s02_stream_sessions", "s03_stream_dedup",
+      "s04_stream_sessions_timeout", "s05_stream_interval_join"))
+    results.foreach(r => assert(r.ok, s"parity failed: $r"))
+  }
+}
