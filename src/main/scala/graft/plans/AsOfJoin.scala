@@ -128,10 +128,31 @@ case class AsOfJoinExec(
           advanceRight()
 
           // latest right row whose (key, time) <= the current left cursor;
-          // primitive key copy — no reused-buffer aliasing to defend against
+          // primitive key copy — no reused-buffer aliasing to defend against.
+          // The child's sort iterator reuses its output row, so the
+          // candidate must be detached before advancing — but EVERY
+          // consumed right row becomes the candidate, so a per-row .copy()
+          // would allocate right-side-cardinality byte arrays. copyFrom
+          // reuses one grow-only buffer instead (zero steady-state alloc);
+          // non-UnsafeRow children (rare) fall back to copy().
+          private val candBuf = {
+            val b = new org.apache.spark.sql.catalyst.expressions.UnsafeRow(rOut.size)
+            // copyFrom requires an existing byte[]-backed buffer (it grows
+            // it as needed); start with a small one
+            b.pointTo(new Array[Byte](64), 64)
+            b
+          }
           private var cand: InternalRow = _
           private var candKey = 0L
           private var candSet = false
+          private def captureCand(): Unit = {
+            rHead match {
+              case u: org.apache.spark.sql.catalyst.expressions.UnsafeRow =>
+                candBuf.copyFrom(u); cand = candBuf
+              case other => cand = other.copy()
+            }
+            candKey = rHeadKey; candSet = true
+          }
 
           private var nextOut: InternalRow = _
 
@@ -145,9 +166,7 @@ case class AsOfJoinExec(
                 val lt = timeGet(kt, 1)
                 while (rHead != null && (rHeadNull ||
                     rHeadKey < lk || (rHeadKey == lk && rHeadTime <= lt))) {
-                  if (!rHeadNull) {
-                    cand = rHead.copy(); candKey = rHeadKey; candSet = true
-                  }
+                  if (!rHeadNull) captureCand()
                   advanceRight()
                 }
                 if (candSet && candKey == lk)
