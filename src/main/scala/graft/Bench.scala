@@ -24,9 +24,12 @@ object Bench {
   private def run(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
 
+  // true median: averages the middle pair on even counts (a rep that
+  // failed leaves 2 survivors — taking the upper one would bias upward)
   private def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
-    s(s.length / 2)
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2
   }
 
   def main(args: Array[String]): Unit = {

@@ -34,20 +34,30 @@ object Verify {
     // checkable under a moving watermark, which the oracle dump can't
     // drive) — written as parquet so the gate's directory walk reads it,
     // and echoed as JSON on stdout
+    // a harness failure must be VISIBLE in the artifact — an absent or
+    // green-looking parity file after an exception would silently remove
+    // streaming from the gate, so the catch writes an explicit failure row
+    val parity =
+      try graft.streaming.StreamParity.run(spark)
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] streaming parity failed: ${e.getMessage}")
+        Seq(graft.streaming.StreamParity.Result(
+          s"HARNESS_FAILURE: ${Option(e.getMessage).getOrElse(e.getClass.getName).take(120)}",
+          -1, -1, ok = false))
+      }
+    val parityJson = parity
+      .map(r => s"${q(r.op)}: {\"stream_rows\": ${r.streamRows}, " +
+        s"\"batch_rows\": ${r.batchRows}, \"match\": ${r.ok}}")
+      .mkString("{", ",", "}")
+    println(s"[verify] streaming_parity $parityJson")
     try {
-      val parity = graft.streaming.StreamParity.run(spark)
-      val json = parity
-        .map(r => s"${q(r.op)}: {\"stream_rows\": ${r.streamRows}, " +
-          s"\"batch_rows\": ${r.batchRows}, \"match\": ${r.ok}}")
-        .mkString("{", ",", "}")
-      println(s"[verify] streaming_parity $json")
       import spark.implicits._
       parity.map(r => (r.op, r.streamRows, r.batchRows, r.ok))
         .toDF("op", "stream_rows", "batch_rows", "parity_match")
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/streaming_parity")
     } catch { case e: Throwable =>
-      System.err.println(s"[verify] streaming parity failed: ${e.getMessage}")
+      System.err.println(s"[verify] parity artifact write failed: ${e.getMessage}")
     }
     spark.stop()
   }

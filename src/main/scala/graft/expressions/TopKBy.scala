@@ -19,12 +19,16 @@ final class TopKBuffer(val k: Int) {
   // Total order via Double.compare: NaN ranks GREATEST, matching both
   // Spark's sort and DuckDB's ORDER BY ... DESC (a raw `>` would rank NaN
   // last and diverge from the oracle on e.g. zero-embedding cosines).
+  // Scores are canonicalized on insert (-0.0 -> +0.0, below) because
+  // Double.compare orders +0.0 above -0.0 while Spark/DuckDB compare them
+  // equal and fall through to the id tiebreak.
   private def beats(s: Double, id: Long, i: Int): Boolean = {
     val c = java.lang.Double.compare(s, scores(i))
     c > 0 || (c == 0 && id < ids(i))
   }
 
-  def insert(s: Double, id: Long): Unit = {
+  def insert(score: Double, id: Long): Unit = {
+    val s = if (score == 0.0) 0.0 else score // -0.0 == 0.0 is true: canonicalize
     if (n == k && !beats(s, id, n - 1)) return
     var i = if (n < k) n else n - 1 // position to place (drop last if full)
     if (n < k) n += 1

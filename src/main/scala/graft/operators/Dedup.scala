@@ -150,9 +150,19 @@ object Dedup {
     // exactly 1.0 (SimHashSpec verifies against exhaustive all-pairs
     // Hamming at sf0.01). The radius therefore equals the guaranteed
     // recall radius — no silently-missed near-dups, unlike chunk schemes
-    // whose guarantee stops below their threshold. Scale: 28 bucket rows
-    // per doc, candidate pairs only from 16-bit-key equality joins —
-    // per-bucket bounded, never all-pairs.
+    // whose guarantee stops below their threshold.
+    //
+    // Scale: 28 bucket rows per doc; candidates only from 16-bit-key
+    // equality joins, i.e. ~28/2^16 ≈ 1/2340 of all pairs under a uniform
+    // code distribution (real text clusters harder on some keys). That is
+    // a constant-factor reduction, not an asymptotic one — an exact-recall
+    // Hamming join is inherently pair-shaped. For bigger corpora, widen
+    // the keys with the same pigeonhole algebra (B blocks choose r per
+    // table: C(B,r) tables, r*(64/B)-bit keys, guaranteed radius B - r):
+    // 12-choose-3 gives 220 tables of 16-bit keys at radius 9;
+    // 16-choose-4 gives 1820 tables of 16-bit keys at radius 12. The
+    // constants here are sized for the gate corpus; the join shape and
+    // the exhaustive-recall spec carry over unchanged.
     "d03_simhash" -> OpDef.rowsOnly(
       (s, d) => {
         graft.expressions.GraftFunctions.register(s)

@@ -31,7 +31,13 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = load(spark, dir, "events")
+    withTsUs(load(spark, dir, "events"))
+  }
+
+  /** The ts_us lifting, shared with the streaming readers so batch twins,
+    * oracles, and streams all derive event time identically.
+    */
+  def withTsUs(df: DataFrame): DataFrame = {
     val tsUs = df.schema("ts").dataType match {
       case LongType => expr("ts DIV 1000")
       case _        => unix_micros(col("ts"))

@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions._
 
 import java.sql.Timestamp
 import java.time.Instant
-import java.util.concurrent.atomic.AtomicInteger
 
 /** Machine-readable stream-vs-batch parity: every streaming operator
   * (s01–s05) run over a deterministic MemoryStream feed whose results are
@@ -25,8 +24,6 @@ object StreamParity {
 
   final case class Result(op: String, streamRows: Long, batchRows: Long, ok: Boolean)
 
-  private val runId = new AtomicInteger()
-
   private def ts(minutesFromBase: Long): Timestamp =
     Timestamp.from(Instant.parse("2024-01-01T10:00:00Z")
       .plusSeconds(minutesFromBase * 60))
@@ -40,16 +37,9 @@ object StreamParity {
     (3L, ts(30), "signup", 2.0), (3L, ts(95), "purchase", 6.0) // session 2 (65-min gap)
   )
 
-  private def drain(spark: SparkSession, streamed: DataFrame, mode: String,
-                    feeds: Seq[() => Unit]): Seq[org.apache.spark.sql.Row] = {
-    val sink = s"parity_${runId.incrementAndGet()}"
-    val q = streamed.writeStream.format("memory").queryName(sink)
-      .outputMode(mode).start()
-    try feeds.foreach { f => f(); q.processAllAvailable() } finally q.stop()
-    val rows = spark.table(sink).collect().toSeq
-    spark.catalog.dropTempView(sink)
-    rows
-  }
+  private def drain(spark: SparkSession, name: String, streamed: DataFrame,
+                    mode: String, feeds: Seq[() => Unit]): Seq[org.apache.spark.sql.Row] =
+    StreamRun.drain(spark, streamed, mode, name, feeds).collect().toSeq
 
   /** Batch gap-sessionization twin (the q25 shape) over (user_id, ts_us, value). */
   private def batchSessions(df: DataFrame): DataFrame = {
@@ -76,7 +66,7 @@ object StreamParity {
     // --- s01: append-mode windows under a moving watermark ---------------
     val s01 = {
       val in = MemoryStream[(Timestamp, String, Double)]
-      val streamed = drain(spark,
+      val streamed = drain(spark, "parity_s01",
         StreamOps.tumblingWindows(in.toDF().toDF("ts", "event_type", "value")),
         "append",
         Seq(() => { in.addData(feed.map(e => (e._2, e._3, e._4))); () },
@@ -93,7 +83,7 @@ object StreamParity {
     // --- s02: gap-emission sessionization (open sessions stay open) ------
     val s02 = {
       val in = MemoryStream[StreamEvent]
-      val streamed = drain(spark,
+      val streamed = drain(spark, "parity_s02",
         StreamOps.sessionize(in.toDS()).toDF(),
         "append",
         Seq(() => { in.addData(feed.map(e =>
@@ -117,7 +107,7 @@ object StreamParity {
     // --- s04: timeout sessionization (every session eventually flushes) --
     val s04 = {
       val in = MemoryStream[(Long, Timestamp, Double)]
-      val streamed = drain(spark,
+      val streamed = drain(spark, "parity_s04",
         StreamOps.sessionizeWithTimeout(
           in.toDF().toDF("user_id", "ts", "value")).toDF(),
         "append",
@@ -140,7 +130,7 @@ object StreamParity {
     // --- s03: dedup across micro-batches ---------------------------------
     val s03 = {
       val in = MemoryStream[(Long, Timestamp, String)]
-      val streamed = drain(spark,
+      val streamed = drain(spark, "parity_s03",
         StreamOps.dedupStream(in.toDF().toDF("event_id", "ts", "event_type")),
         "append",
         Seq(() => { in.addData((1L, ts(0), "click"), (2L, ts(1), "click"), (1L, ts(0), "click")); () },
@@ -153,7 +143,7 @@ object StreamParity {
     val s05 = {
       val pIn = MemoryStream[(Long, Timestamp, Long)]
       val sIn = MemoryStream[(Long, Timestamp, Long)]
-      val streamed = drain(spark,
+      val streamed = drain(spark, "parity_s05",
         StreamOps.intervalJoin(
           pIn.toDF().toDF("p_user", "p_ts", "p_id"),
           sIn.toDF().toDF("s_user", "s_ts", "s_id")),

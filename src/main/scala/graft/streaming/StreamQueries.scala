@@ -4,8 +4,6 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.OpDef
 
-import java.util.concurrent.atomic.AtomicInteger
-
 /** Driver-gate entries for the streaming operators: each runs a REAL
   * Structured Streaming query (file source over the sf dir's events
   * parquet -> the StreamOps transform -> memory sink, drained with
@@ -17,58 +15,57 @@ import java.util.concurrent.atomic.AtomicInteger
   */
 object StreamQueries {
 
-  private val runId = new AtomicInteger()
-
   /** The file-stream source only reads directories (it force-sets its own
     * `basePath` to the source path, which must then be a dir), and the
     * driver's `events.parquet` is a single file — stage a copy of it into
-    * a scratch directory once per sf dir.
+    * a scratch directory per sf dir. The copy is refreshed whenever the
+    * source's (size, mtime) changes (regenerated test data must not stream
+    * stale rows) and written via temp-file + atomic move so a killed run
+    * can never leave a truncated parquet behind for later runs to reuse.
     */
   private def stagedEventsDir(d: String): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    val src = Paths.get(d, "events.parquet")
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_stream_events_${Integer.toHexString(d.hashCode)}")
     val dst = stage.resolve("events.parquet")
-    if (!Files.exists(dst)) {
+    val srcStamp = s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}"
+    // NOT inside the staged dir — the file stream source reads everything
+    // in it, and a stray non-parquet file fails the whole query
+    val stampFile = stage.resolveSibling(stage.getFileName.toString + ".stamp")
+    val fresh = Files.exists(dst) && Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8") == srcStamp
+    if (!fresh) {
       Files.createDirectories(stage)
-      Files.copy(Paths.get(d, "events.parquet"), dst,
+      val tmp = stage.resolve("events.parquet.tmp")
+      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
         StandardCopyOption.REPLACE_EXISTING)
+      Files.write(stampFile, srcStamp.getBytes("UTF-8"))
     }
     stage.toString
   }
 
   /** The events parquet lifted to a STREAMING DataFrame with an event-time
     * `ts` (TimestampType, microsecond-exact from the nanos long) plus the
-    * integer `ts_us` the oracles' time math uses.
+    * integer `ts_us` the oracles' time math uses (lifting shared with the
+    * batch reader via [[graft.sources.Tables.withTsUs]]).
     */
   private def eventStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     val raw = s.readStream.schema(schema).parquet(stagedEventsDir(d))
-    val tsUs = raw.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("ts DIV 1000")
-      case _ => unix_micros(col("ts"))
-    }
-    raw.withColumn("ts_us", tsUs)
+    graft.sources.Tables.withTsUs(raw)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
 
   /** Runs `streamed` into a fresh memory-sink table, drains the source,
-    * stops the query, and returns the sink as a DataFrame.
+    * stops the query, and returns the sink as a DataFrame tracked under
+    * `name` (the previous run's cache is dropped).
     */
   private def drain(s: SparkSession, name: String, streamed: DataFrame,
-                    mode: String): DataFrame = {
-    val sink = s"${name}_${runId.incrementAndGet()}"
-    val q = streamed.writeStream.format("memory").queryName(sink)
-      .outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(sink)
-    // the sink table holds the rows; dropping the previous run's view
-    // keeps repeated bench/verify invocations from accumulating them
-    graft.Caching.persistTracked(name, out)
-    s.catalog.dropTempView(sink)
-    out
-  }
+                    mode: String): DataFrame =
+    StreamRun.drain(s, streamed, mode, name)
 
   val defs: Map[String, OpDef] = Map(
 

@@ -145,4 +145,15 @@ class KernelPropertySpec extends AnyFunSuite {
     t.insert(Double.NaN, 9L); t.insert(Double.NaN, 4L); t.insert(1.0, 1L)
     assert((0 until t.n).map(i => t.ids(i)) == Seq(4L, 9L))
   }
+
+  test("TopKBuffer treats -0.0 and +0.0 as equal, tie-breaking by id (Spark parity)") {
+    // Spark's sort compares signed zeros equal; Double.compare does not,
+    // so insert must canonicalize
+    val buf = new TopKBuffer(3)
+    buf.insert(0.0, 7L)
+    buf.insert(-0.0, 2L)
+    buf.insert(-1.0, 1L)
+    assert((0 until buf.n).map(i => buf.ids(i)) == Seq(2L, 7L, 1L),
+      s"signed zeros not id-ordered: ${(0 until buf.n).map(i => (buf.scores(i), buf.ids(i)))}")
+  }
 }
