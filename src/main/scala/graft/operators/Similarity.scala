@@ -21,6 +21,16 @@ object Similarity {
   private val NumPlanes = 8
   private val NumQueries = 5
   private val TopK = 10
+  // IVF (e03) geometry: corpus partitioned into NumCells Voronoi cells,
+  // queries probe the NProbe nearest — the scanned fraction is ~NProbe/
+  // NumCells of the corpus (vs e01's full scan), the classic ANN scale
+  // path when the corpus outgrows brute force. The driver's synthetic
+  // embeddings are near-uniform (little cluster structure for the
+  // quantizer to exploit), so the gate config probes half the cells;
+  // clustered real-world corpora run the same plan with NProbe <<
+  // NumCells.
+  private val NumCells = 16
+  private val NProbe = 8
 
   // Deterministic hyperplanes shared with the expression layer (and
   // reproduced literally in the DuckDB oracle SQL).
@@ -121,6 +131,72 @@ object Similarity {
            |FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id
            |WHERE round(list_cosine_similarity(a.vec, b.vec) + 1e-10, 6) >= 0.35
            |ORDER BY a_id, b_id""".stripMargin
+      }),
+
+    // IVF (inverted-file) approximate nearest neighbors — the
+    // data-adaptive ANN scale path next to e02's data-oblivious LSH.
+    //
+    // Coarse quantizer: NumCells deterministic seed anchors (the shared
+    // hyperplane family) refined by ONE distributed Lloyd iteration —
+    // assignment is a broadcast cross-join + max_by groupBy (all codegen,
+    // map-side combinable), the centroid mean is a per-dimension explode +
+    // avg (one shuffle of NumCells x dim partials), and NOTHING touches
+    // the driver: no collect, no fit-on-driver, so the build scales with
+    // the corpus. Search: each query probes its NProbe nearest cells
+    // (tiny broadcast), exact cosine only within probed cells, top-k via
+    // the map-side-bounded TopKBy heap like e01/e02.
+    //
+    // Rows-only: one Lloyd iteration has no tractable SQL twin. Instead
+    // AnnRecallSpec measures recall@k against the exact e01 baseline and
+    // asserts the floor, and pins the structure (the cells partition the
+    // corpus; candidates come only from probed cells).
+    "e03_ann_ivf" -> OpDef.rowsOnly(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val sp = s
+        import sp.implicits._
+        val emb = Tables.embeddings(s, d)
+
+        // deterministic tie-break on equal similarity: prefer lower cell id
+        def nearestCell(vecs: DataFrame, anchors: DataFrame,
+                        idCol: String, vecCol: String): DataFrame =
+          vecs.crossJoin(broadcast(anchors))
+            .withColumn("sim_a", expr(s"cosine_sim($vecCol, anchor)"))
+            .groupBy(col(idCol))
+            .agg(expr("max_by(cell, named_struct('s', sim_a, 'c', -cell))").as("cell"),
+                 first(col(vecCol)).as(vecCol))
+
+        val seed = planes(NumCells).zipWithIndex
+          .map { case (p, i) => (i, p.map(_.toFloat).toSeq) }.toSeq
+          .toDF("cell", "anchor")
+        // one Lloyd iteration: mean of each seed cell's members, per dim
+        val centroids = graft.Caching.persistTracked("e03_centroids",
+          nearestCell(emb, seed, "vec_id", "embedding")
+            .select(col("cell"), posexplode(col("embedding")))
+            .groupBy("cell", "pos").agg(avg("col").as("v"))
+            .groupBy("cell")
+            .agg(expr("transform(array_sort(collect_list(named_struct('p', pos, 'v', v)))," +
+                      " x -> CAST(x.v AS float))").as("anchor")))
+        val assigned = nearestCell(emb, centroids, "vec_id", "embedding")
+        // each query's NProbe nearest cells (queries x NumCells rows: tiny)
+        val wq = Window.partitionBy("q_id").orderBy(col("sim_a").desc, col("cell"))
+        val probes = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+          .crossJoin(broadcast(centroids))
+          .withColumn("sim_a", expr("cosine_sim(q_vec, anchor)"))
+          .withColumn("rk", row_number().over(wq))
+          .filter(col("rk") <= NProbe)
+          .select("q_id", "q_vec", "cell")
+        assigned
+          .join(broadcast(probes), Seq("cell"))
+          .filter(col("vec_id") =!= col("q_id"))
+          .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
+          .groupBy("q_id")
+          .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+                  col("col.id").as("neighbor_id"), col("col.score").as("sim"))
+          .orderBy("q_id", "rk")
       }),
 
     // LSH-bucketed approximate nearest neighbors: equality join on the

@@ -1,0 +1,46 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** IVF ANN (e03): measured recall against the exact brute-force baseline,
+  * plus the structural properties that make it an ANN index at all.
+  */
+class AnnRecallSpec extends AnyFunSuite with SparkFixture {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def topIds(name: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(name)(spark, dir)
+      .select("q_id", "neighbor_id").collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+  test("e03 IVF recall@10 vs exact e01 is high at sf0.01") {
+    assume(new java.io.File(dir).isDirectory)
+    val exact = topIds("e01_knn_brute")
+    val ivf = topIds("e03_ann_ivf")
+    assert(ivf.keySet == exact.keySet, "IVF lost whole queries")
+    val recalls = exact.map { case (q, truth) =>
+      val r = (truth & ivf(q)).size.toDouble / truth.size
+      info(f"q$q recall@10 = $r%.2f")
+      r
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@10 = $mean%.2f (probing ${8.0 / 16 * 100}%.0f%% of cells)")
+    // 8-of-16 cells probed on the near-uniform synthetic corpus; the
+    // floor leaves headroom for regenerated data, not a broken quantizer
+    assert(mean >= 0.7, f"mean IVF recall $mean%.2f below floor 0.7")
+    recalls.foreach(r => assert(r >= 0.4, f"a query fell to recall $r%.2f"))
+  }
+
+  test("e03 returns exactly k ranked rows per query, self excluded") {
+    assume(new java.io.File(dir).isDirectory)
+    val rows = SparkEntry.queries("e03_ann_ivf")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      assert(rs.length == 10, s"q$q returned ${rs.length} rows")
+      assert(rs.map(_._2).sorted.toSeq == (1 to 10), s"q$q ranks not 1..10")
+      assert(!rs.exists(_._3 == q), s"q$q returned itself")
+    }
+  }
+}
