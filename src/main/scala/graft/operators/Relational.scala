@@ -496,7 +496,12 @@ object Relational {
         |  FROM lineitem GROUP BY 1)
         |ORDER BY day""".stripMargin),
 
-    // Semi-structured extraction from the JSON props payload.
+    // Semi-structured extraction from the JSON props payload. The
+    // per-query get_json_object here is the correct shape for ad-hoc
+    // extraction; a RECURRING 100-TB pipeline should pay the JSON parse
+    // once at intake instead — Ingest.withTypedProps extracts props into
+    // typed columns at write time so queries like this become plain
+    // column scans.
     "q24_json_extract" -> OpDef.sql(
       (s, d) => Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))

@@ -64,6 +64,31 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
       == 1704106800000000L)
   }
 
+  test("typed-props extraction at intake matches per-query get_json_object") {
+    val events = Tables.events(spark, sfDir)
+    val atIngest = Ingest.withTypedProps(events)
+      .select(col("event_id"), col("props_k"))
+    val perQuery = events
+      .select(col("event_id"),
+              get_json_object(col("props"), "$.k").cast("int").as("props_k"))
+    assert(atIngest.exceptAll(perQuery).isEmpty &&
+           perQuery.exceptAll(atIngest).isEmpty,
+      "intake-time extraction diverges from query-time extraction")
+    assert(atIngest.filter(col("props_k").isNotNull).count() > 0)
+  }
+
+  test("malformed props yield null typed columns, not a failed batch") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, """{"k": 7}"""), (2L, "not json"), (3L, null))
+      .toDF("event_id", "props")
+    val got = Ingest.withTypedProps(df)
+      .select("event_id", "props_k").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    assert(got == Map(1L -> Some(7), 2L -> None, 3L -> None))
+  }
+
   test("day-partitioned lake prunes partitions on day filters") {
     val tmp = Files.createTempDirectory("graft_lake").toString
     Ingest.writeEventLake(
