@@ -18,8 +18,19 @@ private[streaming] object StreamRun {
   def drain(spark: SparkSession, streamed: DataFrame, mode: String,
             name: String, feeds: Seq[() => Unit] = Seq.empty): DataFrame = {
     val sink = s"${name}_${runId.incrementAndGet()}"
-    val q = streamed.writeStream.format("memory").queryName(sink)
-      .outputMode(mode).start()
+    // Stateful streaming ops allocate one state store PER shuffle
+    // partition per operator (a stream-stream join allocates four) and
+    // pay their checkpoint/commit overhead per micro-batch; at the gate's
+    // data sizes that fixed cost dwarfs the work, so the drain runs with
+    // fewer partitions. The conf is captured at query START, so batch
+    // plans (and the restored value below) are unaffected. On a real
+    // cluster this knob sizes state shards to executors as usual.
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try streamed.writeStream.format("memory").queryName(sink)
+        .outputMode(mode).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", before)
     try {
       if (feeds.isEmpty) q.processAllAvailable()
       else feeds.foreach { f => f(); q.processAllAvailable() }
