@@ -499,9 +499,9 @@ object Relational {
     // Semi-structured extraction from the JSON props payload. The
     // per-query get_json_object here is the correct shape for ad-hoc
     // extraction; a RECURRING 100-TB pipeline should pay the JSON parse
-    // once at intake instead — Ingest.withTypedProps extracts props into
-    // typed columns at write time so queries like this become plain
-    // column scans.
+    // once at intake instead — Ingest.readEventDumps extracts props into
+    // typed columns (withTypedProps) so lake queries like this become
+    // plain column scans.
     "q24_json_extract" -> OpDef.sql(
       (s, d) => Tables.events(s, d)
         .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))

@@ -29,8 +29,8 @@ object Similarity {
   // quantizer to exploit), so the gate config probes half the cells;
   // clustered real-world corpora run the same plan with NProbe <<
   // NumCells.
-  private val NumCells = 16
-  private val NProbe = 8
+  private[graft] val NumCells = 16
+  private[graft] val NProbe = 8
 
   // Deterministic hyperplanes shared with the expression layer (and
   // reproduced literally in the DuckDB oracle SQL).

@@ -26,9 +26,12 @@ object Ingest {
     * (`ts_us` epoch microseconds, like [[Tables.events]]). Corrupt lines
     * land in `_corrupt_record`-free mode PERMISSIVE as nulls and are
     * dropped explicitly, so one bad dump line can't fail an intake batch.
+    * The `props` payload is extracted into typed columns here, BY
+    * CONSTRUCTION — everything downstream of intake sees `props_k` as a
+    * plain column (see [[withTypedProps]]).
     */
   def readEventDumps(spark: SparkSession, path: String): DataFrame =
-    spark.read
+    withTypedProps(spark.read
       .schema(eventDumpSchema)
       .option("mode", "PERMISSIVE")
       .json(path)
@@ -38,7 +41,7 @@ object Ingest {
       // whole intake batch
       .withColumn("ts_us", unix_micros(expr("try_to_timestamp(ts)")))
       .filter(col("ts_us").isNotNull)
-      .drop("ts")
+      .drop("ts"))
 
   /** Schema of the `props` JSON payload carried by events. */
   val propsSchema: StructType = StructType(Seq(
@@ -50,8 +53,11 @@ object Ingest {
     * before [[writeEventLake]], the lake carries `props_k` as a plain
     * column and downstream extraction queries become column scans with
     * full pushdown. `from_json` is lenient per field: a malformed payload
-    * yields nulls, never a failed intake batch (ANSI mode throws only on
-    * explicit casts).
+    * yields nulls, never a failed intake batch. NOTE the deliberate
+    * semantic difference from q24's ad-hoc shape: `get_json_object(...)
+    * .cast("int")` THROWS under ANSI mode on a non-integer `k` (as does
+    * its DuckDB oracle's CAST), while intake extraction degrades that row
+    * to null — strictness belongs in ad-hoc queries, resilience at intake.
     */
   def withTypedProps(df: DataFrame): DataFrame =
     df.withColumn("props_k", from_json(col("props"), propsSchema).getField("k"))

