@@ -17,6 +17,31 @@ object Events {
   // one constant for the batch/streaming sessionization twins
   private val SessionGapUs = graft.streaming.StreamOps.SessionGapUs
 
+  /** The gap-sessionization oracle, shared verbatim by the batch q25 and
+    * the streaming s02/s04 gate entries — all three must produce these
+    * exact sessions.
+    */
+  val SessionOracleSql: String =
+    """WITH e AS (
+      |  SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events
+      |), flagged AS (
+      |  SELECT user_id, event_id, ts_us, value,
+      |         CASE WHEN lag(ts_us) OVER w IS NULL
+      |                OR ts_us - lag(ts_us) OVER w > 1800000000
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+      |), sessed AS (
+      |  SELECT *, CAST(sum(new_sess) OVER (
+      |    PARTITION BY user_id ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, session_id, count(*) AS n_events,
+      |       min(ts_us) // 1000000 AS start_s,
+      |       (max(ts_us) - min(ts_us)) // 1000000 AS dur_s,
+      |       round(sum(value) + 1e-6, 2) AS session_value
+      |FROM sessed GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
   val defs: Map[String, OpDef] = Map(
 
     // Gap-based sessionization: lag + cumulative-sum session ids per user.
@@ -39,25 +64,7 @@ object Events {
                round(sum("value") + lit(1e-6), 2).as("session_value"))
           .orderBy("user_id", "session_id")
       },
-      """WITH e AS (
-        |  SELECT *, epoch_ns(ts) // 1000 AS ts_us FROM events
-        |), flagged AS (
-        |  SELECT user_id, event_id, ts_us, value,
-        |         CASE WHEN lag(ts_us) OVER w IS NULL
-        |                OR ts_us - lag(ts_us) OVER w > 1800000000
-        |              THEN 1 ELSE 0 END AS new_sess
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
-        |), sessed AS (
-        |  SELECT *, CAST(sum(new_sess) OVER (
-        |    PARTITION BY user_id ORDER BY ts_us, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-        |  FROM flagged)
-        |SELECT user_id, session_id, count(*) AS n_events,
-        |       min(ts_us) // 1000000 AS start_s,
-        |       (max(ts_us) - min(ts_us)) // 1000000 AS dur_s,
-        |       round(sum(value) + 1e-6, 2) AS session_value
-        |FROM sessed GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin),
+      SessionOracleSql),
 
     // As-of join (most-recent-<=): each purchase matched to the user's
     // latest prior signup. Implemented as the scalable union+window pattern

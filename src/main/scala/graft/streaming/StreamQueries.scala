@@ -9,11 +9,21 @@ import graft.OpDef
   * parquet -> the StreamOps transform -> memory sink, drained with
   * `processAllAvailable`) and returns the sink table as a batch DataFrame,
   * so the DuckDB oracle hash-checks the streaming path exactly like any
-  * batch operator. s02/s04 (event-time-timeout sessionization) cannot
-  * finalize on a finite file feed without sentinel games — they stay
-  * spec-tested and in the [[StreamParity]] artifact instead.
+  * batch operator — all five streaming ops. The sessionization entries
+  * need their open sessions finalized on a finite feed, which staged
+  * sentinel files provide: s02 (gap emission) gets one far-future event
+  * PER USER, closing every real session through the op's own gap logic;
+  * s04 (event-time timeout) gets far-future sentinel batches from a
+  * sentinel user, driving the WATERMARK far past every real session so
+  * the EventTimeTimeout path itself flushes them. Either way the emitted
+  * rows are exactly the batch q25 sessions, so both reuse q25's oracle.
   */
 object StreamQueries {
+
+  // 2100-01-01T00:00Z in epoch nanoseconds: far past any test event, far
+  // below Long.MaxValue
+  private val FarFutureNs = 4102444800L * 1000000000L
+  private val SentinelUser = -1L
 
   /** The file-stream source only reads directories (it force-sets its own
     * `basePath` to the source path, which must then be a dir), and the
@@ -46,15 +56,73 @@ object StreamQueries {
     stage.toString
   }
 
+  /** Like [[stagedEventsDir]], plus sentinel parquet files built by
+    * `mkSentinels` from the batch-read events (same column set, so the
+    * stream's fixed schema reads them). Sentinel files get strictly later
+    * modification times than the events copy — the file source feeds
+    * batches in mtime order, so with `maxFilesPerTrigger=1` each sentinel
+    * arrives as its own later micro-batch and advances the watermark
+    * between batches. Staging is stamped on the source file and fully
+    * rebuilt when it changes.
+    */
+  private def stagedSentinelDir(s: SparkSession, d: String, tag: String,
+      mkSentinels: DataFrame => Seq[DataFrame]): String = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    val src = Paths.get(d, "events.parquet")
+    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stream_${tag}_${Integer.toHexString(d.hashCode)}")
+    val stampFile = stage.resolveSibling(stage.getFileName.toString + ".stamp")
+    val srcStamp = s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}"
+    val fresh = Files.exists(stage) && Files.exists(stampFile) &&
+      new String(Files.readAllBytes(stampFile), "UTF-8") == srcStamp
+    if (!fresh) {
+      // rebuild from scratch: a partial previous staging must not survive
+      if (Files.exists(stage)) {
+        Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+      }
+      Files.createDirectories(stage)
+      val events = stage.resolve("events.parquet")
+      Files.copy(src, events, StandardCopyOption.REPLACE_EXISTING)
+      val base = System.currentTimeMillis()
+      Files.setLastModifiedTime(events, FileTime.fromMillis(base))
+      val ev = s.read.parquet(src.toString)
+      mkSentinels(ev).zipWithIndex.foreach { case (sent, i) =>
+        val tmpOut = Files.createTempDirectory("graft_sentinel").toString
+        sent.coalesce(1).write.mode("overwrite").parquet(tmpOut)
+        val part = Files.list(Paths.get(tmpOut)).filter(_.getFileName.toString
+          .endsWith(".parquet")).findFirst().get()
+        val dst = stage.resolve(f"zz_sentinel$i%02d.parquet")
+        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(base + (i + 1) * 60000L))
+      }
+      Files.write(stampFile, srcStamp.getBytes("UTF-8"))
+    }
+    stage.toString
+  }
+
+  /** One sentinel row per key frame, in the events column shape. */
+  private def sentinelRows(keys: DataFrame, tsNs: Long): DataFrame =
+    keys.select(
+      lit(-1L).as("event_id"), col("user_id"),
+      lit("zz_sentinel").as("event_type"), lit(tsNs).as("ts"),
+      lit(0.0).as("value"), lit(null).cast("string").as("props"))
+
   /** The events parquet lifted to a STREAMING DataFrame with an event-time
     * `ts` (TimestampType, microsecond-exact from the nanos long) plus the
     * integer `ts_us` the oracles' time math uses (lifting shared with the
     * batch reader via [[graft.sources.Tables.withTsUs]]).
     */
-  private def eventStream(s: SparkSession, d: String): DataFrame = {
+  private def eventStream(s: SparkSession, d: String,
+                          dir: String = null,
+                          filesPerTrigger: Int = 0): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
-    val raw = s.readStream.schema(schema).parquet(stagedEventsDir(d))
+    var reader = s.readStream.schema(schema)
+    if (filesPerTrigger > 0)
+      reader = reader.option("maxFilesPerTrigger", filesPerTrigger.toString)
+    val raw = reader.parquet(if (dir == null) stagedEventsDir(d) else dir)
     graft.sources.Tables.withTsUs(raw)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
@@ -81,6 +149,48 @@ object StreamQueries {
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS hour_s,
         |       event_type, count(*) AS n, round(sum(value) + 1e-6, 2) AS total_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin),
+
+    // s02: gap-emission sessionization. One far-future sentinel event per
+    // user closes every real session through the operator's own gap path
+    // (the sentinel-opened sessions never emit), so the output is exactly
+    // the batch q25 sessions — one oracle, either engine path.
+    "s02_stream_sessions" -> OpDef.sql(
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val dir = stagedSentinelDir(s, d, "s02", ev => Seq(
+          sentinelRows(ev.select("user_id").distinct(), FarFutureNs)))
+        val events = eventStream(s, d, dir = dir)
+          .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
+          .as[StreamEvent]
+        drain(s, "s02", StreamOps.sessionize(events).toDF(), "append")
+          .orderBy("user_id", "session_id")
+      },
+      graft.operators.Events.SessionOracleSql),
+
+    // s04: event-time-timeout sessionization. Sentinel batches from a
+    // sentinel user (maxFilesPerTrigger=1 => their own micro-batches)
+    // push the WATERMARK far past every real session's last event + gap,
+    // so the EventTimeTimeout flush path itself — not a gap event — emits
+    // them. Two sentinel batches: the first advances the watermark, the
+    // second guarantees a batch runs with the timeouts already armed
+    // below it. Output = the batch q25 sessions (sentinel user filtered).
+    "s04_stream_sessions_timeout" -> OpDef.sql(
+      (s, d) => {
+        val sp = s
+        import sp.implicits._
+        val dir = stagedSentinelDir(s, d, "s04", ev => Seq(
+          sentinelRows(ev.sparkSession.range(1).select(
+            lit(SentinelUser).as("user_id")), FarFutureNs),
+          sentinelRows(ev.sparkSession.range(1).select(
+            lit(SentinelUser).as("user_id")), FarFutureNs + 3600L * 1000000000L)))
+        val events = eventStream(s, d, dir = dir, filesPerTrigger = 1)
+          .select(col("user_id"), col("ts"), col("value"))
+        drain(s, "s04", StreamOps.sessionizeWithTimeout(events).toDF(), "append")
+          .filter(col("user_id") =!= SentinelUser)
+          .orderBy("user_id", "session_id")
+      },
+      graft.operators.Events.SessionOracleSql),
 
     // s03: streaming dedup fed every event TWICE (the stream unioned with
     // itself, the reference's repeated-intake-dump shape); exactly one row
