@@ -79,8 +79,10 @@ object StreamQueries {
     if (!fresh) {
       // rebuild from scratch: a partial previous staging must not survive
       if (Files.exists(stage)) {
-        Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+        val walk = Files.walk(stage)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => Files.delete(p))
+        finally walk.close()
       }
       Files.createDirectories(stage)
       val events = stage.resolve("events.parquet")
@@ -91,8 +93,11 @@ object StreamQueries {
       mkSentinels(ev).zipWithIndex.foreach { case (sent, i) =>
         val tmpOut = Files.createTempDirectory("graft_sentinel").toString
         sent.coalesce(1).write.mode("overwrite").parquet(tmpOut)
-        val part = Files.list(Paths.get(tmpOut)).filter(_.getFileName.toString
-          .endsWith(".parquet")).findFirst().get()
+        val listing = Files.list(Paths.get(tmpOut))
+        val part =
+          try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          finally listing.close()
         val dst = stage.resolve(f"zz_sentinel$i%02d.parquet")
         Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst, FileTime.fromMillis(base + (i + 1) * 60000L))
