@@ -11,11 +11,11 @@ import java.time.Instant
 /** Machine-readable stream-vs-batch parity: every streaming operator
   * (s01–s05) run over a deterministic MemoryStream feed whose results are
   * compared row-for-row with the equivalent batch computation on the same
-  * data. `Verify` serializes the results next to the oracle dump, so the
-  * correctness gate's consumers see the streaming half (the memory-sink
-  * file-feed entries in [[StreamQueries]] cover s01/s03/s05 with DuckDB
-  * oracles; s02/s04's event-time-timeout semantics only finalize under a
-  * moving watermark, which is exactly what this harness drives).
+  * data. `Verify` serializes the results next to the oracle dump. All
+  * five ops are ALSO DuckDB-oracle gate entries ([[StreamQueries]]);
+  * this harness remains the independent cross-check that drives the
+  * moving-watermark paths (append-mode window finalization, timeout
+  * flushes, cross-batch dedup) on hand-built feeds with known answers.
   *
   * All timestamps derive from explicit UTC instants — host-timezone
   * independent by construction.

@@ -27,81 +27,67 @@ object StreamQueries {
 
   /** The file-stream source only reads directories (it force-sets its own
     * `basePath` to the source path, which must then be a dir), and the
-    * driver's `events.parquet` is a single file — stage a copy of it into
-    * a scratch directory per sf dir. The copy is refreshed whenever the
-    * source's (size, mtime) changes (regenerated test data must not stream
-    * stale rows) and written via temp-file + atomic move so a killed run
-    * can never leave a truncated parquet behind for later runs to reuse.
+    * driver's `events.parquet` is a single file — stage a copy of it plus
+    * any sentinel parquet files built by `mkSentinels` (same column set,
+    * so the stream's fixed schema reads them) into a scratch directory
+    * per (sf dir, tag). Sentinel files get strictly later modification
+    * times than the events copy — the file source feeds batches in mtime
+    * order, so with `maxFilesPerTrigger=1` each sentinel arrives as its
+    * own later micro-batch and advances the watermark between batches.
+    *
+    * Freshness is stamped on the SOURCE file (size+mtime) AND a
+    * caller-supplied recipe token — regenerated test data or a changed
+    * sentinel recipe both force a rebuild; a stale stage from either
+    * would silently corrupt the gate output. The stage is built in a
+    * temp sibling directory and renamed into place, so a concurrent
+    * reader never observes a half-built stage, and a killed build leaves
+    * only debris the next build replaces.
     */
-  private def stagedEventsDir(d: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val src = Paths.get(d, "events.parquet")
-    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_events_${Integer.toHexString(d.hashCode)}")
-    val dst = stage.resolve("events.parquet")
-    val srcStamp = s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}"
-    // NOT inside the staged dir — the file stream source reads everything
-    // in it, and a stray non-parquet file fails the whole query
-    val stampFile = stage.resolveSibling(stage.getFileName.toString + ".stamp")
-    val fresh = Files.exists(dst) && Files.exists(stampFile) &&
-      new String(Files.readAllBytes(stampFile), "UTF-8") == srcStamp
-    if (!fresh) {
-      Files.createDirectories(stage)
-      val tmp = stage.resolve("events.parquet.tmp")
-      Files.copy(src, tmp, StandardCopyOption.REPLACE_EXISTING)
-      Files.move(tmp, dst, StandardCopyOption.ATOMIC_MOVE,
-        StandardCopyOption.REPLACE_EXISTING)
-      Files.write(stampFile, srcStamp.getBytes("UTF-8"))
-    }
-    stage.toString
-  }
-
-  /** Like [[stagedEventsDir]], plus sentinel parquet files built by
-    * `mkSentinels` from the batch-read events (same column set, so the
-    * stream's fixed schema reads them). Sentinel files get strictly later
-    * modification times than the events copy — the file source feeds
-    * batches in mtime order, so with `maxFilesPerTrigger=1` each sentinel
-    * arrives as its own later micro-batch and advances the watermark
-    * between batches. Staging is stamped on the source file and fully
-    * rebuilt when it changes.
-    */
-  private def stagedSentinelDir(s: SparkSession, d: String, tag: String,
-      mkSentinels: DataFrame => Seq[DataFrame]): String = {
+  private def stagedEventsDir(s: SparkSession, d: String, tag: String,
+      recipe: String = "",
+      mkSentinels: DataFrame => Seq[DataFrame] = _ => Seq.empty): String = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val src = Paths.get(d, "events.parquet")
     val stage = Paths.get(System.getProperty("java.io.tmpdir"),
       s"graft_stream_${tag}_${Integer.toHexString(d.hashCode)}")
+    // NOT inside the staged dir — the file stream source reads everything
+    // in it, and a stray non-parquet file fails the whole query
     val stampFile = stage.resolveSibling(stage.getFileName.toString + ".stamp")
-    val srcStamp = s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}"
+    val srcStamp = s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" +
+      s"_${FarFutureNs}_${SentinelUser}_$recipe"
     val fresh = Files.exists(stage) && Files.exists(stampFile) &&
       new String(Files.readAllBytes(stampFile), "UTF-8") == srcStamp
     if (!fresh) {
-      // rebuild from scratch: a partial previous staging must not survive
-      if (Files.exists(stage)) {
-        val walk = Files.walk(stage)
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(p => Files.delete(p))
-        finally walk.close()
-      }
-      Files.createDirectories(stage)
-      val events = stage.resolve("events.parquet")
+      def deleteTree(p: java.nio.file.Path): Unit =
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+          finally walk.close()
+        }
+      Files.deleteIfExists(stampFile) // stale stamp must not outlive the swap
+      val build = Files.createTempDirectory(stage.getParent, stage.getFileName + ".build")
+      val events = build.resolve("events.parquet")
       Files.copy(src, events, StandardCopyOption.REPLACE_EXISTING)
       val base = System.currentTimeMillis()
       Files.setLastModifiedTime(events, FileTime.fromMillis(base))
       val ev = s.read.parquet(src.toString)
       mkSentinels(ev).zipWithIndex.foreach { case (sent, i) =>
-        val tmpOut = Files.createTempDirectory("graft_sentinel").toString
-        sent.coalesce(1).write.mode("overwrite").parquet(tmpOut)
-        val listing = Files.list(Paths.get(tmpOut))
+        val tmpOut = Files.createTempDirectory("graft_sentinel")
+        sent.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+        val listing = Files.list(tmpOut)
         val part =
           try listing.filter(_.getFileName.toString.endsWith(".parquet"))
             .findFirst().get()
           finally listing.close()
-        val dst = stage.resolve(f"zz_sentinel$i%02d.parquet")
+        val dst = build.resolve(f"zz_sentinel$i%02d.parquet")
         Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
         Files.setLastModifiedTime(dst, FileTime.fromMillis(base + (i + 1) * 60000L))
+        deleteTree(tmpOut) // _SUCCESS/.crc debris
       }
+      deleteTree(stage)
+      Files.move(build, stage) // same tmpdir parent: an atomic rename
       Files.write(stampFile, srcStamp.getBytes("UTF-8"))
     }
     stage.toString
@@ -127,7 +113,7 @@ object StreamQueries {
     var reader = s.readStream.schema(schema)
     if (filesPerTrigger > 0)
       reader = reader.option("maxFilesPerTrigger", filesPerTrigger.toString)
-    val raw = reader.parquet(if (dir == null) stagedEventsDir(d) else dir)
+    val raw = reader.parquet(if (dir == null) stagedEventsDir(s, d, "events") else dir)
     graft.sources.Tables.withTsUs(raw)
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
@@ -163,7 +149,7 @@ object StreamQueries {
       (s, d) => {
         val sp = s
         import sp.implicits._
-        val dir = stagedSentinelDir(s, d, "s02", ev => Seq(
+        val dir = stagedEventsDir(s, d, "s02", recipe = "per-user-v1", ev => Seq(
           sentinelRows(ev.select("user_id").distinct(), FarFutureNs)))
         val events = eventStream(s, d, dir = dir)
           .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
@@ -182,9 +168,7 @@ object StreamQueries {
     // below it. Output = the batch q25 sessions (sentinel user filtered).
     "s04_stream_sessions_timeout" -> OpDef.sql(
       (s, d) => {
-        val sp = s
-        import sp.implicits._
-        val dir = stagedSentinelDir(s, d, "s04", ev => Seq(
+        val dir = stagedEventsDir(s, d, "s04", recipe = "2-batches-v1", ev => Seq(
           sentinelRows(ev.sparkSession.range(1).select(
             lit(SentinelUser).as("user_id")), FarFutureNs),
           sentinelRows(ev.sparkSession.range(1).select(
