@@ -276,6 +276,31 @@ object Dedup {
         |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.2
         |ORDER BY a_id, b_id""".stripMargin),
 
+    // Deterministic hash-based corpus splitting: every document lands in a
+    // stable md5-derived bucket (0-99) and a train/val/test split
+    // (80/10/10) that is a pure function of its id — reproducible across
+    // runs, clusters, and engines (no sampling RNG, no seed coordination),
+    // which is how a 100-TB training corpus gets split in practice. The
+    // same 60-bit md5-prefix construction as d08, so DuckDB replicates it
+    // exactly. Per-row codegen'd expressions: scan-speed at any scale.
+    "d11_hash_sample" -> OpDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("bucket",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100).cast("int"))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .select("doc_id", "source", "bucket", "split")
+        .orderBy("doc_id"),
+      """SELECT doc_id, source,
+        |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS INT) AS bucket,
+        |       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+        |            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // Rolling-hash fingerprinting: min/max/count over shingle hashes plus a
     // polynomial fold — a compact per-document sketch for containment-style
     // matching. Shingle hashes are md5-derived (first 15 hex chars as a
