@@ -38,8 +38,13 @@ object Bench {
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      ordered.foreach { case (_, fn) =>
-        try run(fn(spark, warmDir)) catch { case _: Throwable => () }
+      ordered.foreach { case (name, fn) =>
+        // surface the first warmup failure per query on stderr — a query
+        // broken at warmup would otherwise hide until the timed reps
+        try run(fn(spark, warmDir)) catch {
+          case t: Throwable =>
+            System.err.println(s"[bench] warmup failed for $name: ${t.getClass.getSimpleName}: ${t.getMessage}")
+        }
       }
     val results = ordered.map { case (name, fn) =>
       val times = (1 to Reps).flatMap { _ =>

@@ -26,6 +26,18 @@ object Relational {
   private[operators] def r6e(c: Column): Column = round(c + lit(1e-10), 6)
   private val revenue: Column = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** Runs SQL that needs a DataFrame as input via a per-invocation unique
+    * temp view (fixed names would let two concurrent builders in one session
+    * race each other). Spark analyzes SQL eagerly, so the view is safe to
+    * drop as soon as [[SparkSession.sql]] returns the (lazy) DataFrame.
+    */
+  private[operators] def sqlOverView(s: SparkSession, base: DataFrame)(
+      sql: String => String): DataFrame = {
+    val view = "graft_v_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    base.createOrReplaceTempView(view)
+    try s.sql(sql(view)) finally s.catalog.dropTempView(view)
+  }
+
   val defs: Map[String, OpDef] = Map(
 
     // Per-item pricelist: min/max/avg/volume per part (reference: per-item
@@ -244,19 +256,17 @@ object Relational {
       (s, d) => {
         // Spark SQL ROLLUP (the DataFrame rollup + post-agg coalesce trips
         // the ambiguous-self-join detector on the Expand node's lineage).
-        Tables.customer(s, d)
+        val base = Tables.customer(s, d)
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
           .select("r_name", "n_name", "c_acctbal")
-          .createOrReplaceTempView("graft_q13_base")
-        s.sql(
-          """SELECT coalesce(r_name, 'ALL') AS region,
-            |       coalesce(n_name, 'ALL') AS nation,
-            |       count(*) AS n_customers,
-            |       round(sum(c_acctbal) + 1e-6, 2) AS total_bal
-            |FROM graft_q13_base
-            |GROUP BY ROLLUP (r_name, n_name)
-            |ORDER BY region, nation""".stripMargin)
+        sqlOverView(s, base)(view => s"""SELECT coalesce(r_name, 'ALL') AS region,
+          |       coalesce(n_name, 'ALL') AS nation,
+          |       count(*) AS n_customers,
+          |       round(sum(c_acctbal) + 1e-6, 2) AS total_bal
+          |FROM $view
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY region, nation""".stripMargin)
       },
       """SELECT coalesce(r_name, 'ALL') AS region,
         |       coalesce(n_name, 'ALL') AS nation,
@@ -548,19 +558,17 @@ object Relational {
     // both margins and the grand total) — the rollup family's other half.
     "q31_cube" -> OpDef.sql(
       (s, d) => {
-        Tables.customer(s, d)
+        val base = Tables.customer(s, d)
           .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
           .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
           .select("r_name", "c_mktsegment", "c_acctbal")
-          .createOrReplaceTempView("graft_q31_base")
-        s.sql(
-          """SELECT coalesce(r_name, 'ALL') AS region,
-            |       coalesce(c_mktsegment, 'ALL') AS segment,
-            |       count(*) AS n_customers,
-            |       round(sum(c_acctbal) + 1e-6, 2) AS total_bal
-            |FROM graft_q31_base
-            |GROUP BY CUBE (r_name, c_mktsegment)
-            |ORDER BY region, segment""".stripMargin)
+        sqlOverView(s, base)(view => s"""SELECT coalesce(r_name, 'ALL') AS region,
+          |       coalesce(c_mktsegment, 'ALL') AS segment,
+          |       count(*) AS n_customers,
+          |       round(sum(c_acctbal) + 1e-6, 2) AS total_bal
+          |FROM $view
+          |GROUP BY CUBE (r_name, c_mktsegment)
+          |ORDER BY region, segment""".stripMargin)
       },
       """SELECT coalesce(r_name, 'ALL') AS region,
         |       coalesce(c_mktsegment, 'ALL') AS segment,
@@ -588,11 +596,19 @@ object Relational {
     // q08's exact countDistinct — one pass, fixed memory, mergeable across
     // partitions. Approximate, so rows-only here; the spec bounds the
     // error against the exact count.
+    //
+    // rsd is 0.023 (2^12 registers), not 0.01: Spark's HLL++ has no sparse
+    // encoding, so every per-row update walks a dense register array; at
+    // rsd 0.01 that is 2^14 six-bit registers (~12 KB of aggregation buffer
+    // per group) and the update loop is ~4x slower than the whole exact
+    // countDistinct at sf0.1 — join-independent, measured 1.4-3.0 s vs
+    // 0.55 s at 0.023 and 0.33 s exact. 0.023 keeps ~2x headroom under the
+    // spec's 5% error bound while staying within ~2x of the exact twin.
     "q30_approx_distinct" -> OpDef.rowsOnly(
       (s, d) => Tables.orders(s, d)
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
-        .agg(approx_count_distinct(col("o_custkey"), 0.01).as("approx_buyers"),
+        .agg(approx_count_distinct(col("o_custkey"), 0.023).as("approx_buyers"),
              count(lit(1)).as("n_orders"))
         .orderBy("c_mktsegment"))
   )

@@ -98,11 +98,26 @@ case class AsOfJoinExec(
   }
 
   override protected def doExecute(): RDD[InternalRow] = {
+    // Both sweeps compare left values against right values directly, so the
+    // exec itself owns this invariant (AsOf.join enforces it too, but an
+    // exec constructed directly with, say, an Int key left and a Long key
+    // right would otherwise read the wrong word width and silently
+    // mis-join).
+    require(leftKey.dataType == rightKey.dataType &&
+        leftTime.dataType == rightTime.dataType,
+      s"as-of join key/time types must match across sides: " +
+        s"(${leftKey.dataType}, ${leftTime.dataType}) vs " +
+        s"(${rightKey.dataType}, ${rightTime.dataType})")
     val lOut = left.output
     val rOut = right.output
     val keyGet = longGetter(leftKey.dataType)
     val timeGet = longGetter(leftTime.dataType)
-    if (keyGet != null && timeGet != null) {
+    // same types on both sides (checked above), but derive the right-side
+    // getters from the right-side expressions so the fast path stays
+    // correct even if the invariant is ever relaxed
+    val rKeyGet = longGetter(rightKey.dataType)
+    val rTimeGet = longGetter(rightTime.dataType)
+    if (keyGet != null && timeGet != null && rKeyGet != null && rTimeGet != null) {
       left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
         val lProj = UnsafeProjection.create(
           Seq(BindReferences.bindReference(leftKey, lOut),
@@ -123,7 +138,7 @@ case class AsOfJoinExec(
               rHead = rIter.next()
               val kt = rProj(rHead)
               rHeadNull = kt.isNullAt(0) || kt.isNullAt(1)
-              if (!rHeadNull) { rHeadKey = keyGet(kt, 0); rHeadTime = timeGet(kt, 1) }
+              if (!rHeadNull) { rHeadKey = rKeyGet(kt, 0); rHeadTime = rTimeGet(kt, 1) }
             } else rHead = null
           advanceRight()
 

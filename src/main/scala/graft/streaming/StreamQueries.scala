@@ -42,15 +42,41 @@ object StreamQueries {
     * temp sibling directory and renamed into place, so a concurrent
     * reader never observes a half-built stage, and a killed build leaves
     * only debris the next build replaces.
+    *
+    * The stage name embeds a SHA-1 digest of the absolute source path
+    * (hashCode would collide across dirs and thrash the cache), and the
+    * whole check-and-build runs under a JVM monitor plus an OS file lock,
+    * so two JVMs (e.g. bench and verify on the same sf dir) can't race a
+    * deleteTree against each other's move or double-build the stage.
     */
+  private val stageBuildMonitor = new Object
   private def stagedEventsDir(s: SparkSession, d: String, tag: String,
       recipe: String = "",
-      mkSentinels: DataFrame => Seq[DataFrame] = _ => Seq.empty): String = {
+      mkSentinels: DataFrame => Seq[DataFrame] = _ => Seq.empty): String =
+    stageBuildMonitor.synchronized {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      val digest = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(Paths.get(d).toAbsolutePath.normalize.toString.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+      val stage = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_${tag}_$digest")
+      val lockPath = stage.resolveSibling(stage.getFileName.toString + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        StandardOpenOption.CREATE, StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock() // blocks on a holder in another JVM
+        try buildStageIfStale(s, d, stage, recipe, mkSentinels)
+        finally lock.release()
+      } finally ch.close()
+      stage.toString
+    }
+
+  private def buildStageIfStale(s: SparkSession, d: String,
+      stage: java.nio.file.Path, recipe: String,
+      mkSentinels: DataFrame => Seq[DataFrame]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import java.nio.file.attribute.FileTime
     val src = Paths.get(d, "events.parquet")
-    val stage = Paths.get(System.getProperty("java.io.tmpdir"),
-      s"graft_stream_${tag}_${Integer.toHexString(d.hashCode)}")
     // NOT inside the staged dir — the file stream source reads everything
     // in it, and a stray non-parquet file fails the whole query
     val stampFile = stage.resolveSibling(stage.getFileName.toString + ".stamp")
@@ -90,7 +116,6 @@ object StreamQueries {
       Files.move(build, stage) // same tmpdir parent: an atomic rename
       Files.write(stampFile, srcStamp.getBytes("UTF-8"))
     }
-    stage.toString
   }
 
   /** One sentinel row per key frame, in the events column shape. */

@@ -22,19 +22,22 @@ private[streaming] object StreamRun {
     // partition per operator (a stream-stream join allocates four) and
     // pay their checkpoint/commit overhead per micro-batch; at the gate's
     // data sizes that fixed cost dwarfs the work, so the drain runs with
-    // fewer partitions. The conf is captured at query START, so batch
-    // plans (and the restored value below) are unaffected. On a real
-    // cluster this knob sizes state shards to executors as usual.
+    // fewer partitions. The streaming thread clones the session and
+    // captures confs ASYNCHRONOUSLY after start() returns, so the conf is
+    // held at 8 until the drain completes (restoring right after start()
+    // would race the clone and let the first micro-batch run at the
+    // session default). On a real cluster this knob sizes state shards to
+    // executors as usual.
     val before = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try streamed.writeStream.format("memory").queryName(sink)
-        .outputMode(mode).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", before)
     try {
-      if (feeds.isEmpty) q.processAllAvailable()
-      else feeds.foreach { f => f(); q.processAllAvailable() }
-    } finally q.stop()
+      val q = streamed.writeStream.format("memory").queryName(sink)
+        .outputMode(mode).start()
+      try {
+        if (feeds.isEmpty) q.processAllAvailable()
+        else feeds.foreach { f => f(); q.processAllAvailable() }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", before)
     val out = spark.table(sink)
     graft.Caching.persistTracked(name, out)
     spark.catalog.dropTempView(sink)
