@@ -125,6 +125,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash60_md5", exprs => SimHash60Md5(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "char_jaccard", exprs => CharSetJaccard(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "codepoint_set", exprs => CodepointSet(exprs(0)), "built-in")

@@ -117,6 +117,45 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** 60-bit SimHash of `text`'s word multiset with the md5-60-bit word
+    * hash (first 15 hex chars of md5(word) as a long — the same
+    * construction as [[md5ShingleHashes]]): bit i of the code is set iff
+    * the +1/-1 sum of bit i over all word hashes is positive. The
+    * DuckDB-reproducible twin of [[simhash64]]: every stage (regex word
+    * split, md5 prefix hash, per-bit sign sums) has an exact SQL
+    * equivalent, which is what makes d03 hash-oracle-checkable. 60 bits
+    * because `('0x' || 16 hex chars)::BIGINT` would overflow the sign
+    * bit; the Hamming-radius banding only needs the block widths to sum
+    * to the code width, not to be equal (pigeonhole is width-agnostic).
+    */
+  def simhash60Md5(text: UTF8String): Long = {
+    val words = text.toString.split("\\s+", -1)
+    val md = md5Local.get()
+    val counts = new Array[Int](60)
+    var w = 0
+    while (w < words.length) {
+      md.reset()
+      val dig = md.digest(words(w).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (dig(b) & 0xFF).toLong; b += 1 }
+      v = (v << 4) | ((dig(7) >> 4) & 0xF).toLong
+      var i = 0
+      while (i < 60) {
+        if (((v >>> i) & 1L) == 1L) counts(i) += 1 else counts(i) -= 1
+        i += 1
+      }
+      w += 1
+    }
+    var code = 0L
+    var i = 0
+    while (i < 60) {
+      if (counts(i) > 0) code |= (1L << i)
+      i += 1
+    }
+    code
+  }
+
   /** Rolling polynomial hash over a long array:
     * fold(acc = (acc * 31 + pmod(h, 1000000007)) mod 1000000000000037).
     * Matches the SQL `aggregate(...)` form used before (same constants),
@@ -198,6 +237,26 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.simhash64($c)")
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Native 60-bit md5-word-hash SimHash — [[SimHash64]]'s
+  * DuckDB-reproducible twin (see [[HashKernels.simhash60Md5]]).
+  */
+case class SimHash60Md5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60_md5"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash60Md5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.simhash60Md5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Md5 =
     copy(child = newChild)
 }
 

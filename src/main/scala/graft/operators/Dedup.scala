@@ -28,6 +28,16 @@ object Dedup {
     */
   val SimHashRadius = 6
 
+  /** The 60-bit simhash code split into 8 blocks (widths 8,8,8,8,7,7,7,7).
+    * Pigeonhole: <= SimHashRadius differing bits touch at most 6 of the 8
+    * blocks, so some block PAIR is identical — the argument needs only the
+    * block count, so the uneven widths (60 doesn't divide by 8) cost
+    * nothing.
+    */
+  private val NumBlocks = 8
+  private val BlockWidth = Array(8, 8, 8, 8, 7, 7, 7, 7)
+  private val BlockOff = BlockWidth.scanLeft(0)(_ + _).init
+
   // --- MinHash parameters -------------------------------------------------
   private val NumHashes = 32
   private val NumBands = 8 // 8 bands x 4 rows
@@ -54,24 +64,39 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
   }
 
-  /** Minhash signatures from a (doc_id, shingles) frame, Spark-native:
-    * explode the shingle hashes, reduce each doc with NumHashes codegen'd
-    * scalar `min` aggregates of the affine transforms, reassemble the
-    * signature array. Map-side combinable — at 100 TB this shuffles only
-    * NumHashes-long partials per doc, and the whole reduction stays in
-    * whole-stage codegen (the per-row higher-order-function alternative
-    * runs interpreted and is an order of magnitude slower).
+  /** Minhash signatures from a (doc_id, mh) frame, Spark-native: explode
+    * the shingle hashes, reduce each doc with NumHashes codegen'd scalar
+    * `min` aggregates of the affine transforms, one `m<k>` column each.
+    * Map-side combinable — at 100 TB this shuffles only NumHashes-long
+    * partials per doc, and the whole reduction stays in whole-stage
+    * codegen (the per-row higher-order-function alternative runs
+    * interpreted and is an order of magnitude slower).
     */
-  private def minhashSigs(shing: DataFrame): DataFrame = {
+  private def minhashCols(shing: DataFrame): DataFrame = {
     val mins = Array.tabulate(NumHashes)(k =>
       min(pmod(lit(As(k)) * pmod(col("h"), lit(P31)) + lit(Bs(k)), lit(P31)))
         .as(s"m$k"))
     shing
-      .select(col("doc_id"), explode(col("shingles")).as("h"))
+      .select(col("doc_id"), explode(col("mh")).as("h"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
-      .select(col("doc_id"),
-              array((0 until NumHashes).map(k => col(s"m$k")): _*).as("sig"))
+  }
+
+  /** d08's polynomial-fold modulus, reused for the band keys. */
+  private val PolyMod = 1000000000000037L
+
+  /** Band signature for band `b`: a polynomial fold of its RowsPerBand
+    * minhash columns mod PolyMod — pure column arithmetic (codegen'd, no
+    * higher-order function), and exactly reproducible in DuckDB as a
+    * `list_reduce` over the same slice of the signature list. Values stay
+    * in range without intermediate reduction: acc < 2^50, minhash < 2^31,
+    * so acc*31 + m < 2^55 (ANSI mode would throw on a real overflow).
+    */
+  private def bandSig(b: Int): org.apache.spark.sql.Column = {
+    var acc: org.apache.spark.sql.Column = lit(0L)
+    for (r <- 0 until RowsPerBand)
+      acc = pmod(acc * lit(31L) + col(s"m${b * RowsPerBand + r}"), lit(PolyMod))
+    acc
   }
 
   /** Exact Jaccard between two shingle-hash-set columns (both already
@@ -83,6 +108,85 @@ object Dedup {
 
   private def persistTracked(name: String, df: DataFrame): DataFrame =
     graft.Caching.persistTracked(name, df)
+
+  /** d02's DuckDB twin, generated so the affine-family constants are
+    * written down exactly once (in [[As]]/[[Bs]]): md5-60-bit shingle
+    * hashes -> 32 affine minhashes -> 8 polynomial band keys -> band-bucket
+    * self-join -> exact-Jaccard verify — stage for stage the operator's
+    * own pipeline.
+    */
+  private def duckD02Sql: String = {
+    val minhashes = (0 until NumHashes).map(k =>
+      s"list_min(list_transform(hs, h -> (${As(k)}*(h%$P31)+${Bs(k)})%$P31))")
+      .mkString("[\n        ", ",\n        ", "]")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    generate_series(1, len(ws) - 2),
+       |    i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15))::BIGINT)) AS hs
+       |  FROM w),
+       |nz AS (SELECT * FROM sh WHERE len(hs) > 0),
+       |sig AS (SELECT doc_id, hs, $minhashes AS sig FROM nz),
+       |bands AS (
+       |  SELECT doc_id, b AS band_id,
+       |         list_reduce(
+       |           list_prepend(CAST(0 AS BIGINT),
+       |                        sig[(b*$RowsPerBand+1):(b*$RowsPerBand+$RowsPerBand)]),
+       |           (acc, h) -> (acc*31 + h) % $PolyMod) AS band_sig
+       |  FROM sig, (SELECT unnest(generate_series(0, ${NumBands - 1})) AS b)),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band_id = b.band_id AND a.band_sig = b.band_sig
+       |   AND a.doc_id < b.doc_id)
+       |SELECT c.a_id, c.b_id,
+       |       round(CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |             / len(list_distinct(list_concat(x.hs, y.hs))) + 1e-8, 4) AS sim
+       |FROM cands c
+       |JOIN nz x ON x.doc_id = c.a_id
+       |JOIN nz y ON y.doc_id = c.b_id
+       |WHERE CAST(len(list_intersect(x.hs, y.hs)) AS DOUBLE)
+       |      / len(list_distinct(list_concat(x.hs, y.hs))) >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** d03's DuckDB twin: md5-60-bit word hashes -> 60 per-bit sign sums ->
+    * the 28 block-pair bucket tables (generated as a VALUES list from the
+    * same BlockOff/BlockWidth arrays the operator uses) -> bucket
+    * self-join -> Hamming filter at the radius.
+    */
+  private def duckD03Sql: String = {
+    val pairRows = (for (i <- 0 until NumBlocks; j <- i + 1 until NumBlocks) yield
+      s"(${i * NumBlocks + j}, ${BlockOff(i)}, ${(1L << BlockWidth(i)) - 1}, " +
+        s"${BlockOff(j)}, ${(1L << BlockWidth(j)) - 1}, ${1L << BlockWidth(j)})")
+      .mkString(",\n    ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+       |hw AS (
+       |  SELECT doc_id, list_transform(ws,
+       |    x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+       |  FROM w),
+       |sig AS (
+       |  SELECT doc_id, CAST(list_sum(list_transform(generate_series(0, 59),
+       |    b -> CASE WHEN list_sum(list_transform(hs,
+       |           h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+       |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
+       |    AS BIGINT) AS simhash
+       |  FROM hw),
+       |pairs(tbl, oi, mi, oj, mj, sj) AS (VALUES
+       |    $pairRows),
+       |buckets AS (
+       |  SELECT doc_id, simhash, tbl,
+       |         ((simhash >> oi) & mi) * sj + ((simhash >> oj) & mj) AS bkey
+       |  FROM sig, pairs)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM buckets a JOIN buckets b
+       |  ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashRadius
+       |ORDER BY a_id, b_id""".stripMargin
+  }
 
   val defs: Map[String, OpDef] = Map(
 
@@ -98,22 +202,34 @@ object Dedup {
 
     // MinHash + LSH near-dup pairs. Candidates come only from band-bucket
     // equality joins; each candidate is verified with exact shingle Jaccard.
-    "d02_minhash_lsh" -> OpDef.rowsOnly(
+    //
+    // Every stage is chosen to be exactly reproducible in DuckDB SQL, so
+    // the gate hash-checks the whole LSH pipeline instead of trusting repo
+    // tests alone: shingle hashes are the md5-60-bit construction d08 uses
+    // (DuckDB: md5 + substr + hex cast), the minhash family is affine
+    // arithmetic mod 2^31-1 (list_transform + list_min), and the band key
+    // is a polynomial fold of each band's minhashes mod 1e15+37
+    // (list_reduce over the signature slice) instead of an
+    // engine-specific xxhash of their concatenation. The recall behavior
+    // (MinHashRecallSpec's S-curve measurement) is unchanged — only the
+    // hash family underneath the bits moved.
+    "d02_minhash_lsh" -> OpDef.sql(
       (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
         // Materialized once: the shingle table feeds the signature path and
         // both sides of the verify join (at 100 TB this is the signature
         // table you'd persist to the lake between pipeline stages).
         val shing = persistTracked("d02_shingles",
-          withShingles(s, d).select("doc_id", "shingles"))
-        val sigs = minhashSigs(shing)
+          Tables.documents(s, d)
+            .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+            .filter(size(col("mh")) > 0)
+            .select("doc_id", "mh"))
+        val sigs = minhashCols(shing)
         val bands = sigs.select(
             col("doc_id"),
-            explode(expr(
-              s"""transform(sequence(0, ${NumBands - 1}),
-                 |  b -> struct(b AS band_id,
-                 |              xxhash64(concat_ws(',',
-                 |                slice(sig, b * $RowsPerBand + 1, $RowsPerBand))) AS band_sig))
-                 |""".stripMargin)).as("band"))
+            explode(array((0 until NumBands).map(bnd =>
+              struct(lit(bnd).as("band_id"),
+                     bandSig(bnd).as("band_sig"))): _*)).as("band"))
           .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
         val a = bands.toDF("a_id", "band_id", "band_sig")
         val b = bands.toDF("b_id", "band_id", "band_sig")
@@ -128,9 +244,10 @@ object Dedup {
           .filter(col("sim_raw") >= 0.3) // threshold on the RAW value,
           // like d04/d10 — rounding first would admit boundary pairs
           .select(col("a_id"), col("b_id"),
-                  round(col("sim_raw"), 4).as("sim"))
+                  round(col("sim_raw") + lit(1e-8), 4).as("sim"))
           .orderBy("a_id", "b_id")
-      }),
+      },
+      duckD02Sql),
 
     // SimHash: 64-bit per-row signature, then near-dup pairs at Hamming
     // distance <= SimHashRadius.
@@ -163,15 +280,26 @@ object Dedup {
     // 16-choose-4 gives 1820 tables of 16-bit keys at radius 12. The
     // constants here are sized for the gate corpus; the join shape and
     // the exhaustive-recall spec carry over unchanged.
-    "d03_simhash" -> OpDef.rowsOnly(
+    // Code/hash family: a 60-bit code over md5-60-bit word hashes
+    // (simhash60_md5) rather than the 64-bit xxhash kernel, so every
+    // stage — word split, word hash, per-bit sign sums, block keys,
+    // Hamming distance — is exactly reproducible in DuckDB SQL and the
+    // gate hash-checks the whole pipeline (the simhash64 kernel remains
+    // as the general-purpose function; only this operator's signature
+    // moved). 60 bits split into 8 blocks of widths 8,8,8,8,7,7,7,7:
+    // pigeonhole over block COUNT, not width, so the radius-6 guarantee
+    // and the C(8,2)=28 pair tables carry over unchanged.
+    "d03_simhash" -> OpDef.sql(
       (s, d) => {
         graft.expressions.GraftFunctions.register(s)
         val sigs = persistTracked("d03_sigs", Tables.documents(s, d)
-          .select(col("doc_id"), expr("simhash64(text)").as("simhash")))
-        val blockPairs = for (i <- 0 until 8; j <- i + 1 until 8) yield
-          struct(lit(i * 8 + j).as("tbl"),
-                 (shiftright(col("simhash"), i * 8).bitwiseAND(lit(255L)) * lit(256L) +
-                  shiftright(col("simhash"), j * 8).bitwiseAND(lit(255L))).as("bkey"))
+          .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash")))
+        val blockPairs = for (i <- 0 until NumBlocks; j <- i + 1 until NumBlocks) yield
+          struct(lit(i * NumBlocks + j).as("tbl"),
+                 (shiftright(col("simhash"), BlockOff(i))
+                    .bitwiseAND(lit((1L << BlockWidth(i)) - 1)) * lit(1L << BlockWidth(j)) +
+                  shiftright(col("simhash"), BlockOff(j))
+                    .bitwiseAND(lit((1L << BlockWidth(j)) - 1))).as("bkey"))
         val buckets = sigs
           .select(col("doc_id"), col("simhash"),
                   explode(array(blockPairs: _*)).as("bp"))
@@ -187,7 +315,8 @@ object Dedup {
           .filter(col("hamming") <= SimHashRadius)
           .distinct()
           .orderBy("a_id", "b_id")
-      }),
+      },
+      duckD03Sql),
 
     // Blocked character-set Jaccard pairs (SQL-expressible near-dup metric).
     // Blocking on (source, lang) bounds the per-block pair count by design.

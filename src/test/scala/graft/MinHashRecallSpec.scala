@@ -23,7 +23,7 @@ class MinHashRecallSpec extends AnyFunSuite with SparkFixture {
     assume(new java.io.File(dir).isDirectory)
     graft.expressions.GraftFunctions.register(spark)
     val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr("shingle3_hashes(text)").as("sh"))
+      .select(col("doc_id"), expr("md5_shingle3_hashes(text)").as("sh"))
       .filter(size(col("sh")) > 0)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSet))

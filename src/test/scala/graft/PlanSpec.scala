@@ -58,7 +58,7 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
 
   test("d03 signature is computed in-scan by the native kernel (no signature shuffle)") {
     val p = planOf("d03_simhash")
-    assert(p.contains("simhash64"), "native simhash64 kernel not in the plan")
+    assert(p.contains("simhash60_md5"), "native simhash60_md5 kernel not in the plan")
     assert(!p.contains("partial_sum"),
       "signature still built by bit-sum aggregates instead of the kernel")
   }

@@ -45,12 +45,45 @@ class SimHashSpec extends AnyFunSuite with SparkFixture {
     assert(kernel.count() > 0)
   }
 
+  /** simhash60_md5's executable reference: md5-prefix word hash via SQL
+    * builtins (conv of the first 15 md5 hex chars), 60 codegen'd +1/-1
+    * bit sums, OR the signs into the code.
+    */
+  private def aggregateSimhash60(dir: String) = {
+    val bitSums = Array.tabulate(60)(i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * lit(2L) - lit(1L))
+        .as(s"b$i"))
+    val simhashCol = (0 until 60).map(i =>
+        when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("h"))
+      .groupBy("doc_id")
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), simhashCol.as("simhash"))
+  }
+
+  test("simhash60_md5 kernel matches the explode + 60-bit-sum aggregate formulation") {
+    graft.expressions.GraftFunctions.register(spark)
+    val kernel = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("simhash60_md5(text)").as("k"))
+    val agg = aggregateSimhash60(sfDir).withColumnRenamed("simhash", "a")
+    val diff = kernel.join(agg, "doc_id")
+      .filter(col("k") =!= col("a"))
+      .count()
+    assert(diff == 0, s"$diff documents where kernel and aggregate simhash60 differ")
+    assert(kernel.count() > 0)
+  }
+
   test("d03 block-pair banding is exhaustively complete at the radius (sf0.01)") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(dir).isDirectory)
     graft.expressions.GraftFunctions.register(spark)
     val sigs = Tables.documents(spark, dir)
-      .select(col("doc_id"), expr("simhash64(text)").as("simhash"))
+      .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
