@@ -15,6 +15,21 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** The RocksDB streaming state-store provider (ships with Spark; the
+    * rocksdbjni native library is on the classpath). The default
+    * HDFS-backed provider keeps every state key on the executor heap —
+    * fine at gate scale, but a 100-TB stream's keyed state (sessions,
+    * dedup keys, join buffers) must spill: RocksDB keeps the working set
+    * on local disk with changelog/snapshot checkpointing. Select it with
+    * SPARK_GRAFT_ROCKSDB=1 or `builder(rocksDbStateStore = true)`.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def envRocksDb: Boolean =
+    sys.env.get("SPARK_GRAFT_ROCKSDB").exists(v =>
+      v == "1" || v.equalsIgnoreCase("true"))
+
   /** SPARK_GRAFT_CPUS, defaulting to every available core — a bench or
     * verify run on a 32-core box should use all 32 without extra flags.
     */
@@ -23,8 +38,9 @@ object GraftSession {
       .getOrElse(Runtime.getRuntime.availableProcessors)
 
   def builder(master: String = s"local[$cpus]",
-              shufflePartitions: Int = cpus): SparkSession.Builder =
-    SparkSession.builder()
+              shufflePartitions: Int = cpus,
+              rocksDbStateStore: Boolean = envRocksDb): SparkSession.Builder = {
+    val b = SparkSession.builder()
       .master(master)
       .withExtensions(new GraftExtensions())
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -34,6 +50,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    if (rocksDbStateStore)
+      b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
+    else b
+  }
 
   def getOrCreate(): SparkSession = {
     val s = builder().getOrCreate()
