@@ -105,8 +105,14 @@ object Similarity {
     // Embedding-cosine near-dup pairs, LSH-bucketed: candidates are pairs
     // sharing a 4-bit hyperplane sign code (16 buckets), kept when cosine
     // >= 0.35. The DuckDB oracle replicates the SAME bucketing, so the
-    // LSH candidate generation itself is oracle-checked — at 100 TB the
-    // self-join shuffles on the code and never goes quadratic.
+    // LSH candidate generation itself is oracle-checked — the self-join
+    // shuffles on the code and the pair term is (bucket density)^2, never
+    // all-pairs. Density rule (measured: 10x corpus -> ~40x runtime at
+    // this fixed width, bench/BENCH_sf1_r4.json): the code width must
+    // grow with corpus density to hold bucket sizes, and at genuinely low
+    // thresholds like 0.35 a dense corpus should switch to the ANN-join
+    // form (e02/e03, ~linear in the same measurement) — pair enumeration
+    // near the random-similarity floor is inherently quadratic.
     "d09_embed_dup" -> OpDef.sql(
       (s, d) => {
         GraftFunctions.register(s)

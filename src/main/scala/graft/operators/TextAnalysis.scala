@@ -125,6 +125,32 @@ object TextAnalysis {
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS bpe_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // Corpus vocabulary: per-language term and document frequencies above
+    // a min-count floor — the aggregation that feeds tokenizer/BPE
+    // training and IDF weighting. Shape chosen for 100 TB: explode +
+    // groupBy(lang, term) is map-side combinable and shuffles only
+    // (lang, term) partials; the floor is a HAVING on the aggregate (no
+    // per-group top-k window — a rank-per-lang window would cap the
+    // cluster at n_langs tasks, the q18 anti-pattern).
+    "d12_vocab" -> OpDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+                explode(split(col("text"), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("lang", "term")
+        .agg(count(lit(1)).as("n"),
+             countDistinct(col("doc_id")).as("df"))
+        .filter(col("n") >= 20)
+        .orderBy(col("lang"), col("n").desc, col("term")),
+      """SELECT lang, term, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM (SELECT lang, doc_id,
+        |             unnest(string_split_regex(text, '\s+')) AS term
+        |      FROM documents)
+        |WHERE length(term) > 0
+        |GROUP BY lang, term HAVING count(*) >= 20
+        |ORDER BY lang, n DESC, term""".stripMargin)
   )
 }

@@ -51,6 +51,16 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     assert(total == docs)
   }
 
+  test("d12 vocab rows respect the count floor, and df never exceeds n") {
+    val rows = SparkEntry.queries("d12_vocab")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, df) = (r.getLong(2), r.getLong(3))
+      assert(n >= 20, s"term below floor: $r")
+      assert(df >= 1 && df <= n, s"df out of range: $r")
+    }
+  }
+
   test("q30 sketch distinct is within 5% of the exact count per segment") {
     val approx = SparkEntry.queries("q30_approx_distinct")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
