@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(text) - 64-bit SimHash of the word multiset"),
       (exprs: Seq[Expression]) => SimHash64(exprs(0))))
+    ext.injectFunction((FunctionIdentifier("simhash60_md5"),
+      info("simhash60_md5",
+        "simhash60_md5(text) - 60-bit SimHash over md5-prefix word hashes (DuckDB-reproducible)"),
+      (exprs: Seq[Expression]) => SimHash60Md5(exprs(0))))
     ext.injectFunction((FunctionIdentifier("char_jaccard"),
       info("char_jaccard", "char_jaccard(a, b) - distinct-code-point Jaccard of two strings"),
       (exprs: Seq[Expression]) => CharSetJaccard(exprs(0), exprs(1))))

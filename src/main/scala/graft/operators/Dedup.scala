@@ -109,6 +109,43 @@ object Dedup {
   private def persistTracked(name: String, df: DataFrame): DataFrame =
     graft.Caching.persistTracked(name, df)
 
+  /** The verified MinHash+LSH near-dup pairs (a_id, b_id, sim) — d02's
+    * body, shared with the cluster canonicalization op (d13). Candidates
+    * come only from band-bucket equality joins; each candidate is
+    * verified with exact shingle Jaccard, thresholded on the RAW value
+    * (like d04/d10 — rounding first would admit boundary pairs).
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    // Materialized once: the shingle table feeds the signature path and
+    // both sides of the verify join (at 100 TB this is the signature
+    // table you'd persist to the lake between pipeline stages).
+    val shing = persistTracked("d02_shingles",
+      Tables.documents(s, d)
+        .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+        .filter(size(col("mh")) > 0)
+        .select("doc_id", "mh"))
+    val sigs = minhashCols(shing)
+    val bands = sigs.select(
+        col("doc_id"),
+        explode(array((0 until NumBands).map(bnd =>
+          struct(lit(bnd).as("band_id"),
+                 bandSig(bnd).as("band_sig"))): _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
+    val a = bands.toDF("a_id", "band_id", "band_sig")
+    val b = bands.toDF("b_id", "band_id", "band_sig")
+    val candidates = a.join(b, Seq("band_id", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    candidates
+      .join(shing.toDF("a_id", "a_sh"), "a_id")
+      .join(shing.toDF("b_id", "b_sh"), "b_id")
+      .withColumn("sim_raw", jaccard("a_sh", "b_sh"))
+      .filter(col("sim_raw") >= 0.3)
+      .select(col("a_id"), col("b_id"),
+              round(col("sim_raw") + lit(1e-8), 4).as("sim"))
+  }
+
   /** d02's DuckDB twin, generated so the affine-family constants are
     * written down exactly once (in [[As]]/[[Bs]]): md5-60-bit shingle
     * hashes -> 32 affine minhashes -> 8 polynomial band keys -> band-bucket
@@ -214,40 +251,81 @@ object Dedup {
     // (MinHashRecallSpec's S-curve measurement) is unchanged — only the
     // hash family underneath the bits moved.
     "d02_minhash_lsh" -> OpDef.sql(
-      (s, d) => {
-        graft.expressions.GraftFunctions.register(s)
-        // Materialized once: the shingle table feeds the signature path and
-        // both sides of the verify join (at 100 TB this is the signature
-        // table you'd persist to the lake between pipeline stages).
-        val shing = persistTracked("d02_shingles",
-          Tables.documents(s, d)
-            .withColumn("mh", expr("md5_shingle3_hashes(text)"))
-            .filter(size(col("mh")) > 0)
-            .select("doc_id", "mh"))
-        val sigs = minhashCols(shing)
-        val bands = sigs.select(
-            col("doc_id"),
-            explode(array((0 until NumBands).map(bnd =>
-              struct(lit(bnd).as("band_id"),
-                     bandSig(bnd).as("band_sig"))): _*)).as("band"))
-          .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
-        val a = bands.toDF("a_id", "band_id", "band_sig")
-        val b = bands.toDF("b_id", "band_id", "band_sig")
-        val candidates = a.join(b, Seq("band_id", "band_sig"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val sh = shing
-        candidates
-          .join(sh.toDF("a_id", "a_sh"), "a_id")
-          .join(sh.toDF("b_id", "b_sh"), "b_id")
-          .withColumn("sim_raw", jaccard("a_sh", "b_sh"))
-          .filter(col("sim_raw") >= 0.3) // threshold on the RAW value,
-          // like d04/d10 — rounding first would admit boundary pairs
-          .select(col("a_id"), col("b_id"),
-                  round(col("sim_raw") + lit(1e-8), 4).as("sim"))
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => minhashPairs(s, d).orderBy("a_id", "b_id"),
       duckD02Sql),
+
+    // Near-dup cluster canonicalization: connected components over the
+    // verified MinHash pairs, one canonical doc (the component-minimum
+    // id) per cluster — the step that turns pairwise near-dup evidence
+    // into "keep this doc, drop those" decisions in a dedup pipeline.
+    //
+    // Components by Pregel-style min-label propagation: every doc starts
+    // at min(self, neighbors) and each round takes the min over its
+    // neighbors' labels, until a round changes nothing. The driver sees
+    // only ONE SCALAR per round (the label sum — labels are monotone
+    // non-increasing, so an unchanged sum means a fixpoint); the label
+    // table itself never leaves the executors. Rounds ≈ cluster diameter
+    // (near-dup clusters are shallow; capped defensively), and each round
+    // is one shuffle of the label table — at 100 TB you would checkpoint
+    // the label table every few rounds to truncate lineage.
+    //
+    // Oracle: the same components via a recursive CTE (DuckDB WITH
+    // RECURSIVE reachability, min over reached ids), over the same d02
+    // pair SQL embedded as a subquery.
+    "d13_dup_clusters" -> OpDef.sql(
+      (s, d) => {
+        val pairs = minhashPairs(s, d).select("a_id", "b_id")
+        val edges = persistTracked("d13_edges",
+          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+            .toDF("src", "dst"))
+        var labels = edges.groupBy("src").agg(min("dst").as("md"))
+          .select(col("src"), least(col("src"), col("md")).as("lbl"))
+          .persist()
+        var prevSum = labels.agg(sum("lbl")).head.getLong(0)
+        var converged = false
+        var rounds = 0
+        while (!converged && rounds < 64) {
+          val next = edges
+            .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
+            .groupBy("src").agg(min("nlbl").as("plbl"))
+            .join(labels, "src")
+            .select(col("src"), least(col("lbl"), col("plbl")).as("lbl"))
+            .persist()
+          val sumNow = next.agg(sum("lbl")).head.getLong(0) // materializes next
+          labels.unpersist(blocking = false)
+          labels = next
+          converged = sumNow == prevSum
+          prevSum = sumNow
+          rounds += 1
+        }
+        val lab = persistTracked("d13_labels",
+          labels.toDF("doc_id", "canonical_id"))
+        lab
+          .join(lab.groupBy("canonical_id").agg(count(lit(1)).as("cluster_size")),
+                "canonical_id")
+          .select("doc_id", "canonical_id", "cluster_size")
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |${duckD02Sql.linesIterator.map("    " + _).mkString("\n")}
+         |  ) p),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(src, lbl) AS (
+         |  SELECT src, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+         |lab AS (
+         |  SELECT src AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY src),
+         |sz AS (
+         |  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY canonical_id)
+         |SELECT l.doc_id, l.canonical_id, s.cluster_size
+         |FROM lab l JOIN sz s USING (canonical_id)
+         |ORDER BY doc_id""".stripMargin),
 
     // SimHash: 64-bit per-row signature, then near-dup pairs at Hamming
     // distance <= SimHashRadius.

@@ -101,9 +101,12 @@ object ScaleData {
       val text =
         if (i == 0) col("text")
         else regexp_replace(col("text"), "(\\S+)", s"$$1c$i")
-      Seq("text" -> text,
-          shift("doc_id", sDoc, i),
-          "n_chars" -> length(text).cast("long"))
+      // n_chars BEFORE text: both expressions reference col("text"), and
+      // withColumn re-resolves against the frame built so far — replacing
+      // text first would make length(text) measure a double-suffixed copy
+      Seq("n_chars" -> length(text).cast("long"),
+          "text" -> text,
+          shift("doc_id", sDoc, i))
     })
     // Copies get a per-copy ORTHOGONAL transform (circular coordinate
     // shift + deterministic sign flips): cosine similarities within a

@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** d13 cluster canonicalization: the distributed min-label propagation
+  * must equal a plain union-find over the same d02 pairs — same members,
+  * same canonical (component-minimum) ids, same sizes.
+  */
+class DupClusterSpec extends AnyFunSuite with SparkFixture {
+
+  test("d13 components equal a union-find over the d02 pairs (sf0.01)") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val pairs = SparkEntry.queries("d02_minhash_lsh")(spark, dir)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pairs at sf0.01; spec is vacuous")
+
+    // ground truth: path-compressed union-find, canonical = component min
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = parent.keys.map(x => x -> find(x)).toMap
+    val truthSizes = truth.values.groupBy(identity).map { case (c, m) => c -> m.size }
+
+    val got = SparkEntry.queries("d13_dup_clusters")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet == truth.keySet,
+      "d13 output docs differ from the docs appearing in d02 pairs")
+    got.foreach { case (doc, canon, size) =>
+      assert(canon == truth(doc), s"doc $doc: canonical $canon != union-find ${truth(doc)}")
+      assert(size == truthSizes(truth(doc)).toLong, s"doc $doc: cluster size $size wrong")
+    }
+    // canonical really is the minimum member of its cluster
+    got.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.map(_._1).min == c, s"canonical $c is not its cluster minimum")
+    }
+  }
+}
