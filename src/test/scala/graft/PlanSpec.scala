@@ -63,6 +63,16 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "signature still built by bit-sum aggregates instead of the kernel")
   }
 
+  test("d12 vocab aggregation is partial and prunes the documents scan") {
+    val p = planOf("d12_vocab")
+    assert(p.contains("partial_"), "vocab counts not map-side combined")
+    assert(!p.contains("Window"), "vocab must not rank with a window")
+    val f = formatted("d12_vocab")
+    val readSchema = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("source") && !readSchema.contains("n_chars"),
+      s"vocab scan reads unused columns: $readSchema")
+  }
+
   test("q18 share-of-total has no low-cardinality window exchange") {
     val p = planOf("q18_owner_share")
     assert(!p.contains("Window"),
