@@ -35,15 +35,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.getOrCreate()
-    // optional comma-separated allowlist (exact names or prefixes, e.g.
-    // "q,d01,e" = all relational + exact dedup + the ANN family) — for
-    // selective scale probes; absent = the full driver-contract run
+    // optional comma-separated name-prefix allowlist (e.g. "q,d01,e" =
+    // all relational + exact dedup + the ANN family) — for selective
+    // scale probes; absent = the full driver-contract run
     val filter = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) =>
-        filter.forall(_.exists(p => name == p || name.startsWith(p)))
-      }
+      .filter { case (name, _) => filter.forall(_.exists(name.startsWith)) }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       ordered.foreach { case (name, fn) =>

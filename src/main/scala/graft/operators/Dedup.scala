@@ -274,32 +274,50 @@ object Dedup {
     // pair SQL embedded as a subquery.
     "d13_dup_clusters" -> OpDef.sql(
       (s, d) => {
-        val pairs = minhashPairs(s, d).select("a_id", "b_id")
+        // pairs is persisted BEFORE the symmetrizing union: Spark doesn't
+        // CSE across union branches, so an unpersisted plan would run the
+        // whole candidate + Jaccard-verify pipeline twice
+        val pairs = persistTracked("d13_pairs",
+          minhashPairs(s, d).select("a_id", "b_id"))
         val edges = persistTracked("d13_edges",
           pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
             .toDF("src", "dst"))
-        var labels = edges.groupBy("src").agg(min("dst").as("md"))
+        // `cached` is whatever table currently backs the labels; each round
+        // materializes its successor BEFORE unpersisting it (unpersist-first
+        // would recompute the whole label lineage from edges), and the final
+        // incarnation is handed to the per-name tracker so the next
+        // invocation (bench reps, repeated driver runs) releases it.
+        var cached = edges.groupBy("src").agg(min("dst").as("md"))
           .select(col("src"), least(col("src"), col("md")).as("lbl"))
           .persist()
-        var prevSum = labels.agg(sum("lbl")).head.getLong(0)
-        var converged = false
+        var labels = cached
+        // convergence scalar: the COUNT of labels lowered this round —
+        // never null on an empty corpus and never overflows, unlike a sum
+        // of raw label values (doc ids can be 60-bit hash-derived)
+        var changed = 1L
         var rounds = 0
-        while (!converged && rounds < 64) {
+        while (changed > 0) {
+          if (rounds >= 64)
+            // silent exit would emit non-components and quietly diverge
+            // from the oracle; >64-diameter pair graphs need checkpointed
+            // rounds or pointer-jumping, not a truncated answer
+            throw new IllegalStateException(
+              "d13_dup_clusters: label propagation did not converge in 64 rounds")
           val next = edges
             .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
             .groupBy("src").agg(min("nlbl").as("plbl"))
             .join(labels, "src")
-            .select(col("src"), least(col("lbl"), col("plbl")).as("lbl"))
+            .select(col("src"), least(col("lbl"), col("plbl")).as("lbl"),
+                    (col("plbl") < col("lbl")).as("ch"))
             .persist()
-          val sumNow = next.agg(sum("lbl")).head.getLong(0) // materializes next
-          labels.unpersist(blocking = false)
-          labels = next
-          converged = sumNow == prevSum
-          prevSum = sumNow
+          changed = next.filter(col("ch")).count() // materializes next
+          cached.unpersist(blocking = false)
+          cached = next
+          labels = next.select("src", "lbl")
           rounds += 1
         }
-        val lab = persistTracked("d13_labels",
-          labels.toDF("doc_id", "canonical_id"))
+        val lab = persistTracked("d13_labels", cached)
+          .select(col("src").as("doc_id"), col("lbl").as("canonical_id"))
         lab
           .join(lab.groupBy("canonical_id").agg(count(lit(1)).as("cluster_size")),
                 "canonical_id")

@@ -42,4 +42,17 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
       assert(members.map(_._1).min == c, s"canonical $c is not its cluster minimum")
     }
   }
+
+  test("d13 returns an empty result (not a crash) on a corpus with no pairs") {
+    val sp = spark
+    import sp.implicits._
+    // single-word docs produce no 3-shingles, so the pair set is empty —
+    // the normal state of an already-deduped corpus
+    val dir = java.nio.file.Files.createTempDirectory("graft_nopairs").toString
+    Seq((1L, "alpha", "en", "web", 5L), (2L, "beta", "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("d13_dup_clusters")(spark, dir).collect()
+    assert(out.isEmpty)
+  }
 }
