@@ -109,6 +109,14 @@ object Dedup {
   private def persistTracked(name: String, df: DataFrame): DataFrame =
     graft.Caching.persistTracked(name, df)
 
+  /** The deterministic md5-derived split bucket (0–99) of a doc id — the
+    * same 60-bit md5-prefix construction as d08, so DuckDB reproduces it
+    * exactly. Shared by d11 (the split report) and d14 (corpus select).
+    */
+  private def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100).cast("int")
+
   /** The verified MinHash+LSH near-dup pairs (a_id, b_id, sim) — d02's
     * body, shared with the cluster canonicalization op (d13). Candidates
     * come only from band-bucket equality joins; each candidate is
@@ -145,6 +153,77 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
               round(col("sim_raw") + lit(1e-8), 4).as("sim"))
   }
+
+  /** Near-dup cluster labels (doc_id, canonical_id = component minimum)
+    * over the verified MinHash pairs, by Pregel-style min-label
+    * propagation — shared by d13 (cluster report) and d14 (corpus
+    * selection). See d13's scaladoc for the convergence/scale notes.
+    */
+  private def dupLabels(s: SparkSession, d: String): DataFrame = {
+    // pairs is persisted BEFORE the symmetrizing union: Spark doesn't
+    // CSE across union branches, so an unpersisted plan would run the
+    // whole candidate + Jaccard-verify pipeline twice
+    val pairs = persistTracked("d13_pairs",
+      minhashPairs(s, d).select("a_id", "b_id"))
+    val edges = persistTracked("d13_edges",
+      pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .toDF("src", "dst"))
+    // `cached` is whatever table currently backs the labels; each round
+    // materializes its successor BEFORE unpersisting it (unpersist-first
+    // would recompute the whole label lineage from edges), and the final
+    // incarnation is handed to the per-name tracker so the next
+    // invocation (bench reps, repeated driver runs) releases it.
+    var cached = edges.groupBy("src").agg(min("dst").as("md"))
+      .select(col("src"), least(col("src"), col("md")).as("lbl"))
+      .persist()
+    var labels = cached
+    // convergence scalar: the COUNT of labels lowered this round — never
+    // null on an empty corpus and never overflows, unlike a sum of raw
+    // label values (doc ids can be 60-bit hash-derived)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0) {
+      if (rounds >= 64)
+        // silent exit would emit non-components and quietly diverge from
+        // the oracle; >64-diameter pair graphs need checkpointed rounds
+        // or pointer-jumping, not a truncated answer
+        throw new IllegalStateException(
+          "dup label propagation did not converge in 64 rounds")
+      val next = edges
+        .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
+        .groupBy("src").agg(min("nlbl").as("plbl"))
+        .join(labels, "src")
+        .select(col("src"), least(col("lbl"), col("plbl")).as("lbl"),
+                (col("plbl") < col("lbl")).as("ch"))
+        .persist()
+      changed = next.filter(col("ch")).count() // materializes next
+      cached.unpersist(blocking = false)
+      cached = next
+      labels = next.select("src", "lbl")
+      rounds += 1
+    }
+    persistTracked("d13_labels", cached)
+      .select(col("src").as("doc_id"), col("lbl").as("canonical_id"))
+  }
+
+  /** The d13 label CTE chain (pairs -> edges -> recursive reachability ->
+    * `lab(doc_id, canonical_id)`), shared by the d13 and d14 oracles.
+    */
+  private def duckLabelCtes: String =
+    s"""pairs AS (
+       |  SELECT a_id, b_id FROM (
+       |${duckD02Sql.linesIterator.map("    " + _).mkString("\n")}
+       |  ) p),
+       |edges AS (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION
+       |  SELECT b_id AS src, a_id AS dst FROM pairs),
+       |reach(src, lbl) AS (
+       |  SELECT src, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+       |lab AS (
+       |  SELECT src AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY src)""".stripMargin
 
   /** d02's DuckDB twin, generated so the affine-family constants are
     * written down exactly once (in [[As]]/[[Bs]]): md5-60-bit shingle
@@ -262,8 +341,7 @@ object Dedup {
     // Components by Pregel-style min-label propagation: every doc starts
     // at min(self, neighbors) and each round takes the min over its
     // neighbors' labels, until a round changes nothing. The driver sees
-    // only ONE SCALAR per round (the label sum — labels are monotone
-    // non-increasing, so an unchanged sum means a fixpoint); the label
+    // only ONE SCALAR per round (the count of labels lowered); the label
     // table itself never leaves the executors. Rounds ≈ cluster diameter
     // (near-dup clusters are shallow; capped defensively), and each round
     // is one shuffle of the label table — at 100 TB you would checkpoint
@@ -274,76 +352,65 @@ object Dedup {
     // pair SQL embedded as a subquery.
     "d13_dup_clusters" -> OpDef.sql(
       (s, d) => {
-        // pairs is persisted BEFORE the symmetrizing union: Spark doesn't
-        // CSE across union branches, so an unpersisted plan would run the
-        // whole candidate + Jaccard-verify pipeline twice
-        val pairs = persistTracked("d13_pairs",
-          minhashPairs(s, d).select("a_id", "b_id"))
-        val edges = persistTracked("d13_edges",
-          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-            .toDF("src", "dst"))
-        // `cached` is whatever table currently backs the labels; each round
-        // materializes its successor BEFORE unpersisting it (unpersist-first
-        // would recompute the whole label lineage from edges), and the final
-        // incarnation is handed to the per-name tracker so the next
-        // invocation (bench reps, repeated driver runs) releases it.
-        var cached = edges.groupBy("src").agg(min("dst").as("md"))
-          .select(col("src"), least(col("src"), col("md")).as("lbl"))
-          .persist()
-        var labels = cached
-        // convergence scalar: the COUNT of labels lowered this round —
-        // never null on an empty corpus and never overflows, unlike a sum
-        // of raw label values (doc ids can be 60-bit hash-derived)
-        var changed = 1L
-        var rounds = 0
-        while (changed > 0) {
-          if (rounds >= 64)
-            // silent exit would emit non-components and quietly diverge
-            // from the oracle; >64-diameter pair graphs need checkpointed
-            // rounds or pointer-jumping, not a truncated answer
-            throw new IllegalStateException(
-              "d13_dup_clusters: label propagation did not converge in 64 rounds")
-          val next = edges
-            .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
-            .groupBy("src").agg(min("nlbl").as("plbl"))
-            .join(labels, "src")
-            .select(col("src"), least(col("lbl"), col("plbl")).as("lbl"),
-                    (col("plbl") < col("lbl")).as("ch"))
-            .persist()
-          changed = next.filter(col("ch")).count() // materializes next
-          cached.unpersist(blocking = false)
-          cached = next
-          labels = next.select("src", "lbl")
-          rounds += 1
-        }
-        val lab = persistTracked("d13_labels", cached)
-          .select(col("src").as("doc_id"), col("lbl").as("canonical_id"))
+        val lab = dupLabels(s, d)
         lab
           .join(lab.groupBy("canonical_id").agg(count(lit(1)).as("cluster_size")),
                 "canonical_id")
           .select("doc_id", "canonical_id", "cluster_size")
           .orderBy("doc_id")
       },
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT a_id, b_id FROM (
-         |${duckD02Sql.linesIterator.map("    " + _).mkString("\n")}
-         |  ) p),
-         |edges AS (
-         |  SELECT a_id AS src, b_id AS dst FROM pairs
-         |  UNION
-         |  SELECT b_id AS src, a_id AS dst FROM pairs),
-         |reach(src, lbl) AS (
-         |  SELECT src, src AS lbl FROM edges
-         |  UNION
-         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
-         |lab AS (
-         |  SELECT src AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY src),
+      s"""WITH RECURSIVE $duckLabelCtes,
          |sz AS (
          |  SELECT canonical_id, CAST(count(*) AS BIGINT) AS cluster_size
          |  FROM lab GROUP BY canonical_id)
          |SELECT l.doc_id, l.canonical_id, s.cluster_size
          |FROM lab l JOIN sz s USING (canonical_id)
          |ORDER BY doc_id""".stripMargin),
+
+    // The end-to-end dedup pipeline output: which documents actually make
+    // it into the training corpus, and into which split. A doc survives
+    // iff it is BOTH its exact-duplicate group's keeper (min id over
+    // identical texts, d01's rule) and — when it appears in a near-dup
+    // cluster at all — that cluster's canonical (d13's rule). The two
+    // rules compose without conflict: identical docs share every shingle,
+    // so an exact group sits inside one cluster and the cluster minimum
+    // is always an exact keeper. Survivors carry d11's deterministic
+    // md5-bucket split. All three stages are the already-oracle-checked
+    // building blocks, composed; the oracle composes the same SQL.
+    "d14_corpus_select" -> OpDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val keep = docs
+          .groupBy(md5(col("text").cast("binary")).as("fp"))
+          .agg(min("doc_id").as("doc_id"))
+          .select("doc_id")
+        val lab = dupLabels(s, d)
+        docs
+          .join(keep, "doc_id") // exact keepers only (semi-join shape)
+          .join(lab, Seq("doc_id"), "left")
+          .filter(col("canonical_id").isNull ||
+                  col("canonical_id") === col("doc_id"))
+          .select(col("doc_id"), col("source"),
+                  splitBucket(col("doc_id")).as("bucket"))
+          .withColumn("split",
+            when(col("bucket") < 80, "train")
+              .when(col("bucket") < 90, "val")
+              .otherwise("test"))
+          .select("doc_id", "source", "split")
+          .orderBy("doc_id")
+      },
+      s"""WITH RECURSIVE $duckLabelCtes,
+         |keepers AS (
+         |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+         |SELECT d.doc_id, d.source,
+         |       CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+         |            WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM documents d
+         |JOIN keepers k ON d.doc_id = k.doc_id
+         |LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |WHERE l.doc_id IS NULL OR l.canonical_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin),
 
     // SimHash: 64-bit per-row signature, then near-dup pairs at Hamming
     // distance <= SimHashRadius.
@@ -510,9 +577,7 @@ object Dedup {
     // exactly. Per-row codegen'd expressions: scan-speed at any scale.
     "d11_hash_sample" -> OpDef.sql(
       (s, d) => Tables.documents(s, d)
-        .withColumn("bucket",
-          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-            .cast("long") % 100).cast("int"))
+        .withColumn("bucket", splitBucket(col("doc_id")))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")

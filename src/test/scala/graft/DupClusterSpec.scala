@@ -43,6 +43,27 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("d14 survivors are exactly the exact-keepers that are cluster canonicals") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val keepers = SparkEntry.queries("d01_exact_dedup")(spark, dir)
+      .select("keep_id").collect().map(_.getLong(0)).toSet
+    val lab = SparkEntry.queries("d13_dup_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = keepers.filter(k => lab.get(k).forall(_ == k))
+    val got = SparkEntry.queries("d14_corpus_select")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(2)))
+    assert(got.map(_._1).toSet == expected,
+      s"survivor set diverges from d01 ∩ d13 composition")
+    // splits agree with d11's assignment for the same docs
+    val splits = SparkEntry.queries("d11_hash_sample")(spark, dir)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, sp) =>
+      assert(sp == splits(id), s"doc $id split $sp != d11 ${splits(id)}")
+    }
+  }
+
   test("d13 returns an empty result (not a crash) on a corpus with no pairs") {
     val sp = spark
     import sp.implicits._
