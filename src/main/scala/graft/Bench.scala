@@ -40,6 +40,7 @@ object Bench {
     // scale probes; absent = the full driver-contract run
     val filter = sys.env.get("SPARK_GRAFT_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty) // "" or ",," = no filter, not "run nothing"
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filter.forall(_.exists(name.startsWith)) }
     val warmDir = "/root/testdata/sf0.001"

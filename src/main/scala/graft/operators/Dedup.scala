@@ -117,6 +117,23 @@ object Dedup {
     (conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long") % 100).cast("int")
 
+  /** The 80/10/10 bucket-to-split rule, one definition for d11 and d14
+    * (Spark side) — the thresholds must never drift between the split
+    * report and the corpus selection.
+    */
+  private def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+
+  /** The same bucket + 80/10/10 rule as DuckDB SQL, for both oracles. */
+  private def duckSplitCase(idSql: String): String = {
+    def b = s"('0x' || substr(md5(CAST($idSql AS VARCHAR)), 1, 15))::BIGINT % 100"
+    s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
+  }
+
+  /** Exact-duplicate fingerprint (d01's grouping key), shared with d14's
+    * keeper rule. */
+  private def textFp: org.apache.spark.sql.Column = md5(col("text").cast("binary"))
+
   /** The verified MinHash+LSH near-dup pairs (a_id, b_id, sim) — d02's
     * body, shared with the cluster canonicalization op (d13). Candidates
     * come only from band-bucket equality joins; each candidate is
@@ -182,25 +199,35 @@ object Dedup {
     // label values (doc ids can be 60-bit hash-derived)
     var changed = 1L
     var rounds = 0
-    while (changed > 0) {
-      if (rounds >= 64)
-        // silent exit would emit non-components and quietly diverge from
-        // the oracle; >64-diameter pair graphs need checkpointed rounds
-        // or pointer-jumping, not a truncated answer
-        throw new IllegalStateException(
-          "dup label propagation did not converge in 64 rounds")
-      val next = edges
-        .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
-        .groupBy("src").agg(min("nlbl").as("plbl"))
-        .join(labels, "src")
-        .select(col("src"), least(col("lbl"), col("plbl")).as("lbl"),
-                (col("plbl") < col("lbl")).as("ch"))
-        .persist()
-      changed = next.filter(col("ch")).count() // materializes next
-      cached.unpersist(blocking = false)
-      cached = next
-      labels = next.select("src", "lbl")
-      rounds += 1
+    // any exception path (round cap, a failed job mid-round) must release
+    // the in-flight persisted tables — they only reach the per-name
+    // tracker after convergence, and a bench harness that swallows the
+    // throw per-rep would otherwise strand one orphaned cache per attempt
+    try {
+      while (changed > 0) {
+        if (rounds >= 64)
+          // silent exit would emit non-components and quietly diverge from
+          // the oracle; >64-diameter pair graphs need checkpointed rounds
+          // or pointer-jumping, not a truncated answer
+          throw new IllegalStateException(
+            "dup label propagation did not converge in 64 rounds")
+        val next = edges
+          .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
+          .groupBy("src").agg(min("nlbl").as("plbl"))
+          .join(labels, "src")
+          .select(col("src"), least(col("lbl"), col("plbl")).as("lbl"),
+                  (col("plbl") < col("lbl")).as("ch"))
+          .persist()
+        changed =
+          try next.filter(col("ch")).count() // materializes next
+          catch { case t: Throwable => next.unpersist(blocking = false); throw t }
+        cached.unpersist(blocking = false)
+        cached = next
+        labels = next.select("src", "lbl")
+        rounds += 1
+      }
+    } catch {
+      case t: Throwable => cached.unpersist(blocking = false); throw t
     }
     persistTracked("d13_labels", cached)
       .select(col("src").as("doc_id"), col("lbl").as("canonical_id"))
@@ -309,7 +336,7 @@ object Dedup {
     // Exact dedup: group identical texts, keep the lowest doc_id.
     "d01_exact_dedup" -> OpDef.sql(
       (s, d) => Tables.documents(s, d)
-        .groupBy(md5(col("text").cast("binary")).as("fp"))
+        .groupBy(textFp.as("fp"))
         .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
         .select("keep_id", "n_copies", "fp")
         .orderBy("keep_id"),
@@ -375,13 +402,20 @@ object Dedup {
     // rules compose without conflict: identical docs share every shingle,
     // so an exact group sits inside one cluster and the cluster minimum
     // is always an exact keeper. Survivors carry d11's deterministic
-    // md5-bucket split. All three stages are the already-oracle-checked
-    // building blocks, composed; the oracle composes the same SQL.
+    // md5-bucket split (splitOf/duckSplitCase — one definition with d11).
+    // All three stages are the already-oracle-checked building blocks,
+    // composed; the oracle composes the same SQL.
+    //
+    // dupLabels deliberately recomputes rather than memoizing across
+    // d13/d14 in one run: a (dir-keyed) reuse would make whichever op
+    // runs second benchmark as a cheap join, misrepresenting what the
+    // operator costs — in a real pipeline the label table is a persisted
+    // lake artifact both consume.
     "d14_corpus_select" -> OpDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
         val keep = docs
-          .groupBy(md5(col("text").cast("binary")).as("fp"))
+          .groupBy(textFp.as("fp"))
           .agg(min("doc_id").as("doc_id"))
           .select("doc_id")
         val lab = dupLabels(s, d)
@@ -391,21 +425,14 @@ object Dedup {
           .filter(col("canonical_id").isNull ||
                   col("canonical_id") === col("doc_id"))
           .select(col("doc_id"), col("source"),
-                  splitBucket(col("doc_id")).as("bucket"))
-          .withColumn("split",
-            when(col("bucket") < 80, "train")
-              .when(col("bucket") < 90, "val")
-              .otherwise("test"))
-          .select("doc_id", "source", "split")
+                  splitOf(splitBucket(col("doc_id"))).as("split"))
           .orderBy("doc_id")
       },
       s"""WITH RECURSIVE $duckLabelCtes,
          |keepers AS (
          |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
          |SELECT d.doc_id, d.source,
-         |       CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
-         |            WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
-         |            ELSE 'test' END AS split
+         |       ${duckSplitCase("d.doc_id")} AS split
          |FROM documents d
          |JOIN keepers k ON d.doc_id = k.doc_id
          |LEFT JOIN lab l ON d.doc_id = l.doc_id
@@ -578,18 +605,13 @@ object Dedup {
     "d11_hash_sample" -> OpDef.sql(
       (s, d) => Tables.documents(s, d)
         .withColumn("bucket", splitBucket(col("doc_id")))
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
+        .withColumn("split", splitOf(col("bucket")))
         .select("doc_id", "source", "bucket", "split")
         .orderBy("doc_id"),
-      """SELECT doc_id, source,
-        |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS INT) AS bucket,
-        |       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
-        |            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'val'
-        |            ELSE 'test' END AS split
-        |FROM documents ORDER BY doc_id""".stripMargin),
+      s"""SELECT doc_id, source,
+         |       CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS INT) AS bucket,
+         |       ${duckSplitCase("doc_id")} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // Rolling-hash fingerprinting: min/max/count over shingle hashes plus a
     // polynomial fold — a compact per-document sketch for containment-style

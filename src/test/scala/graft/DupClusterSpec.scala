@@ -69,11 +69,18 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
     import sp.implicits._
     // single-word docs produce no 3-shingles, so the pair set is empty —
     // the normal state of an already-deduped corpus
-    val dir = java.nio.file.Files.createTempDirectory("graft_nopairs").toString
-    Seq((1L, "alpha", "en", "web", 5L), (2L, "beta", "en", "web", 4L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val out = SparkEntry.queries("d13_dup_clusters")(spark, dir).collect()
-    assert(out.isEmpty)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nopairs")
+    try {
+      Seq((1L, "alpha", "en", "web", 5L), (2L, "beta", "en", "web", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val out = SparkEntry.queries("d13_dup_clusters")(spark, tmp.toString).collect()
+      assert(out.isEmpty)
+    } finally {
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
   }
 }
