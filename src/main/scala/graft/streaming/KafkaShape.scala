@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Adapter between the events table shape and the Kafka WIRE shape — the
+  * exact schema Spark's Kafka source emits (key/value binary, topic,
+  * partition, offset, timestamp, timestampType). A real deployment swaps
+  * the file feed for `spark.readStream.format("kafka")` and everything
+  * downstream of [[fromKafkaShape]] is unchanged; the gate runs the same
+  * adapter over a kafka-shaped file feed (s06) and hash-checks the result
+  * against the batch oracle.
+  *
+  * Payload encoding: the event row as JSON in `value` (nanosecond `ts`
+  * carried as a JSON integer — exact for 64-bit longs in both to_json and
+  * from_json), the partition key in `key` (user_id — the same key the
+  * stateful ops shuffle on, so a real topic partitioned this way feeds
+  * sessionization without a re-shuffle of hot users across partitions).
+  */
+object KafkaShape {
+
+  val Topic = "graft_events"
+
+  /** The `value` payload schema ([[fromKafkaShape]]'s from_json target). */
+  val ValueSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // epoch nanoseconds, as in the lake
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Events (raw lake shape: nanos-long `ts`) -> Kafka wire rows. */
+  def toKafkaShape(events: DataFrame, partitions: Int = 8): DataFrame =
+    events.select(
+      col("user_id").cast("string").cast("binary").as("key"),
+      to_json(struct(col("event_id"), col("ts"), col("user_id"),
+                     col("event_type"), col("value"), col("props")))
+        .cast("binary").as("value"),
+      lit(Topic).as("topic"),
+      pmod(col("user_id"), lit(partitions.toLong)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      // broker-assigned time: the event time, truncated to micros
+      timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
+      lit(0).as("timestampType"))
+
+  /** Kafka wire rows -> the events column shape the operators consume,
+    * with the shared `ts_us`/`ts` lifting (identical to the file path, so
+    * oracles and batch twins agree to the microsecond).
+    */
+  def fromKafkaShape(df: DataFrame): DataFrame =
+    graft.sources.Tables.withTsUs(
+      df.select(from_json(col("value").cast("string"), ValueSchema).as("e"))
+        .select("e.*"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+}

@@ -50,9 +50,25 @@ object StreamQueries {
     * deleteTree against each other's move or double-build the stage.
     */
   private val stageBuildMonitor = new Object
-  private def stagedEventsDir(s: SparkSession, d: String, tag: String,
-      recipe: String = "",
-      mkSentinels: DataFrame => Seq[DataFrame] = _ => Seq.empty): String =
+
+  private def deleteTree(p: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.delete(f))
+      finally walk.close()
+    }
+  }
+
+  /** The shared stage skeleton: digest-named stage dir, JVM monitor + OS
+    * file lock, source-stamp freshness, build-in-sibling + atomic rename.
+    * `populate(buildDir)` writes the stage's files; everything it leaves
+    * in buildDir is what the file stream will read (so no stray
+    * non-parquet files).
+    */
+  private def stagedDir(s: SparkSession, d: String, tag: String,
+      recipe: String)(populate: java.nio.file.Path => Unit): String =
     stageBuildMonitor.synchronized {
       import java.nio.file.{Files, Paths, StandardOpenOption}
       val digest = java.security.MessageDigest.getInstance("SHA-1")
@@ -65,58 +81,78 @@ object StreamQueries {
         StandardOpenOption.CREATE, StandardOpenOption.WRITE)
       try {
         val lock = ch.lock() // blocks on a holder in another JVM
-        try buildStageIfStale(s, d, stage, recipe, mkSentinels)
-        finally lock.release()
+        try {
+          val src = Paths.get(d, "events.parquet")
+          // stamp lives NOT inside the staged dir — the file stream source
+          // reads everything in it, and a stray non-parquet file fails the
+          // whole query
+          val stampFile = stage.resolveSibling(stage.getFileName.toString + ".stamp")
+          val srcStamp = s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" +
+            s"_${FarFutureNs}_${SentinelUser}_$recipe"
+          val fresh = Files.exists(stage) && Files.exists(stampFile) &&
+            new String(Files.readAllBytes(stampFile), "UTF-8") == srcStamp
+          if (!fresh) {
+            Files.deleteIfExists(stampFile) // stale stamp must not outlive the swap
+            val build = Files.createTempDirectory(stage.getParent,
+              stage.getFileName + ".build")
+            populate(build)
+            deleteTree(stage)
+            Files.move(build, stage) // same tmpdir parent: an atomic rename
+            Files.write(stampFile, srcStamp.getBytes("UTF-8"))
+          }
+        } finally lock.release()
       } finally ch.close()
       stage.toString
     }
 
-  private def buildStageIfStale(s: SparkSession, d: String,
-      stage: java.nio.file.Path, recipe: String,
-      mkSentinels: DataFrame => Seq[DataFrame]): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    import java.nio.file.attribute.FileTime
-    val src = Paths.get(d, "events.parquet")
-    // NOT inside the staged dir — the file stream source reads everything
-    // in it, and a stray non-parquet file fails the whole query
-    val stampFile = stage.resolveSibling(stage.getFileName.toString + ".stamp")
-    val srcStamp = s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" +
-      s"_${FarFutureNs}_${SentinelUser}_$recipe"
-    val fresh = Files.exists(stage) && Files.exists(stampFile) &&
-      new String(Files.readAllBytes(stampFile), "UTF-8") == srcStamp
-    if (!fresh) {
-      def deleteTree(p: java.nio.file.Path): Unit =
-        if (Files.exists(p)) {
-          val walk = Files.walk(p)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(f => Files.delete(f))
-          finally walk.close()
-        }
-      Files.deleteIfExists(stampFile) // stale stamp must not outlive the swap
-      val build = Files.createTempDirectory(stage.getParent, stage.getFileName + ".build")
+  /** Writes `df` as a single parquet FILE at `dst` (coalesced; Spark's
+    * directory output is unpacked and its _SUCCESS/.crc debris dropped).
+    */
+  private def writeOneFile(df: DataFrame, dst: java.nio.file.Path): Unit = {
+    import java.nio.file.{Files, StandardCopyOption}
+    val tmpOut = Files.createTempDirectory("graft_stage_part")
+    df.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
+    val listing = Files.list(tmpOut)
+    val part =
+      try listing.filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      finally listing.close()
+    Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+    deleteTree(tmpOut)
+  }
+
+  private def stagedEventsDir(s: SparkSession, d: String, tag: String,
+      recipe: String = "",
+      mkSentinels: DataFrame => Seq[DataFrame] = _ => Seq.empty): String =
+    stagedDir(s, d, tag, recipe) { build =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      import java.nio.file.attribute.FileTime
+      val src = Paths.get(d, "events.parquet")
       val events = build.resolve("events.parquet")
       Files.copy(src, events, StandardCopyOption.REPLACE_EXISTING)
+      // sentinel files get strictly later mtimes than the events copy —
+      // the file source feeds batches in mtime order
       val base = System.currentTimeMillis()
       Files.setLastModifiedTime(events, FileTime.fromMillis(base))
       val ev = s.read.parquet(src.toString)
       mkSentinels(ev).zipWithIndex.foreach { case (sent, i) =>
-        val tmpOut = Files.createTempDirectory("graft_sentinel")
-        sent.coalesce(1).write.mode("overwrite").parquet(tmpOut.toString)
-        val listing = Files.list(tmpOut)
-        val part =
-          try listing.filter(_.getFileName.toString.endsWith(".parquet"))
-            .findFirst().get()
-          finally listing.close()
         val dst = build.resolve(f"zz_sentinel$i%02d.parquet")
-        Files.move(part, dst, StandardCopyOption.REPLACE_EXISTING)
+        writeOneFile(sent, dst)
         Files.setLastModifiedTime(dst, FileTime.fromMillis(base + (i + 1) * 60000L))
-        deleteTree(tmpOut) // _SUCCESS/.crc debris
       }
-      deleteTree(stage)
-      Files.move(build, stage) // same tmpdir parent: an atomic rename
-      Files.write(stampFile, srcStamp.getBytes("UTF-8"))
     }
-  }
+
+  /** The events table re-encoded in the Kafka WIRE shape (s06's feed):
+    * what `spark.readStream.format("kafka")` would deliver, staged as
+    * parquet so the gate exercises the adapter without a broker.
+    */
+  private def stagedKafkaDir(s: SparkSession, d: String): String =
+    stagedDir(s, d, "kafka", recipe = "kafka-v1") { build =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      writeOneFile(
+        KafkaShape.toKafkaShape(s.read.parquet(s"$d/events.parquet")),
+        build.resolve("events_kafka.parquet"))
+    }
 
   /** One sentinel row per key frame, in the events column shape. */
   private def sentinelRows(keys: DataFrame, tsNs: Long): DataFrame =
@@ -151,6 +187,14 @@ object StreamQueries {
                     mode: String): DataFrame =
     StreamRun.drain(s, streamed, mode, name)
 
+  /** The windowed-aggregation oracle, shared verbatim by s01 (file feed)
+    * and s06 (kafka-shaped feed) — the transport must not change a value.
+    */
+  private val WindowOracleSql: String =
+    """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS hour_s,
+      |       event_type, count(*) AS n, round(sum(value) + 1e-6, 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin
+
   val defs: Map[String, OpDef] = Map(
 
     // s01: watermarked tumbling windows, complete mode (every window is
@@ -162,9 +206,26 @@ object StreamQueries {
             eventStream(s, d).select(col("ts"), col("event_type"), col("value"))),
           "complete")
         .orderBy("hour_s", "event_type"),
-      """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS hour_s,
-        |       event_type, count(*) AS n, round(sum(value) + 1e-6, 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin),
+      WindowOracleSql),
+
+    // s06: the Kafka transport path — the same windowed aggregation as
+    // s01, but fed rows in the exact wire schema Spark's Kafka source
+    // emits (key/value binary, topic, partition, offset, timestamp),
+    // decoded by KafkaShape.fromKafkaShape. A real deployment swaps the
+    // staged file feed for `readStream.format("kafka")`; everything from
+    // the adapter down — and the oracle — is identical.
+    "s06_stream_kafka_windows" -> OpDef.sql(
+      (s, d) => {
+        val dir = stagedKafkaDir(s, d)
+        val wire = s.readStream.schema(s.read.parquet(dir).schema).parquet(dir)
+        drain(s, "s06",
+            StreamOps.tumblingWindows(
+              KafkaShape.fromKafkaShape(wire)
+                .select(col("ts"), col("event_type"), col("value"))),
+            "complete")
+          .orderBy("hour_s", "event_type")
+      },
+      WindowOracleSql),
 
     // s02: gap-emission sessionization. One far-future sentinel event per
     // user closes every real session through the operator's own gap path

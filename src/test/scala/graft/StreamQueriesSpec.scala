@@ -25,6 +25,30 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
     assert(ids.distinct.length == ids.length, "duplicate event ids survived dedup")
   }
 
+  test("kafka wire round-trip preserves every event to the microsecond") {
+    import graft.streaming.KafkaShape
+    val raw = graft.sources.Tables.events(spark, sfDir)
+    def keyOf(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4))
+    val before = raw
+      .select("event_id", "user_id", "event_type", "value", "ts_us")
+      .collect().map(keyOf).toSet
+    val after = KafkaShape.fromKafkaShape(KafkaShape.toKafkaShape(raw))
+      .select("event_id", "user_id", "event_type", "value", "ts_us")
+      .collect().map(keyOf).toSet
+    assert(before.nonEmpty)
+    assert(after == before)
+  }
+
+  test("s06 kafka-shaped gate entry equals the s01 file-feed result") {
+    val viaKafka = SparkEntry.queries("s06_stream_kafka_windows")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val viaFiles = SparkEntry.queries("s01_stream_windows")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(viaKafka.nonEmpty)
+    assert(viaKafka == viaFiles)
+  }
+
   test("StreamParity reports stream/batch parity for all five ops") {
     val results = StreamParity.run(spark)
     assert(results.map(_.op).sorted == Seq(
