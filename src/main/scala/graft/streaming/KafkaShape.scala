@@ -41,17 +41,27 @@ object KafkaShape {
       lit(Topic).as("topic"),
       pmod(col("user_id"), lit(partitions.toLong)).cast("int").as("partition"),
       col("event_id").as("offset"),
-      // broker-assigned time: the event time, truncated to micros
+      // producer-assigned CreateTime (type 0): the event time at micros —
+      // a LogAppendTime topic would carry type 1 and broker clocks here
       timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
       lit(0).as("timestampType"))
 
   /** Kafka wire rows -> the events column shape the operators consume,
     * with the shared `ts_us`/`ts` lifting (identical to the file path, so
     * oracles and batch twins agree to the microsecond).
+    *
+    * Undecodable payloads — tombstones (null value) and non-JSON bytes,
+    * both routine on a real topic — are dropped at this boundary rather
+    * than decoded to all-null rows that would poison downstream
+    * aggregates with a spurious null-key group (PERMISSIVE from_json
+    * yields null for them). A production deployment that must account
+    * for every message routes `from_json IS NULL` rows to a dead-letter
+    * sink instead of filtering.
     */
   def fromKafkaShape(df: DataFrame): DataFrame =
     graft.sources.Tables.withTsUs(
       df.select(from_json(col("value").cast("string"), ValueSchema).as("e"))
+        .filter(col("e").isNotNull)
         .select("e.*"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
 }

@@ -148,9 +148,11 @@ object StreamQueries {
     */
   private def stagedKafkaDir(s: SparkSession, d: String): String =
     stagedDir(s, d, "kafka", recipe = "kafka-v1") { build =>
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Tables.events owns the TIMESTAMP(NANOS) loading convention;
+      // toKafkaShape selects only the wire columns, so the extra ts_us is
+      // dropped
       writeOneFile(
-        KafkaShape.toKafkaShape(s.read.parquet(s"$d/events.parquet")),
+        KafkaShape.toKafkaShape(graft.sources.Tables.events(s, d)),
         build.resolve("events_kafka.parquet"))
     }
 

@@ -28,14 +28,14 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
   test("kafka wire round-trip preserves every event to the microsecond") {
     import graft.streaming.KafkaShape
     val raw = graft.sources.Tables.events(spark, sfDir)
+    // props included: it is the escaping-prone field (nested JSON text)
     def keyOf(r: org.apache.spark.sql.Row) =
-      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3), r.getLong(4))
-    val before = raw
-      .select("event_id", "user_id", "event_type", "value", "ts_us")
-      .collect().map(keyOf).toSet
+      (r.getLong(0), r.getLong(1), r.getString(2), r.getDouble(3),
+       r.getLong(4), r.getString(5))
+    val cols = Seq("event_id", "user_id", "event_type", "value", "ts_us", "props")
+    val before = raw.select(cols.head, cols.tail: _*).collect().map(keyOf).toSet
     val after = KafkaShape.fromKafkaShape(KafkaShape.toKafkaShape(raw))
-      .select("event_id", "user_id", "event_type", "value", "ts_us")
-      .collect().map(keyOf).toSet
+      .select(cols.head, cols.tail: _*).collect().map(keyOf).toSet
     assert(before.nonEmpty)
     assert(after == before)
   }
