@@ -52,16 +52,19 @@ object KafkaShape {
     *
     * Undecodable payloads — tombstones (null value) and non-JSON bytes,
     * both routine on a real topic — are dropped at this boundary rather
-    * than decoded to all-null rows that would poison downstream
-    * aggregates with a spurious null-key group (PERMISSIVE from_json
-    * yields null for them). A production deployment that must account
-    * for every message routes `from_json IS NULL` rows to a dead-letter
-    * sink instead of filtering.
+    * than decoded into rows that would poison downstream aggregates with
+    * a spurious null-key group. PERMISSIVE from_json yields a NULL
+    * struct for a null input but an all-null-FIELDS struct for malformed
+    * bytes, so the guard requires the event identity (event_id, ts) to
+    * have decoded — a spec feeds both shapes through. A production
+    * deployment that must account for every message routes the failing
+    * rows to a dead-letter sink instead of filtering.
     */
   def fromKafkaShape(df: DataFrame): DataFrame =
     graft.sources.Tables.withTsUs(
       df.select(from_json(col("value").cast("string"), ValueSchema).as("e"))
-        .filter(col("e").isNotNull)
+        .filter(col("e").isNotNull &&
+                col("e.event_id").isNotNull && col("e.ts").isNotNull)
         .select("e.*"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
 }

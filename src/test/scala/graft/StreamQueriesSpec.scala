@@ -40,6 +40,23 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
     assert(after == before)
   }
 
+  test("kafka adapter drops tombstones and malformed payloads, keeps good rows") {
+    import graft.streaming.KafkaShape
+    val sp = spark
+    import sp.implicits._
+    val good = """{"event_id":7,"ts":1700000000000000000,"user_id":3,""" +
+      """"event_type":"purchase","value":1.5,"props":null}"""
+    val wire = Seq(
+      (Array[Byte](51), good.getBytes("UTF-8")),        // decodable event
+      (Array[Byte](52), null.asInstanceOf[Array[Byte]]), // tombstone
+      (Array[Byte](53), "not json".getBytes("UTF-8")))   // malformed
+      .toDF("key", "value")
+    val out = KafkaShape.fromKafkaShape(wire).collect()
+    assert(out.length == 1, s"expected only the decodable row, got ${out.length}")
+    assert(out.head.getAs[Long]("event_id") == 7L)
+    assert(out.head.getAs[Long]("ts_us") == 1700000000000000L)
+  }
+
   test("s06 kafka-shaped gate entry equals the s01 file-feed result") {
     val viaKafka = SparkEntry.queries("s06_stream_kafka_windows")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
