@@ -9,13 +9,14 @@ import java.sql.Timestamp
 import java.time.Instant
 
 /** Machine-readable stream-vs-batch parity: every streaming operator
-  * (s01–s05) run over a deterministic MemoryStream feed whose results are
+  * (s01–s06) run over a deterministic MemoryStream feed whose results are
   * compared row-for-row with the equivalent batch computation on the same
   * data. `Verify` serializes the results next to the oracle dump. All
-  * five ops are ALSO DuckDB-oracle gate entries ([[StreamQueries]]);
+  * six entries are ALSO DuckDB-oracle gate entries ([[StreamQueries]]);
   * this harness remains the independent cross-check that drives the
   * moving-watermark paths (append-mode window finalization, timeout
-  * flushes, cross-batch dedup) on hand-built feeds with known answers.
+  * flushes, cross-batch dedup, kafka-shape decode) on hand-built feeds
+  * with known answers.
   *
   * All timestamps derive from explicit UTC instants — host-timezone
   * independent by construction.
@@ -57,6 +58,15 @@ object StreamParity {
            round(sum("value") + lit(1e-6), 2).as("session_value"))
   }
 
+  /** Batch twin of the windowed aggregation over (ts, event_type, value) —
+    * shared by the s01 (typed feed) and s06 (kafka wire feed) blocks.
+    */
+  private def batchWindows(df: DataFrame): Set[(Long, String, Long, Double)] =
+    df.groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).as("hour_s"),
+               col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value") + lit(1e-6), 2).as("tv"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+
   def run(spark: SparkSession): Seq[Result] = {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     import spark.implicits._
@@ -72,11 +82,8 @@ object StreamParity {
         Seq(() => { in.addData(feed.map(e => (e._2, e._3, e._4))); () },
             () => { in.addData((sentinel, "zz_sentinel", 0.0)); () }))
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
-      val batch = feed.map(e => (e._2, e._3, e._4)).toDF("ts", "event_type", "value")
-        .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).as("hour_s"),
-                 col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum("value") + lit(1e-6), 2).as("tv"))
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = batchWindows(
+        feed.map(e => (e._2, e._3, e._4)).toDF("ts", "event_type", "value"))
       Result("s01_stream_windows", streamed.size, batch.size, streamed == batch)
     }
 
@@ -166,6 +173,37 @@ object StreamParity {
       Result("s05_stream_interval_join", streamed.size, batch.size, streamed == batch)
     }
 
-    Seq(s01, s02, s03, s04, s05)
+    // --- s06: the kafka wire shape through the real adapter ---------------
+    // The feed is encoded to wire bytes by toKafkaShape (batch), streamed
+    // as raw payloads, decoded by fromKafkaShape, and windowed like s01 —
+    // with a tombstone and a malformed payload injected mid-feed to prove
+    // the decode boundary drops them without disturbing the aggregate.
+    val s06 = {
+      def wireBytes(rows: Seq[(Long, Long, Long, String, Double)]): Seq[Array[Byte]] =
+        KafkaShape.toKafkaShape(
+            rows.map { case (id, tsNs, u, et, v) => (id, tsNs, u, et, v, null.asInstanceOf[String]) }
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+          .select("value").collect().map(_.getAs[Array[Byte]](0)).toSeq
+      def nanos(t: Timestamp): Long = t.toInstant.toEpochMilli * 1000000L
+      val events = wireBytes(feed.zipWithIndex.map { case ((u, t, et, v), i) =>
+        (i.toLong, nanos(t), u, et, v)
+      })
+      val junk = Seq(null.asInstanceOf[Array[Byte]], "not json".getBytes("UTF-8"))
+      val closer = wireBytes(Seq((999L, nanos(sentinel), 9L, "zz_sentinel", 0.0)))
+      val in = MemoryStream[Array[Byte]]
+      val streamed = drain(spark, "parity_s06",
+        StreamOps.tumblingWindows(
+          KafkaShape.fromKafkaShape(in.toDF().toDF("value"))
+            .select(col("ts"), col("event_type"), col("value"))),
+        "append",
+        Seq(() => { in.addData(events ++ junk); () },
+            () => { in.addData(closer); () }))
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = batchWindows(
+        feed.map(e => (e._2, e._3, e._4)).toDF("ts", "event_type", "value"))
+      Result("s06_stream_kafka_windows", streamed.size, batch.size, streamed == batch)
+    }
+
+    Seq(s01, s02, s03, s04, s05, s06)
   }
 }
