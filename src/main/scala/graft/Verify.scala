@@ -8,12 +8,20 @@ object Verify {
     val Array(sfDir, outDir) = args
     val spark = GraftSession.getOrCreate()
     new java.io.File(outDir).mkdirs()
+    // optional name-prefix allowlist, same contract as Bench's — for
+    // iterating on one operator without paying the full dump; the driver
+    // never sets it, so the gate itself always runs everything
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    def selected(name: String) = filter.forall(_.exists(name.startsWith))
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      if (selected(name))
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -28,6 +36,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // stream-vs-batch parity for every streaming op (s02/s04 are only
@@ -38,6 +47,9 @@ object Verify {
     // green-looking parity file after an exception would silently remove
     // streaming from the gate, so the catch writes an explicit failure row
     val parity =
+      if (!SparkEntry.queries.keys.exists(n => n.startsWith("s0") && selected(n)))
+        Seq.empty // filtered run with no streaming op selected: skip parity
+      else
       try graft.streaming.StreamParity.run(spark)
       catch { case e: Throwable =>
         System.err.println(s"[verify] streaming parity failed: ${e.getMessage}")

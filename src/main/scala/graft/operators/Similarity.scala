@@ -21,6 +21,17 @@ object Similarity {
   private val NumPlanes = 8
   private val NumQueries = 5
   private val TopK = 10
+  // d09 banded-LSH geometry: NumDupBands independent sign-code tables,
+  // each MaxBandBits planes wide at most; the ACTIVE width per run is
+  // derived from the corpus count so bucket density stays ~TargetBucket
+  // regardless of scale (the fixed-width form measured 45x runtime at
+  // 10x data — bench/BENCH_sf1_r4.json — because pair work per bucket is
+  // density^2). Width selection is an integer CASE ladder, bit-identical
+  // in Spark and DuckDB (no float log2 at a power-of-two boundary).
+  private[graft] val NumDupBands = 4
+  private[graft] val MaxBandBits = 16
+  private[graft] val MinBandBits = 4
+  private[graft] val TargetBucket = 32L
   // IVF (e03) geometry: corpus partitioned into NumCells Voronoi cells,
   // queries probe the NProbe nearest — the scanned fraction is ~NProbe/
   // NumCells of the corpus (vs e01's full scan), the classic ANN scale
@@ -63,6 +74,46 @@ object Similarity {
       s"CASE WHEN list_dot_product($vecSql, $lit) > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString("(", " + ", ")")
 
+  /** Band `t`'s plane slice: the shared deterministic family laid out as
+    * NumDupBands contiguous MaxBandBits-wide blocks, so masking a band's
+    * full-width code to `bits` low bits IS the `bits`-plane code — the
+    * oracle can stay static SQL text while the active width varies with
+    * the corpus count. Band 0's first MinBandBits planes are exactly the
+    * old fixed 4-plane family (`planes` is prefix-consistent), so gate
+    * bucketing is a strict superset of the r4 operator's.
+    */
+  private[graft] def bandPlanes(t: Int): Array[Array[Double]] =
+    planes(NumDupBands * MaxBandBits)
+      .slice(t * MaxBandBits, (t + 1) * MaxBandBits)
+
+  /** Active band width from the corpus count: the smallest `bits` in
+    * [MinBandBits, MaxBandBits] with count <= TargetBucket * 2^bits, i.e.
+    * mean bucket density stays <= TargetBucket until the MaxBandBits cap
+    * (2^16 buckets x 4 bands carries a ~2M-vector corpus at density 32;
+    * beyond that, raise MaxBandBits — candidate work is density x n, so
+    * the knob, not the shape, is what changes with scale). Pure integer
+    * comparisons: the SAME generated CASE ladder runs in Spark and DuckDB.
+    */
+  private[graft] def bandBitsCase(cntSql: String): String =
+    (MinBandBits until MaxBandBits)
+      .map(r => s"WHEN $cntSql <= ${TargetBucket << r} THEN $r")
+      .mkString("CASE ", " ", s" ELSE $MaxBandBits END")
+
+  /** The Scala twin of [[bandBitsCase]] (for specs). */
+  private[graft] def bandBits(n: Long): Int = {
+    var r = MinBandBits
+    while (r < MaxBandBits && n > (TargetBucket << r)) r += 1
+    r
+  }
+
+  /** Register band `t`'s full-width sign code (idempotent per session). */
+  private def bandCodeFn(s: SparkSession, t: Int): String = {
+    val name = s"sign_code_d09_b$t"
+    if (!s.catalog.functionExists(name))
+      GraftFunctions.registerSignCode(s, name, bandPlanes(t))
+    name
+  }
+
   val defs: Map[String, OpDef] = Map(
 
     // Brute-force cosine top-k for a fixed query set (vec_id < 5), ranked
@@ -102,40 +153,83 @@ object Similarity {
          |QUALIFY rk <= $TopK
          |ORDER BY q_id, rk""".stripMargin),
 
-    // Embedding-cosine near-dup pairs, LSH-bucketed: candidates are pairs
-    // sharing a 4-bit hyperplane sign code (16 buckets), kept when cosine
-    // >= 0.35. The DuckDB oracle replicates the SAME bucketing, so the
-    // LSH candidate generation itself is oracle-checked — the self-join
-    // shuffles on the code and the pair term is (bucket density)^2, never
-    // all-pairs. Density rule (measured: 10x corpus -> ~40x runtime at
-    // this fixed width, bench/BENCH_sf1_r4.json): the code width must
-    // grow with corpus density to hold bucket sizes, and at genuinely low
-    // thresholds like 0.35 a dense corpus should switch to the ANN-join
-    // form (e02/e03, ~linear in the same measurement) — pair enumeration
-    // near the random-similarity floor is inherently quadratic.
+    // Embedding-cosine near-dup pairs, banded sign-LSH: candidates are
+    // pairs sharing ANY of NumDupBands independent hyperplane sign codes,
+    // kept when cosine >= 0.35. Two scale properties, both oracle-checked
+    // (the DuckDB SQL replicates the bucketing bit for bit):
+    //
+    //  1. DENSITY-SCALED WIDTH. The active code width per band is derived
+    //     from the corpus count (bandBitsCase — a broadcast one-row count,
+    //     no driver action), so mean bucket density stays ~TargetBucket at
+    //     any scale and candidate-pair work is density x n — LINEAR where
+    //     the r4 fixed-16-bucket form was (n/16)^2 (measured 45x at 10x
+    //     data; see bandBits's scaladoc for the cap algebra).
+    //  2. BANDED RECALL. Widening one code trades recall for density
+    //     (P[collide] = p^bits, p = 1 - acos(sim)/pi); OR-ing NumDupBands
+    //     independent tables buys it back (1 - (1-p^bits)^B, the classic
+    //     LSH band construction d02 uses in minhash space) at B x the
+    //     candidate cost — the bounded way to keep catching high-sim pairs
+    //     as width grows.
+    //
+    // Shape: codes are masked slices of per-band full-width codes (static
+    // SQL text, dynamic width), the band self-join shuffles on (band,
+    // code), multi-band collisions collapse via DISTINCT on the narrow id
+    // pair BEFORE vectors are re-joined for the one exact-cosine verify
+    // per pair (d02's candidates->verify shape).
     "d09_embed_dup" -> OpDef.sql(
       (s, d) => {
         GraftFunctions.register(s)
-        val ps = planes(4)
         val emb = Tables.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"), signCode(s, "embedding", ps).as("code"))
-        val a = emb.toDF("a_id", "a_vec", "code")
-        val b = emb.toDF("b_id", "b_vec", "code")
-        a.join(b, Seq("code"))
+        // one-row broadcast: every row learns the corpus count, and the
+        // width ladder is plain integer CASE arithmetic on it
+        val sized = emb
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
+          .withColumn("bits", expr(bandBitsCase("corpus_n")))
+        val bandStructs = (0 until NumDupBands).map { t =>
+          val fn = bandCodeFn(s, t)
+          struct(lit(t).as("band"),
+                 expr(s"$fn(embedding) & (shiftleft(1, bits) - 1)").as("bcode"))
+        }
+        val bands = sized
+          .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("vec_id"), col("bb.band").as("band"), col("bb.bcode").as("bcode"))
+        val a = bands.toDF("a_id", "band", "bcode")
+        val b = bands.toDF("b_id", "band", "bcode")
+        val cands = a.join(b, Seq("band", "bcode"))
           .filter(col("a_id") < col("b_id"))
+          .select("a_id", "b_id").distinct()
+        val vecs = emb.select(col("vec_id"), col("embedding"))
+        cands
+          .join(vecs.toDF("a_id", "a_vec"), "a_id")
+          .join(vecs.toDF("b_id", "b_vec"), "b_id")
           .withColumn("sim", round(expr("cosine_sim(a_vec, b_vec)") + lit(1e-10), 6))
           .filter(col("sim") >= 0.35)
-          .select("a_id", "b_id", "code", "sim")
+          .select("a_id", "b_id", "sim")
           .orderBy("a_id", "b_id")
       }, {
-        val codeSql = signCodeSql("embedding::DOUBLE[]", planes(4))
-        s"""WITH coded AS (
-           |  SELECT vec_id, embedding::DOUBLE[] AS vec, $codeSql AS code
-           |  FROM embeddings)
-           |SELECT a.vec_id AS a_id, b.vec_id AS b_id, a.code AS code,
-           |       round(list_cosine_similarity(a.vec, b.vec) + 1e-10, 6) AS sim
-           |FROM coded a JOIN coded b ON a.code = b.code AND a.vec_id < b.vec_id
-           |WHERE round(list_cosine_similarity(a.vec, b.vec) + 1e-10, 6) >= 0.35
+        val codeList = (0 until NumDupBands)
+          .map(t => signCodeSql("embedding::DOUBLE[]", bandPlanes(t)))
+          .mkString("[\n         ", ",\n         ", "]")
+        s"""WITH n AS (SELECT count(*) AS corpus_n FROM embeddings),
+           |p AS (SELECT ${bandBitsCase("corpus_n")} AS bits FROM n),
+           |coded AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+           |         $codeList AS codes
+           |  FROM embeddings),
+           |bands AS (
+           |  SELECT vec_id, t AS band,
+           |         list_extract(codes, t + 1) & ((1 << bits) - 1) AS bcode
+           |  FROM coded, p, (SELECT unnest(generate_series(0, ${NumDupBands - 1})) AS t)),
+           |cands AS (
+           |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bcode = b.bcode AND a.vec_id < b.vec_id)
+           |SELECT c.a_id, c.b_id,
+           |       round(list_cosine_similarity(x.vec, y.vec) + 1e-10, 6) AS sim
+           |FROM cands c
+           |JOIN coded x ON x.vec_id = c.a_id
+           |JOIN coded y ON y.vec_id = c.b_id
+           |WHERE round(list_cosine_similarity(x.vec, y.vec) + 1e-10, 6) >= 0.35
            |ORDER BY a_id, b_id""".stripMargin
       }),
 
