@@ -171,20 +171,30 @@ object Dedup {
               round(col("sim_raw") + lit(1e-8), 4).as("sim"))
   }
 
-  /** Near-dup cluster labels (doc_id, canonical_id = component minimum)
-    * over the verified MinHash pairs, by Pregel-style min-label
-    * propagation — shared by d13 (cluster report) and d14 (corpus
-    * selection). See d13's scaladoc for the convergence/scale notes.
+  /** Rounds between lineage truncations in the label loop: deep enough
+    * that shallow real-world dup clusters (diameter < 8) never pay a
+    * checkpoint write, shallow enough that a pathological chain's plan
+    * and recovery path stay bounded.
     */
-  private def dupLabels(s: SparkSession, d: String): DataFrame = {
-    // pairs is persisted BEFORE the symmetrizing union: Spark doesn't
-    // CSE across union branches, so an unpersisted plan would run the
-    // whole candidate + Jaccard-verify pipeline twice
-    val pairs = persistTracked("d13_pairs",
-      minhashPairs(s, d).select("a_id", "b_id"))
-    val edges = persistTracked("d13_edges",
-      pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-        .toDF("src", "dst"))
+  private[graft] val CheckpointEvery = 8
+
+  /** Min-label propagation to connected components over a SYMMETRIC
+    * (src, dst) edge table — d13/d14's core, factored so specs can drive
+    * it with synthetic graph shapes (chains, empty graphs) that the
+    * corpus can't produce. Returns (src, lbl = component minimum).
+    *
+    * Lineage: each round's plan references the previous round's, so a
+    * deep component compounds both the logical plan and the
+    * failure-recovery path; every CheckpointEvery rounds the label table
+    * is checkpointed (reliable storage — point setCheckpointDir at the
+    * lake on a cluster; a scratch dir is created locally if unset) and
+    * the lineage cut there. persist() stays the hot path — the
+    * checkpoint is the recovery floor, not an extra read per round.
+    */
+  private[graft] def propagateLabels(s: SparkSession, edges: DataFrame): DataFrame = {
+    if (s.sparkContext.getCheckpointDir.isEmpty)
+      s.sparkContext.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     // `cached` is whatever table currently backs the labels; each round
     // materializes its successor BEFORE unpersisting it (unpersist-first
     // would recompute the whole label lineage from edges), and the final
@@ -206,9 +216,10 @@ object Dedup {
     try {
       while (changed > 0) {
         if (rounds >= 64)
-          // silent exit would emit non-components and quietly diverge from
-          // the oracle; >64-diameter pair graphs need checkpointed rounds
-          // or pointer-jumping, not a truncated answer
+          // silent exit would emit non-components and quietly diverge
+          // from the oracle; a >64-diameter graph is data pathology
+          // (checkpointing bounds lineage, not round count) — raise the
+          // cap or switch to pointer-jumping, never truncate the answer
           throw new IllegalStateException(
             "dup label propagation did not converge in 64 rounds")
         val next = edges
@@ -225,12 +236,38 @@ object Dedup {
         cached = next
         labels = next.select("src", "lbl")
         rounds += 1
+        if (changed > 0 && rounds % CheckpointEvery == 0) {
+          // eager checkpoint: writes the cached partitions, cuts the plan
+          // at a scan of the checkpoint files (on throw, the outer catch
+          // releases `cached`, which is still `next` here)
+          val trunc = next.checkpoint()
+          next.unpersist(blocking = false)
+          cached = trunc.persist()
+          labels = cached.select("src", "lbl")
+        }
       }
     } catch {
       case t: Throwable => cached.unpersist(blocking = false); throw t
     }
     persistTracked("d13_labels", cached)
       .select(col("src").as("doc_id"), col("lbl").as("canonical_id"))
+  }
+
+  /** Near-dup cluster labels (doc_id, canonical_id = component minimum)
+    * over the verified MinHash pairs, by Pregel-style min-label
+    * propagation — shared by d13 (cluster report) and d14 (corpus
+    * selection). See d13's scaladoc for the convergence/scale notes.
+    */
+  private def dupLabels(s: SparkSession, d: String): DataFrame = {
+    // pairs is persisted BEFORE the symmetrizing union: Spark doesn't
+    // CSE across union branches, so an unpersisted plan would run the
+    // whole candidate + Jaccard-verify pipeline twice
+    val pairs = persistTracked("d13_pairs",
+      minhashPairs(s, d).select("a_id", "b_id"))
+    val edges = persistTracked("d13_edges",
+      pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+        .toDF("src", "dst"))
+    propagateLabels(s, edges)
   }
 
   /** The d13 label CTE chain (pairs -> edges -> recursive reachability ->
@@ -370,9 +407,10 @@ object Dedup {
     // neighbors' labels, until a round changes nothing. The driver sees
     // only ONE SCALAR per round (the count of labels lowered); the label
     // table itself never leaves the executors. Rounds ≈ cluster diameter
-    // (near-dup clusters are shallow; capped defensively), and each round
-    // is one shuffle of the label table — at 100 TB you would checkpoint
-    // the label table every few rounds to truncate lineage.
+    // (near-dup clusters are shallow; capped defensively), each round is
+    // one shuffle of the label table, and every CheckpointEvery rounds
+    // the table is checkpointed so a deep component's lineage (and
+    // failure-recovery path) stays bounded — see propagateLabels.
     //
     // Oracle: the same components via a recursive CTE (DuckDB WITH
     // RECURSIVE reachability, min over reached ids), over the same d02

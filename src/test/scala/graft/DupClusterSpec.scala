@@ -64,6 +64,33 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("a chain deeper than the checkpoint interval converges with lineage cut") {
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Dedup
+    // a path graph 0-1-2-...-N: min-label propagation moves label 0 one
+    // hop per round, so rounds ≈ N — forcing several CheckpointEvery
+    // boundaries (the corpus can't produce this shape; real dup clusters
+    // are shallow)
+    val n = Dedup.CheckpointEvery * 2 + 5 // 21 edges -> ~21 rounds, 2 cuts
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec")
+    spark.sparkContext.setCheckpointDir(ckDir.toString)
+    val fwd = (0 until n).map(i => (i.toLong, i.toLong + 1))
+    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val labels = Dedup.propagateLabels(spark, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // one component, canonical 0, every node labeled
+    assert(labels.keySet == (0L to n).toSet)
+    assert(labels.values.forall(_ == 0L), s"non-minimum labels: $labels")
+    // checkpointing verifiably active: the loop wrote rdd checkpoints
+    // into the configured dir (an inactive cut would leave it empty)
+    val walk = java.nio.file.Files.walk(ckDir)
+    val wrote =
+      try walk.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
+      finally walk.close()
+    assert(wrote >= 2, s"expected >=2 rdd checkpoints under $ckDir, saw $wrote")
+  }
+
   test("d13 returns an empty result (not a crash) on a corpus with no pairs") {
     val sp = spark
     import sp.implicits._

@@ -239,4 +239,80 @@ class StreamParitySpec extends AnyFunSuite with SparkFixture {
         s"missing closed 10:00 window; got: ${rows.toSeq}")
     } finally query.stop()
   }
+
+  // s04's flatMapGroupsWithState state (open sessions, idle markers with
+  // the session counter, armed timeouts) must survive a stop/restart from
+  // checkpoint with no session lost, duplicated, or renumbered — the
+  // recovery path that breaks first in production upgrades. Run under
+  // both state-store providers: HDFS-backed (default) and RocksDB.
+  for ((provName, confValue) <- Seq(
+      "hdfs" -> None,
+      "rocksdb" -> Some(GraftSession.RocksDbProvider)))
+  test(s"s04 sessions are exactly-once across a checkpoint restart ($provName)") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val ProviderConf = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(ProviderConf)
+    confValue.foreach(spark.conf.set(ProviderConf, _))
+    try {
+      val tmp = Files.createTempDirectory(s"graft_eo_s04_$provName").toString
+      val input = MemoryStream[(Long, Timestamp, Double)]
+      val events = input.toDF().toDF("user_id", "ts", "value")
+      def start() = StreamOps.sessionizeWithTimeout(events).writeStream
+        .format("parquet")
+        .option("path", s"$tmp/out")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("append")
+        .start()
+      def t(h: Int, m: Int) = utc(f"2024-01-01T$h%02d:$m%02d:00Z")
+
+      val q1 = start()
+      try {
+        // two users with open sessions, one single-event
+        input.addData((1L, t(10, 0), 1.0), (1L, t(10, 10), 2.0),
+                      (2L, t(10, 5), 5.0))
+        q1.processAllAvailable()
+        // watermark 13:50 passes both timeouts (10:40 / 10:35) ...
+        input.addData((3L, t(14, 0), 9.0))
+        q1.processAllAvailable()
+        // ... and the timeouts FIRE on the next batch: sessions u1#1 and
+        // u2#1 are flushed and COMMITTED to the sink before the stop;
+        // u3's session (14:00-14:01) is open state at shutdown
+        input.addData((3L, t(14, 1), 1.0))
+        q1.processAllAvailable()
+      } finally q1.stop() // down between commits
+
+      // restart from the checkpoint: recovered state must carry u1's idle
+      // marker (session counter 2), u3's open session, and the watermark
+      val q2 = start()
+      try {
+        input.addData((1L, t(15, 0), 4.0)) // u1 returns after its flush
+        q2.processAllAvailable()
+        input.addData((4L, t(20, 0), 1.0)) // watermark 19:50 passes 15:30/14:31
+        q2.processAllAvailable()
+        input.addData((4L, t(20, 1), 1.0)) // timeout-firing batch
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      val rows = spark.read.parquet(s"$tmp/out")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+                   r.getLong(4), r.getDouble(5)))
+        .toSet
+      // exactly these sessions, each exactly once: a replayed batch would
+      // duplicate u1#1/u2#1; lost counter state would renumber u1's
+      // post-restart session as #1; lost open-session state would drop or
+      // reshape u3#1 (u4's session is still open: correctly absent)
+      assert(rows == Set(
+        (1L, 1L, 2L, 1704103200L, 600L, 3.0),  // u1#1, committed pre-stop
+        (2L, 1L, 1L, 1704103500L, 0L, 5.0),    // u2#1, committed pre-stop
+        (1L, 2L, 1L, 1704121200L, 0L, 4.0),    // u1#2: counter survived
+        (3L, 1L, 2L, 1704117600L, 60L, 10.0)), // u3#1: open state survived
+        s"session set diverged under $provName: $rows")
+    } finally before match {
+      case Some(v) => spark.conf.set(ProviderConf, v)
+      case None => spark.conf.unset(ProviderConf)
+    }
+  }
 }
