@@ -51,19 +51,6 @@ object Dedup {
   private val As: Array[Long] = Array.tabulate(NumHashes)(i => (mix(2L * i) >>> 33) | 1L)
   private val Bs: Array[Long] = Array.tabulate(NumHashes)(i => mix(2L * i + 1) >>> 33)
 
-  /** documents + `shingles`: distinct xxhash64 of 3-word shingles (the
-    * shingle set is the unit for both minhash and Jaccard), via the native
-    * [[graft.expressions.ShingleHashes]] kernel — one codegen'd call per
-    * row; the equivalent transform/concat_ws higher-order-function chain
-    * runs interpreted and was ~20x slower on the documents scan.
-    */
-  private def withShingles(s: SparkSession, d: String): DataFrame = {
-    graft.expressions.GraftFunctions.register(s)
-    Tables.documents(s, d)
-      .withColumn("shingles", expr("shingle3_hashes(text)"))
-      .filter(size(col("shingles")) > 0)
-  }
-
   /** Minhash signatures from a (doc_id, mh) frame, Spark-native: explode
     * the shingle hashes, reduce each doc with NumHashes codegen'd scalar
     * `min` aggregates of the affine transforms, one `m<k>` column each.
@@ -133,6 +120,61 @@ object Dedup {
   /** Exact-duplicate fingerprint (d01's grouping key), shared with d14's
     * keeper rule. */
   private def textFp: org.apache.spark.sql.Column = md5(col("text").cast("binary"))
+
+  // --- Density-derived length-band widths (d04/d10) ----------------------
+  // The blocked pair ops key on (source, lang, length DIV W). Block
+  // density grows with corpus count at fixed W, and pair work per block
+  // is density^2 — the documented quadratic term (SURVEY §6). W is
+  // therefore derived from the corpus count: halve per count doubling
+  // past LenBandRef (density ∝ n·W, so this holds block sizes flat),
+  // floored so the band never degenerates to exact-length matching.
+  // Same integer CASE ladder in Spark and the DuckDB oracle (no float
+  // log2); at the gate counts (≤ LenBandRef) the widths equal the old
+  // fixed constants, so gate results are unchanged. Narrower bands at
+  // scale ARE the recall trade-off of length blocking — near-identical
+  // docs stay co-banded, length-divergent pairs were already sacrificed
+  // the day the block key was chosen.
+  private[graft] val LenBandRef = 512L
+
+  /** Width-halving steps for a corpus of n docs: smallest s with
+    * n <= LenBandRef * 2^s (0 at gate scale).
+    */
+  private[graft] def lenBandSteps(n: Long): Int = {
+    var s = 0
+    while (s < 32 && n > (LenBandRef << s)) s += 1
+    s
+  }
+
+  /** The active band width: base halved per step, floored at minW. */
+  private[graft] def lenBandWidth(base: Int, minW: Int, n: Long): Int =
+    math.max(minW, base >> lenBandSteps(n))
+
+  /** The same width rule as a SQL CASE ladder over a count column —
+    * shared text between the Spark plan (expr) and the DuckDB oracle.
+    */
+  private[graft] def lenBandWidthCase(cntSql: String, base: Int, minW: Int): String = {
+    val steps = Iterator.from(0).takeWhile(s => (base >> s) > minW).toSeq
+    steps.map(s => s"WHEN $cntSql <= ${LenBandRef << s} THEN ${base >> s}")
+      .mkString("CASE ", " ", s" ELSE $minW END")
+  }
+
+  /** documents + the corpus count + the active width for (base, minW) as
+    * columns (`corpus_n`, `len_w`) — a one-row broadcast, no driver
+    * action, mirroring d09's sizing join.
+    */
+  private def withLenWidth(s: SparkSession, d: String,
+      base: Int, minW: Int): DataFrame = {
+    val docs = Tables.documents(s, d)
+    docs
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("corpus_n"))))
+      .withColumn("len_w", expr(lenBandWidthCase("corpus_n", base, minW)))
+  }
+
+  /** d04/d10 banding parameters: (base width, floor). */
+  private[graft] val CharBandBase = 50
+  private[graft] val CharBandMin = 4
+  private[graft] val NgramBandBase = 100
+  private[graft] val NgramBandMin = 8
 
   /** The verified MinHash+LSH near-dup pairs (a_id, b_id, sim) — d02's
     * body, shared with the cluster canonicalization op (d13). Candidates
@@ -547,20 +589,22 @@ object Dedup {
       duckD03Sql),
 
     // Blocked character-set Jaccard pairs (SQL-expressible near-dup metric).
-    // Blocking on (source, lang) bounds the per-block pair count by design.
-    // Char-set Jaccard pairs, blocked on (source, lang, length DIV 50).
-    // The length band keeps block sizes bounded as the corpus grows (a
-    // 10x corpus probe put unbanded block pairs at 16M); near-identical
-    // docs land in the same band by construction, and the oracle mirrors
-    // the banding exactly. Per-doc codepoint sets are precomputed ONCE
-    // (sorted array<long>), the per-pair metric is a zero-alloc merge
-    // scan, and a size-ratio prefilter (implied by sim >= 0.8, so it
-    // changes no results) drops most pairs before the scan.
+    // Char-set Jaccard pairs, blocked on (source, lang, length DIV W)
+    // where W is DENSITY-DERIVED from the corpus count (lenBandWidthCase
+    // — the same one-row broadcast + integer ladder as d09's code width),
+    // so block sizes stay flat as the corpus grows instead of the fixed-W
+    // density^2 blowup (a 10x probe at fixed W=50 measured 12-17x
+    // runtime). Near-identical docs land in the same band by
+    // construction, the oracle mirrors count, ladder, and banding
+    // exactly. Per-doc codepoint sets are precomputed ONCE (sorted
+    // array<long>), the per-pair metric is a zero-alloc merge scan, and a
+    // size-ratio prefilter (implied by sim >= 0.8, so it changes no
+    // results) drops most pairs before the scan.
     "d04_char_jaccard" -> OpDef.sql(
       (s, d) => {
         graft.expressions.GraftFunctions.register(s)
-        val docs = Tables.documents(s, d)
-          .withColumn("len_band", (length(col("text")) / 50).cast("int"))
+        val docs = withLenWidth(s, d, CharBandBase, CharBandMin)
+          .withColumn("len_band", (length(col("text")) / col("len_w")).cast("int"))
           .withColumn("chars", expr("codepoint_set(text)"))
           .select("doc_id", "source", "lang", "len_band", "chars")
         val a = docs.toDF("a_id", "source", "lang", "len_band", "a_chars")
@@ -575,10 +619,12 @@ object Dedup {
                   round(col("sim_raw") + lit(1e-8), 4).as("sim"))
           .orderBy("a_id", "b_id")
       },
-      """WITH c AS (
-        |  SELECT doc_id, source, lang, length(text) // 50 AS len_band,
+      s"""WITH n AS (SELECT count(*) AS corpus_n FROM documents),
+        |p AS (SELECT ${lenBandWidthCase("corpus_n", CharBandBase, CharBandMin)} AS len_w FROM n),
+        |c AS (
+        |  SELECT doc_id, source, lang, length(text) // len_w AS len_band,
         |         list_distinct(string_split_regex(text, '')) AS chars
-        |  FROM documents)
+        |  FROM documents, p)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       round(CAST(len(list_intersect(a.chars, b.chars)) AS DOUBLE)
         |             / len(list_distinct(list_concat(a.chars, b.chars))) + 1e-8, 4) AS sim
@@ -596,8 +642,14 @@ object Dedup {
     // sets in practice, and the blocking bounds the pair count by design.
     "d10_ngram_jaccard" -> OpDef.sql(
       (s, d) => {
-        val docs = withShingles(s, d)
-          .withColumn("len_band", (length(col("text")) / 100).cast("int"))
+        graft.expressions.GraftFunctions.register(s)
+        // same density-derived band width as d04 (wider base: shingle
+        // sets tolerate more length drift than codepoint sets at their
+        // respective thresholds)
+        val docs = withLenWidth(s, d, NgramBandBase, NgramBandMin)
+          .withColumn("shingles", expr("shingle3_hashes(text)"))
+          .filter(size(col("shingles")) > 0)
+          .withColumn("len_band", (length(col("text")) / col("len_w")).cast("int"))
           .withColumn("sh_sorted", array_sort(col("shingles")))
           .select("doc_id", "source", "lang", "len_band", "sh_sorted")
         val a = docs.toDF("a_id", "source", "lang", "len_band", "a_sh")
@@ -613,15 +665,17 @@ object Dedup {
                   round(col("sim_raw") + lit(1e-8), 4).as("sim"))
           .orderBy("a_id", "b_id")
       },
-      """WITH sh AS (
-        |  SELECT doc_id, source, lang, length(text) // 100 AS len_band,
+      s"""WITH n AS (SELECT count(*) AS corpus_n FROM documents),
+        |p AS (SELECT ${lenBandWidthCase("corpus_n", NgramBandBase, NgramBandMin)} AS len_w FROM n),
+        |sh AS (
+        |  SELECT doc_id, source, lang, length(text) // len_w AS len_band,
         |         list_distinct(list_transform(
-        |           generate_series(1, len(string_split_regex(text, '\s+')) - 2),
+        |           generate_series(1, len(string_split_regex(text, '\\s+')) - 2),
         |           i -> concat_ws(' ',
-        |                  string_split_regex(text, '\s+')[i],
-        |                  string_split_regex(text, '\s+')[i+1],
-        |                  string_split_regex(text, '\s+')[i+2]))) AS shingles
-        |  FROM documents),
+        |                  string_split_regex(text, '\\s+')[i],
+        |                  string_split_regex(text, '\\s+')[i+1],
+        |                  string_split_regex(text, '\\s+')[i+2]))) AS shingles
+        |  FROM documents, p),
         |nz AS (SELECT * FROM sh WHERE len(shingles) > 0)
         |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
         |       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
