@@ -46,6 +46,13 @@ object KafkaShape {
       timestamp_micros(expr("ts DIV 1000")).as("timestamp"),
       lit(0).as("timestampType"))
 
+  /** The observe() metric name under which [[fromKafkaShape]] reports its
+    * intake accounting (`rows_in`, `rows_dropped`) — in streaming it
+    * surfaces per micro-batch in `StreamingQueryProgress.observedMetrics`;
+    * in batch, through any registered QueryExecutionListener.
+    */
+  val DecodeMetric = "kafka_decode"
+
   /** Kafka wire rows -> the events column shape the operators consume,
     * with the shared `ts_us`/`ts` lifting (identical to the file path, so
     * oracles and batch twins agree to the microsecond).
@@ -56,15 +63,25 @@ object KafkaShape {
     * a spurious null-key group. PERMISSIVE from_json yields a NULL
     * struct for a null input but an all-null-FIELDS struct for malformed
     * bytes, so the guard requires the event identity (event_id, ts) to
-    * have decoded — a spec feeds both shapes through. A production
-    * deployment that must account for every message routes the failing
-    * rows to a dead-letter sink instead of filtering.
+    * have decoded — a spec feeds both shapes through. The drops are NOT
+    * silent: an observe() aggregate ([[DecodeMetric]]) counts total and
+    * dropped rows inline — zero extra passes, visible in every query
+    * progress — so a topic whose producer quietly changes schema shows up
+    * as a drop-rate step, not as slowly-thinning sessions. A deployment
+    * that must account for every message routes the failing rows to a
+    * dead-letter sink as well.
     */
-  def fromKafkaShape(df: DataFrame): DataFrame =
+  def fromKafkaShape(df: DataFrame): DataFrame = {
+    val flagged = df
+      .select(from_json(col("value").cast("string"), ValueSchema).as("e"))
+      .withColumn("decoded",
+        col("e").isNotNull &&
+        col("e.event_id").isNotNull && col("e.ts").isNotNull)
+      .observe(DecodeMetric,
+        count(lit(1)).as("rows_in"),
+        count(when(!col("decoded"), 1)).as("rows_dropped"))
     graft.sources.Tables.withTsUs(
-      df.select(from_json(col("value").cast("string"), ValueSchema).as("e"))
-        .filter(col("e").isNotNull &&
-                col("e.event_id").isNotNull && col("e.ts").isNotNull)
-        .select("e.*"))
+        flagged.filter(col("decoded")).select("e.*"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
 }

@@ -57,6 +57,41 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
     assert(out.head.getAs[Long]("ts_us") == 1700000000000000L)
   }
 
+  test("kafka adapter counts its drops in the kafka_decode observed metric") {
+    import graft.streaming.KafkaShape
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    def ev(id: Long) =
+      (s"""{"event_id":$id,"ts":170000000000000000$id,"user_id":$id,""" +
+        """"event_type":"click","value":1.0,"props":null}""").getBytes("UTF-8")
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Array[Byte], Array[Byte])]
+    val q = KafkaShape.fromKafkaShape(input.toDF().toDF("key", "value"))
+      .writeStream.format("memory").queryName("kafka_drop_metric")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (Array[Byte](1), ev(1)),
+        (Array[Byte](2), null.asInstanceOf[Array[Byte]]),  // tombstone
+        (Array[Byte](3), "not json".getBytes("UTF-8")),    // malformed
+        (Array[Byte](4), "{\"other\":1}".getBytes("UTF-8")), // schema drift
+        (Array[Byte](5), ev(5)))
+      q.processAllAvailable()
+      // the batch's progress carries the intake accounting: every wire
+      // row counted, the three undecodable ones counted as dropped —
+      // this is the production drop-rate signal, not a side query
+      val m = q.lastProgress.observedMetrics.get(KafkaShape.DecodeMetric)
+      assert(m != null, "kafka_decode metric missing from query progress")
+      assert(m.getAs[Long]("rows_in") == 5L, s"rows_in: $m")
+      assert(m.getAs[Long]("rows_dropped") == 3L, s"rows_dropped: $m")
+      assert(spark.table("kafka_drop_metric").count() == 2)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("kafka_drop_metric")
+    }
+  }
+
   test("s06 kafka-shaped gate entry equals the s01 file-feed result") {
     val viaKafka = SparkEntry.queries("s06_stream_kafka_windows")(spark, sfDir)
       .collect().map(_.toSeq).toSeq
