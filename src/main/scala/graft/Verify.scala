@@ -15,6 +15,13 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
     def selected(name: String) = filter.forall(_.exists(name.startsWith))
+    // a filtered dump is an ITERATION artifact, not the gate: it rewrites
+    // oracle_sql.json with a subset and leaves any stale per-query dirs
+    // from an earlier full run in place — say so loudly, and below, skip
+    // (rather than empty out) the parity artifact
+    filter.foreach(f => System.err.println(
+      s"[verify] FILTERED RUN (${f.mkString(",")}): $outDir holds a " +
+        "partial dump — do not read it as the correctness gate"))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -62,7 +69,10 @@ object Verify {
         s"\"batch_rows\": ${r.batchRows}, \"match\": ${r.ok}}")
       .mkString("{", ",", "}")
     println(s"[verify] streaming_parity $parityJson")
-    try {
+    // skipped-parity filtered runs write NO artifact — overwriting a full
+    // run's parity file with a zero-row table would read as "no streaming
+    // failures" to a later artifact walk
+    if (filter.isEmpty || parity.nonEmpty) try {
       import spark.implicits._
       parity.map(r => (r.op, r.streamRows, r.batchRows, r.ok))
         .toDF("op", "stream_rows", "batch_rows", "parity_match")

@@ -234,9 +234,33 @@ object Dedup {
     * checkpoint is the recovery floor, not an extra read per round.
     */
   private[graft] def propagateLabels(s: SparkSession, edges: DataFrame): DataFrame = {
-    if (s.sparkContext.getCheckpointDir.isEmpty)
+    if (s.sparkContext.getCheckpointDir.isEmpty) {
+      // a JVM-local temp dir is only a valid checkpoint target when the
+      // executors share the driver's filesystem; on a real cluster each
+      // executor would write its partitions to its OWN local disk and the
+      // post-checkpoint scan would lose them on the next schedule — fail
+      // fast there instead of failing mid-round 9
+      if (!s.sparkContext.isLocal)
+        throw new IllegalStateException(
+          "dup clustering checkpoints lineage every few rounds: call " +
+          "sparkContext.setCheckpointDir with durable SHARED storage " +
+          "(the lake) before running on a cluster")
       s.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
+    }
+    // a superseded checkpoint's files (deleted once a newer cut lands —
+    // the reference-tracking cleaner only runs at GC time, which a bench
+    // loop may never reach)
+    var prevCkptFile: Option[String] = None
+    def ckptFileOf(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+        case _ => None // unexpected shape: skip cleanup, never the result
+      }
+    def dropCkpt(file: Option[String]): Unit = file.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
     // `cached` is whatever table currently backs the labels; each round
     // materializes its successor BEFORE unpersisting it (unpersist-first
     // would recompute the whole label lineage from edges), and the final
@@ -286,6 +310,11 @@ object Dedup {
           next.unpersist(blocking = false)
           cached = trunc.persist()
           labels = cached.select("src", "lbl")
+          // the new cut's plan reads only the NEW files, so the previous
+          // cut is unreferenced — delete it; the LAST cut is kept (the
+          // final label table may recompute from it if evicted)
+          dropCkpt(prevCkptFile)
+          prevCkptFile = ckptFileOf(trunc)
         }
       }
     } catch {

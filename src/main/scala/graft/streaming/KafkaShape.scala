@@ -70,14 +70,19 @@ object KafkaShape {
     * as a drop-rate step, not as slowly-thinning sessions. A deployment
     * that must account for every message routes the failing rows to a
     * dead-letter sink as well.
+    *
+    * `metricName` exists because observe() names must be unique within
+    * one query plan — a query decoding two topics (join/union of two
+    * [[fromKafkaShape]] legs) names each leg's metric distinctly.
     */
-  def fromKafkaShape(df: DataFrame): DataFrame = {
+  def fromKafkaShape(df: DataFrame,
+                     metricName: String = DecodeMetric): DataFrame = {
     val flagged = df
       .select(from_json(col("value").cast("string"), ValueSchema).as("e"))
       .withColumn("decoded",
         col("e").isNotNull &&
         col("e.event_id").isNotNull && col("e.ts").isNotNull)
-      .observe(DecodeMetric,
+      .observe(metricName,
         count(lit(1)).as("rows_in"),
         count(when(!col("decoded"), 1)).as("rows_dropped"))
     graft.sources.Tables.withTsUs(

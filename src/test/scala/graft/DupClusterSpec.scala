@@ -82,13 +82,15 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
     // one component, canonical 0, every node labeled
     assert(labels.keySet == (0L to n).toSet)
     assert(labels.values.forall(_ == 0L), s"non-minimum labels: $labels")
-    // checkpointing verifiably active: the loop wrote rdd checkpoints
-    // into the configured dir (an inactive cut would leave it empty)
+    // checkpointing verifiably active AND cleaned up: the ~21 rounds cut
+    // lineage twice (rounds 8 and 16), and the superseded first cut's
+    // files were deleted when the second landed — exactly one rdd
+    // checkpoint remains (zero = inactive cut; two+ = leaking cuts)
     val walk = java.nio.file.Files.walk(ckDir)
-    val wrote =
+    val kept =
       try walk.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
       finally walk.close()
-    assert(wrote >= 2, s"expected >=2 rdd checkpoints under $ckDir, saw $wrote")
+    assert(kept == 1, s"expected exactly 1 live rdd checkpoint under $ckDir, saw $kept")
   }
 
   test("d13 returns an empty result (not a crash) on a corpus with no pairs") {
