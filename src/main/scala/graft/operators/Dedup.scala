@@ -35,8 +35,50 @@ object Dedup {
     * nothing.
     */
   private val NumBlocks = 8
-  private val BlockWidth = Array(8, 8, 8, 8, 7, 7, 7, 7)
+  private[graft] val BlockWidth = Array(8, 8, 8, 8, 7, 7, 7, 7)
   private val BlockOff = BlockWidth.scanLeft(0)(_ + _).init
+
+  /** All C(B,c) c-block combinations of a block layout, each one
+    * candidate table, as (offset, width) slices. Pigeonhole: <= B - c
+    * differing bits leave some c blocks untouched, so the guaranteed
+    * radius of the (widths, c) family is B - c. The gate config is
+    * (BlockWidth, 2) — 28 pair tables at radius 6. THIS is the
+    * widen-the-keys knob for denser corpora: a finer split with more
+    * blocks per table (e.g. 10 x 6-bit blocks choose 4 — 210 tables of
+    * 24-bit keys, same radius 6) divides per-table bucket density by
+    * ~2^8 for 7.5x the table count; SimHashSpec proves the wider
+    * family's exhaustive recall and measures the density cut.
+    */
+  private[graft] def blockCombos(widths: Array[Int], c: Int): Seq[Seq[(Int, Int)]] = {
+    require(c >= 1 && c <= widths.length)
+    val offs = widths.scanLeft(0)(_ + _).init
+    widths.indices.combinations(c)
+      .map(_.map(i => (offs(i), widths(i))).toSeq).toSeq
+  }
+
+  /** One combo's bucket key: the c block slices of `simhash`,
+    * concatenated (bit-compatible with the c=2 form the oracle SQL
+    * writes as `blk_i * 2^w_j + blk_j`).
+    */
+  private def comboKey(combo: Seq[(Int, Int)]): org.apache.spark.sql.Column =
+    combo.foldLeft(lit(0L): org.apache.spark.sql.Column) { case (acc, (off, w)) =>
+      acc * lit(1L << w) +
+        shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+    }
+
+  /** (doc_id, simhash, tbl, bkey) bucket rows of a (widths, c) family
+    * over a (doc_id, simhash) frame — d03's candidate generator, exposed
+    * by family so specs exercise widened configs on the same machinery.
+    */
+  private[graft] def simhashBuckets(sigs: DataFrame,
+      widths: Array[Int], c: Int): DataFrame = {
+    val tables = blockCombos(widths, c).zipWithIndex.map { case (combo, t) =>
+      struct(lit(t).as("tbl"), comboKey(combo).as("bkey"))
+    }
+    sigs.select(col("doc_id"), col("simhash"),
+                explode(array(tables: _*)).as("bp"))
+      .select(col("doc_id"), col("simhash"), col("bp.tbl"), col("bp.bkey"))
+  }
 
   // --- MinHash parameters -------------------------------------------------
   private val NumHashes = 32
@@ -593,16 +635,7 @@ object Dedup {
         graft.expressions.GraftFunctions.register(s)
         val sigs = persistTracked("d03_sigs", Tables.documents(s, d)
           .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash")))
-        val blockPairs = for (i <- 0 until NumBlocks; j <- i + 1 until NumBlocks) yield
-          struct(lit(i * NumBlocks + j).as("tbl"),
-                 (shiftright(col("simhash"), BlockOff(i))
-                    .bitwiseAND(lit((1L << BlockWidth(i)) - 1)) * lit(1L << BlockWidth(j)) +
-                  shiftright(col("simhash"), BlockOff(j))
-                    .bitwiseAND(lit((1L << BlockWidth(j)) - 1))).as("bkey"))
-        val buckets = sigs
-          .select(col("doc_id"), col("simhash"),
-                  explode(array(blockPairs: _*)).as("bp"))
-          .select(col("doc_id"), col("simhash"), col("bp.tbl"), col("bp.bkey"))
+        val buckets = simhashBuckets(sigs, BlockWidth, 2)
         val a = buckets.toDF("a_id", "a_hash", "tbl", "bkey")
         val b = buckets.toDF("b_id", "b_hash", "tbl", "bkey")
         a.join(b, Seq("tbl", "bkey"))

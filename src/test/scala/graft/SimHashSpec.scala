@@ -78,6 +78,67 @@ class SimHashSpec extends AnyFunSuite with SparkFixture {
     assert(kernel.count() > 0)
   }
 
+  /** 60 bits as 10 blocks of 6, choose 4 — same guaranteed radius
+    * (10 - 4 = 6) with 24-bit keys: the widened config for corpora where
+    * the 28 pair tables' ~15-bit keys run too dense (measured turning
+    * over at sf10 — bench/BENCH_dedup_scale_r6.json).
+    */
+  private val WideWidths = Array.fill(10)(6)
+  private val WideChoose = 4
+
+  test("the widened 10-choose-4 family is exhaustively complete at the same radius") {
+    graft.expressions.GraftFunctions.register(spark)
+    assert(WideWidths.length - WideChoose == Dedup.SimHashRadius)
+    val sigsDf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash"))
+    val sigs = sigsDf.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      if java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2) <= Dedup.SimHashRadius
+    } yield (sigs(i)._1, sigs(j)._1)).toSet
+    assert(expected.nonEmpty, "no near-dup pairs at this radius; spec is vacuous")
+
+    val buckets = Dedup.simhashBuckets(sigsDf, WideWidths, WideChoose)
+    val a = buckets.toDF("a_id", "a_hash", "tbl", "bkey")
+    val b = buckets.toDF("b_id", "b_hash", "tbl", "bkey")
+    val got = a.join(b, Seq("tbl", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(bit_count(expr("a_hash ^ b_hash")) <= Dedup.SimHashRadius)
+      .select("a_id", "b_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the pigeonhole guarantee holds for the widened family too: with
+    // <= 6 differing bits, some 4 of the 10 blocks are untouched and that
+    // combination's table catches the pair
+    assert((expected -- got).isEmpty,
+      s"widened family missed ${(expected -- got).size} of ${expected.size} true pairs")
+    assert((got -- expected).isEmpty, "pairs beyond the radius emitted")
+  }
+
+  test("wider keys cut candidate work at the same radius (sf0.1)") {
+    val dir = "/root/testdata/sf0.1"
+    assume(new java.io.File(dir).isDirectory)
+    graft.expressions.GraftFunctions.register(spark)
+    val sigsDf = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash"))
+      .persist()
+    try {
+      // candidate work = sum over (tbl, bucket) of n*(n-1)/2 joined pairs
+      // — the self-join's actual row count, computed from bucket sizes
+      def pairWork(widths: Array[Int], c: Int): Long =
+        Dedup.simhashBuckets(sigsDf, widths, c)
+          .groupBy("tbl", "bkey").count()
+          .agg(sum(col("count") * (col("count") - 1))).head.getLong(0) / 2
+      val pairCfg = pairWork(Dedup.BlockWidth, 2)
+      val wideCfg = pairWork(WideWidths, WideChoose)
+      info(s"candidate pairs: 8-choose-2 = $pairCfg, 10-choose-4 = $wideCfg")
+      // 7.5x the tables but ~2^8 sparser buckets: the widened family must
+      // do strictly less join work on the same corpus
+      assert(wideCfg < pairCfg,
+        s"widened family did MORE candidate work ($wideCfg >= $pairCfg)")
+    } finally sigsDf.unpersist()
+  }
+
   test("d03 block-pair banding is exhaustively complete at the radius (sf0.01)") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(dir).isDirectory)
