@@ -256,16 +256,34 @@ object Dedup {
   }
 
   /** Rounds between lineage truncations in the label loop: deep enough
-    * that shallow real-world dup clusters (diameter < 8) never pay a
-    * checkpoint write, shallow enough that a pathological chain's plan
-    * and recovery path stay bounded.
+    * that shallow real-world dup clusters (a couple of jumped rounds)
+    * never pay a checkpoint write, shallow enough that the plan tree
+    * stays bounded — each round references the previous labels THREE
+    * times (neighbor join, label join, pointer jump), so the un-cut plan
+    * grows 3^rounds between checkpoints; 3^4 ≈ 81 leaf references is
+    * cheap where 3^8 made plan stringification alone blow the heap.
     */
-  private[graft] val CheckpointEvery = 8
+  private[graft] val CheckpointEvery = 4
+
+  /** Rounds the last [[propagateLabels]] run took — spec instrumentation
+    * for the logarithmic-rounds claim, nothing more.
+    */
+  @volatile private[graft] var lastPropagationRounds = 0
 
   /** Min-label propagation to connected components over a SYMMETRIC
     * (src, dst) edge table — d13/d14's core, factored so specs can drive
     * it with synthetic graph shapes (chains, empty graphs) that the
     * corpus can't produce. Returns (src, lbl = component minimum).
+    *
+    * Each round takes the min over TWO sources: the neighbors' labels
+    * (the Pregel step — one hop of the graph) and the label's OWN label
+    * (the pointer-jumping step — lbl is always a node id, so lbl(lbl(x))
+    * is defined and ≤ lbl(x)). Jumping halves label-chain depth per
+    * round, so convergence is O(log diameter) rounds instead of
+    * O(diameter): a 65k-hop chain converges in ~17 rounds where pure
+    * propagation needs 65k (DupClusterSpec drives exactly that). Both
+    * steps only ever LOWER labels toward the component minimum, so the
+    * fixpoint — and the DuckDB recursive-CTE oracle — is unchanged.
     *
     * Lineage: each round's plan references the previous round's, so a
     * deep component compounds both the logical plan and the
@@ -317,6 +335,7 @@ object Dedup {
     // label values (doc ids can be 60-bit hash-derived)
     var changed = 1L
     var rounds = 0
+    lastPropagationRounds = 0
     // any exception path (round cap, a failed job mid-round) must release
     // the in-flight persisted tables — they only reach the per-name
     // tracker after convergence, and a bench harness that swallows the
@@ -330,12 +349,22 @@ object Dedup {
           // cap or switch to pointer-jumping, never truncate the answer
           throw new IllegalStateException(
             "dup label propagation did not converge in 64 rounds")
+        // neighbor-min (one graph hop) ...
         val next = edges
           .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
           .groupBy("src").agg(min("nlbl").as("plbl"))
           .join(labels, "src")
-          .select(col("src"), least(col("lbl"), col("plbl")).as("lbl"),
-                  (col("plbl") < col("lbl")).as("ch"))
+          // ... then pointer-jump through the label table itself: the
+          // left join is total in practice (lbl is a node id, every node
+          // has a label row), coalesce only guards the degenerate frame
+          .join(labels.select(col("src").as("lbl"), col("lbl").as("jlbl")),
+                Seq("lbl"), "left")
+          .select(col("src"),
+                  least(col("lbl"), col("plbl"),
+                        coalesce(col("jlbl"), col("lbl"))).as("nxt"),
+                  col("lbl").as("cur"))
+          .select(col("src"), col("nxt").as("lbl"),
+                  (col("nxt") < col("cur")).as("ch"))
           .persist()
         changed =
           try next.filter(col("ch")).count() // materializes next
@@ -344,6 +373,7 @@ object Dedup {
         cached = next
         labels = next.select("src", "lbl")
         rounds += 1
+        lastPropagationRounds = rounds
         if (changed > 0 && rounds % CheckpointEvery == 0) {
           // eager checkpoint: writes the cached partitions, cuts the plan
           // at a scan of the checkpoint files (on throw, the outer catch

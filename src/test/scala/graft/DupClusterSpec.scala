@@ -64,28 +64,35 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
-  test("a chain deeper than the checkpoint interval converges with lineage cut") {
+  test("a 65k-hop chain converges in logarithmic rounds with lineage cut") {
     val sp = spark
     import sp.implicits._
+    import org.apache.spark.sql.functions.col
     import graft.operators.Dedup
-    // a path graph 0-1-2-...-N: min-label propagation moves label 0 one
-    // hop per round, so rounds ≈ N — forcing several CheckpointEvery
-    // boundaries (the corpus can't produce this shape; real dup clusters
-    // are shallow)
-    val n = Dedup.CheckpointEvery * 2 + 5 // 21 edges -> ~21 rounds, 2 cuts
+    // a path graph 0-1-2-...-N, the worst case for pure propagation
+    // (label 0 moves one hop per round — N rounds; the pre-jumping loop
+    // would hit its 64-round cap and throw on this input). Pointer
+    // jumping halves label-chain depth per round: expected ~log2(N)
+    // rounds, crossing the CheckpointEvery boundary at least twice so
+    // the lineage cuts and their cleanup are exercised too.
+    val n = 1 << 16
     val ckDir = java.nio.file.Files.createTempDirectory("graft_ckpt_spec")
     spark.sparkContext.setCheckpointDir(ckDir.toString)
-    val fwd = (0 until n).map(i => (i.toLong, i.toLong + 1))
-    val edges = (fwd ++ fwd.map(_.swap)).toDF("src", "dst")
+    val fwd = spark.range(n).select(col("id").as("src"), (col("id") + 1).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
     val labels = Dedup.propagateLabels(spark, edges)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // one component, canonical 0, every node labeled
-    assert(labels.keySet == (0L to n).toSet)
-    assert(labels.values.forall(_ == 0L), s"non-minimum labels: $labels")
-    // checkpointing verifiably active AND cleaned up: the ~21 rounds cut
-    // lineage twice (rounds 8 and 16), and the superseded first cut's
-    // files were deleted when the second landed — exactly one rdd
-    // checkpoint remains (zero = inactive cut; two+ = leaking cuts)
+    assert(labels.count() == n + 1L)
+    assert(labels.filter(col("canonical_id") =!= 0L).count() == 0,
+      "non-minimum labels survived")
+    info(s"converged in ${Dedup.lastPropagationRounds} rounds for a $n-hop chain")
+    assert(Dedup.lastPropagationRounds <= 2 * 16 + 4,
+      s"rounds ${Dedup.lastPropagationRounds} not logarithmic in the 2^16 diameter")
+    // checkpointing verifiably active AND cleaned up: >= 2 lineage cuts
+    // happened, superseded cuts' files were deleted — exactly one rdd
+    // checkpoint remains (zero = inactive cut; several = leaking cuts)
+    assert(Dedup.lastPropagationRounds >= 2 * Dedup.CheckpointEvery,
+      "chain converged before exercising two checkpoint intervals")
     val walk = java.nio.file.Files.walk(ckDir)
     val kept =
       try walk.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
