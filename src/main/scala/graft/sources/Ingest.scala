@@ -76,4 +76,29 @@ object Ingest {
   /** Read the event lake with partition pruning driven by `day` filters. */
   def readEventLake(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Write the event lake day-partitioned AND bucketed+sorted by
+    * `user_id` — the produce-side of the zero-exchange story: `day=`
+    * directories prune time-bounded scans before any IO, and the bucket
+    * layout pre-shuffles the key every stateful consumer (sessionize,
+    * per-user joins, per-user aggs) groups on, ONCE at write time, so
+    * downstream joins/aggregations on `user_id` read co-located buckets
+    * with no exchange on the lake side (IngestSpec proves both plan
+    * properties). Bucket metadata lives in the table catalog —
+    * `saveAsTable`, not a bare path write, which would silently drop it.
+    *
+    * Bucket count is a layout constant, not a per-write tunable: every
+    * writer of the same table must agree (Spark refuses mismatched
+    * appends), and consumers see `buckets` parallel tasks per partition
+    * — size it to executor count at the target scale.
+    */
+  def writeBucketedEventLake(df: DataFrame, table: String,
+      buckets: Int = 8): Unit =
+    df.withColumn("day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("day")
+      .bucketBy(buckets, "user_id")
+      .sortBy("user_id")
+      .saveAsTable(table)
 }

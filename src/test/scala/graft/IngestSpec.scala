@@ -89,6 +89,45 @@ class IngestSpec extends AnyFunSuite with SparkFixture {
     assert(got == Map(1L -> Some(7), 2L -> None, 3L -> None))
   }
 
+  test("bucketed event lake: day pruning plus exchange-free user aggregation") {
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "ts_us", "value")
+    try {
+      Ingest.writeBucketedEventLake(events, "graft_events_bkt", buckets = 4)
+      val lake = spark.table("graft_events_bkt")
+      assert(lake.select("day").distinct().count() > 1,
+        "expected multiple day partitions")
+
+      // (a) the day directories still prune: a one-day read carries a
+      // partition filter in its scan
+      val oneDay = lake.select(max(col("day")).cast("string")).head.getString(0)
+      val dayPlan = lake.filter(col("day") === oneDay)
+        .queryExecution.executedPlan.toString
+      assert(dayPlan.contains("PartitionFilters: [isnotnull(day"),
+        s"day filter not a partition filter:\n$dayPlan")
+
+      // (b) the bucket layout carries the user_id distribution: a
+      // per-user aggregate over the lake needs NO shuffle exchange —
+      // the write-time bucketing already did it
+      val perUser = lake.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value") + lit(1e-6), 2).as("v"))
+      perUser.write.format("noop").mode("overwrite").save()
+      val aggPlan = perUser.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("Exchange"),
+        s"bucketed per-user agg still shuffled:\n$aggPlan")
+      assert(aggPlan.contains("Bucketed: true"), s"scan not bucketed:\n$aggPlan")
+
+      // (c) and the numbers equal the plain shuffled aggregation
+      val viaLake = perUser.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val plain = events.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum("value") + lit(1e-6), 2).as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaLake == plain)
+      assert(viaLake.nonEmpty)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_events_bkt")
+  }
+
   test("day-partitioned lake prunes partitions on day filters") {
     val tmp = Files.createTempDirectory("graft_lake").toString
     Ingest.writeEventLake(
