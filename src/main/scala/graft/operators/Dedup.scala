@@ -51,6 +51,10 @@ object Dedup {
     */
   private[graft] def blockCombos(widths: Array[Int], c: Int): Seq[Seq[(Int, Int)]] = {
     require(c >= 1 && c <= widths.length)
+    // the key fold must fit a Long: reject configs whose widest c blocks
+    // exceed 63 bits HERE, not as an ANSI overflow mid-join
+    require(widths.sorted.reverse.take(c).sum <= 63,
+      s"combined key width of the widest $c blocks exceeds 63 bits")
     val offs = widths.scanLeft(0)(_ + _).init
     widths.indices.combinations(c)
       .map(_.map(i => (offs(i), widths(i))).toSeq).toSeq
@@ -265,11 +269,6 @@ object Dedup {
     */
   private[graft] val CheckpointEvery = 4
 
-  /** Rounds the last [[propagateLabels]] run took — spec instrumentation
-    * for the logarithmic-rounds claim, nothing more.
-    */
-  @volatile private[graft] var lastPropagationRounds = 0
-
   /** Min-label propagation to connected components over a SYMMETRIC
     * (src, dst) edge table — d13/d14's core, factored so specs can drive
     * it with synthetic graph shapes (chains, empty graphs) that the
@@ -293,7 +292,15 @@ object Dedup {
     * the lineage cut there. persist() stays the hot path — the
     * checkpoint is the recovery floor, not an extra read per round.
     */
-  private[graft] def propagateLabels(s: SparkSession, edges: DataFrame): DataFrame = {
+  private[graft] def propagateLabels(s: SparkSession, edges: DataFrame): DataFrame =
+    propagateLabelsCounted(s, edges)._1
+
+  /** [[propagateLabels]] plus the round count it took — the count exists
+    * for the logarithmic-rounds spec; returning it (rather than stashing
+    * it in shared state) keeps concurrent runs from racing.
+    */
+  private[graft] def propagateLabelsCounted(
+      s: SparkSession, edges: DataFrame): (DataFrame, Int) = {
     if (s.sparkContext.getCheckpointDir.isEmpty) {
       // a JVM-local temp dir is only a valid checkpoint target when the
       // executors share the driver's filesystem; on a real cluster each
@@ -335,7 +342,6 @@ object Dedup {
     // label values (doc ids can be 60-bit hash-derived)
     var changed = 1L
     var rounds = 0
-    lastPropagationRounds = 0
     // any exception path (round cap, a failed job mid-round) must release
     // the in-flight persisted tables — they only reach the per-name
     // tracker after convergence, and a bench harness that swallows the
@@ -344,9 +350,10 @@ object Dedup {
       while (changed > 0) {
         if (rounds >= 64)
           // silent exit would emit non-components and quietly diverge
-          // from the oracle; a >64-diameter graph is data pathology
-          // (checkpointing bounds lineage, not round count) — raise the
-          // cap or switch to pointer-jumping, never truncate the answer
+          // from the oracle. With pointer jumping, rounds ~ log2 of the
+          // deepest component's diameter — 64 rounds covers any graph
+          // that fits in longs, so a trip here means the loop is BROKEN
+          // (labels rising, a non-symmetric edge table), not big data.
           throw new IllegalStateException(
             "dup label propagation did not converge in 64 rounds")
         // neighbor-min (one graph hop) ...
@@ -373,7 +380,6 @@ object Dedup {
         cached = next
         labels = next.select("src", "lbl")
         rounds += 1
-        lastPropagationRounds = rounds
         if (changed > 0 && rounds % CheckpointEvery == 0) {
           // eager checkpoint: writes the cached partitions, cuts the plan
           // at a scan of the checkpoint files (on throw, the outer catch
@@ -392,8 +398,9 @@ object Dedup {
     } catch {
       case t: Throwable => cached.unpersist(blocking = false); throw t
     }
-    persistTracked("d13_labels", cached)
-      .select(col("src").as("doc_id"), col("lbl").as("canonical_id"))
+    (persistTracked("d13_labels", cached)
+       .select(col("src").as("doc_id"), col("lbl").as("canonical_id")),
+     rounds)
   }
 
   /** Near-dup cluster labels (doc_id, canonical_id = component minimum)
@@ -549,11 +556,12 @@ object Dedup {
     // at min(self, neighbors) and each round takes the min over its
     // neighbors' labels, until a round changes nothing. The driver sees
     // only ONE SCALAR per round (the count of labels lowered); the label
-    // table itself never leaves the executors. Rounds ≈ cluster diameter
-    // (near-dup clusters are shallow; capped defensively), each round is
-    // one shuffle of the label table, and every CheckpointEvery rounds
-    // the table is checkpointed so a deep component's lineage (and
-    // failure-recovery path) stays bounded — see propagateLabels.
+    // table itself never leaves the executors. Rounds ≈ log2 of the
+    // deepest cluster's diameter (each round also pointer-jumps through
+    // the label table; capped defensively), each round shuffles the
+    // label table, and every CheckpointEvery rounds the table is
+    // checkpointed so lineage and the failure-recovery path stay
+    // bounded — see propagateLabels.
     //
     // Oracle: the same components via a recursive CTE (DuckDB WITH
     // RECURSIVE reachability, min over reached ids), over the same d02

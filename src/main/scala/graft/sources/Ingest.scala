@@ -95,6 +95,13 @@ object Ingest {
   def writeBucketedEventLake(df: DataFrame, table: String,
       buckets: Int = 8): Unit =
     df.withColumn("day", date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd"))
+      // bucketed writes do NOT shuffle — each input task emits its own
+      // file per (day, bucket), so an unpartitioned 100-TB write would
+      // fragment into tasks x days x buckets files. Repartitioning on
+      // (day, bucket-id) — hash() is the same Murmur3 family bucketing
+      // uses — lands each (day, bucket) in ONE task: one file each,
+      // the bucketed twin of writeEventLake's repartition("day").
+      .repartition(col("day"), pmod(hash(col("user_id")), lit(buckets)))
       .write
       .mode(SaveMode.Overwrite)
       .partitionBy("day")

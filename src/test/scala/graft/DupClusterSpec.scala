@@ -80,18 +80,18 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
     spark.sparkContext.setCheckpointDir(ckDir.toString)
     val fwd = spark.range(n).select(col("id").as("src"), (col("id") + 1).as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-    val labels = Dedup.propagateLabels(spark, edges)
+    val (labels, rounds) = Dedup.propagateLabelsCounted(spark, edges)
     // one component, canonical 0, every node labeled
     assert(labels.count() == n + 1L)
     assert(labels.filter(col("canonical_id") =!= 0L).count() == 0,
       "non-minimum labels survived")
-    info(s"converged in ${Dedup.lastPropagationRounds} rounds for a $n-hop chain")
-    assert(Dedup.lastPropagationRounds <= 2 * 16 + 4,
-      s"rounds ${Dedup.lastPropagationRounds} not logarithmic in the 2^16 diameter")
+    info(s"converged in $rounds rounds for a $n-hop chain")
+    assert(rounds <= 2 * 16 + 4,
+      s"rounds $rounds not logarithmic in the 2^16 diameter")
     // checkpointing verifiably active AND cleaned up: >= 2 lineage cuts
     // happened, superseded cuts' files were deleted — exactly one rdd
     // checkpoint remains (zero = inactive cut; several = leaking cuts)
-    assert(Dedup.lastPropagationRounds >= 2 * Dedup.CheckpointEvery,
+    assert(rounds >= 2 * Dedup.CheckpointEvery,
       "chain converged before exercising two checkpoint intervals")
     val walk = java.nio.file.Files.walk(ckDir)
     val kept =
