@@ -628,6 +628,67 @@ object Dedup {
          |WHERE l.doc_id IS NULL OR l.canonical_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin),
 
+    // Benchmark decontamination: flag training-split documents whose
+    // 3-word-shingle sets overlap the held-out test split — the standard
+    // scrub that keeps evaluation data out of a training corpus (without
+    // it, benchmark numbers measure memorization). Benchmark = d11's
+    // deterministic test split, so the op is self-contained and every
+    // stage reuses already-oracle-checked pieces: the md5-60-bit shingle
+    // family (d02/d08) and the split rule (d11/d14).
+    //
+    // Scale shape: the benchmark's distinct shingle set is SMALL (real
+    // benchmark suites are thousands of docs) — broadcast it; the
+    // training side then streams through one scan + local hash lookups
+    // and a per-doc partial count, no corpus shuffle. A benchmark too
+    // big to broadcast degrades to an ordinary shuffled equality join on
+    // the shingle hash — same plan minus the hint.
+    "d16_decontaminate" -> OpDef.sql(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          .withColumn("split", splitOf(splitBucket(col("doc_id"))))
+          .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+          .filter(size(col("mh")) > 0)
+        val bench = docs.filter(col("split") === "test")
+          .select(explode(col("mh")).as("h")).distinct()
+        docs.filter(col("split") === "train")
+          .select(col("doc_id"), size(col("mh")).cast("bigint").as("n_shingles"),
+                  explode(col("mh")).as("h"))
+          .join(broadcast(bench.withColumn("hit", lit(1))), Seq("h"), "left")
+          .groupBy("doc_id", "n_shingles")
+          .agg(count(col("hit")).as("n_shared"))
+          // threshold on the RAW ratio (d02/d04 convention); the emitted
+          // ratio is epsilon-rounded for cross-engine hashing
+          .filter(col("n_shared").cast("double") / col("n_shingles") >= 0.2)
+          .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+                  round(col("n_shared").cast("double") / col("n_shingles")
+                          + lit(1e-8), 4).as("overlap"))
+          .orderBy("doc_id")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, ${duckSplitCase("doc_id")} AS split,
+         |         string_split_regex(text, '\\s+') AS ws
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, split, list_distinct(list_transform(
+         |    generate_series(1, len(ws) - 2),
+         |    i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15))::BIGINT)) AS hs
+         |  FROM w),
+         |nz AS (SELECT * FROM sh WHERE len(hs) > 0),
+         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM nz WHERE split = 'test'),
+         |tr AS (
+         |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+         |  FROM nz WHERE split = 'train'),
+         |hits AS (
+         |  SELECT t.doc_id, t.n_shingles, count(b.h) AS n_shared
+         |  FROM tr t LEFT JOIN bench b ON t.h = b.h
+         |  GROUP BY t.doc_id, t.n_shingles)
+         |SELECT doc_id, n_shingles, n_shared,
+         |       round(CAST(n_shared AS DOUBLE) / n_shingles + 1e-8, 4) AS overlap
+         |FROM hits
+         |WHERE CAST(n_shared AS DOUBLE) / n_shingles >= 0.2
+         |ORDER BY doc_id""".stripMargin),
+
     // SimHash: 64-bit per-row signature, then near-dup pairs at Hamming
     // distance <= SimHashRadius.
     //

@@ -100,6 +100,36 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
     assert(kept == 1, s"expected exactly 1 live rdd checkpoint under $ckDir, saw $kept")
   }
 
+  test("d16 flags exactly the train docs sharing >= 20% shingles with the test split") {
+    import org.apache.spark.sql.functions._
+    graft.expressions.GraftFunctions.register(spark)
+    // independent ground truth: collect every doc's shingle set and split,
+    // compute the overlap in plain Scala (affordable at sf0.001 only)
+    val rows = graft.sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+              expr("md5_shingle3_hashes(text)").as("mh"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1).toSet))
+      .filter(_._2.nonEmpty)
+    val splits = SparkEntry.queries("d11_hash_sample")(spark, sfDir)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchSet = rows.filter(r => splits(r._1) == "test").flatMap(_._2).toSet
+    val expected = rows.filter(r => splits(r._1) == "train").collect {
+      case (id, sh) if sh.count(benchSet).toDouble / sh.size >= 0.2 =>
+        id -> sh.count(benchSet)
+    }.toMap
+    assert(expected.nonEmpty, "no contaminated docs at sf0.001; spec is vacuous")
+
+    val got = SparkEntry.queries("d16_decontaminate")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == expected.keySet,
+      s"flagged set diverges: extra=${(got.keySet -- expected.keySet).take(3)} " +
+        s"missing=${(expected.keySet -- got.keySet).take(3)}")
+    got.foreach { case (id, shared) =>
+      assert(shared == expected(id).toLong, s"doc $id shared-count $shared != ${expected(id)}")
+    }
+  }
+
   test("d13 returns an empty result (not a crash) on a corpus with no pairs") {
     val sp = spark
     import sp.implicits._
