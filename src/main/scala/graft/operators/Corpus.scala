@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.OpDef
+import graft.sources.Tables
+
+/** Corpus-construction operators: the steps between "deduped documents"
+  * and "bytes a trainer reads" — domain-mixture resampling and sequence
+  * packing. Both are deterministic functions of the data (md5-derived
+  * buckets, no RNG), so a re-run after a failure reproduces the same
+  * corpus — the property that makes a 100-TB build resumable.
+  */
+object Corpus {
+
+  /** Count of regex matches in a column (codegen'd, no UDF). */
+  private def nMatches(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  private val WsTokenPat = "\\S+"
+
+  /** Deterministic salted md5 bucket of a doc id in [0, mod) — the same
+    * 60-bit md5-prefix construction as d08/d11, with a salt so each
+    * consumer (mixture accept/reject, packing shard) draws an independent
+    * "random" stream from the same id.
+    */
+  private def saltedBucket(salt: String, id: Column, mod: Int): Column =
+    conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("long") % mod
+
+  private def duckSaltedBucket(salt: String, idSql: String, mod: Int): String =
+    s"('0x' || substr(md5('$salt:' || CAST($idSql AS VARCHAR)), 1, 15))::BIGINT % $mod"
+
+  /** Demo per-source weight for the gate entry: a small deterministic
+    * function of the source name (suffix mod 4, weights 1–4). A real
+    * pipeline passes a curated weight table; everything downstream of
+    * `w` is independent of where the weights came from.
+    */
+  private def demoWeight(source: Column): Column =
+    (substring(source, 4, 10).cast("int") % 4 + 1).cast("long")
+
+  // Mixture sampling-rate quantization: rates are materialized as an
+  // integer threshold out of 10000 so the accept test is exact-integer
+  // in both engines (the double rate itself never gets hashed).
+  private val RateScale = 10000
+
+  val defs: Map[String, OpDef] = Map(
+
+    // Domain-mixture resampling: downsample over-represented sources so
+    // the kept corpus matches target proportions (the "data mixing" step
+    // of every LLM corpus build — e.g. The Pile / Dolma publish exactly
+    // such weights). Rates are chosen so the most-constrained source is
+    // kept in full and every other source is downsampled toward its
+    // target share: M = min_s(n_s / p_s), rate_s = min(1, p_s * M / n_s).
+    //
+    // Scale shape: pass 1 is a 20-group count (map-side partial agg —
+    // bytes of shuffle); the two scalar reductions over that 20-row
+    // table are driver-free cross joins; pass 2 streams the corpus once
+    // against the BROADCAST rate table with a per-row md5 accept test.
+    // Two scans total, no corpus shuffle, and the accept decision is a
+    // pure function of doc_id — adding data never flips a prior keep.
+    "d17_source_mixture" -> OpDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val counts = docs.groupBy("source")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("w", demoWeight(col("source")))
+        val sw = counts.agg(sum(col("w")).as("sw"))
+        val withSw = counts.crossJoin(broadcast(sw))
+        val mm = withSw.agg(min(col("n").cast("double") * col("sw") / col("w")).as("mm"))
+        val rates = withSw.crossJoin(broadcast(mm))
+          .withColumn(
+            "rate",
+            least(lit(1.0), col("w").cast("double") * col("mm") / col("sw") / col("n")))
+          .withColumn("rate_q", floor(col("rate") * RateScale + lit(1e-9)))
+          .select("source", "rate_q")
+        docs.join(broadcast(rates), "source")
+          .filter(saltedBucket("mix", col("doc_id"), RateScale) < col("rate_q"))
+          .select(col("doc_id"), col("source"), col("rate_q"))
+          .orderBy("doc_id")
+      },
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n,
+         |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+         |  FROM documents GROUP BY source),
+         |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c),
+         |m AS (SELECT min(CAST(n AS DOUBLE) * sw / w) AS mm FROM c, s),
+         |r AS (
+         |  SELECT source,
+         |         CAST(floor(least(1.0, CAST(w AS DOUBLE) * mm / sw / n)
+         |                    * $RateScale + 1e-9) AS BIGINT) AS rate_q
+         |  FROM c, s, m)
+         |SELECT d.doc_id, d.source, r.rate_q
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE ${duckSaltedBucket("mix", "d.doc_id", RateScale)} < r.rate_q
+         |ORDER BY d.doc_id""".stripMargin),
+
+    // Sequence packing: lay documents end-to-end into fixed-token-budget
+    // bins (the training-file layout step — trainers read fixed-length
+    // token streams, not ragged documents). Each doc gets (shard, bin,
+    // offset): byte-exact bookkeeping a packer/loader can follow.
+    //
+    // True first-fit packing is inherently sequential, so the scalable
+    // form shards first: docs are md5-sharded, and packing runs as an
+    // ordinary windowed cumulative sum WITHIN each shard — shards pack
+    // in parallel with zero coordination, and shard count scales with
+    // the corpus (8 here ≈ one shard per output file at gate scale).
+    // The only shuffle is the hash partition by shard; no global sort
+    // exists anywhere in the plan.
+    "d18_seq_pack" -> OpDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d).select(
+          col("doc_id"),
+          nMatches(col("text"), WsTokenPat).as("n_tokens"),
+          saltedBucket("pack", col("doc_id"), 8).cast("int").as("shard"))
+        val w = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+          .select(col("doc_id"), col("shard"), col("n_tokens"),
+                  expr("(cum - n_tokens) div 256").as("bin_id"),
+                  expr("(cum - n_tokens) % 256").as("bin_offset"))
+          .orderBy("doc_id")
+      },
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
+         |         CAST(${duckSaltedBucket("pack", "doc_id", 8)} AS INT) AS shard
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tokens,
+         |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t)
+         |SELECT doc_id, shard, n_tokens,
+         |       (cum - n_tokens) // 256 AS bin_id,
+         |       (cum - n_tokens) % 256 AS bin_offset
+         |FROM c ORDER BY doc_id""".stripMargin)
+  )
+}
