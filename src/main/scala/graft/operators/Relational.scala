@@ -610,6 +610,41 @@ object Relational {
         .groupBy("c_mktsegment")
         .agg(approx_count_distinct(col("o_custkey"), 0.023).as("approx_buyers"),
              count(lit(1)).as("n_orders"))
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // Latest-snapshot compaction: the newest listing per part (reference:
+    // the CURRENT pricelist, vs q01's all-time stats) — and the general
+    // CDC/upsert compaction shape: collapse a change log to its most
+    // recent version per key. Recency order is (l_shipdate, l_orderkey,
+    // l_linenumber) so the winner is total-ordered even when timestamps
+    // collide. row_number partitioned by l_partkey: a HIGH-cardinality
+    // partition key (sf·200k parts), so the window parallelizes with the
+    // data — one hash shuffle + per-key sort, the same plan at 100 TB
+    // (the q18 anti-pattern is only the LOW-cardinality window). A
+    // max_by(struct, struct) aggregate would also be map-side combinable,
+    // but DuckDB's arg_max/max_by cannot order by a struct, and the gate's
+    // value is both engines running the SAME total order.
+    "q34_latest_snapshot" -> OpDef.sql(
+      (s, d) => {
+        val w = Window.partitionBy("l_partkey")
+          .orderBy(col("l_shipdate").desc, col("l_orderkey").desc,
+                   col("l_linenumber").desc)
+        Tables.lineitem(s, d)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("l_partkey"), to_date(col("l_shipdate")).as("as_of_day"),
+                  col("l_orderkey"), col("l_linenumber"),
+                  r2e(col("l_extendedprice")).as("cur_price"),
+                  r2e(col("l_quantity")).as("cur_qty"))
+          .orderBy("l_partkey")
+      },
+      """SELECT l_partkey, CAST(l_shipdate AS DATE) AS as_of_day,
+        |       l_orderkey, l_linenumber,
+        |       round(l_extendedprice + 1e-6, 2) AS cur_price,
+        |       round(l_quantity + 1e-6, 2) AS cur_qty
+        |FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |        ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rk
+        |      FROM lineitem)
+        |WHERE rk = 1 ORDER BY l_partkey""".stripMargin)
   )
 }

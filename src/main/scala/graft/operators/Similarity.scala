@@ -32,6 +32,34 @@ object Similarity {
   private[graft] val MaxBandBits = 16
   private[graft] val MinBandBits = 4
   private[graft] val TargetBucket = 32L
+  // e04 semantic-dedup geometry: cell count is density-laddered like
+  // d09's band widths — the smallest power-of-two cell count in
+  // [MinSemCells, MaxSemCells] keeping mean cell density <= TargetCell,
+  // since in-cell pair work is density^2 (the d09 lesson: a fixed cell
+  // count measured 45x runtime at 10x data). 256 cells at density 64
+  // carries a ~16k-vector corpus; beyond the cap, raise MaxSemCells
+  // (the knob, not the shape, changes — the oracle's anchor table and
+  // the assignment plan are the same at any width) or move to e03's
+  // trained quantizer, whose cell count is runtime data, not SQL text.
+  private[graft] val MinSemCells = 16
+  private[graft] val MaxSemCells = 256
+  private[graft] val TargetCell = 64L
+
+  /** Active cell count from the corpus count — the same generated integer
+    * CASE ladder in Spark and DuckDB (no float log2 at a boundary).
+    */
+  private[graft] def semCellsCase(cntSql: String): String =
+    Iterator.iterate(MinSemCells)(_ * 2).takeWhile(_ < MaxSemCells)
+      .map(c => s"WHEN $cntSql <= ${c * TargetCell} THEN $c")
+      .mkString("CASE ", " ", s" ELSE $MaxSemCells END")
+
+  /** The Scala twin of [[semCellsCase]] (for specs). */
+  private[graft] def semCells(n: Long): Int = {
+    var c = MinSemCells
+    while (c < MaxSemCells && n > c * TargetCell) c *= 2
+    c
+  }
+
   // IVF (e03) geometry: corpus partitioned into NumCells Voronoi cells,
   // queries probe the NProbe nearest — the scanned fraction is ~NProbe/
   // NumCells of the corpus (vs e01's full scan), the classic ANN scale
@@ -322,6 +350,92 @@ object Similarity {
           .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
                   col("col.id").as("neighbor_id"), col("col.score").as("sim"))
           .orderBy("q_id", "rk")
+      }),
+
+    // Semantic dedup (SemDeDup-style, arXiv:2303.09540 shape): partition
+    // the embedding space into cells, then within each cell drop every
+    // vector that has a LOWER-id near-duplicate (cosine >= 0.35) in the
+    // same cell — the "keep one representative per semantic duplicate
+    // set" pruning step of an embedding-curated corpus. Fully
+    // SQL-expressible (unlike e03's Lloyd loop) because the quantizer
+    // here is the DETERMINISTIC seed-anchor assignment: nearest of the
+    // active anchors by epsilon-rounded cosine, ties to the lower cell —
+    // so the whole pipeline (assignment, in-cell pairs, survivor
+    // anti-join) hash-matches DuckDB running the same arithmetic.
+    //
+    // Scale shape: anchor assignment is a broadcast cross-join + one
+    // max_by groupBy (map-side combinable, like e03's); the in-cell pair
+    // step shuffles on cell and its work is (cell density)^2, so the
+    // ACTIVE cell count is density-laddered from the corpus count
+    // (semCellsCase — one-row broadcast, no driver action; the d09
+    // discipline): the anchor table is MaxSemCells wide static SQL text,
+    // assignment only considers cells below the ladder value, and the
+    // planes family is prefix-consistent, so a small corpus's cells are
+    // a strict prefix of a large one's. The anchors are double planes
+    // truncated to FLOAT (the embedding element type), the oracle's
+    // literals those same float values — both engines fold in double
+    // over identical inputs.
+    "e04_semantic_dedup" -> OpDef.sql(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val sp = s
+        import sp.implicits._
+        val emb = Tables.embeddings(s, d)
+        val anchors = planes(MaxSemCells).zipWithIndex
+          .map { case (p, i) => (i, p.map(_.toFloat).toSeq) }.toSeq
+          .toDF("cell", "anchor")
+        val sized = emb
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
+          .withColumn("ncells", expr(semCellsCase("corpus_n")))
+        val assigned = sized.crossJoin(broadcast(anchors))
+          .filter(col("cell") < col("ncells"))
+          .withColumn("sim_a",
+            round(expr("cosine_sim(embedding, anchor)") + lit(1e-10), 6))
+          .groupBy("vec_id")
+          .agg(expr("max_by(cell, named_struct('s', sim_a, 'c', -cell))").as("cell"),
+               first(col("embedding")).as("embedding"))
+        val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
+                                col("embedding").as("a_vec"))
+        val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
+                                col("embedding").as("b_vec"))
+        val removed = a.join(b, Seq("cell"))
+          .filter(col("a_id") < col("b_id"))
+          .filter(round(expr("cosine_sim(a_vec, b_vec)") + lit(1e-10), 6) >= 0.35)
+          .select(col("b_id").as("vec_id")).distinct()
+        assigned.join(removed, Seq("vec_id"), "left_anti")
+          .select(col("vec_id"), col("cell"))
+          .orderBy("vec_id")
+      }, {
+        // anchor literals = the Spark side's float-truncated planes,
+        // rendered through Double.toString (shortest repr that
+        // round-trips, so DuckDB parses back the identical double)
+        val anchorRows = planes(MaxSemCells).zipWithIndex.map { case (p, i) =>
+          p.map(x => x.toFloat.toDouble).mkString(s"($i, [", ",", "]::DOUBLE[])")
+        }.mkString(",\n           ")
+        s"""WITH anchors(cell, anchor) AS (VALUES
+           |           $anchorRows),
+           |n AS (SELECT count(*) AS corpus_n FROM embeddings),
+           |p AS (SELECT ${semCellsCase("corpus_n")} AS ncells FROM n),
+           |scored AS (
+           |  SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, a.cell,
+           |         round(list_cosine_similarity(e.embedding::DOUBLE[], a.anchor)
+           |               + 1e-10, 6) AS sim_a
+           |  FROM embeddings e, anchors a, p WHERE a.cell < p.ncells),
+           |assigned AS (
+           |  SELECT vec_id, vec, cell FROM (
+           |    SELECT vec_id, vec, cell,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY sim_a DESC, cell) AS rk
+           |    FROM scored) WHERE rk = 1),
+           |removed AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+           |  WHERE round(list_cosine_similarity(a.vec, b.vec) + 1e-10, 6) >= 0.35)
+           |SELECT a.vec_id, a.cell FROM assigned a
+           |LEFT JOIN removed r ON a.vec_id = r.vec_id
+           |WHERE r.vec_id IS NULL
+           |ORDER BY a.vec_id""".stripMargin
       }),
 
     // LSH-bucketed approximate nearest neighbors: equality join on the

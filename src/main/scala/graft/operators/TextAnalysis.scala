@@ -26,6 +26,13 @@ object TextAnalysis {
   private val BpeTokenPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   private val PunctPat = "[.,!?;:]"
 
+  // PII patterns (d19). ASCII-only constructs so Java regex (Spark) and
+  // RE2 (DuckDB) agree: classes, bounded repeats, and \b word boundaries
+  // behave identically over ASCII; no backrefs/lookaround (RE2 has none).
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Pat = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val NumPat = "[0-9]{2,}"
+
   private def scored(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("en_hits", nMatches(col("text"), EnPat))
@@ -207,6 +214,102 @@ object TextAnalysis {
         |            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2])))) AS DOUBLE)
         |          / greatest(len(ws) - 2, 0) + 1e-8, 4)
         |  END AS distinct_shingle_ratio
-        |FROM w ORDER BY doc_id""".stripMargin)
+        |FROM w ORDER BY doc_id""".stripMargin),
+
+    // PII / sensitive-token scrub: redact emails, IPv4 addresses, and
+    // digit runs from event payloads, with per-pattern counts — the
+    // log-scrubbing pass a training pipeline runs before free-text fields
+    // enter a corpus. Redaction is staged (emails, then IPs in the
+    // email-scrubbed text, then remaining digit runs) so the counts are
+    // DISJOINT: an IP's octets are one IP hit, not also digit-run hits.
+    // Everything is per-row regexp_replace/extract_all — codegen'd,
+    // scan-speed, no shuffle, like d05–d07. The gate runs it over the
+    // events payloads (the driver corpus's only digit-bearing text);
+    // PiiScrubSpec exercises real emails/IPs/phones on a synthetic feed.
+    "d19_pii_scrub" -> OpDef.sql(
+      (s, d) => {
+        val noEmail = regexp_replace(col("props"), EmailPat, "<EMAIL>")
+        val noIp = regexp_replace(noEmail, Ipv4Pat, "<IP>")
+        val clean = regexp_replace(noIp, NumPat, "<NUM>")
+        Tables.events(s, d)
+          .select(col("event_id"),
+                  nMatches(col("props"), EmailPat).as("n_emails"),
+                  nMatches(noEmail, Ipv4Pat).as("n_ips"),
+                  nMatches(noIp, NumPat).as("n_nums"),
+                  length(clean).as("clean_len"),
+                  md5(clean).as("clean_hash"))
+          .orderBy("event_id")
+      },
+      s"""SELECT event_id,
+         |  CAST(len(regexp_extract_all(props, '$EmailPat')) AS INT) AS n_emails,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(props, '$EmailPat', '<EMAIL>', 'g'),
+         |    '$Ipv4Pat')) AS INT) AS n_ips,
+         |  CAST(len(regexp_extract_all(
+         |    regexp_replace(regexp_replace(props, '$EmailPat', '<EMAIL>', 'g'),
+         |                   '$Ipv4Pat', '<IP>', 'g'),
+         |    '$NumPat')) AS INT) AS n_nums,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(props,
+         |    '$EmailPat', '<EMAIL>', 'g'), '$Ipv4Pat', '<IP>', 'g'),
+         |    '$NumPat', '<NUM>', 'g')) AS INT) AS clean_len,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(props,
+         |    '$EmailPat', '<EMAIL>', 'g'), '$Ipv4Pat', '<IP>', 'g'),
+         |    '$NumPat', '<NUM>', 'g')) AS clean_hash
+         |FROM events ORDER BY event_id""".stripMargin),
+
+    // IDF-weighted keyword extraction: each document's top-3 terms by
+    // tf · (N/df) — term frequency weighted by the corpus-rarity factor.
+    // The weight is the RECIPROCAL-df idf variant, not log(N/df):
+    // a libm log differs across engines in the last bit and would
+    // hash-mismatch (the d15 entropy note); tf·N/df is one exact integer
+    // product and one IEEE division, bit-identical in both engines, and
+    // ranking happens on the shared epsilon-rounded score.
+    //
+    // Scale shape: tf is an explode + map-side-combinable groupBy like
+    // d12; df is vocabulary-sized, so its join back onto tf is broadcast
+    // (a corpus whose vocabulary outgrows broadcast drops the hint and
+    // shuffles on term — same plan); N reaches every row as a one-row
+    // broadcast like d17's rate table. The per-doc top-3 is a row_number
+    // window over doc_id — a HIGH-cardinality partition key, so the
+    // window parallelizes with the corpus (q18's anti-pattern is only
+    // the low-cardinality window).
+    "d20_tfidf" -> OpDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val n = docs.agg(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+        tf.join(broadcast(df), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score",
+            round((col("tf") * col("n_docs")).cast("double") / col("df")
+                    + lit(1e-8), 4))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("rk"), col("term"), col("tf"),
+                  col("df"), col("score"))
+          .orderBy("doc_id", "rk")
+      },
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |        FROM documents)
+        |  WHERE length(term) > 0 GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         round(CAST(tf.tf * n.n_docs AS DOUBLE) / df.df + 1e-8, 4) AS score
+        |  FROM tf JOIN df USING (term), n)
+        |SELECT doc_id, rk, term, tf, df, score FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY score DESC, term) AS INT) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
   )
 }

@@ -185,6 +185,30 @@ object StreamOps {
       }
   }
 
+  /** s07: stream-static enrichment — the event stream joined to a static
+    * dimension (user -> market segment) and aggregated into tumbling
+    * windows per segment. The join itself is STATELESS: the static side
+    * is broadcast to every task and each stream row maps to at most one
+    * dim row, so the only state in the query is the windowed aggregate's
+    * (watermark-pruned) — the production shape for enriching a firehose
+    * with reference data. Spark re-plans the static side per run, so a
+    * restart picks up a refreshed dimension snapshot; a slowly-changing
+    * dim that must be versioned WITHIN a run is s05's interval-join shape
+    * instead.
+    *
+    * Inputs: events(ts timestamp, user_id, value); dim(c_custkey,
+    * c_mktsegment).
+    */
+  def enrichWindows(events: DataFrame, dim: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+           round(sum("value") + lit(1e-6), 2).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_s"),
+              col("c_mktsegment"), col("n"), col("total_value"))
+
   /** s03: streaming exact-dedup — drop repeated (event_id) rows across
     * micro-batches (the reference's intake sees the same auction rows in
     * consecutive dumps). State is bounded by the watermark: an id older

@@ -9,14 +9,14 @@ import java.sql.Timestamp
 import java.time.Instant
 
 /** Machine-readable stream-vs-batch parity: every streaming operator
-  * (s01–s06) run over a deterministic MemoryStream feed whose results are
+  * (s01–s07) run over a deterministic MemoryStream feed whose results are
   * compared row-for-row with the equivalent batch computation on the same
   * data. `Verify` serializes the results next to the oracle dump. All
-  * six entries are ALSO DuckDB-oracle gate entries ([[StreamQueries]]);
+  * seven entries are ALSO DuckDB-oracle gate entries ([[StreamQueries]]);
   * this harness remains the independent cross-check that drives the
   * moving-watermark paths (append-mode window finalization, timeout
-  * flushes, cross-batch dedup, kafka-shape decode) on hand-built feeds
-  * with known answers.
+  * flushes, cross-batch dedup, kafka-shape decode, stream-static
+  * enrichment) on hand-built feeds with known answers.
   *
   * All timestamps derive from explicit UTC instants — host-timezone
   * independent by construction.
@@ -204,6 +204,29 @@ object StreamParity {
       Result("s06_stream_kafka_windows", streamed.size, batch.size, streamed == batch)
     }
 
-    Seq(s01, s02, s03, s04, s05, s06)
+    // --- s07: stream-static enrichment under a moving watermark ----------
+    val s07 = {
+      val dim = Seq((1L, "RETAIL"), (2L, "RETAIL"), (3L, "WHOLESALE"))
+        .toDF("c_custkey", "c_mktsegment")
+      val in = MemoryStream[(Timestamp, Long, Double)]
+      val streamed = drain(spark, "parity_s07",
+        StreamOps.enrichWindows(in.toDF().toDF("ts", "user_id", "value"), dim),
+        "append",
+        Seq(() => { in.addData(feed.map(e => (e._2, e._1, e._4))); () },
+            // a sentinel user ABSENT from the dim: the inner join must
+            // drop it while its timestamp still rides the watermark
+            // forward to finalize every real window
+            () => { in.addData((sentinel, 999L, 0.0)); () }))
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = feed.map(e => (e._2, e._1, e._4)).toDF("ts", "user_id", "value")
+        .join(dim, col("user_id") === col("c_custkey"))
+        .groupBy((floor(unix_timestamp(col("ts")) / 3600) * 3600).as("hour_s"),
+                 col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum("value") + lit(1e-6), 2).as("tv"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      Result("s07_stream_enrich", streamed.size, batch.size, streamed == batch)
+    }
+
+    Seq(s01, s02, s03, s04, s05, s06, s07)
   }
 }

@@ -9,7 +9,7 @@ import graft.OpDef
   * parquet -> the StreamOps transform -> memory sink, drained with
   * `processAllAvailable`) and returns the sink table as a batch DataFrame,
   * so the DuckDB oracle hash-checks the streaming path exactly like any
-  * batch operator — all five streaming ops. The sessionization entries
+  * batch operator — every streaming op. The sessionization entries
   * need their open sessions finalized on a finite feed, which staged
   * sentinel files provide: s02 (gap emission) gets one far-future event
   * PER USER, closing every real session through the op's own gap logic;
@@ -286,6 +286,27 @@ object StreamQueries {
       },
       """SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, value
         |FROM events ORDER BY event_id""".stripMargin),
+
+    // s07: stream-static enrichment — the event stream joined to the
+    // static customer dimension (broadcast, stateless) and windowed per
+    // market segment. The oracle is the equivalent batch join+aggregate,
+    // so the gate proves the enrichment path changes no values.
+    "s07_stream_enrich" -> OpDef.sql(
+      (s, d) => {
+        val dim = graft.sources.Tables.customer(s, d)
+          .select("c_custkey", "c_mktsegment")
+        drain(s, "s07",
+            StreamOps.enrichWindows(
+              eventStream(s, d).select(col("ts"), col("user_id"), col("value")),
+              dim),
+            "complete")
+          .orderBy("hour_s", "c_mktsegment")
+      },
+      """SELECT (epoch_ns(e.ts) // 1000 // 3600000000) * 3600 AS hour_s,
+        |       c.c_mktsegment, count(*) AS n,
+        |       round(sum(e.value) + 1e-6, 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY hour_s, c_mktsegment""".stripMargin),
 
     // s05: stream-stream interval join (purchases x in-window signups),
     // both sides streamed from the same file feed.
