@@ -146,7 +146,7 @@ object Dedup {
     * same 60-bit md5-prefix construction as d08, so DuckDB reproduces it
     * exactly. Shared by d11 (the split report) and d14 (corpus select).
     */
-  private def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long") % 100).cast("int")
 
@@ -154,11 +154,11 @@ object Dedup {
     * (Spark side) — the thresholds must never drift between the split
     * report and the corpus selection.
     */
-  private def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[operators] def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
 
   /** The same bucket + 80/10/10 rule as DuckDB SQL, for both oracles. */
-  private def duckSplitCase(idSql: String): String = {
+  private[operators] def duckSplitCase(idSql: String): String = {
     def b = s"('0x' || substr(md5(CAST($idSql AS VARCHAR)), 1, 15))::BIGINT % 100"
     s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
   }

@@ -216,6 +216,81 @@ object TextAnalysis {
         |  END AS distinct_shingle_ratio
         |FROM w ORDER BY doc_id""".stripMargin),
 
+    // Quality-filter composition (the C4/Gopher-style KEEP/DROP decision):
+    // the point where the d05/d06/d15 signals become an actionable verdict
+    // plus per-rule reason flags — what a curation pipeline materializes
+    // so drops are auditable by rule. Every rule is an exact-integer
+    // comparison (ratios via cross-multiplication, never a float
+    // division), so the verdict is bit-identical in both engines by
+    // construction, and the whole thing is one codegen'd scan like
+    // d05-d07. Thresholds are the operator's contract: 10 <= words <=
+    // 5000, distinct-word ratio >= 1/5, >= 1 stopword hit (any of the
+    // four languages), mean token length in [2, 12].
+    "d21_quality_filter" -> OpDef.sql(
+      (s, d) => scored(s, d)
+        .withColumn("n_words", nMatches(col("text"), WsTokenPat))
+        .withColumn("n_distinct",
+          size(array_distinct(regexp_extract_all(col("text"), lit(WsTokenPat), lit(0)))))
+        .withColumn("n_nonws", length(regexp_replace(col("text"), "\\s", "")))
+        .withColumn("ok_len", col("n_words") >= 10 && col("n_words") <= 5000)
+        .withColumn("ok_rep", col("n_distinct") * 5 >= col("n_words"))
+        .withColumn("ok_stop",
+          col("en_hits") + col("es_hits") + col("de_hits") + col("fr_hits") >= 1)
+        .withColumn("ok_tok",
+          col("n_nonws") >= col("n_words") * 2 && col("n_nonws") <= col("n_words") * 12)
+        .withColumn("keep",
+          col("ok_len") && col("ok_rep") && col("ok_stop") && col("ok_tok"))
+        .select("doc_id", "n_words", "ok_len", "ok_rep", "ok_stop", "ok_tok", "keep")
+        .orderBy("doc_id"),
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_words,
+         |    CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS INT) AS n_distinct,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_nonws,
+         |    len(regexp_extract_all(text, '$EnPat')) +
+         |    len(regexp_extract_all(text, '$EsPat')) +
+         |    len(regexp_extract_all(text, '$DePat')) +
+         |    len(regexp_extract_all(text, '$FrPat')) AS stop_hits
+         |  FROM documents)
+         |SELECT doc_id, n_words,
+         |  n_words >= 10 AND n_words <= 5000 AS ok_len,
+         |  n_distinct * 5 >= n_words AS ok_rep,
+         |  stop_hits >= 1 AS ok_stop,
+         |  n_nonws >= n_words * 2 AND n_nonws <= n_words * 12 AS ok_tok,
+         |  (n_words >= 10 AND n_words <= 5000) AND (n_distinct * 5 >= n_words)
+         |    AND (stop_hits >= 1)
+         |    AND (n_nonws >= n_words * 2 AND n_nonws <= n_words * 12) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin),
+
+    // Corpus accounting: the per-(source, lang, split) report a corpus
+    // build publishes next to the data — doc counts, token/char budgets,
+    // token-length spread. The split is d11's md5 rule (one definition,
+    // shared through Dedup), so these stats describe exactly the corpus
+    // d14 selects. Map-side-combinable groupBy over a 3-level key whose
+    // cardinality is sources x langs x 3 — tiny output at any corpus
+    // size, one scan, no window.
+    "d22_corpus_stats" -> OpDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("split", Dedup.splitOf(Dedup.splitBucket(col("doc_id"))))
+        .withColumn("n_tokens", nMatches(col("text"), WsTokenPat))
+        .groupBy("source", "lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+             sum(col("n_tokens").cast("bigint")).as("total_tokens"),
+             sum(length(col("text")).cast("bigint")).as("total_chars"),
+             min(col("n_tokens")).as("min_tokens"),
+             max(col("n_tokens")).as("max_tokens"),
+             round(avg(col("n_tokens")) + lit(1e-8), 4).as("avg_tokens"))
+        .orderBy("source", "lang", "split"),
+      s"""SELECT source, lang, ${Dedup.duckSplitCase("doc_id")} AS split,
+         |  count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS total_tokens,
+         |  CAST(sum(length(text)) AS BIGINT) AS total_chars,
+         |  CAST(min(len(regexp_extract_all(text, '\\S+'))) AS INT) AS min_tokens,
+         |  CAST(max(len(regexp_extract_all(text, '\\S+'))) AS INT) AS max_tokens,
+         |  round(avg(len(regexp_extract_all(text, '\\S+'))) + 1e-8, 4) AS avg_tokens
+         |FROM documents
+         |GROUP BY 1, 2, 3 ORDER BY source, lang, split""".stripMargin),
+
     // PII / sensitive-token scrub: redact emails, IPv4 addresses, and
     // digit runs from event payloads, with per-pattern counts — the
     // log-scrubbing pass a training pipeline runs before free-text fields

@@ -185,6 +185,21 @@ object StreamOps {
       }
   }
 
+  /** s08: hopping (sliding) windows — 1-hour windows advancing every 30
+    * minutes, so each event lands in exactly 2 overlapping windows (the
+    * smoothed-dashboard twin of s01's tumbling windows). Same watermark
+    * discipline: closed windows' state is dropped; state size is
+    * (windows in flight) x types = 2x s01's, fixed, regardless of rate.
+    */
+  def hoppingWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           round(sum("value") + lit(1e-6), 2).as("total_value"))
+      .select(unix_timestamp(col("window.start")).as("win_s"),
+              col("event_type"), col("n"), col("total_value"))
+
   /** s07: stream-static enrichment — the event stream joined to a static
     * dimension (user -> market segment) and aggregated into tumbling
     * windows per segment. The join itself is STATELESS: the static side

@@ -9,10 +9,10 @@ import java.sql.Timestamp
 import java.time.Instant
 
 /** Machine-readable stream-vs-batch parity: every streaming operator
-  * (s01–s07) run over a deterministic MemoryStream feed whose results are
+  * (s01–s08) run over a deterministic MemoryStream feed whose results are
   * compared row-for-row with the equivalent batch computation on the same
   * data. `Verify` serializes the results next to the oracle dump. All
-  * seven entries are ALSO DuckDB-oracle gate entries ([[StreamQueries]]);
+  * eight entries are ALSO DuckDB-oracle gate entries ([[StreamQueries]]);
   * this harness remains the independent cross-check that drives the
   * moving-watermark paths (append-mode window finalization, timeout
   * flushes, cross-batch dedup, kafka-shape decode, stream-static
@@ -227,6 +227,26 @@ object StreamParity {
       Result("s07_stream_enrich", streamed.size, batch.size, streamed == batch)
     }
 
-    Seq(s01, s02, s03, s04, s05, s06, s07)
+    // --- s08: hopping windows under a moving watermark --------------------
+    val s08 = {
+      val in = MemoryStream[(Timestamp, String, Double)]
+      val streamed = drain(spark, "parity_s08",
+        StreamOps.hoppingWindows(in.toDF().toDF("ts", "event_type", "value")),
+        "append",
+        Seq(() => { in.addData(feed.map(e => (e._2, e._3, e._4))); () },
+            () => { in.addData((sentinel, "zz_sentinel", 0.0)); () }))
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      // batch twin: each event in its two slide-grid windows
+      val batch = feed.flatMap { e =>
+        val sec = e._2.toInstant.getEpochSecond
+        Seq(0L, 1800L).map(off => (sec / 1800 * 1800 - off, e._3, e._4))
+      }.toDF("win_s", "event_type", "value")
+        .groupBy("win_s", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value") + lit(1e-6), 2).as("tv"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      Result("s08_stream_hopping", streamed.size, batch.size, streamed == batch)
+    }
+
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08)
   }
 }

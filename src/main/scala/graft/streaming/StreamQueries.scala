@@ -287,6 +287,22 @@ object StreamQueries {
       """SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, value
         |FROM events ORDER BY event_id""".stripMargin),
 
+    // s08: hopping windows — every event counted into its TWO overlapping
+    // 1-hour/30-minute windows. The oracle derives both window starts per
+    // event arithmetically (floor to the slide grid, minus one slide), so
+    // Spark's window-assignment logic itself is what's being checked.
+    "s08_stream_hopping" -> OpDef.sql(
+      (s, d) => drain(s, "s08",
+          StreamOps.hoppingWindows(
+            eventStream(s, d).select(col("ts"), col("event_type"), col("value"))),
+          "complete")
+        .orderBy("win_s", "event_type"),
+      """SELECT ((epoch_ns(ts) // 1000 // 1800000000) * 1800 - off) AS win_s,
+        |       event_type, count(*) AS n,
+        |       round(sum(value) + 1e-6, 2) AS total_value
+        |FROM events, (SELECT unnest([0, 1800]) AS off) o
+        |GROUP BY 1, 2 ORDER BY win_s, event_type""".stripMargin),
+
     // s07: stream-static enrichment — the event stream joined to the
     // static customer dimension (broadcast, stateless) and windowed per
     // market segment. The oracle is the equivalent batch join+aggregate,

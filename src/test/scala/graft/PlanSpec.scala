@@ -90,4 +90,33 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
     assert(p.contains("partial_topk_by"),
       s"TopKBy not map-side combined:\n$p")
   }
+
+  test("d20 joins df and N back by broadcast (no corpus-wide shuffle joins)") {
+    val p = planOf("d20_tfidf")
+    assert(p.contains("BroadcastHashJoin"), "vocabulary df table not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "tf join shuffles the term table instead of broadcasting it")
+  }
+
+  test("d19/d21 are pure per-row scans: no exchange before the output sort") {
+    for (op <- Seq("d19_pii_scrub", "d21_quality_filter")) {
+      val p = planOf(op)
+      // the only exchange allowed is the final orderBy's range partitioning
+      val exchanges = "Exchange \\w+".r.findAllIn(p).toSeq
+      assert(exchanges.forall(_.contains("rangepartitioning")),
+        s"$op shuffles mid-plan: $exchanges")
+    }
+  }
+
+  test("d22 report aggregation is partial (map-side combine)") {
+    assert(planOf("d22_corpus_stats").contains("partial_"),
+      "corpus stats not map-side combined")
+  }
+
+  test("q34 latest-snapshot windows on the high-cardinality part key only") {
+    val p = planOf("q34_latest_snapshot")
+    assert(p.contains("Window"), "expected the row_number window")
+    assert(p.contains("hashpartitioning(l_partkey"),
+      s"window must partition by l_partkey:\n$p")
+  }
 }
