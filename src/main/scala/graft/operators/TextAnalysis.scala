@@ -262,6 +262,54 @@ object TextAnalysis {
          |    AND (n_nonws >= n_words * 2 AND n_nonws <= n_words * 12) AS keep
          |FROM m ORDER BY doc_id""".stripMargin),
 
+    // Out-of-vocabulary scoring: each document's token share outside the
+    // corpus vocabulary (d12's definition: per-(lang, term) count >= 20)
+    // — the log-free twin of a perplexity filter (KenLM-style gibberish
+    // screens rank by rare-token mass; counts and one ratio stay exact
+    // in both engines where a log-prob would hash-mismatch). Docs whose
+    // raw OOV share exceeds half are flagged via integer
+    // cross-multiplication.
+    //
+    // Scale shape: one explode feeds BOTH the vocabulary aggregate and
+    // the per-doc probe; the vocabulary is tiny (it IS d12's output), so
+    // the probe join is broadcast — a corpus that outgrows that drops
+    // the hint and shuffles on (lang, term). Only docs with >= 1 token
+    // appear (the probe has no rows for empty docs), matching the SQL.
+    "d23_oov_ratio" -> OpDef.sql(
+      (s, d) => {
+        val toks = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+                  explode(split(col("text"), "\\s+")).as("term"))
+          .filter(length(col("term")) > 0)
+        val vocab = toks.groupBy("lang", "term")
+          .agg(count(lit(1)).as("n")).filter(col("n") >= 20)
+          .select(col("lang"), col("term"), lit(1).as("in_vocab"))
+        toks.join(broadcast(vocab), Seq("lang", "term"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_tokens"),
+               (count(lit(1)) - count(col("in_vocab"))).as("n_oov"))
+          .withColumn("oov_ratio",
+            round(col("n_oov").cast("double") / col("n_tokens") + lit(1e-8), 4))
+          .withColumn("flag_oov", col("n_oov") * 2 > col("n_tokens"))
+          .select("doc_id", "n_tokens", "n_oov", "oov_ratio", "flag_oov")
+          .orderBy("doc_id")
+      },
+      """WITH tok AS (
+        |  SELECT doc_id, lang, term FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(string_split_regex(text, '\s+')) AS term
+        |    FROM documents)
+        |  WHERE length(term) > 0),
+        |v AS (SELECT lang, term FROM tok GROUP BY lang, term HAVING count(*) >= 20),
+        |j AS (
+        |  SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |  FROM tok t LEFT JOIN v ON t.lang = v.lang AND t.term = v.term)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(oov) AS BIGINT) AS n_oov,
+        |       round(CAST(sum(oov) AS DOUBLE) / count(*) + 1e-8, 4) AS oov_ratio,
+        |       sum(oov) * 2 > count(*) AS flag_oov
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
     // Corpus accounting: the per-(source, lang, split) report a corpus
     // build publishes next to the data — doc counts, token/char budgets,
     // token-length spread. The split is d11's md5 rule (one definition,

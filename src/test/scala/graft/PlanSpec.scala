@@ -98,6 +98,13 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "tf join shuffles the term table instead of broadcasting it")
   }
 
+  test("d23 probes the vocabulary by broadcast") {
+    val p = planOf("d23_oov_ratio")
+    assert(p.contains("BroadcastHashJoin"), "vocabulary probe not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "token-vs-vocab join shuffles instead of broadcasting")
+  }
+
   test("d19/d21 are pure per-row scans: no exchange before the output sort") {
     for (op <- Seq("d19_pii_scrub", "d21_quality_filter")) {
       val p = planOf(op)

@@ -47,6 +47,31 @@ class QualityStatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("d23 OOV counts match a plain-collections vocabulary probe") {
+    val toks = docs.map(d => (d.id, d.lang, words(d.text)))
+    // filter + keySet, NOT collect{...=> k}: a Map.collect producing
+    // pairs re-forms a Map keyed by lang and silently drops the terms
+    val vocab = toks.flatMap { case (_, lang, ws) => ws.map(w => (lang, w)) }
+      .groupBy(identity).filter(_._2.length >= 20).keySet
+    val expected = toks.collect { case (id, lang, ws) if ws.nonEmpty =>
+      val oov = ws.count(w => !vocab((lang, w)))
+      id -> ((ws.length.toLong, oov.toLong,
+              BigDecimal(oov.toDouble / ws.length + 1e-8)
+                .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+              oov * 2 > ws.length))
+    }.toMap
+    assert(expected.values.exists(_._2 > 0),
+      "no OOV token anywhere; the vocabulary probe is vacuous")
+
+    val got = SparkEntry.queries("d23_oov_ratio")(spark, sfDir).collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val e = expected(r.getLong(0))
+      val row = (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))
+      assert(row == e, s"doc ${r.getLong(0)}: $row != expected $e")
+    }
+  }
+
   test("d22 budgets match a plain-collections rollup under the d11 split") {
     def split(id: Long): String = {
       val hex = java.security.MessageDigest.getInstance("MD5")
