@@ -387,13 +387,17 @@ object Similarity {
         val sized = emb
           .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
           .withColumn("ncells", expr(semCellsCase("corpus_n")))
-        val assigned = sized.crossJoin(broadcast(anchors))
-          .filter(col("cell") < col("ncells"))
-          .withColumn("sim_a",
-            round(expr("cosine_sim(embedding, anchor)") + lit(1e-10), 6))
-          .groupBy("vec_id")
-          .agg(expr("max_by(cell, named_struct('s', sim_a, 'c', -cell))").as("cell"),
-               first(col("embedding")).as("embedding"))
+        // persisted: both sides of the in-cell self-join and the final
+        // survivor anti-join read it — unpersisted, the whole anchor
+        // scoring pass would run three times
+        val assigned = graft.Caching.persistTracked("e04_assigned",
+          sized.crossJoin(broadcast(anchors))
+            .filter(col("cell") < col("ncells"))
+            .withColumn("sim_a",
+              round(expr("cosine_sim(embedding, anchor)") + lit(1e-10), 6))
+            .groupBy("vec_id")
+            .agg(expr("max_by(cell, named_struct('s', sim_a, 'c', -cell))").as("cell"),
+                 first(col("embedding")).as("embedding")))
         val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
                                 col("embedding").as("a_vec"))
         val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
