@@ -537,6 +537,34 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
         |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin),
 
+    // Normalized exact dedup (the CCNet-style canonicalization pass):
+    // dedup on lowercase + punctuation-stripped + whitespace-collapsed
+    // text, catching case/punctuation/spacing variants that d01's raw
+    // fingerprint treats as distinct. n_raw_variants counts how many
+    // DIFFERENT raw texts collapsed into each normalized group (1 =
+    // byte-identical copies only, so the interesting rows are > 1).
+    // Same shape as d01 — one map-side-combinable groupBy over a per-row
+    // codegen'd key; normalization is ASCII-safe on this corpus (a
+    // locale-sensitive lowercase would need an explicit collation
+    // contract between engines).
+    "d25_norm_dedup" -> OpDef.sql(
+      (s, d) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[.,!?;:]", ""), "\\s+", " "))
+        Tables.documents(s, d)
+          .groupBy(md5(norm.cast("binary")).as("norm_fp"))
+          .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),
+               countDistinct(textFp).as("n_raw_variants"))
+          .select("keep_id", "n_copies", "n_raw_variants", "norm_fp")
+          .orderBy("keep_id")
+      },
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       count(DISTINCT md5(text)) AS n_raw_variants,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+        |FROM documents
+        |GROUP BY 4 ORDER BY keep_id""".stripMargin),
+
     // MinHash + LSH near-dup pairs. Candidates come only from band-bucket
     // equality joins; each candidate is verified with exact shingle Jaccard.
     //

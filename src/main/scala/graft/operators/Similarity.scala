@@ -442,6 +442,82 @@ object Similarity {
            |ORDER BY a.vec_id""".stripMargin
       }),
 
+    // k-NN graph: every corpus vector's top-3 neighbors among its LSH
+    // candidates — the all-vectors generalization of e02 (whose query
+    // set is 5 fixed vectors) and the input artifact for graph-based
+    // curation (connected-component semantic clusters, hubness stats,
+    // graph-walk sampling). Candidate generation is d09's
+    // density-laddered banded sign-LSH verbatim (4 bands OR'd, per-band
+    // width from the corpus count — bucket density stays ~TargetBucket
+    // at any scale, so candidate work is linear where a fixed code is
+    // density^2); candidates collapse on the narrow id pair before the
+    // one cosine per pair; per-vector top-k is the map-side-bounded
+    // TopKBy heap, so only k rows per (vector, task) shuffle. Vectors
+    // whose buckets are singletons in every band emit nothing — the
+    // documented LSH recall trade (e03's probed search covers isolated
+    // vectors when the graph must be total).
+    "e05_knn_graph" -> OpDef.sql(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val sized = emb
+          .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
+          .withColumn("bits", expr(bandBitsCase("corpus_n")))
+        val bandStructs = (0 until NumDupBands).map { t =>
+          val fn = bandCodeFn(s, t)
+          struct(lit(t).as("band"),
+                 expr(s"$fn(embedding) & (shiftleft(1, bits) - 1)").as("bcode"))
+        }
+        val bands = sized
+          .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+          .select(col("vec_id"), col("bb.band").as("band"), col("bb.bcode").as("bcode"))
+        val cands = bands.toDF("vec_id", "band", "bcode")
+          .join(bands.toDF("n_id", "band", "bcode"), Seq("band", "bcode"))
+          .filter(col("vec_id") =!= col("n_id"))
+          .select("vec_id", "n_id").distinct()
+        val vecs = emb.select(col("vec_id"), col("embedding"))
+        cands
+          .join(vecs, "vec_id")
+          .join(vecs.toDF("n_id", "n_vec"), "n_id")
+          .withColumn("sim", round(expr("cosine_sim(embedding, n_vec)") + lit(1e-10), 6))
+          .groupBy("vec_id")
+          .agg(expr("topk_by(sim, n_id, 3)").as("top"))
+          .select(col("vec_id"), posexplode(col("top")))
+          .select(col("vec_id"), (col("pos") + 1).cast("int").as("rk"),
+                  col("col.id").as("neighbor_id"), col("col.score").as("sim"))
+          .orderBy("vec_id", "rk")
+      }, {
+        val codeList = (0 until NumDupBands)
+          .map(t => signCodeSql("embedding::DOUBLE[]", bandPlanes(t)))
+          .mkString("[\n         ", ",\n         ", "]")
+        s"""WITH n AS (SELECT count(*) AS corpus_n FROM embeddings),
+           |p AS (SELECT ${bandBitsCase("corpus_n")} AS bits FROM n),
+           |coded AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+           |         $codeList AS codes
+           |  FROM embeddings),
+           |bands AS (
+           |  SELECT vec_id, t AS band,
+           |         list_extract(codes, t + 1) & ((1 << bits) - 1) AS bcode
+           |  FROM coded, p, (SELECT unnest(generate_series(0, ${NumDupBands - 1})) AS t)),
+           |cand AS (
+           |  SELECT DISTINCT a.vec_id, b.vec_id AS n_id
+           |  FROM bands a JOIN bands b
+           |    ON a.band = b.band AND a.bcode = b.bcode AND a.vec_id <> b.vec_id),
+           |scored AS (
+           |  SELECT c.vec_id, c.n_id,
+           |         round(list_cosine_similarity(x.vec, y.vec) + 1e-10, 6) AS sim
+           |  FROM cand c
+           |  JOIN coded x ON x.vec_id = c.vec_id
+           |  JOIN coded y ON y.vec_id = c.n_id)
+           |SELECT vec_id,
+           |       CAST(row_number() OVER (PARTITION BY vec_id
+           |         ORDER BY sim DESC, n_id) AS INT) AS rk,
+           |       n_id AS neighbor_id, sim
+           |FROM scored QUALIFY rk <= 3
+           |ORDER BY vec_id, rk""".stripMargin
+      }),
+
     // LSH-bucketed approximate nearest neighbors: equality join on the
     // hyperplane sign code, then exact cosine only within the bucket. The
     // oracle replicates the bucketing (same plane literals), so the ANN
