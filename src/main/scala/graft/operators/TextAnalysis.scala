@@ -262,6 +262,40 @@ object TextAnalysis {
          |    AND (n_nonws >= n_words * 2 AND n_nonws <= n_words * 12) AS keep
          |FROM m ORDER BY doc_id""".stripMargin),
 
+    // Adjacent-pair statistics (the BPE merge-step aggregation): counts
+    // of adjacent whitespace-token pairs across the corpus, with a
+    // count floor — the table a tokenizer trainer consults to pick its
+    // next merge (and a collocation report in its own right). One
+    // explode of per-row zipped neighbors (no self-join: the pairing
+    // happens INSIDE the row via arrays_zip of the token array and its
+    // tail) into a map-side-combinable groupBy; the floor is a HAVING,
+    // no top-k window (the d12 discipline). Per-merge-round reruns at
+    // 100 TB would re-tokenize with the merged vocab and re-run the
+    // same plan — the aggregation, not the loop, is the operator.
+    "d26_bpe_pairs" -> OpDef.sql(
+      (s, d) => Tables.documents(s, d)
+        .withColumn("tokens", split(col("text"), "\\s+"))
+        .select(explode(expr(
+          """arrays_zip(slice(tokens, 1, greatest(size(tokens) - 1, 0)),
+            |           slice(tokens, 2, greatest(size(tokens) - 1, 0)))""".stripMargin))
+          .as("pr"))
+        .select(expr("pr.`0`").as("left_tok"), expr("pr.`1`").as("right_tok"))
+        .filter(length(col("left_tok")) > 0 && length(col("right_tok")) > 0)
+        .groupBy("left_tok", "right_tok")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 20)
+        .orderBy(col("n").desc, col("left_tok"), col("right_tok"))
+        .select("left_tok", "right_tok", "n"),
+      """SELECT pr.l AS left_tok, pr.r AS right_tok,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+        |           i -> struct_pack(l := ws[i], r := ws[i+1]))) AS pr
+        |  FROM (SELECT string_split_regex(text, '\s+') AS ws FROM documents))
+        |WHERE length(pr.l) > 0 AND length(pr.r) > 0
+        |GROUP BY 1, 2 HAVING count(*) >= 20
+        |ORDER BY n DESC, left_tok, right_tok""".stripMargin),
+
     // Out-of-vocabulary scoring: each document's token share outside the
     // corpus vocabulary (d12's definition: per-(lang, term) count >= 20)
     // — the log-free twin of a perplexity filter (KenLM-style gibberish

@@ -72,6 +72,23 @@ class QualityStatsSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("d26 adjacent-pair counts match a plain sliding-window recount") {
+    val expected = docs.flatMap(d => words(d.text).sliding(2)
+        .collect { case Seq(a, b) => (a, b) })
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 20).toMap
+    assert(expected.nonEmpty, "no pair reaches the floor; spec is vacuous")
+    assert(docs.flatMap(d => words(d.text).sliding(2).collect { case Seq(a, b) => (a, b) })
+      .groupBy(identity).exists(_._2.length < 20),
+      "every pair clears the floor; the HAVING filter is untested")
+
+    val got = SparkEntry.queries("d26_bpe_pairs")(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == expected,
+      s"pair tables diverge: extra=${(got.keySet -- expected.keySet).take(3)} " +
+        s"missing=${(expected.keySet -- got.keySet).take(3)}")
+  }
+
   test("d22 budgets match a plain-collections rollup under the d11 split") {
     def split(id: Long): String = {
       val hex = java.security.MessageDigest.getInstance("MD5")
