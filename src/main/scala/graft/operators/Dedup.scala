@@ -180,6 +180,13 @@ object Dedup {
     * keeper rule. */
   private def textFp: org.apache.spark.sql.Column = md5(col("text").cast("binary"))
 
+  /** d25's canonicalization (lowercase, strip sentence punctuation,
+    * collapse whitespace, trim) — ONE definition shared by the batch op
+    * and the streaming twin (s09), so the two can never drift.
+    */
+  private[graft] def normText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[.,!?;:]", ""), "\\s+", " "))
+
   // --- Density-derived length-band widths (d04/d10) ----------------------
   // The blocked pair ops key on (source, lang, length DIV W). Block
   // density grows with corpus count at fixed W, and pair work per block
@@ -549,8 +556,7 @@ object Dedup {
     // contract between engines).
     "d25_norm_dedup" -> OpDef.sql(
       (s, d) => {
-        val norm = trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[.,!?;:]", ""), "\\s+", " "))
+        val norm = normText(col("text"))
         Tables.documents(s, d)
           .groupBy(md5(norm.cast("binary")).as("norm_fp"))
           .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"),

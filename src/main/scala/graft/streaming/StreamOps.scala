@@ -224,6 +224,23 @@ object StreamOps {
       .select(unix_timestamp(col("window.start")).as("hour_s"),
               col("c_mktsegment"), col("n"), col("total_value"))
 
+  /** s09: streaming content dedup — normalized-text fingerprint groups
+    * over a DOCUMENT stream (complete mode): the intake-side twin of the
+    * batch d25 canonicalization dedup, sharing its normalization
+    * definition through [[graft.operators.Dedup.normText]]. A standard
+    * streaming aggregate: map-side partial, state one row per distinct
+    * fingerprint — which IS the content-dedup index an intake pipeline
+    * keeps; on a real deployment back it with the RocksDB provider (one
+    * knob, see GraftSession) once fingerprints outgrow heap.
+    */
+  def normDedupCounts(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm_fp",
+        md5(graft.operators.Dedup.normText(col("text")).cast("binary")))
+      .groupBy("norm_fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "norm_fp")
+
   /** s03: streaming exact-dedup — drop repeated (event_id) rows across
     * micro-batches (the reference's intake sees the same auction rows in
     * consecutive dumps). State is bounded by the watermark: an id older

@@ -9,10 +9,10 @@ import java.sql.Timestamp
 import java.time.Instant
 
 /** Machine-readable stream-vs-batch parity: every streaming operator
-  * (s01–s08) run over a deterministic MemoryStream feed whose results are
+  * (s01–s09) run over a deterministic MemoryStream feed whose results are
   * compared row-for-row with the equivalent batch computation on the same
   * data. `Verify` serializes the results next to the oracle dump. All
-  * eight entries are ALSO DuckDB-oracle gate entries ([[StreamQueries]]);
+  * nine entries are ALSO DuckDB-oracle gate entries ([[StreamQueries]]);
   * this harness remains the independent cross-check that drives the
   * moving-watermark paths (append-mode window finalization, timeout
   * flushes, cross-batch dedup, kafka-shape decode, stream-static
@@ -247,6 +247,28 @@ object StreamParity {
       Result("s08_stream_hopping", streamed.size, batch.size, streamed == batch)
     }
 
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08)
+    // --- s09: content dedup on a doc stream vs the batch groups ----------
+    val s09 = {
+      val feed9 = Seq(
+        (1L, "The quick brown fox."), (2L, "the quick   brown fox"),
+        (3L, "spark shuffles partitions"), (4L, "SPARK SHUFFLES PARTITIONS;"),
+        (5L, "a different document"))
+      val in = MemoryStream[(Long, String)]
+      val streamed = drain(spark, "parity_s09",
+        StreamOps.normDedupCounts(in.toDF().toDF("doc_id", "text")),
+        "complete",
+        Seq(() => { in.addData(feed9.take(2)); () },
+            // the variant arriving in a LATER micro-batch must still
+            // collapse into the earlier fingerprint group
+            () => { in.addData(feed9.drop(2)); () }))
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = feed9.toDF("doc_id", "text")
+        .groupBy(md5(graft.operators.Dedup.normText(col("text")).cast("binary")))
+        .agg(min("doc_id").as("k"), count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+      Result("s09_stream_norm_dedup", streamed.size, batch.size, streamed == batch)
+    }
+
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
   }
 }

@@ -142,6 +142,18 @@ object StreamQueries {
       }
     }
 
+  /** The documents table staged as a one-file directory for the file
+    * stream source (s09's feed). The stage stamp tracks the events file
+    * (stagedDir's convention) — fine here because the driver regenerates
+    * testdata dirs atomically, never one parquet in place.
+    */
+  private def stagedDocsDir(s: SparkSession, d: String): String =
+    stagedDir(s, d, "docs", recipe = "docs-v1") { build =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      Files.copy(Paths.get(d, "documents.parquet"),
+        build.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+
   /** The events table re-encoded in the Kafka WIRE shape (s06's feed):
     * what `spark.readStream.format("kafka")` would deliver, staged as
     * parquet so the gate exercises the adapter without a broker.
@@ -286,6 +298,25 @@ object StreamQueries {
       },
       """SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, value
         |FROM events ORDER BY event_id""".stripMargin),
+
+    // s09: streaming content dedup over the DOCUMENT corpus fed as a
+    // stream — normalized-fingerprint groups equal to the batch d25 op
+    // (one shared normalization definition), proving intake-side content
+    // dedup changes no values vs the batch pass.
+    "s09_stream_norm_dedup" -> OpDef.sql(
+      (s, d) => {
+        val dir = stagedDocsDir(s, d)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val docs = s.readStream.schema(schema).parquet(dir)
+        drain(s, "s09",
+            StreamOps.normDedupCounts(docs.select("doc_id", "text")),
+            "complete")
+          .orderBy("keep_id")
+      },
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |       md5(trim(regexp_replace(regexp_replace(lower(text),
+        |           '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fp
+        |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin),
 
     // s08: hopping windows — every event counted into its TWO overlapping
     // 1-hour/30-minute windows. The oracle derives both window starts per

@@ -101,12 +101,13 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
     assert(viaKafka == viaFiles)
   }
 
-  test("StreamParity reports stream/batch parity for all eight entries") {
+  test("StreamParity reports stream/batch parity for all nine entries") {
     val results = StreamParity.run(spark)
     assert(results.map(_.op).sorted == Seq(
       "s01_stream_windows", "s02_stream_sessions", "s03_stream_dedup",
       "s04_stream_sessions_timeout", "s05_stream_interval_join",
-      "s06_stream_kafka_windows", "s07_stream_enrich", "s08_stream_hopping"))
+      "s06_stream_kafka_windows", "s07_stream_enrich", "s08_stream_hopping",
+      "s09_stream_norm_dedup"))
     results.foreach(r => assert(r.ok, s"parity failed: $r"))
   }
 }
