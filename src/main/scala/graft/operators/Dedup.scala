@@ -342,12 +342,24 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(f)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
     }
+    // Cut the INPUT lineage before looping: every round references the
+    // edge table once per join, and round k's un-cut plan embeds the
+    // edge tree 3^k times — when that tree is an entire LSH candidate
+    // pipeline (e06's d09 edges), PLANNING cost (analysis, cache lookup,
+    // optimization over the exploded tree), not execution, dominated the
+    // loop: measured 37 s/round over 254 edges, ~1000x the job itself.
+    // The eager checkpoint roots every round at a flat file scan; its
+    // files are kept for the run like the final label cut (post-loop
+    // consumers may recompute through it on eviction).
+    val edgesIn = edges.persist()
+    val edgesCut = edgesIn.checkpoint() // eager: materialize, then truncate
+    edgesIn.unpersist(blocking = false)
     // `cached` is whatever table currently backs the labels; each round
     // materializes its successor BEFORE unpersisting it (unpersist-first
     // would recompute the whole label lineage from edges), and the final
     // incarnation is handed to the per-name tracker so the next
     // invocation (bench reps, repeated driver runs) releases it.
-    var cached = edges.groupBy("src").agg(min("dst").as("md"))
+    var cached = edgesCut.groupBy("src").agg(min("dst").as("md"))
       .select(col("src"), least(col("src"), col("md")).as("lbl"))
       .persist()
     var labels = cached
@@ -371,7 +383,7 @@ object Dedup {
           throw new IllegalStateException(
             "dup label propagation did not converge in 64 rounds")
         // neighbor-min (one graph hop) ...
-        val next = edges
+        val next = edgesCut
           .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
           .groupBy("src").agg(min("nlbl").as("plbl"))
           .join(labels, "src")

@@ -142,6 +142,70 @@ object Similarity {
     name
   }
 
+  /** d09's verified near-dup pairs (a_id < b_id, sim >= 0.35) — the body
+    * of the d09 gate entry, shared with e06's cluster canonicalization
+    * (exactly as d02's pair builder is shared with d13). See the d09 def
+    * for the banded/laddered design notes.
+    */
+  private def embedDupPairs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    // one-row broadcast: every row learns the corpus count, and the
+    // width ladder is plain integer CASE arithmetic on it
+    val sized = emb
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
+      .withColumn("bits", expr(bandBitsCase("corpus_n")))
+    val bandStructs = (0 until NumDupBands).map { t =>
+      val fn = bandCodeFn(s, t)
+      struct(lit(t).as("band"),
+             expr(s"$fn(embedding) & (shiftleft(1, bits) - 1)").as("bcode"))
+    }
+    val bands = sized
+      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bcode").as("bcode"))
+    val a = bands.toDF("a_id", "band", "bcode")
+    val b = bands.toDF("b_id", "band", "bcode")
+    val cands = a.join(b, Seq("band", "bcode"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+    cands
+      .join(vecs.toDF("a_id", "a_vec"), "a_id")
+      .join(vecs.toDF("b_id", "b_vec"), "b_id")
+      .withColumn("sim", round(expr("cosine_sim(a_vec, b_vec)") + lit(1e-10), 6))
+      .filter(col("sim") >= 0.35)
+      .select("a_id", "b_id", "sim")
+  }
+
+  /** d09's DuckDB twin WITHOUT the final ORDER BY, so the d09 oracle can
+    * append its ordering and the e06 oracle can embed it in a CTE.
+    */
+  private def duckD09Sql: String = {
+    val codeList = (0 until NumDupBands)
+      .map(t => signCodeSql("embedding::DOUBLE[]", bandPlanes(t)))
+      .mkString("[\n         ", ",\n         ", "]")
+    s"""WITH n AS (SELECT count(*) AS corpus_n FROM embeddings),
+       |p AS (SELECT ${bandBitsCase("corpus_n")} AS bits FROM n),
+       |coded AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+       |         $codeList AS codes
+       |  FROM embeddings),
+       |bands AS (
+       |  SELECT vec_id, t AS band,
+       |         list_extract(codes, t + 1) & ((1 << bits) - 1) AS bcode
+       |  FROM coded, p, (SELECT unnest(generate_series(0, ${NumDupBands - 1})) AS t)),
+       |cands AS (
+       |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bcode = b.bcode AND a.vec_id < b.vec_id)
+       |SELECT c.a_id, c.b_id,
+       |       round(list_cosine_similarity(x.vec, y.vec) + 1e-10, 6) AS sim
+       |FROM cands c
+       |JOIN coded x ON x.vec_id = c.a_id
+       |JOIN coded y ON y.vec_id = c.b_id
+       |WHERE round(list_cosine_similarity(x.vec, y.vec) + 1e-10, 6) >= 0.35""".stripMargin
+  }
+
   val defs: Map[String, OpDef] = Map(
 
     // Brute-force cosine top-k for a fixed query set (vec_id < 5), ranked
@@ -205,61 +269,55 @@ object Similarity {
     // pair BEFORE vectors are re-joined for the one exact-cosine verify
     // per pair (d02's candidates->verify shape).
     "d09_embed_dup" -> OpDef.sql(
+      (s, d) => embedDupPairs(s, d).orderBy("a_id", "b_id"),
+      duckD09Sql + "\nORDER BY a_id, b_id"),
+
+    // Embedding-side cluster canonicalization (SemDeDup completed): the
+    // d13 treatment applied to d09's verified near-dup pairs — connected
+    // components by the shared pointer-jumping min-label loop, canonical
+    // = component minimum, plus cluster size. Together with d13 the
+    // corpus now has BOTH canonicalization axes a real pipeline runs:
+    // textual near-dup clusters (d02 space) and semantic near-dup
+    // clusters (embedding space). Same scale shape as d13: one driver
+    // scalar per round, O(log diameter) rounds, checkpointed lineage.
+    // Oracle: DuckDB WITH RECURSIVE reachability over the embedded d09
+    // pair SQL — the entire pipeline (banded LSH, ladder, verify,
+    // components) replicated in SQL.
+    "e06_embed_clusters" -> OpDef.sql(
       (s, d) => {
-        GraftFunctions.register(s)
-        val emb = Tables.embeddings(s, d)
-        // one-row broadcast: every row learns the corpus count, and the
-        // width ladder is plain integer CASE arithmetic on it
-        val sized = emb
-          .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
-          .withColumn("bits", expr(bandBitsCase("corpus_n")))
-        val bandStructs = (0 until NumDupBands).map { t =>
-          val fn = bandCodeFn(s, t)
-          struct(lit(t).as("band"),
-                 expr(s"$fn(embedding) & (shiftleft(1, bits) - 1)").as("bcode"))
-        }
-        val bands = sized
-          .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
-          .select(col("vec_id"), col("bb.band").as("band"), col("bb.bcode").as("bcode"))
-        val a = bands.toDF("a_id", "band", "bcode")
-        val b = bands.toDF("b_id", "band", "bcode")
-        val cands = a.join(b, Seq("band", "bcode"))
-          .filter(col("a_id") < col("b_id"))
-          .select("a_id", "b_id").distinct()
-        val vecs = emb.select(col("vec_id"), col("embedding"))
-        cands
-          .join(vecs.toDF("a_id", "a_vec"), "a_id")
-          .join(vecs.toDF("b_id", "b_vec"), "b_id")
-          .withColumn("sim", round(expr("cosine_sim(a_vec, b_vec)") + lit(1e-10), 6))
-          .filter(col("sim") >= 0.35)
-          .select("a_id", "b_id", "sim")
-          .orderBy("a_id", "b_id")
-      }, {
-        val codeList = (0 until NumDupBands)
-          .map(t => signCodeSql("embedding::DOUBLE[]", bandPlanes(t)))
-          .mkString("[\n         ", ",\n         ", "]")
-        s"""WITH n AS (SELECT count(*) AS corpus_n FROM embeddings),
-           |p AS (SELECT ${bandBitsCase("corpus_n")} AS bits FROM n),
-           |coded AS (
-           |  SELECT vec_id, embedding::DOUBLE[] AS vec,
-           |         $codeList AS codes
-           |  FROM embeddings),
-           |bands AS (
-           |  SELECT vec_id, t AS band,
-           |         list_extract(codes, t + 1) & ((1 << bits) - 1) AS bcode
-           |  FROM coded, p, (SELECT unnest(generate_series(0, ${NumDupBands - 1})) AS t)),
-           |cands AS (
-           |  SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
-           |  FROM bands a JOIN bands b
-           |    ON a.band = b.band AND a.bcode = b.bcode AND a.vec_id < b.vec_id)
-           |SELECT c.a_id, c.b_id,
-           |       round(list_cosine_similarity(x.vec, y.vec) + 1e-10, 6) AS sim
-           |FROM cands c
-           |JOIN coded x ON x.vec_id = c.a_id
-           |JOIN coded y ON y.vec_id = c.b_id
-           |WHERE round(list_cosine_similarity(x.vec, y.vec) + 1e-10, 6) >= 0.35
-           |ORDER BY a_id, b_id""".stripMargin
-      }),
+        val pairs = graft.Caching.persistTracked("e06_pairs",
+          embedDupPairs(s, d).select("a_id", "b_id"))
+        val edges = graft.Caching.persistTracked("e06_edges",
+          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+            .toDF("src", "dst"))
+        val lab = Dedup.propagateLabels(s, edges)
+          .toDF("vec_id", "cluster_id")
+        lab
+          .join(lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
+                "cluster_id")
+          .select("vec_id", "cluster_id", "cluster_size")
+          .orderBy("vec_id")
+      },
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a_id, b_id FROM (
+         |${duckD09Sql.linesIterator.map("    " + _).mkString("\n")}
+         |  ) p),
+         |edges AS (
+         |  SELECT a_id AS src, b_id AS dst FROM pairs
+         |  UNION
+         |  SELECT b_id AS src, a_id AS dst FROM pairs),
+         |reach(src, lbl) AS (
+         |  SELECT src, src AS lbl FROM edges
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.src),
+         |lab AS (
+         |  SELECT src AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY src),
+         |sz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM lab GROUP BY cluster_id)
+         |SELECT l.vec_id, l.cluster_id, s.cluster_size
+         |FROM lab l JOIN sz s USING (cluster_id)
+         |ORDER BY vec_id""".stripMargin),
 
     // IVF (inverted-file) approximate nearest neighbors — the
     // data-adaptive ANN scale path next to e02's data-oblivious LSH.

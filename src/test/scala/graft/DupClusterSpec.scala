@@ -89,15 +89,17 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
     assert(rounds <= 2 * 16 + 4,
       s"rounds $rounds not logarithmic in the 2^16 diameter")
     // checkpointing verifiably active AND cleaned up: >= 2 lineage cuts
-    // happened, superseded cuts' files were deleted — exactly one rdd
-    // checkpoint remains (zero = inactive cut; several = leaking cuts)
+    // happened, superseded cuts' files were deleted — exactly two rdd
+    // checkpoints remain: the entry cut of the EDGE table (kept for the
+    // whole run — later rounds scan it) and the last label cut (zero or
+    // one = a cut isn't happening; more = superseded cuts leaking)
     assert(rounds >= 2 * Dedup.CheckpointEvery,
       "chain converged before exercising two checkpoint intervals")
     val walk = java.nio.file.Files.walk(ckDir)
     val kept =
       try walk.filter(p => p.getFileName.toString.startsWith("rdd-")).count()
       finally walk.close()
-    assert(kept == 1, s"expected exactly 1 live rdd checkpoint under $ckDir, saw $kept")
+    assert(kept == 2, s"expected the edges cut + last label cut under $ckDir, saw $kept")
   }
 
   test("d16 flags exactly the train docs sharing >= 20% shingles with the test split") {

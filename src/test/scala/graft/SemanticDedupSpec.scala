@@ -41,6 +41,30 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
     assert(semCells(Long.MaxValue) == MaxSemCells, "cap must hold")
   }
 
+  test("e06 clusters equal union-find over d09's verified pairs") {
+    val pairs = SparkEntry.queries("d09_embed_dup")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "no near-dup pair at this sf; cluster spec is vacuous")
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val bySize = members.groupBy(find).view.mapValues(_.length.toLong).toMap
+    val expected = members.map(m => m -> ((find(m), bySize(find(m))))).toMap
+
+    val got = SparkEntry.queries("e06_embed_clusters")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected,
+      s"clusters diverge: extra=${(got.keySet -- expected.keySet).take(3)} " +
+        s"missing=${(expected.keySet -- got.keySet).take(3)}")
+  }
+
   test("e04 survivors = corpus minus lower-id in-cell near-dups") {
     val vecs = graft.sources.Tables.embeddings(spark, sfDir)
       .select("vec_id", "embedding").collect()
