@@ -38,16 +38,27 @@ object Dedup {
   private[graft] val BlockWidth = Array(8, 8, 8, 8, 7, 7, 7, 7)
   private val BlockOff = BlockWidth.scanLeft(0)(_ + _).init
 
+  /** The widened family for dense corpora: 10 blocks of 6 bits, choose 4
+    * — 210 tables of 24-bit keys at the SAME guaranteed radius
+    * (10 - 4 = 6). ~2^8 sparser buckets per table for 7.5x the table
+    * count; SimHashSpec proves its exhaustive recall and measures the
+    * candidate cut. [[SimHashWideAt]] is the corpus count at which d03
+    * switches to it (count-derived, like d04/d09/d10's ladders): the
+    * narrow 28-pair tables' ~15-bit keys measured bucket-density
+    * turnover at ~500k docs (19.9x runtime for 10x data, sf1->sf10 —
+    * bench/BENCH_dedup_scale_r6.json), so the switch sits at 2^18,
+    * comfortably before it.
+    */
+  private[graft] val WideBlockWidth: Array[Int] = Array.fill(10)(6)
+  private[graft] val WideChoose = 4
+  private[graft] val SimHashWideAt = 262144L
+
   /** All C(B,c) c-block combinations of a block layout, each one
     * candidate table, as (offset, width) slices. Pigeonhole: <= B - c
     * differing bits leave some c blocks untouched, so the guaranteed
-    * radius of the (widths, c) family is B - c. The gate config is
-    * (BlockWidth, 2) — 28 pair tables at radius 6. THIS is the
-    * widen-the-keys knob for denser corpora: a finer split with more
-    * blocks per table (e.g. 10 x 6-bit blocks choose 4 — 210 tables of
-    * 24-bit keys, same radius 6) divides per-table bucket density by
-    * ~2^8 for 7.5x the table count; SimHashSpec proves the wider
-    * family's exhaustive recall and measures the density cut.
+    * radius of the (widths, c) family is B - c. The gate config ladders
+    * between (BlockWidth, 2) — 28 pair tables — and the widened
+    * (WideBlockWidth, WideChoose) on the corpus count.
     */
   private[graft] def blockCombos(widths: Array[Int], c: Int): Seq[Seq[(Int, Int)]] = {
     require(c >= 1 && c <= widths.length)
@@ -82,6 +93,66 @@ object Dedup {
     sigs.select(col("doc_id"), col("simhash"),
                 explode(array(tables: _*)).as("bp"))
       .select(col("doc_id"), col("simhash"), col("bp.tbl"), col("bp.bkey"))
+  }
+
+  /** One family's combo tables as rows for the broadcast combos frame:
+    * (fam, tbl, then four uniform (offset, mask, multiplier) slices with
+    * the first slice's multiplier omitted — a padding slice (0, 0, 1)
+    * contributes `acc*1 + 0 = acc` to the key fold, so c=2 and c=4
+    * families share one bkey expression, bit-identical to [[comboKey]]).
+    */
+  private def comboTupleRows(fam: Int, widths: Array[Int], c: Int) =
+    blockCombos(widths, c).zipWithIndex.map { case (combo, t) =>
+      val p = combo ++ Seq.fill(4 - combo.size)((0, 0))
+      (fam, t, p(0)._1, (1L << p(0)._2) - 1,
+       p(1)._1, (1L << p(1)._2) - 1, 1L << p(1)._2,
+       p(2)._1, (1L << p(2)._2) - 1, 1L << p(2)._2,
+       p(3)._1, (1L << p(3)._2) - 1, 1L << p(3)._2)
+    }
+
+  /** d03's pipeline with the family switch-over count as a parameter
+    * (the gate passes [[SimHashWideAt]]; the spec passes 0 to force the
+    * widened family and prove output invariance). Bucket rows come from
+    * a broadcast join against a 238-row combos frame — the family
+    * tables are DATA, not expression trees, so whole-stage codegen stays
+    * small either way (an explode over 210 struct literals blew janino's
+    * 64KB method limit and fell back to interpreted execution — exactly
+    * the path that must stay codegen'd at scale). The ACTIVE family is
+    * picked by the one-row-broadcast corpus count in the join filter —
+    * no driver action, mirroring the oracle's `FROM sig, combos, n`.
+    */
+  private[graft] def d03Body(s: SparkSession, d: String, wideAt: Long): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val sp = s
+    import sp.implicits._
+    val sigs = persistTracked("d03_sigs", Tables.documents(s, d)
+      .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash")))
+    val sized = sigs
+      .crossJoin(broadcast(sigs.agg(count(lit(1)).as("corpus_n"))))
+    val combos =
+      (comboTupleRows(0, BlockWidth, 2) ++
+        comboTupleRows(1, WideBlockWidth, WideChoose))
+        .toDF("fam", "tbl", "o1", "m1",
+              "o2", "m2", "s2", "o3", "m3", "s3", "o4", "m4", "s4")
+    val buckets = sized
+      .crossJoin(broadcast(combos))
+      .filter((col("corpus_n") <= wideAt && col("fam") === 0) ||
+              (col("corpus_n") > wideAt && col("fam") === 1))
+      .select(col("doc_id"), col("simhash"), col("tbl"),
+        expr("((((simhash >> o1) & m1) * s2 + ((simhash >> o2) & m2)) * s3" +
+             " + ((simhash >> o3) & m3)) * s4 + ((simhash >> o4) & m4)")
+          .as("bkey"))
+    val a = buckets.toDF("a_id", "a_hash", "tbl", "bkey")
+    val b = buckets.toDF("b_id", "b_hash", "tbl", "bkey")
+    a.join(b, Seq("tbl", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              bit_count(expr("a_hash ^ b_hash")).as("hamming"))
+      // filter BEFORE distinct: drops the (majority) non-matching
+      // pairs map-side instead of shuffling them through the dedup
+      .filter(col("hamming") <= SimHashRadius)
+      .distinct()
+      .orderBy("a_id", "b_id")
   }
 
   // --- MinHash parameters -------------------------------------------------
@@ -507,16 +578,29 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** One family's combo tables as DuckDB VALUES rows, each combo padded
+    * to 4 uniform (offset, mask, multiplier) slices — a padding slice
+    * (off 0, mask 0, mult 1) contributes `acc*1 + 0 = acc` to the key
+    * fold, so c=2 and c=4 families share one bkey expression. The fold is
+    * bit-identical to the operator's [[comboKey]] (acc*2^w + block).
+    */
+  private def comboValuesRows(fam: Int, widths: Array[Int], c: Int): String =
+    blockCombos(widths, c).zipWithIndex.map { case (combo, t) =>
+      val padded = combo ++ Seq.fill(4 - combo.size)((0, 0))
+      val slices = padded.map { case (off, w) =>
+        s"$off, ${(1L << w) - 1}, ${1L << w}" }
+      s"($fam, $t, ${slices.mkString(", ")})"
+    }.mkString(",\n    ")
+
   /** d03's DuckDB twin: md5-60-bit word hashes -> 60 per-bit sign sums ->
-    * the 28 block-pair bucket tables (generated as a VALUES list from the
-    * same BlockOff/BlockWidth arrays the operator uses) -> bucket
-    * self-join -> Hamming filter at the radius.
+    * the ACTIVE family's bucket tables (both families' combos generated
+    * as one VALUES list from the same arrays the operator uses, the
+    * active one selected by the corpus count exactly like the Spark
+    * side) -> bucket self-join -> Hamming filter at the radius.
     */
   private def duckD03Sql: String = {
-    val pairRows = (for (i <- 0 until NumBlocks; j <- i + 1 until NumBlocks) yield
-      s"(${i * NumBlocks + j}, ${BlockOff(i)}, ${(1L << BlockWidth(i)) - 1}, " +
-        s"${BlockOff(j)}, ${(1L << BlockWidth(j)) - 1}, ${1L << BlockWidth(j)})")
-      .mkString(",\n    ")
+    val comboRows = comboValuesRows(0, BlockWidth, 2) + ",\n    " +
+      comboValuesRows(1, WideBlockWidth, WideChoose)
     s"""WITH w AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
        |hw AS (
@@ -530,12 +614,15 @@ object Dedup {
        |         THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END))
        |    AS BIGINT) AS simhash
        |  FROM hw),
-       |pairs(tbl, oi, mi, oj, mj, sj) AS (VALUES
-       |    $pairRows),
+       |n AS (SELECT count(*) AS corpus_n FROM documents),
+       |combos(fam, tbl, o1, m1, s1, o2, m2, s2, o3, m3, s3, o4, m4, s4) AS (VALUES
+       |    $comboRows),
        |buckets AS (
        |  SELECT doc_id, simhash, tbl,
-       |         ((simhash >> oi) & mi) * sj + ((simhash >> oj) & mj) AS bkey
-       |  FROM sig, pairs)
+       |         ((((simhash >> o1) & m1) * s2 + ((simhash >> o2) & m2)) * s3
+       |           + ((simhash >> o3) & m3)) * s4 + ((simhash >> o4) & m4) AS bkey
+       |  FROM sig, combos, n
+       |  WHERE combos.fam = CASE WHEN n.corpus_n <= $SimHashWideAt THEN 0 ELSE 1 END)
        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM buckets a JOIN buckets b
@@ -882,17 +969,23 @@ object Dedup {
     // recall radius — no silently-missed near-dups, unlike chunk schemes
     // whose guarantee stops below their threshold.
     //
-    // Scale: 28 bucket rows per doc; candidates only from 16-bit-key
-    // equality joins, i.e. ~28/2^16 ≈ 1/2340 of all pairs under a uniform
-    // code distribution (real text clusters harder on some keys). That is
-    // a constant-factor reduction, not an asymptotic one — an exact-recall
-    // Hamming join is inherently pair-shaped. For bigger corpora, widen
-    // the keys with the same pigeonhole algebra (B blocks choose r per
-    // table: C(B,r) tables, r*(64/B)-bit keys, guaranteed radius B - r):
-    // 12-choose-3 gives 220 tables of 16-bit keys at radius 9;
-    // 16-choose-4 gives 1820 tables of 16-bit keys at radius 12. The
-    // constants here are sized for the gate corpus; the join shape and
-    // the exhaustive-recall spec carry over unchanged.
+    // Scale: the ACTIVE family is count-laddered (the d04/d09/d10
+    // discipline). Below SimHashWideAt: 28 bucket rows per doc,
+    // candidates only from ~15-bit-key equality joins — ~1/2340 of all
+    // pairs under a uniform code distribution. Past it: the widened
+    // (10 x 6-bit choose 4) family — 210 tables of 24-bit keys, ~2^8
+    // sparser buckets each, same pigeonhole radius (10 - 4 = 6), so
+    // recall is still exactly 1.0 at the radius (SimHashSpec proves the
+    // widened family exhaustive, and proves the OUTPUT is invariant
+    // under the switch — both families are complete at the radius and
+    // the Hamming filter is exact, so the ladder is purely a density
+    // knob). Selection is a one-row-broadcast corpus count feeding two
+    // pre-explode filters — no driver action; the DuckDB oracle carries
+    // both families' combo tables and selects with the same count CASE.
+    // An exact-recall Hamming join stays inherently pair-shaped — the
+    // ladder keeps the per-bucket density (hence pair work per doc)
+    // bounded as the corpus grows; beyond ~16M docs add a third rung
+    // with the same algebra (e.g. 12-choose-6: 924 tables, 30-bit keys).
     // Code/hash family: a 60-bit code over md5-60-bit word hashes
     // (simhash60_md5) rather than the 64-bit xxhash kernel, so every
     // stage — word split, word hash, per-bit sign sums, block keys,
@@ -901,25 +994,9 @@ object Dedup {
     // as the general-purpose function; only this operator's signature
     // moved). 60 bits split into 8 blocks of widths 8,8,8,8,7,7,7,7:
     // pigeonhole over block COUNT, not width, so the radius-6 guarantee
-    // and the C(8,2)=28 pair tables carry over unchanged.
+    // holds in both families.
     "d03_simhash" -> OpDef.sql(
-      (s, d) => {
-        graft.expressions.GraftFunctions.register(s)
-        val sigs = persistTracked("d03_sigs", Tables.documents(s, d)
-          .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash")))
-        val buckets = simhashBuckets(sigs, BlockWidth, 2)
-        val a = buckets.toDF("a_id", "a_hash", "tbl", "bkey")
-        val b = buckets.toDF("b_id", "b_hash", "tbl", "bkey")
-        a.join(b, Seq("tbl", "bkey"))
-          .filter(col("a_id") < col("b_id"))
-          .select(col("a_id"), col("b_id"),
-                  bit_count(expr("a_hash ^ b_hash")).as("hamming"))
-          // filter BEFORE distinct: drops the (majority) non-matching
-          // pairs map-side instead of shuffling them through the dedup
-          .filter(col("hamming") <= SimHashRadius)
-          .distinct()
-          .orderBy("a_id", "b_id")
-      },
+      (s, d) => d03Body(s, d, SimHashWideAt),
       duckD03Sql),
 
     // Blocked character-set Jaccard pairs (SQL-expressible near-dup metric).

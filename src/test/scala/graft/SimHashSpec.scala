@@ -78,13 +78,14 @@ class SimHashSpec extends AnyFunSuite with SparkFixture {
     assert(kernel.count() > 0)
   }
 
-  /** 60 bits as 10 blocks of 6, choose 4 — same guaranteed radius
-    * (10 - 4 = 6) with 24-bit keys: the widened config for corpora where
-    * the 28 pair tables' ~15-bit keys run too dense (measured turning
-    * over at sf10 — bench/BENCH_dedup_scale_r6.json).
+  /** The widened family d03's count ladder switches to past
+    * Dedup.SimHashWideAt — same guaranteed radius (10 - 4 = 6) with
+    * 24-bit keys for corpora where the 28 pair tables' ~15-bit keys run
+    * too dense (measured turning over at sf10 —
+    * bench/BENCH_dedup_scale_r6.json).
     */
-  private val WideWidths = Array.fill(10)(6)
-  private val WideChoose = 4
+  private val WideWidths = Dedup.WideBlockWidth
+  private val WideChoose = Dedup.WideChoose
 
   test("the widened 10-choose-4 family is exhaustively complete at the same radius") {
     graft.expressions.GraftFunctions.register(spark)
@@ -137,6 +138,22 @@ class SimHashSpec extends AnyFunSuite with SparkFixture {
       assert(wideCfg < pairCfg,
         s"widened family did MORE candidate work ($wideCfg >= $pairCfg)")
     } finally sigsDf.unpersist()
+  }
+
+  test("d03 output is invariant under the count-laddered family switch") {
+    // both families are exhaustively complete at the radius and the
+    // Hamming filter is exact, so forcing the wide family (switch-over
+    // count 0) must change NOTHING — the ladder is a density knob, not a
+    // semantics knob. This is what makes the count ladder safe: a rung
+    // disagreement could only ever cost performance, never correctness.
+    graft.expressions.GraftFunctions.register(spark)
+    val gate = SparkEntry.queries("d03_simhash")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    val forcedWide = Dedup.d03Body(spark, sfDir, wideAt = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(gate.nonEmpty, "no simhash pairs at gate scale; spec is vacuous")
+    assert(gate == forcedWide,
+      s"family switch changed the output: ${gate.size} vs ${forcedWide.size} rows")
   }
 
   test("d03 block-pair banding is exhaustively complete at the radius (sf0.01)") {
