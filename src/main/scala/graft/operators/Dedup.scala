@@ -344,15 +344,39 @@ object Dedup {
               round(col("sim_raw") + lit(1e-8), 4).as("sim"))
   }
 
-  /** Rounds between lineage truncations in the label loop: deep enough
-    * that shallow real-world dup clusters (a couple of jumped rounds)
+  /** STEPS between lineage truncations in the label loop: deep enough
+    * that shallow real-world dup clusters (a couple of jumped steps)
     * never pay a checkpoint write, shallow enough that the plan tree
-    * stays bounded — each round references the previous labels THREE
+    * stays bounded — each step references the previous labels THREE
     * times (neighbor join, label join, pointer jump), so the un-cut plan
-    * grows 3^rounds between checkpoints; 3^4 ≈ 81 leaf references is
+    * grows 3^steps between checkpoints; 3^4 ≈ 81 leaf references is
     * cheap where 3^8 made plan stringification alone blow the heap.
     */
   private[graft] val CheckpointEvery = 4
+
+  /** Checkpoint files a finished [[propagateLabelsCounted]] run keeps
+    * alive (the edge cut + the last label cut), per tracker name — the
+    * next invocation under the same name deletes them, so a long-lived
+    * session (bench reps, repeated driver runs) holds at most one run's
+    * cuts per operator instead of accumulating directories until exit.
+    */
+  private val keptCkpts =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+
+  /** The rdd checkpoint file backing a just-checkpointed frame (None on
+    * an unexpected plan shape: skip cleanup, never the result).
+    */
+  private def ckptFileOf(df: DataFrame): Option[String] =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
+      case _ => None
+    }
+
+  private def dropCkpt(s: SparkSession, file: Option[String]): Unit =
+    file.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
 
   /** Min-label propagation to connected components over a SYMMETRIC
     * (src, dst) edge table — d13/d14's core, factored so specs can drive
@@ -377,15 +401,22 @@ object Dedup {
     * the lineage cut there. persist() stays the hot path — the
     * checkpoint is the recovery floor, not an extra read per round.
     */
-  private[graft] def propagateLabels(s: SparkSession, edges: DataFrame): DataFrame =
-    propagateLabelsCounted(s, edges)._1
+  private[graft] def propagateLabels(s: SparkSession, edges: DataFrame,
+      name: String = "d13"): DataFrame =
+    propagateLabelsCounted(s, edges, name)._1
 
-  /** [[propagateLabels]] plus the round count it took — the count exists
-    * for the logarithmic-rounds spec; returning it (rather than stashing
-    * it in shared state) keeps concurrent runs from racing.
+  /** [[propagateLabels]] plus the STEP count it took (one step = one
+    * neighbor-min + pointer-jump application) — the count exists for the
+    * logarithmic-rounds spec; returning it (rather than stashing it in
+    * shared state) keeps concurrent runs from racing.
+    *
+    * `name` keys the per-name caches ("${name}_labels") and kept
+    * checkpoint files, so d13/d14 and e06 running in one session don't
+    * unpersist each other's live label tables.
     */
   private[graft] def propagateLabelsCounted(
-      s: SparkSession, edges: DataFrame): (DataFrame, Int) = {
+      s: SparkSession, edges: DataFrame,
+      name: String = "d13"): (DataFrame, Int) = {
     if (s.sparkContext.getCheckpointDir.isEmpty) {
       // a JVM-local temp dir is only a valid checkpoint target when the
       // executors share the driver's filesystem; on a real cluster each
@@ -400,59 +431,72 @@ object Dedup {
       s.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     }
+    // the PREVIOUS run's kept cuts under this name are superseded the
+    // moment this run starts (its labels tracker is about to be replaced
+    // too) — delete them, or a bench loop leaks one cut pair per rep
+    Option(keptCkpts.remove(name)).foreach(_.foreach(f => dropCkpt(s, Some(f))))
     // a superseded checkpoint's files (deleted once a newer cut lands —
     // the reference-tracking cleaner only runs at GC time, which a bench
     // loop may never reach)
     var prevCkptFile: Option[String] = None
-    def ckptFileOf(df: DataFrame): Option[String] =
-      df.queryExecution.analyzed match {
-        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getCheckpointFile
-        case _ => None // unexpected shape: skip cleanup, never the result
-      }
-    def dropCkpt(file: Option[String]): Unit = file.foreach { f =>
-      val p = new org.apache.hadoop.fs.Path(f)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-    }
-    // Cut the INPUT lineage before looping: every round references the
-    // edge table once per join, and round k's un-cut plan embeds the
+    // Cut the INPUT lineage before looping: every step references the
+    // edge table once per join, and step k's un-cut plan embeds the
     // edge tree 3^k times — when that tree is an entire LSH candidate
     // pipeline (e06's d09 edges), PLANNING cost (analysis, cache lookup,
     // optimization over the exploded tree), not execution, dominated the
     // loop: measured 37 s/round over 254 edges, ~1000x the job itself.
-    // The eager checkpoint roots every round at a flat file scan; its
+    // The eager checkpoint roots every step at a flat file scan; its
     // files are kept for the run like the final label cut (post-loop
-    // consumers may recompute through it on eviction).
-    val edgesIn = edges.persist()
-    val edgesCut = edgesIn.checkpoint() // eager: materialize, then truncate
-    edgesIn.unpersist(blocking = false)
-    // `cached` is whatever table currently backs the labels; each round
-    // materializes its successor BEFORE unpersisting it (unpersist-first
-    // would recompute the whole label lineage from edges), and the final
-    // incarnation is handed to the per-name tracker so the next
-    // invocation (bench reps, repeated driver runs) releases it.
+    // consumers may recompute through it on eviction). The caller's own
+    // persist of `edges` (both gate callers track theirs) backs the one
+    // materializing pass — no redundant persist here.
+    val edgesCut = edges.checkpoint() // eager: materialize, then truncate
+    // Loop-sized shuffle partitions: the label table is at most one row
+    // per distinct edge endpoint, so partition the loop's shuffles for
+    // THAT table, not the session default — at gate scale (hundreds of
+    // edges) every per-step join otherwise schedules dozens of near-empty
+    // tasks per stage, and the fixed per-task overhead dominates the loop
+    // (the bulk of e06's 15 s constant). The count is a scan of the
+    // just-written checkpoint files. Conf is restored in finally; plans
+    // read it lazily at execution, so only the loop's own jobs see it.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = s.conf.get(partsKey)
+    val loopParts = math.max(1L, math.min(prevParts.toLong,
+      (edgesCut.count() + 99999L) / 100000L)).toString
+    s.conf.set(partsKey, loopParts)
+    // `cached` is whatever materialized table currently backs the labels;
+    // `pending` holds persisted-but-unreleased intermediates (odd steps
+    // materialize lazily through the NEXT step's evaluation — counting
+    // only every 2nd step halves the loop's job/action count, and a full
+    // step that lowered nothing is a fixpoint regardless of what the
+    // step before it did). Superseded frames are released only after the
+    // count materializes their successor (unpersist-first would recompute
+    // the whole label lineage from edges); the final incarnation is
+    // handed to the per-name tracker so the next invocation releases it.
     var cached = edgesCut.groupBy("src").agg(min("dst").as("md"))
       .select(col("src"), least(col("src"), col("md")).as("lbl"))
       .persist()
     var labels = cached
-    // convergence scalar: the COUNT of labels lowered this round — never
-    // null on an empty corpus and never overflows, unlike a sum of raw
-    // label values (doc ids can be 60-bit hash-derived)
+    var pending: List[DataFrame] = Nil
+    // convergence scalar: the COUNT of labels lowered by the last checked
+    // step — never null on an empty corpus and never overflows, unlike a
+    // sum of raw label values (doc ids can be 60-bit hash-derived)
     var changed = 1L
-    var rounds = 0
-    // any exception path (round cap, a failed job mid-round) must release
+    var steps = 0
+    // any exception path (step cap, a failed job mid-step) must release
     // the in-flight persisted tables — they only reach the per-name
     // tracker after convergence, and a bench harness that swallows the
-    // throw per-rep would otherwise strand one orphaned cache per attempt
+    // throw per-rep would otherwise strand orphaned caches per attempt
     try {
       while (changed > 0) {
-        if (rounds >= 64)
+        if (steps >= 64)
           // silent exit would emit non-components and quietly diverge
-          // from the oracle. With pointer jumping, rounds ~ log2 of the
-          // deepest component's diameter — 64 rounds covers any graph
+          // from the oracle. With pointer jumping, steps ~ log2 of the
+          // deepest component's diameter — 64 steps covers any graph
           // that fits in longs, so a trip here means the loop is BROKEN
           // (labels rising, a non-symmetric edge table), not big data.
           throw new IllegalStateException(
-            "dup label propagation did not converge in 64 rounds")
+            "dup label propagation did not converge in 64 steps")
         // neighbor-min (one graph hop) ...
         val next = edgesCut
           .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
@@ -470,14 +514,16 @@ object Dedup {
           .select(col("src"), col("nxt").as("lbl"),
                   (col("nxt") < col("cur")).as("ch"))
           .persist()
-        changed =
-          try next.filter(col("ch")).count() // materializes next
-          catch { case t: Throwable => next.unpersist(blocking = false); throw t }
-        cached.unpersist(blocking = false)
+        steps += 1
+        pending = cached :: pending
         cached = next
         labels = next.select("src", "lbl")
-        rounds += 1
-        if (changed > 0 && rounds % CheckpointEvery == 0) {
+        if (steps % 2 == 0) {
+          changed = next.filter(col("ch")).count() // materializes the pair
+          pending.foreach(_.unpersist(blocking = false))
+          pending = Nil
+        }
+        if (changed > 0 && steps % CheckpointEvery == 0) {
           // eager checkpoint: writes the cached partitions, cuts the plan
           // at a scan of the checkpoint files (on throw, the outer catch
           // releases `cached`, which is still `next` here)
@@ -488,16 +534,18 @@ object Dedup {
           // the new cut's plan reads only the NEW files, so the previous
           // cut is unreferenced — delete it; the LAST cut is kept (the
           // final label table may recompute from it if evicted)
-          dropCkpt(prevCkptFile)
+          dropCkpt(s, prevCkptFile)
           prevCkptFile = ckptFileOf(trunc)
         }
       }
     } catch {
-      case t: Throwable => cached.unpersist(blocking = false); throw t
-    }
-    (persistTracked("d13_labels", cached)
+      case t: Throwable =>
+        (cached :: pending).foreach(_.unpersist(blocking = false)); throw t
+    } finally s.conf.set(partsKey, prevParts)
+    keptCkpts.put(name, (ckptFileOf(edgesCut) ++ prevCkptFile).toSeq)
+    (persistTracked(s"${name}_labels", cached)
        .select(col("src").as("doc_id"), col("lbl").as("canonical_id")),
-     rounds)
+     steps)
   }
 
   /** Near-dup cluster labels (doc_id, canonical_id = component minimum)

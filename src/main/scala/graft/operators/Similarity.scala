@@ -290,7 +290,7 @@ object Similarity {
         val edges = graft.Caching.persistTracked("e06_edges",
           pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
             .toDF("src", "dst"))
-        val lab = Dedup.propagateLabels(s, edges)
+        val lab = Dedup.propagateLabels(s, edges, name = "e06")
           .toDF("vec_id", "cluster_id")
         lab
           .join(lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
