@@ -47,6 +47,12 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // NOTE on initialPartitionNum: starting shuffles 8x wider and
+      // letting AQE coalesce looked like free spill relief for the
+      // 100M-row sorts, and measured FASTER at sf1 — but at sf10 the
+      // map-side spill merges (256 output segments per spill instead of
+      // 32) turned the big exchanges into multi-minute stragglers.
+      // Deliberately left at the default (= shuffle.partitions).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -147,4 +147,13 @@ object GraftFunctions {
       planes: Array[Array[Double]]): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       name, exprs => SignCode(exprs(0), planes), "built-in")
+
+  /** Register a nearest-anchor assignment function bound to a FLOAT
+    * anchor matrix: `name(embedding, ncells)` — e04/e04_large's cell
+    * quantizer (see [[LshKernels.nearestAnchor]]).
+    */
+  def registerNearestAnchor(spark: SparkSession, name: String,
+      planes: Array[Array[Float]]): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => NearestAnchor(exprs(0), exprs(1), planes), "built-in")
 }

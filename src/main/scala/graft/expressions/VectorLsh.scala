@@ -50,6 +50,55 @@ object LshKernels {
     code
   }
 
+  /** Nearest anchor among the first `ncells` rows of a FLOAT plane
+    * matrix, by epsilon-rounded cosine with ties to the lower cell —
+    * exactly e04's `max_by(cell, named_struct('s', round(cosine_sim(
+    * emb, anchor) + 1e-10, 6), 'c', -cell))` over a broadcast anchor
+    * table, collapsed into ONE codegen'd per-row call. The explode-
+    * and-aggregate formulation materialized corpus_n x ncells rows each
+    * carrying an embedding copy (at 200k x 256 that was ~80 s of row
+    * traffic for ~5 s of arithmetic); this loop touches each embedding
+    * once.
+    *
+    * Semantics notes, each load-bearing for oracle hash-parity:
+    *  - accumulation is VecMath.cosine's index-ascending double fold
+    *    with the embedding as the FIRST argument (same order as the
+    *    replaced plan and the DuckDB oracle's list_cosine_similarity);
+    *  - rounding is Spark Round's BigDecimal.valueOf(x).setScale(6,
+    *    HALF_UP) with the NaN/Infinity passthrough guard;
+    *  - a strictly-greater comparison keeps the LOWEST cell on ties,
+    *    and java.lang.Double.compare ranks NaN above every sim, both
+    *    matching the struct ordering max_by used.
+    */
+  def nearestAnchor(vec: ArrayData, planes: Array[Array[Float]], ncells: Int): Int = {
+    val n = math.min(ncells, planes.length)
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < n) {
+      val p = planes(c)
+      if (vec.numElements() != p.length)
+        throw new IllegalArgumentException(
+          s"nearest_anchor: embedding dim ${vec.numElements()} != anchor dim ${p.length}")
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < p.length) {
+        val x = vec.getFloat(i).toDouble
+        val y = p(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val raw = dot / (math.sqrt(na) * math.sqrt(nb)) + 1e-10
+      val sim =
+        if (raw.isNaN || raw.isInfinite) raw
+        else java.math.BigDecimal.valueOf(raw)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      if (java.lang.Double.compare(sim, bestSim) > 0) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Jaccard similarity of the DISTINCT code-point sets of two strings —
     * matches `len(list_intersect(a,b)) / len(list_distinct(a||b))` over
     * DuckDB's `string_split_regex(text,'')` (and Spark's `split(text,'')`),
@@ -125,6 +174,41 @@ case class SignCode(child: Expression, planes: Array[Array[Double]])
 
   override protected def withNewChildInternal(newChild: Expression): SignCode =
     copy(child = newChild)
+}
+
+/** Codegen'd nearest-anchor cell assignment over an `array<float>`
+  * embedding (see [[LshKernels.nearestAnchor]] for the semantics); the
+  * float anchor matrix rides along as a referenced object, and the
+  * active prefix length `ncells` is a runtime child (the count ladder
+  * derives it from the data, so it cannot be bound at plan build).
+  */
+case class NearestAnchor(left: Expression, right: Expression,
+    planes: Array[Array[Float]]) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_anchor"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val emb = GraftTypeChecks.floatArrays(prettyName, left)
+    if (emb.isFailure) emb
+    else if (right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: ncells must be INT, got ${right.dataType.simpleString}")
+  }
+
+  override def nullSafeEval(emb: Any, ncells: Any): Any =
+    LshKernels.nearestAnchor(emb.asInstanceOf[ArrayData], planes,
+      ncells.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes, "float[][]")
+    defineCodeGen(ctx, ev, (emb, nc) =>
+      s"graft.expressions.LshKernels.nearestAnchor($emb, $ref, $nc)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestAnchor =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd sorted-distinct code points of a string (array<long>). */

@@ -26,11 +26,20 @@ object Corpus {
     * "random" stream from the same id.
     */
   private def saltedBucket(salt: String, id: Column, mod: Int): Column =
+    saltedBucketVar(salt, id, lit(mod))
+
+  /** [[saltedBucket]] with a COLUMN modulus — for buckets whose count is
+    * itself derived from the data (d18's laddered shard count).
+    */
+  private def saltedBucketVar(salt: String, id: Column, mod: Column): Column =
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15), 16, 10)
       .cast("long") % mod
 
   private def duckSaltedBucket(salt: String, idSql: String, mod: Int): String =
-    s"('0x' || substr(md5('$salt:' || CAST($idSql AS VARCHAR)), 1, 15))::BIGINT % $mod"
+    duckSaltedBucketVar(salt, idSql, mod.toString)
+
+  private def duckSaltedBucketVar(salt: String, idSql: String, modSql: String): String =
+    s"('0x' || substr(md5('$salt:' || CAST($idSql AS VARCHAR)), 1, 15))::BIGINT % $modSql"
 
   /** Demo per-source weight for the gate entry: a small deterministic
     * function of the source name (suffix mod 4, weights 1–4). A real
@@ -44,6 +53,34 @@ object Corpus {
   // integer threshold out of 10000 so the accept test is exact-integer
   // in both engines (the double rate itself never gets hashed).
   private val RateScale = 10000
+
+  /** d18 shard sizing: shards are the packing PARALLELISM (each packs as
+    * an independent windowed cumsum), so the count must grow with the
+    * corpus — a constant 8 meant 8 tasks at any scale. The ladder is the
+    * d04/d09 shape: smallest power of two holding tokens-per-shard at or
+    * under the target. TokPerShardRef is a gate-scale stand-in for a
+    * real deployment's training-file token budget (~512M tokens/file);
+    * only the constant changes, the ladder and oracle shape are scale-
+    * independent. Capped at 2^20 shards (a bound the CASE text needs;
+    * 2^20 x 512M tokens ≈ a 2-PB corpus at the real constant).
+    */
+  private[graft] val TokPerShardRef = 8192L
+  private[graft] val MaxPackShards = 1 << 20
+
+  /** The active shard count as a SQL CASE over a token-total column —
+    * the same generated text in Spark and DuckDB.
+    */
+  private[graft] def packShardsCase(tokSql: String): String =
+    Iterator.iterate(1L)(_ * 2).takeWhile(_ < MaxPackShards)
+      .map(sh => s"WHEN $tokSql <= ${TokPerShardRef * sh} THEN $sh")
+      .mkString("CASE ", " ", s" ELSE $MaxPackShards END")
+
+  /** The Scala twin of [[packShardsCase]] (for specs). */
+  private[graft] def packShards(tokTotal: Long): Int = {
+    var sh = 1L
+    while (sh < MaxPackShards && tokTotal > TokPerShardRef * sh) sh *= 2
+    sh.toInt
+  }
 
   val defs: Map[String, OpDef] = Map(
 
@@ -104,16 +141,27 @@ object Corpus {
     // True first-fit packing is inherently sequential, so the scalable
     // form shards first: docs are md5-sharded, and packing runs as an
     // ordinary windowed cumulative sum WITHIN each shard — shards pack
-    // in parallel with zero coordination, and shard count scales with
-    // the corpus (8 here ≈ one shard per output file at gate scale).
-    // The only shuffle is the hash partition by shard; no global sort
-    // exists anywhere in the plan.
+    // in parallel with zero coordination. Shard count is COUNT-LADDERED
+    // from the corpus token total ([[packShardsCase]]): shards are the
+    // packing parallelism AND the output-file granularity, so they must
+    // grow with the corpus, not sit at a gate-scale constant. The
+    // tokenized projection (doc_id, n_tokens — ~16 bytes/doc, no text)
+    // is persisted so the sizing aggregate and the packing pass share
+    // one text scan. The only corpus shuffle is the hash partition by
+    // shard; no global sort exists anywhere in the plan.
     "d18_seq_pack" -> OpDef.sql(
       (s, d) => {
-        val docs = Tables.documents(s, d).select(
-          col("doc_id"),
-          nMatches(col("text"), WsTokenPat).as("n_tokens"),
-          saltedBucket("pack", col("doc_id"), 8).cast("int").as("shard"))
+        val tok = graft.Caching.persistTracked("d18_tok",
+          Tables.documents(s, d).select(
+            col("doc_id"),
+            nMatches(col("text"), WsTokenPat).as("n_tokens")))
+        val docs = tok
+          .crossJoin(broadcast(tok.agg(
+            sum(col("n_tokens").cast("long")).as("tok_total"))))
+          .withColumn("n_shards", expr(packShardsCase("tok_total")))
+          .select(col("doc_id"), col("n_tokens"),
+            saltedBucketVar("pack", col("doc_id"), col("n_shards"))
+              .cast("int").as("shard"))
         val w = Window.partitionBy("shard").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         docs.withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
@@ -124,14 +172,21 @@ object Corpus {
       },
       s"""WITH t AS (
          |  SELECT doc_id,
-         |         CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens,
-         |         CAST(${duckSaltedBucket("pack", "doc_id", 8)} AS INT) AS shard
+         |         CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tokens
          |  FROM documents),
+         |p AS (
+         |  SELECT ${packShardsCase("tok_total")} AS n_shards
+         |  FROM (SELECT CAST(sum(n_tokens) AS BIGINT) AS tok_total FROM t)),
+         |sh AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(${duckSaltedBucketVar("pack", "doc_id",
+                      "(SELECT n_shards FROM p)")} AS INT) AS shard
+         |  FROM t),
          |c AS (
          |  SELECT doc_id, shard, n_tokens,
          |         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
          |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-         |  FROM t)
+         |  FROM sh)
          |SELECT doc_id, shard, n_tokens,
          |       (cum - n_tokens) // 256 AS bin_id,
          |       (cum - n_tokens) % 256 AS bin_offset

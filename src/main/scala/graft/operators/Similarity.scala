@@ -60,6 +60,58 @@ object Similarity {
     c
   }
 
+  /** Corpus count past which level 1's MaxSemCells alone can no longer
+    * hold mean density <= TargetCell — e04_semantic_dedup_large's second
+    * anchor family activates here (and the capped e04 goes quadratic).
+    */
+  private[graft] val SemLevel2At: Long = MaxSemCells.toLong * TargetCell
+
+  /** e04_large's LEVEL-2 cell ladder: 1 while level 1 alone holds the
+    * density target (making the composite assignment bit-identical to
+    * e04 below the cap), then doubling per corpus doubling up to
+    * MaxSemCells — the composite (cell, cell2) space tops out at
+    * MaxSemCells^2 = 65536 cells, carrying a ~4M-vector corpus at mean
+    * density <= TargetCell. The same generated integer CASE runs in
+    * Spark and DuckDB; `base` is the switch-over count (the gate passes
+    * [[SemLevel2At]]; specs pass a small base to force the composite
+    * path on a gate-scale corpus).
+    */
+  private[graft] def semCells2Case(cntSql: String,
+      base: Long = SemLevel2At): String =
+    Iterator.iterate(1)(_ * 2).takeWhile(_ < MaxSemCells)
+      .map(c => s"WHEN $cntSql <= ${base * c} THEN $c")
+      .mkString("CASE ", " ", s" ELSE $MaxSemCells END")
+
+  /** The Scala twin of [[semCells2Case]] (for specs). */
+  private[graft] def semCells2(n: Long, base: Long = SemLevel2At): Int = {
+    var c = 1
+    while (c < MaxSemCells && n > base * c) c *= 2
+    c
+  }
+
+  /** The runtime signal for a saturated cell ladder (advisor item): the
+    * capped e04 goes density^2 past [[SemLevel2At]] (~16k vectors), and
+    * e04_large past MaxSemCells x that (~4M) — past the threshold the
+    * operator still answers, but quadratically, so a scaled run must be
+    * POINTED at the next rung rather than left to discover it in a
+    * 25x-slower stage. Pure so the spec can pin the exact firing
+    * boundary; the builders print the message to stderr.
+    */
+  private[graft] def capWarning(op: String, n: Long, capacity: Long,
+      escape: String): Option[String] =
+    if (n <= capacity) None
+    else Some(s"[graft] $op: corpus_n=$n exceeds the cell ladder's " +
+      s"density capacity ($capacity) — in-cell pair work grows as " +
+      s"density^2 past the cap; switch to $escape")
+
+  /** Level-2 anchors: the NEXT MaxSemCells planes of the shared
+    * deterministic family (disjoint from level 1's prefix by
+    * construction — `planes` is prefix-consistent), so the two
+    * assignment stages are independent hashes of the same vector.
+    */
+  private[graft] def planes2: Array[Array[Double]] =
+    planes(2 * MaxSemCells).slice(MaxSemCells, 2 * MaxSemCells)
+
   // IVF (e03) geometry: corpus partitioned into NumCells Voronoi cells,
   // queries probe the NProbe nearest — the scanned fraction is ~NProbe/
   // NumCells of the corpus (vs e01's full scan), the classic ANN scale
@@ -204,6 +256,84 @@ object Similarity {
        |JOIN coded x ON x.vec_id = c.a_id
        |JOIN coded y ON y.vec_id = c.b_id
        |WHERE round(list_cosine_similarity(x.vec, y.vec) + 1e-10, 6) >= 0.35""".stripMargin
+  }
+
+  /** e04_semantic_dedup_large's plan: e04's semantic dedup with a
+    * TWO-LEVEL deterministic anchor quantizer, the executable path past
+    * e04's MaxSemCells cap. Level 1 is e04's laddered assignment
+    * verbatim; level 2 independently assigns each vector to the nearest
+    * of `ncells2` anchors from the DISJOINT second plane family
+    * ([[planes2]]), and near-dup pairing runs within the COMPOSITE
+    * (cell, cell2) — up to MaxSemCells^2 = 65536 cells, holding mean
+    * density <= TargetCell to a ~4M-vector corpus where the capped e04
+    * goes density^2 past ~16k. Assignment cost stays LINEAR (each level
+    * is a broadcast cross-join + one map-side-combinable max_by; level 2
+    * scores only the active prefix, so below the cap it adds one
+    * single-anchor pass). A third family is the same shape again if 4M
+    * is ever the binding cap.
+    *
+    * Below [[SemLevel2At]] the level-2 ladder pins ncells2 = 1, every
+    * vector lands in cell2 = 0, and the composite key degenerates to
+    * e04's — the two operators' outputs are bit-identical at gate scale
+    * by construction (SemanticDedupSpec asserts it, and forces the
+    * composite path with a small `level2Base`).
+    *
+    * Recall note: a near-dup pair straddling EITHER level's cell
+    * boundary is missed — the same accepted trade the capped e04
+    * already documents for level 1, applied twice.
+    */
+  /** The composite (cell, cell2) assignment stage of [[e04LargeBody]],
+    * persisted under "e04L_assigned" — factored out so SemProbe can time
+    * assignment separately from the in-cell pair join.
+    */
+  private[graft] def e04LargeAssigned(s: SparkSession,
+      emb: DataFrame, level2Base: Long): DataFrame = {
+    // both levels are the codegen'd per-row argmax (NearestAnchor) over
+    // their float anchor matrices — the broadcast-explode-max_by
+    // formulation this replaced cost ~80 s of row traffic at 200k x 256
+    // for ~5 s of arithmetic; the ladder still sizes the ACTIVE prefix
+    // via the one-row broadcast, so no driver action is added
+    GraftFunctions.registerNearestAnchor(s, "sem_cell",
+      planes(MaxSemCells).map(_.map(_.toFloat)))
+    GraftFunctions.registerNearestAnchor(s, "sem_cell2",
+      planes2.map(_.map(_.toFloat)))
+    val sized = emb
+      .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
+      .withColumn("ncells", expr(semCellsCase("corpus_n")))
+      .withColumn("ncells2", expr(semCells2Case("corpus_n", level2Base)))
+    // persisted: both sides of the composite-cell self-join and the
+    // survivor anti-join read it (same discipline as e04's assignment)
+    graft.Caching.persistTracked("e04L_assigned",
+      sized.select(col("vec_id"),
+        expr("sem_cell(embedding, ncells)").as("cell"),
+        expr("sem_cell2(embedding, ncells2)").as("cell2"),
+        col("embedding")))
+  }
+
+  private[graft] def e04LargeBody(s: SparkSession, d: String,
+      level2Base: Long = SemLevel2At): DataFrame = {
+    GraftFunctions.register(s)
+    val sp = s
+    import sp.implicits._
+    val emb = Tables.embeddings(s, d)
+    // the count is a column-less parquet scan (row-group metadata), so
+    // the saturation check costs nothing next to the operator itself
+    capWarning("e04_semantic_dedup_large", emb.count(),
+      level2Base * MaxSemCells,
+      "a third anchor level (same construction) or e03's trained quantizer")
+      .foreach(System.err.println)
+    val assigned = e04LargeAssigned(s, emb, level2Base)
+    val a = assigned.select(col("cell"), col("cell2"),
+                            col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = assigned.select(col("cell"), col("cell2"),
+                            col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val removed = a.join(b, Seq("cell", "cell2"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(expr("cosine_sim(a_vec, b_vec)") + lit(1e-10), 6) >= 0.35)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(removed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("cell2"))
+      .orderBy("vec_id")
   }
 
   val defs: Map[String, OpDef] = Map(
@@ -436,12 +566,16 @@ object Similarity {
     "e04_semantic_dedup" -> OpDef.sql(
       (s, d) => {
         GraftFunctions.register(s)
-        val sp = s
-        import sp.implicits._
         val emb = Tables.embeddings(s, d)
-        val anchors = planes(MaxSemCells).zipWithIndex
-          .map { case (p, i) => (i, p.map(_.toFloat).toSeq) }.toSeq
-          .toDF("cell", "anchor")
+        capWarning("e04_semantic_dedup", emb.count(), SemLevel2At,
+          "e04_semantic_dedup_large (two-level composite quantizer, " +
+          "density-bounded to ~4M vectors)")
+          .foreach(System.err.println)
+        // per-row codegen'd argmax over the float anchor matrix (see
+        // NearestAnchor) — same assignment the oracle's scored/rank CTE
+        // computes, without exploding corpus_n x ncells rows
+        GraftFunctions.registerNearestAnchor(s, "sem_cell",
+          planes(MaxSemCells).map(_.map(_.toFloat)))
         val sized = emb
           .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
           .withColumn("ncells", expr(semCellsCase("corpus_n")))
@@ -449,13 +583,9 @@ object Similarity {
         // survivor anti-join read it — unpersisted, the whole anchor
         // scoring pass would run three times
         val assigned = graft.Caching.persistTracked("e04_assigned",
-          sized.crossJoin(broadcast(anchors))
-            .filter(col("cell") < col("ncells"))
-            .withColumn("sim_a",
-              round(expr("cosine_sim(embedding, anchor)") + lit(1e-10), 6))
-            .groupBy("vec_id")
-            .agg(expr("max_by(cell, named_struct('s', sim_a, 'c', -cell))").as("cell"),
-                 first(col("embedding")).as("embedding")))
+          sized.select(col("vec_id"),
+            expr("sem_cell(embedding, ncells)").as("cell"),
+            col("embedding")))
         val a = assigned.select(col("cell"), col("vec_id").as("a_id"),
                                 col("embedding").as("a_vec"))
         val b = assigned.select(col("cell"), col("vec_id").as("b_id"),
@@ -495,6 +625,61 @@ object Similarity {
            |    ON a.cell = b.cell AND a.vec_id < b.vec_id
            |  WHERE round(list_cosine_similarity(a.vec, b.vec) + 1e-10, 6) >= 0.35)
            |SELECT a.vec_id, a.cell FROM assigned a
+           |LEFT JOIN removed r ON a.vec_id = r.vec_id
+           |WHERE r.vec_id IS NULL
+           |ORDER BY a.vec_id""".stripMargin
+      }),
+
+    // Semantic dedup PAST e04's cell cap — the two-level composite
+    // quantizer (see [[e04LargeBody]]'s scaladoc for the full design).
+    // Fully SQL-expressible like e04: both levels are deterministic
+    // nearest-anchor assignments, so the oracle hash-checks the whole
+    // composite pipeline (a trained-quantizer variant would have been
+    // rows-only — the deterministic wider family keeps the stronger
+    // gate). At gate scale ncells2 = 1 and the output is e04's with a
+    // constant cell2 = 0 column.
+    "e04_semantic_dedup_large" -> OpDef.sql(
+      (s, d) => e04LargeBody(s, d), {
+        val anchor1Rows = planes(MaxSemCells).zipWithIndex.map { case (p, i) =>
+          p.map(x => x.toFloat.toDouble).mkString(s"($i, [", ",", "]::DOUBLE[])")
+        }.mkString(",\n           ")
+        val anchor2Rows = planes2.zipWithIndex.map { case (p, i) =>
+          p.map(x => x.toFloat.toDouble).mkString(s"($i, [", ",", "]::DOUBLE[])")
+        }.mkString(",\n           ")
+        s"""WITH anchors(cell, anchor) AS (VALUES
+           |           $anchor1Rows),
+           |anchors2(cell2, anchor2) AS (VALUES
+           |           $anchor2Rows),
+           |n AS (SELECT count(*) AS corpus_n FROM embeddings),
+           |p AS (SELECT ${semCellsCase("corpus_n")} AS ncells,
+           |             ${semCells2Case("corpus_n")} AS ncells2 FROM n),
+           |scored1 AS (
+           |  SELECT e.vec_id, e.embedding::DOUBLE[] AS vec, a.cell,
+           |         round(list_cosine_similarity(e.embedding::DOUBLE[], a.anchor)
+           |               + 1e-10, 6) AS sim_a
+           |  FROM embeddings e, anchors a, p WHERE a.cell < p.ncells),
+           |lvl1 AS (
+           |  SELECT vec_id, vec, cell FROM (
+           |    SELECT vec_id, vec, cell,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY sim_a DESC, cell) AS rk
+           |    FROM scored1) WHERE rk = 1),
+           |scored2 AS (
+           |  SELECT l.vec_id, l.vec, l.cell, a.cell2,
+           |         round(list_cosine_similarity(l.vec, a.anchor2) + 1e-10, 6) AS sim_b
+           |  FROM lvl1 l, anchors2 a, p WHERE a.cell2 < p.ncells2),
+           |assigned AS (
+           |  SELECT vec_id, vec, cell, cell2 FROM (
+           |    SELECT vec_id, vec, cell, cell2,
+           |           row_number() OVER (PARTITION BY vec_id
+           |             ORDER BY sim_b DESC, cell2) AS rk
+           |    FROM scored2) WHERE rk = 1),
+           |removed AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell = b.cell AND a.cell2 = b.cell2 AND a.vec_id < b.vec_id
+           |  WHERE round(list_cosine_similarity(a.vec, b.vec) + 1e-10, 6) >= 0.35)
+           |SELECT a.vec_id, a.cell, a.cell2 FROM assigned a
            |LEFT JOIN removed r ON a.vec_id = r.vec_id
            |WHERE r.vec_id IS NULL
            |ORDER BY a.vec_id""".stripMargin

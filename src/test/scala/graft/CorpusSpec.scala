@@ -48,12 +48,32 @@ class CorpusSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("d18 shard ladder: count-derived, capped, monotone") {
+    import graft.operators.Corpus.{packShards, TokPerShardRef, MaxPackShards}
+    assert(packShards(0) == 1 && packShards(TokPerShardRef) == 1)
+    assert(packShards(TokPerShardRef + 1) == 2)
+    var n = 1L
+    while (n < TokPerShardRef * MaxPackShards.toLong * 2) {
+      val sh = packShards(n)
+      // shards hold the target unless capped, and never over-split 2x
+      assert(sh == MaxPackShards || n <= TokPerShardRef * sh,
+        s"target broken at n=$n: $sh shards")
+      assert(sh == 1 || n > TokPerShardRef * (sh / 2), s"over-split at n=$n: $sh")
+      n = n * 3 + 1
+    }
+    assert(packShards(Long.MaxValue) == MaxPackShards)
+  }
+
   test("d18 bin/offset equal a per-shard packing fold; offsets stay inside the budget") {
     val toks = graft.sources.Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), "\\S+".r.findAllIn(r.getString(1)).length.toLong))
+    // the ladder-active shard count for THIS corpus — the implementation
+    // derives it in-plan; the ground truth derives it here from the raw
+    // token totals (and the spec fails if the two ever disagree)
+    val nShards = graft.operators.Corpus.packShards(toks.map(_._2).sum)
     val expected = toks
-      .map { case (id, t) => (id, md5Bucket("pack", id, 8), t) }
+      .map { case (id, t) => (id, md5Bucket("pack", id, nShards), t) }
       .groupBy(_._2).values.flatMap { shardDocs =>
         var cum = 0L
         shardDocs.sortBy(_._1).map { case (id, shard, t) =>

@@ -41,6 +41,86 @@ class SemanticDedupSpec extends AnyFunSuite with SparkFixture {
     assert(semCells(Long.MaxValue) == MaxSemCells, "cap must hold")
   }
 
+  test("e04_large level-2 ladder: 1 below the cap, density bounded above") {
+    import graft.operators.Similarity.{semCells2, MaxSemCells, TargetCell, SemLevel2At}
+    assert(semCells2(1) == 1)
+    assert(semCells2(SemLevel2At) == 1, "level 2 must stay out below the cap")
+    assert(semCells2(SemLevel2At + 1) == 2)
+    var n = SemLevel2At + 1
+    while (n <= SemLevel2At * MaxSemCells) {
+      val c2 = semCells2(n)
+      val compositeDensity = n.toDouble / (MaxSemCells.toLong * c2)
+      assert(compositeDensity <= TargetCell,
+        s"composite density $compositeDensity at n=$n")
+      assert(c2 == 1 || n > SemLevel2At * (c2 / 2), s"over-split to $c2 at n=$n")
+      n = n * 3 / 2 + 1
+    }
+    assert(semCells2(Long.MaxValue) == MaxSemCells, "level-2 cap must hold")
+  }
+
+  test("cap warning fires exactly past the ladder's density capacity") {
+    import graft.operators.Similarity.{capWarning, SemLevel2At, MaxSemCells}
+    assert(capWarning("e04_semantic_dedup", SemLevel2At, SemLevel2At, "x").isEmpty)
+    val msg = capWarning("e04_semantic_dedup", SemLevel2At + 1, SemLevel2At, "use Y")
+    assert(msg.exists(m => m.contains("e04_semantic_dedup") &&
+      m.contains((SemLevel2At + 1).toString) && m.contains("use Y")))
+    val cap2 = SemLevel2At * MaxSemCells
+    assert(capWarning("e04_semantic_dedup_large", cap2, cap2, "x").isEmpty)
+    assert(capWarning("e04_semantic_dedup_large", cap2 + 1, cap2, "x").isDefined)
+  }
+
+  test("e04_large equals e04 below the cap (cell2 pinned to 0)") {
+    val small = SparkEntry.queries("e04_semantic_dedup")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val large = SparkEntry.queries("e04_semantic_dedup_large")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(large.keySet == small.keySet,
+      s"survivor sets diverge: extra=${(large.keySet -- small.keySet).take(3)} " +
+        s"missing=${(small.keySet -- large.keySet).take(3)}")
+    large.foreach { case (id, (c1, c2)) =>
+      assert(c2 == 0, s"vec $id in level-2 cell $c2 below the cap")
+      assert(c1 == small(id), s"vec $id level-1 cell $c1 != e04's ${small(id)}")
+    }
+  }
+
+  test("e04_large composite path (forced) = all-pairs within composite cells") {
+    import graft.operators.Similarity
+    val vecs = graft.sources.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val n = vecs.length.toLong
+    // force level 2 on the gate corpus: a base small enough that the
+    // ladder picks >1 second-level cells
+    val base = n / 4
+    val nc2 = Similarity.semCells2(n, base)
+    assert(nc2 > 1, s"forcing failed: nc2=$nc2 at base=$base, n=$n")
+
+    val a1 = graft.expressions.LshKernels
+      .planes(Similarity.semCells(n)).map(_.map(_.toFloat))
+    val a2 = Similarity.planes2.take(nc2).map(_.map(_.toFloat))
+    def assign(v: Array[Float], anchors: Array[Array[Float]]): Int =
+      anchors.zipWithIndex
+        .map { case (a, c) => (r6(cos(v, a)), c) }
+        .minBy { case (s, c) => (-s, c) }._2
+    val cellOf = vecs.map { case (id, v) =>
+      id -> ((assign(v, a1), assign(v, a2)))
+    }.toMap
+    val removed = (for {
+      (b, vb) <- vecs
+      (a, va) <- vecs
+      if a < b && cellOf(a) == cellOf(b) && r6(cos(va, vb)) >= Tau
+    } yield b).toSet
+
+    val got = Similarity.e04LargeBody(spark, sfDir, level2Base = base)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getInt(2)))).toMap
+    assert(got.keySet == vecs.map(_._1).toSet -- removed,
+      s"survivor set diverges: extra=${(got.keySet -- (vecs.map(_._1).toSet -- removed)).take(3)} " +
+        s"missing=${((vecs.map(_._1).toSet -- removed) -- got.keySet).take(3)}")
+    got.foreach { case (id, cc) =>
+      assert(cc == cellOf(id), s"vec $id assigned $cc, expected ${cellOf(id)}")
+    }
+  }
+
   test("e06 clusters equal union-find over d09's verified pairs") {
     val pairs = SparkEntry.queries("d09_embed_dup")(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
