@@ -142,6 +142,16 @@ object Dedup {
         expr("((((simhash >> o1) & m1) * s2 + ((simhash >> o2) & m2)) * s3" +
              " + ((simhash >> o3) & m3)) * s4 + ((simhash >> o4) & m4)")
           .as("bkey"))
+    // Candidate pairing is a bucket-key SELF-JOIN via sort-merge — kept
+    // deliberately after measuring the alternatives at sf10 (500k docs,
+    // 105M bucket rows) under the 8g driver-default heap:
+    //  - SHUFFLE_HASH join: build maps don't spill -> SparkOutOfMemory;
+    //  - single-shuffle groupBy+collect_list pair enumeration: 2-3M list
+    //    buffers per task OOM the hash agg, and ObjectHashAggregate's
+    //    sort fallback spilled single-threaded for >600 s;
+    //  - sort-merge spills gracefully and stays whole-stage-codegen'd
+    //    either side of the sorts. AQE's raised initialPartitionNum (see
+    //    GraftSession) keeps per-task sort volume bounded at scale.
     val a = buckets.toDF("a_id", "a_hash", "tbl", "bkey")
     val b = buckets.toDF("b_id", "b_hash", "tbl", "bkey")
     a.join(b, Seq("tbl", "bkey"))
@@ -191,13 +201,41 @@ object Dedup {
     * probe (at 100 TB these rows ARE the persisted index table the
     * incremental path equality-joins against).
     */
-  private def minhashBands(shing: DataFrame): DataFrame =
+  private[graft] def minhashBands(shing: DataFrame): DataFrame =
     minhashCols(shing).select(
         col("doc_id"),
         explode(array((0 until NumBands).map(bnd =>
           struct(lit(bnd).as("band_id"),
                  bandSig(bnd).as("band_sig"))): _*)).as("band"))
       .select(col("doc_id"), col("band.band_id"), col("band.band_sig"))
+
+  /** Per-row LSH band keys: the SAME (band_id, band_sig) family as
+    * [[minhashBands]], as an array column of NumBands structs computed
+    * without the explode+groupBy signature aggregation. The streaming
+    * probe (s10) requires this shape: a second aggregation ahead of its
+    * verdict agg would break streaming's one-stateful-agg rule, and
+    * re-attaching doc columns to [[minhashBands]]' output would be a
+    * stream-stream self-join. The transform lambdas run interpreted
+    * (slower per row than the batch explode formulation) — acceptable
+    * because only ARRIVING docs pay it; the corpus-side index is the
+    * batch-built lake table. Same integer arithmetic end to end, so
+    * band keys are bit-identical to minhashBands' (spec-pinned).
+    *
+    * An empty shingle set yields null minhashes, hence null band_sig —
+    * such rows fall out of the equality probe exactly as the batch
+    * path's len(hs) > 0 filter drops them.
+    */
+  private[graft] def bandArray(mh: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val minh = Array.tabulate(NumHashes)(k =>
+      array_min(transform(mh,
+        h => pmod(lit(As(k)) * pmod(h, lit(P31)) + lit(Bs(k)), lit(P31)))))
+    array((0 until NumBands).map { b =>
+      var acc: org.apache.spark.sql.Column = lit(0L)
+      for (r <- 0 until RowsPerBand)
+        acc = pmod(acc * lit(31L) + minh(b * RowsPerBand + r), lit(PolyMod))
+      struct(lit(b).as("band_id"), acc.as("band_sig"))
+    }: _*)
+  }
 
   /** d08's polynomial-fold modulus, reused for the band keys. */
   private val PolyMod = 1000000000000037L
@@ -219,7 +257,7 @@ object Dedup {
   /** Exact Jaccard between two shingle-hash-set columns (both already
     * distinct), as a double ratio of int counts — exact in both engines.
     */
-  private def jaccard(a: String, b: String) =
+  private[graft] def jaccard(a: String, b: String) =
     size(array_intersect(col(a), col(b))).cast("double") /
       size(array_union(col(a), col(b)))
 
@@ -230,7 +268,7 @@ object Dedup {
     * same 60-bit md5-prefix construction as d08, so DuckDB reproduces it
     * exactly. Shared by d11 (the split report) and d14 (corpus select).
     */
-  private[operators] def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
       .cast("long") % 100).cast("int")
 
@@ -238,7 +276,7 @@ object Dedup {
     * (Spark side) — the thresholds must never drift between the split
     * report and the corpus selection.
     */
-  private[operators] def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def splitOf(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
 
   /** The same bucket + 80/10/10 rule as DuckDB SQL, for both oracles. */
@@ -249,7 +287,7 @@ object Dedup {
 
   /** Exact-duplicate fingerprint (d01's grouping key), shared with d14's
     * keeper rule. */
-  private def textFp: org.apache.spark.sql.Column = md5(col("text").cast("binary"))
+  private[graft] def textFp: org.apache.spark.sql.Column = md5(col("text").cast("binary"))
 
   /** d25's canonicalization (lowercase, strip sentence punctuation,
     * collapse whitespace, trim) — ONE definition shared by the batch op
@@ -342,6 +380,80 @@ object Dedup {
       .filter(col("sim_raw") >= 0.3)
       .select(col("a_id"), col("b_id"),
               round(col("sim_raw") + lit(1e-8), 4).as("sim"))
+  }
+
+  /** d24's probe pipeline over PRE-BUILT index artifacts — the shape a
+    * production incremental run has, where the fingerprint index
+    * (fp -> keeper), band-key index (i_id, band_id, band_sig) and
+    * shingle index (i_id, i_sh) are lake tables written when documents
+    * entered the corpus, ideally BUCKETED on their join keys so the
+    * probe's index side re-reads them without an Exchange
+    * (IncrementalDedupLakeSpec demonstrates exactly that). The gate
+    * entry passes artifacts computed inline from the driver's tables;
+    * either way, every join's shuffled volume scales with the batch.
+    */
+  /** d24's five inputs, computed from the driver tables (batch = d11's
+    * test split, index = the rest): (batchFp, shBat, fpIdx, bandIdx,
+    * shIdx). The gate entry consumes them directly;
+    * IncrementalDedupLakeSpec writes the index three as BUCKETED lake
+    * tables and re-runs the probe from those.
+    */
+  private[graft] def d24Artifacts(s: SparkSession, d: String,
+      name: String = "d24")
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    graft.expressions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+      .withColumn("split", splitOf(splitBucket(col("doc_id"))))
+      .withColumn("fp", textFp)
+    val index = docs.filter(col("split") =!= "test")
+    val batch = docs.filter(col("split") === "test")
+    // `name` keys the shingle caches so a second consumer in the same
+    // session (s10's streaming probe) doesn't evict d24's live entries
+    def shingles(side: DataFrame, tag: String) = persistTracked(tag,
+      side.withColumn("mh", expr("md5_shingle3_hashes(text)"))
+        .filter(size(col("mh")) > 0)
+        .select("doc_id", "mh"))
+    val shIdx = shingles(index, s"${name}_sh_idx")
+    (batch.select(col("doc_id"), col("fp")),
+     shingles(batch, s"${name}_sh_bat"),
+     index.groupBy("fp").agg(min(col("doc_id")).as("exact_match")),
+     minhashBands(shIdx).toDF("i_id", "band_id", "band_sig"),
+     shIdx.toDF("i_id", "i_sh"))
+  }
+
+  private[graft] def d24Verdicts(
+      batchFp: DataFrame, // (doc_id, fp) for the arriving batch
+      shBat: DataFrame,   // (doc_id, mh) batch shingle sets (persisted)
+      fpIdx: DataFrame,   // (fp, exact_match) exact-dup index
+      bandIdx: DataFrame, // (i_id, band_id, band_sig) LSH band-key index
+      shIdx: DataFrame    // (i_id, i_sh) index shingle sets
+  ): DataFrame = {
+    val cands = minhashBands(shBat).toDF("b_id", "band_id", "band_sig")
+      .join(bandIdx, Seq("band_id", "band_sig"))
+      .select("b_id", "i_id").distinct()
+    val verified = persistTracked("d24_verified", cands
+      .join(shBat.toDF("b_id", "b_sh"), "b_id")
+      .join(shIdx, "i_id")
+      .withColumn("sim_raw", jaccard("b_sh", "i_sh"))
+      .filter(col("sim_raw") >= 0.3)
+      .select("b_id", "i_id", "sim_raw"))
+    val near = verified.groupBy("b_id").agg(min(col("i_id")).as("near_match"))
+      .join(verified.select(col("b_id"), col("i_id").as("near_match"),
+                            round(col("sim_raw") + lit(1e-8), 4).as("near_sim")),
+            Seq("b_id", "near_match"))
+    batchFp
+      .join(fpIdx, Seq("fp"), "left")
+      .join(near.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near_match").isNotNull, "near_dup")
+          .otherwise("new"))
+      .withColumn("match_id", coalesce(col("exact_match"), col("near_match")))
+      .withColumn("sim",
+        when(col("exact_match").isNull && col("near_match").isNotNull,
+             col("near_sim")))
+      .select("doc_id", "verdict", "match_id", "sim")
+      .orderBy("doc_id")
   }
 
   /** STEPS between lineage truncations in the label loop: deep enough
@@ -679,7 +791,7 @@ object Dedup {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
-  val defs: Map[String, OpDef] = Map(
+  private val defs1: Map[String, OpDef] = Map(
 
     // Exact dedup: group identical texts, keep the lowest doc_id.
     "d01_exact_dedup" -> OpDef.sql(
@@ -900,51 +1012,22 @@ object Dedup {
     // exchange-free on the index side (BucketedJoinSpec's discipline).
     "d24_incremental_dedup" -> OpDef.sql(
       (s, d) => {
-        graft.expressions.GraftFunctions.register(s)
-        val docs = Tables.documents(s, d)
-          .withColumn("split", splitOf(splitBucket(col("doc_id"))))
-          .withColumn("fp", textFp)
-        val index = docs.filter(col("split") =!= "test")
-        val batch = docs.filter(col("split") === "test")
-        val fpIdx = index.groupBy("fp").agg(min(col("doc_id")).as("exact_match"))
-        def shingles(side: DataFrame, name: String) = persistTracked(name,
-          side.withColumn("mh", expr("md5_shingle3_hashes(text)"))
-            .filter(size(col("mh")) > 0)
-            .select("doc_id", "mh"))
-        val shIdx = shingles(index, "d24_sh_idx")
-        val shBat = shingles(batch, "d24_sh_bat")
-        val cands = minhashBands(shBat).toDF("b_id", "band_id", "band_sig")
-          .join(minhashBands(shIdx).toDF("i_id", "band_id", "band_sig"),
-                Seq("band_id", "band_sig"))
-          .select("b_id", "i_id").distinct()
-        val verified = persistTracked("d24_verified", cands
-          .join(shBat.toDF("b_id", "b_sh"), "b_id")
-          .join(shIdx.toDF("i_id", "i_sh"), "i_id")
-          .withColumn("sim_raw", jaccard("b_sh", "i_sh"))
-          .filter(col("sim_raw") >= 0.3)
-          .select("b_id", "i_id", "sim_raw"))
-        val near = verified.groupBy("b_id").agg(min(col("i_id")).as("near_match"))
-          .join(verified.select(col("b_id"), col("i_id").as("near_match"),
-                                round(col("sim_raw") + lit(1e-8), 4).as("near_sim")),
-                Seq("b_id", "near_match"))
-        batch.select(col("doc_id"), col("fp"))
-          .join(fpIdx, Seq("fp"), "left")
-          .join(near.withColumnRenamed("b_id", "doc_id"), Seq("doc_id"), "left")
-          .withColumn("verdict",
-            when(col("exact_match").isNotNull, "exact_dup")
-              .when(col("near_match").isNotNull, "near_dup")
-              .otherwise("new"))
-          .withColumn("match_id", coalesce(col("exact_match"), col("near_match")))
-          .withColumn("sim",
-            when(col("exact_match").isNull && col("near_match").isNotNull,
-                 col("near_sim")))
-          .select("doc_id", "verdict", "match_id", "sim")
-          .orderBy("doc_id")
-      }, {
-        val minhashes = (0 until NumHashes).map(k =>
-          s"list_min(list_transform(hs, h -> (${As(k)}*(h%$P31)+${Bs(k)})%$P31))")
-          .mkString("[\n        ", ",\n        ", "]")
-        s"""WITH d AS (
+        val (batchFp, shBat, fpIdx, bandIdx, shIdx) = d24Artifacts(s, d)
+        d24Verdicts(batchFp, shBat, fpIdx, bandIdx, shIdx)
+      },
+      duckD24Sql)
+  )
+
+  /** d24's full DuckDB oracle — shared VERBATIM with
+    * s10_stream_incr_dedup (the streaming twin probes the same batch
+    * against the same index, so one oracle checks both engine paths,
+    * the s01/q27 convention).
+    */
+  private[graft] def duckD24Sql: String = {
+    val minhashes = (0 until NumHashes).map(k =>
+      s"list_min(list_transform(hs, h -> (${As(k)}*(h%$P31)+${Bs(k)})%$P31))")
+      .mkString("[\n        ", ",\n        ", "]")
+    s"""WITH d AS (
            |  SELECT doc_id, text, ${duckSplitCase("doc_id")} AS split,
            |         md5(text) AS fp, string_split_regex(text, '\\s+') AS ws
            |  FROM documents),
@@ -995,7 +1078,13 @@ object Dedup {
            |LEFT JOIN near n ON n.b_id = b.doc_id
            |WHERE b.split = 'test'
            |ORDER BY b.doc_id""".stripMargin
-      }),
+  }
+
+  /** The defs map continues below (split by [[duckD24Sql]], whose text
+    * s10_stream_incr_dedup shares verbatim — one oracle, two engine
+    * paths, the s01/q27 convention).
+    */
+  private val defs2: Map[String, OpDef] = Map(
 
     // SimHash: 64-bit per-row signature, then near-dup pairs at Hamming
     // distance <= SimHashRadius.
@@ -1201,4 +1290,12 @@ object Dedup {
         |         (acc, h) -> (acc * 31 + h % 1000000007) % 1000000000000037) AS fingerprint
         |FROM nz ORDER BY doc_id""".stripMargin)
   )
+
+  /** The gate registry: both halves (the map is split only so
+    * [[duckD24Sql]] can sit between its batch consumer and the streaming
+    * twin that shares it). Declared AFTER defs1/defs2 — object vals
+    * initialize in source order, and a forward reference here would be
+    * null at init.
+    */
+  val defs: Map[String, OpDef] = defs1 ++ defs2
 }

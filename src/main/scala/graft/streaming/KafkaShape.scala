@@ -89,4 +89,36 @@ object KafkaShape {
         flagged.filter(col("decoded")).select("e.*"))
       .withColumn("ts", timestamp_micros(col("ts_us")))
   }
+
+  /** The DEAD-LETTER leg: exactly the wire rows [[fromKafkaShape]]'s
+    * guard drops — same from_json + identity test, complemented — with
+    * the ORIGINAL bytes and whatever wire metadata the frame carries
+    * (topic/partition/offset/timestamp when fed by a real Kafka source),
+    * plus a coarse `reason`. Keeping the raw `value` is the point: a
+    * dead-letter row is replayable after the producer bug is fixed,
+    * where the decode metric alone only proves rows went missing.
+    *
+    * Run it as a SECOND query over the same source (file/Kafka sources
+    * serve multiple queries, each with its own offsets), e.g.
+    * `deadLetters(wire).writeStream.format("parquet")...` — or inside a
+    * foreachBatch that writes both legs from one persisted batch.
+    * KafkaDeadLetterSpec drives the two-query shape and reconciles the
+    * sink's count against [[DecodeMetric]].
+    *
+    * `reason`: a null payload is a tombstone (routine compaction
+    * traffic, often filtered before the sink); anything else that failed
+    * is `undecodable` (PERMISSIVE from_json cannot distinguish non-JSON
+    * bytes from schema drift without a second parse — both decode to a
+    * struct whose identity fields are null).
+    */
+  def deadLetters(df: DataFrame): DataFrame = {
+    val meta = Seq("topic", "partition", "offset", "timestamp")
+      .filter(df.columns.contains).map(col)
+    df.withColumn("e", from_json(col("value").cast("string"), ValueSchema))
+      .filter(col("e").isNull ||
+        col("e.event_id").isNull || col("e.ts").isNull)
+      .select(col("key") +: col("value") +: meta :+
+        when(col("value").isNull, "tombstone")
+          .otherwise("undecodable").as("reason"): _*)
+  }
 }

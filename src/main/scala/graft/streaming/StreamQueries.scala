@@ -318,6 +318,54 @@ object StreamQueries {
         |           '[.,!?;:]', '', 'g'), '\s+', ' ', 'g'))) AS norm_fp
         |FROM documents GROUP BY 3 ORDER BY keep_id""".stripMargin),
 
+    // s10: streaming incremental dedup — the s-series twin of d24.
+    // Arriving documents (the same test-split batch d24 probes) stream
+    // against the STATIC index artifacts (fingerprint index, band-key
+    // index, shingle index): in production the bucketed lake tables
+    // IncrementalDedupLakeSpec demonstrates, broadcast at gate scale.
+    // Each doc gets its exact_dup/near_dup/new verdict as it arrives.
+    // Everything ahead of the single verdict aggregation is stateless —
+    // per-row signatures (Dedup.bandArray: no second aggregation, which
+    // streaming's one-stateful-agg rule forbids) and stream-static
+    // broadcast joins — and the min-verified-match selection is ONE
+    // min_by agg. Oracle: d24's SQL VERBATIM — the stream and the batch
+    // must say the same thing about every document.
+    "s10_stream_incr_dedup" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Dedup
+        graft.expressions.GraftFunctions.register(s)
+        val (_, _, fpIdx, bandIdx, shIdx) = Dedup.d24Artifacts(s, d, name = "s10")
+        val dir = stagedDocsDir(s, d)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val arriving = s.readStream.schema(schema).parquet(dir)
+          .filter(Dedup.splitOf(Dedup.splitBucket(col("doc_id"))) === "test")
+          .withColumn("fp", Dedup.textFp)
+          .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+        val probed = arriving
+          .join(broadcast(fpIdx), Seq("fp"), "left")
+          .withColumn("band", explode_outer(Dedup.bandArray(col("mh"))))
+          .select(col("doc_id"), col("exact_match"), col("mh"),
+                  col("band.band_id"), col("band.band_sig"))
+          .join(broadcast(bandIdx), Seq("band_id", "band_sig"), "left")
+          .join(broadcast(shIdx), Seq("i_id"), "left")
+          .withColumn("sim_raw", Dedup.jaccard("mh", "i_sh"))
+        val verdicts = probed.groupBy("doc_id")
+          .agg(first(col("exact_match")).as("exact_match"),
+               // min_by ignores rows whose ordering is null, so the CASE
+               // keeps only Jaccard-verified index matches (d24's rule)
+               expr("min_by(named_struct('m', i_id, 's', sim_raw), " +
+                    "CASE WHEN sim_raw >= 0.3 THEN i_id END)").as("near"))
+          .select(col("doc_id"),
+            when(col("exact_match").isNotNull, "exact_dup")
+              .when(col("near.m").isNotNull, "near_dup")
+              .otherwise("new").as("verdict"),
+            coalesce(col("exact_match"), col("near.m")).as("match_id"),
+            when(col("exact_match").isNull && col("near.m").isNotNull,
+                 round(col("near.s") + lit(1e-8), 4)).as("sim"))
+        drain(s, "s10", verdicts, "complete").orderBy("doc_id")
+      },
+      graft.operators.Dedup.duckD24Sql),
+
     // s08: hopping windows — every event counted into its TWO overlapping
     // 1-hour/30-minute windows. The oracle derives both window starts per
     // event arithmetically (floor to the slide grid, minus one slide), so
