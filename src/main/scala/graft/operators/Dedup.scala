@@ -40,18 +40,33 @@ object Dedup {
 
   /** The widened family for dense corpora: 10 blocks of 6 bits, choose 4
     * — 210 tables of 24-bit keys at the SAME guaranteed radius
-    * (10 - 4 = 6). ~2^8 sparser buckets per table for 7.5x the table
-    * count; SimHashSpec proves its exhaustive recall and measures the
-    * candidate cut. [[SimHashWideAt]] is the corpus count at which d03
-    * switches to it (count-derived, like d04/d09/d10's ladders): the
-    * narrow 28-pair tables' ~15-bit keys measured bucket-density
-    * turnover at ~500k docs (19.9x runtime for 10x data, sf1->sf10 —
-    * bench/BENCH_dedup_scale_r6.json), so the switch sits at 2^18,
-    * comfortably before it.
+    * (10 - 4 = 6). SimHashSpec proves its exhaustive recall and measures
+    * a 2.3x candidate cut — but the round-7 sf10 measurement DEMOTED it
+    * from the gate ladder: at 500k docs (exactly the scale the switch
+    * targeted) the wide family ran 633 s against the narrow family's
+    * 13.2 s. Two facts the ladder's design missed: (a) the bucket
+    * SELF-JOIN's cost is dominated by sorting bucket ROWS, of which wide
+    * emits 7.5x more (210 tables x corpus vs 28 x corpus — 105M rows at
+    * 500k docs); (b) the density relief never materializes on real
+    * signature distributions, because near-identical documents produce
+    * near-identical simhashes that collide at ANY key width — the hot
+    * buckets that drive pair cost are insensitive to widening (probe:
+    * 2024 buckets of >= 100 docs at 24-bit keys). Meanwhile the narrow
+    * family's supposed ~500k turnover (r6's 19.9x) disappeared once the
+    * combos moved to a broadcast join inside whole-stage codegen — its
+    * measured curve is now FLAT (5.7 s -> 13.2 s for 10x data,
+    * bench/BENCH_d03_scale_r7.json).
+    *
+    * [[SimHashWideAt]] therefore keeps the narrow family active at every
+    * reachable count; the wide config stays available (d03Body's wideAt
+    * = 0 forces it — SimHashSpec does) for a deployment whose signature
+    * distribution is near-uniform, where the density argument holds.
+    * The honest 100-TB answer for denser corpora is a smaller guaranteed
+    * radius or multi-probe, not more tables.
     */
   private[graft] val WideBlockWidth: Array[Int] = Array.fill(10)(6)
   private[graft] val WideChoose = 4
-  private[graft] val SimHashWideAt = 262144L
+  private[graft] val SimHashWideAt = Long.MaxValue
 
   /** All C(B,c) c-block combinations of a block layout, each one
     * candidate table, as (offset, width) slices. Pigeonhole: <= B - c
@@ -1288,7 +1303,66 @@ object Dedup {
         |       list_min(hs) AS min_hash, list_max(hs) AS max_hash,
         |       list_reduce(list_prepend(CAST(0 AS BIGINT), hs),
         |         (acc, h) -> (acc * 31 + h % 1000000007) % 1000000000000037) AS fingerprint
-        |FROM nz ORDER BY doc_id""".stripMargin)
+        |FROM nz ORDER BY doc_id""".stripMargin),
+
+    // Span-level duplication scoring: for every document, how much of it
+    // is built from 8-word spans that ALSO appear in other documents —
+    // the substring-granularity view of duplication ("Deduplicating
+    // Training Data Makes Language Models Better", Lee et al. 2022:
+    // repeated spans drive memorization even when no whole document is a
+    // near-dup; boilerplate headers/footers are the classic case). Doc-
+    // level dedup (d01/d02/d03) cannot see these; this op scores them
+    // without a suffix array: span identity = the d02/d16 md5-60-bit
+    // shingle family at width 8.
+    //
+    // Scale shape: one explode of the distinct per-doc span set, ONE
+    // shuffle on the span hash (the groupBy's partial count combines
+    // map-side; the HAVING >= 2 filter cuts the unique-span majority
+    // before the join back), and the per-doc re-aggregation shuffles on
+    // doc_id. No pairwise anything — cost is linear in total spans. A
+    // true character-granular pass (the paper's suffix array) is the
+    // specialized tool past this; at corpus scale THIS is the form that
+    // runs as ordinary combinable aggregations.
+    "d27_span_dedup" -> OpDef.sql(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val sh = persistTracked("d27_spans",
+          Tables.documents(s, d)
+            .withColumn("hs", expr("md5_shingle8_hashes(text)"))
+            .filter(size(col("hs")) > 0)
+            .select("doc_id", "hs"))
+        val ex = sh.select(col("doc_id"), explode(col("hs")).as("h"))
+        // hs is doc-distinct, so count(*) per hash = distinct-doc count
+        val rep = ex.groupBy("h").agg(count(lit(1)).as("n_docs"))
+          .filter(col("n_docs") >= 2)
+          .select(col("h"), lit(1).as("hit"))
+        ex.join(rep, Seq("h"), "left")
+          .groupBy("doc_id").agg(count(col("hit")).as("n_repeated"))
+          .join(sh.select(col("doc_id"), size(col("hs")).as("n_spans")), "doc_id")
+          .select(col("doc_id"), col("n_spans"), col("n_repeated"),
+            round(col("n_repeated").cast("double") / col("n_spans")
+                    + lit(1e-8), 4).as("span_dup_ratio"))
+          .orderBy("doc_id")
+      },
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    generate_series(1, len(ws) - 7),
+        |    i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3],
+        |                                        ws[i+4], ws[i+5], ws[i+6], ws[i+7])), 1, 15))::BIGINT)) AS hs
+        |  FROM w),
+        |nz AS (SELECT * FROM sh WHERE len(hs) > 0),
+        |ex AS (SELECT doc_id, unnest(hs) AS h FROM nz),
+        |rep AS (SELECT h FROM ex GROUP BY h HAVING count(*) >= 2),
+        |per AS (
+        |  SELECT e.doc_id, CAST(count(r.h) AS BIGINT) AS n_repeated
+        |  FROM ex e LEFT JOIN rep r ON e.h = r.h
+        |  GROUP BY e.doc_id)
+        |SELECT z.doc_id, CAST(len(z.hs) AS INT) AS n_spans, p.n_repeated,
+        |       round(CAST(p.n_repeated AS DOUBLE) / len(z.hs) + 1e-8, 4) AS span_dup_ratio
+        |FROM nz z JOIN per p ON z.doc_id = p.doc_id
+        |ORDER BY z.doc_id""".stripMargin)
   )
 
   /** The gate registry: both halves (the map is split only so
