@@ -803,6 +803,44 @@ object Similarity {
            |       neighbor_id, sim, code
            |FROM cand QUALIFY rk <= $TopK
            |ORDER BY q_id, rk""".stripMargin
-      })
+      }),
+
+    // Int8 scalar quantization of the embedding lake — the storage/IO
+    // step under every ANN index at scale (a 100-TB float32 embedding
+    // table is 25 TB at int8; recall cost of symmetric per-dim scalar
+    // quantization is small and standard). Per-dim scale = max |v|
+    // (a Dim-group map-side-combinable aggregate — bytes of shuffle);
+    // the quantize pass is a broadcast join of that Dim-row table plus
+    // pure integer-exact row math: q = floor(v/scale*127 + 0.5 + 1e-9),
+    // zero-scale dims pinned to 0 (ANSI would throw on the division).
+    // Emitted EXPLODED as (vec_id, pos, q) scalar rows — the form the
+    // hash oracle can check end-to-end; the production storage layout
+    // packs the same values back to array<tinyint> with one
+    // zip_with/collect, changing no quantized value.
+    "e07_quantize_int8" -> OpDef.sql(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val ex = emb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        val dims = ex.groupBy("pos")
+          .agg(max(abs(col("v").cast("double"))).as("mx"))
+        ex.join(broadcast(dims), "pos")
+          .select(col("vec_id"), col("pos"),
+            when(col("mx") === 0.0, lit(0))
+              .otherwise(floor(col("v").cast("double") / col("mx") * 127
+                               + lit(0.5) + lit(1e-9)).cast("int"))
+              .as("q"))
+          .orderBy("vec_id", "pos")
+      },
+      s"""WITH ex AS (
+         |  SELECT vec_id, CAST(i AS INT) AS pos, embedding[i + 1]::DOUBLE AS v
+         |  FROM embeddings, (SELECT unnest(generate_series(0, ${
+             graft.expressions.LshKernels.Dim - 1})) AS i)),
+         |dims AS (SELECT pos, max(abs(v)) AS mx FROM ex GROUP BY pos)
+         |SELECT e.vec_id, e.pos,
+         |  CASE WHEN d.mx = 0 THEN 0
+         |       ELSE CAST(floor(e.v / d.mx * 127 + 0.5 + 1e-9) AS INT) END AS q
+         |FROM ex e JOIN dims d USING (pos)
+         |ORDER BY vec_id, pos""".stripMargin)
   )
 }

@@ -34,11 +34,58 @@ object TextAnalysis {
   private val NumPat = "[0-9]{2,}"
 
   private def scored(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    withStopHits(Tables.documents(s, d))
+
+  private def withStopHits(docs: DataFrame): DataFrame =
+    docs
       .withColumn("en_hits", nMatches(col("text"), EnPat))
       .withColumn("es_hits", nMatches(col("text"), EsPat))
       .withColumn("de_hits", nMatches(col("text"), DePat))
       .withColumn("fr_hits", nMatches(col("text"), FrPat))
+
+  /** d21's KEEP/DROP verdict pipeline over any (doc_id, text) frame —
+    * every column is a per-row function of the text (no aggregation, no
+    * shuffle), which is exactly what lets s11 run it UNCHANGED on a
+    * document stream in append mode with zero state. One definition;
+    * the batch gate adds only its orderBy.
+    */
+  private[graft] def qualityVerdict(docs: DataFrame): DataFrame =
+    withStopHits(docs)
+      .withColumn("n_words", nMatches(col("text"), WsTokenPat))
+      .withColumn("n_distinct",
+        size(array_distinct(regexp_extract_all(col("text"), lit(WsTokenPat), lit(0)))))
+      .withColumn("n_nonws", length(regexp_replace(col("text"), "\\s", "")))
+      .withColumn("ok_len", col("n_words") >= 10 && col("n_words") <= 5000)
+      .withColumn("ok_rep", col("n_distinct") * 5 >= col("n_words"))
+      .withColumn("ok_stop",
+        col("en_hits") + col("es_hits") + col("de_hits") + col("fr_hits") >= 1)
+      .withColumn("ok_tok",
+        col("n_nonws") >= col("n_words") * 2 && col("n_nonws") <= col("n_words") * 12)
+      .withColumn("keep",
+        col("ok_len") && col("ok_rep") && col("ok_stop") && col("ok_tok"))
+      .select("doc_id", "n_words", "ok_len", "ok_rep", "ok_stop", "ok_tok", "keep")
+
+  /** d21's oracle — shared VERBATIM with s11_stream_quality_filter. */
+  private[graft] val duckD21Sql: String =
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_words,
+       |    CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS INT) AS n_distinct,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_nonws,
+       |    len(regexp_extract_all(text, '$EnPat')) +
+       |    len(regexp_extract_all(text, '$EsPat')) +
+       |    len(regexp_extract_all(text, '$DePat')) +
+       |    len(regexp_extract_all(text, '$FrPat')) AS stop_hits
+       |  FROM documents)
+       |SELECT doc_id, n_words,
+       |  n_words >= 10 AND n_words <= 5000 AS ok_len,
+       |  n_distinct * 5 >= n_words AS ok_rep,
+       |  stop_hits >= 1 AS ok_stop,
+       |  n_nonws >= n_words * 2 AND n_nonws <= n_words * 12 AS ok_tok,
+       |  (n_words >= 10 AND n_words <= 5000) AND (n_distinct * 5 >= n_words)
+       |    AND (stop_hits >= 1)
+       |    AND (n_nonws >= n_words * 2 AND n_nonws <= n_words * 12) AS keep
+       |FROM m ORDER BY doc_id""".stripMargin
 
   val defs: Map[String, OpDef] = Map(
 
@@ -227,40 +274,8 @@ object TextAnalysis {
     // 5000, distinct-word ratio >= 1/5, >= 1 stopword hit (any of the
     // four languages), mean token length in [2, 12].
     "d21_quality_filter" -> OpDef.sql(
-      (s, d) => scored(s, d)
-        .withColumn("n_words", nMatches(col("text"), WsTokenPat))
-        .withColumn("n_distinct",
-          size(array_distinct(regexp_extract_all(col("text"), lit(WsTokenPat), lit(0)))))
-        .withColumn("n_nonws", length(regexp_replace(col("text"), "\\s", "")))
-        .withColumn("ok_len", col("n_words") >= 10 && col("n_words") <= 5000)
-        .withColumn("ok_rep", col("n_distinct") * 5 >= col("n_words"))
-        .withColumn("ok_stop",
-          col("en_hits") + col("es_hits") + col("de_hits") + col("fr_hits") >= 1)
-        .withColumn("ok_tok",
-          col("n_nonws") >= col("n_words") * 2 && col("n_nonws") <= col("n_words") * 12)
-        .withColumn("keep",
-          col("ok_len") && col("ok_rep") && col("ok_stop") && col("ok_tok"))
-        .select("doc_id", "n_words", "ok_len", "ok_rep", "ok_stop", "ok_tok", "keep")
-        .orderBy("doc_id"),
-      s"""WITH m AS (
-         |  SELECT doc_id,
-         |    CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_words,
-         |    CAST(len(list_distinct(regexp_extract_all(text, '\\S+'))) AS INT) AS n_distinct,
-         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS INT) AS n_nonws,
-         |    len(regexp_extract_all(text, '$EnPat')) +
-         |    len(regexp_extract_all(text, '$EsPat')) +
-         |    len(regexp_extract_all(text, '$DePat')) +
-         |    len(regexp_extract_all(text, '$FrPat')) AS stop_hits
-         |  FROM documents)
-         |SELECT doc_id, n_words,
-         |  n_words >= 10 AND n_words <= 5000 AS ok_len,
-         |  n_distinct * 5 >= n_words AS ok_rep,
-         |  stop_hits >= 1 AS ok_stop,
-         |  n_nonws >= n_words * 2 AND n_nonws <= n_words * 12 AS ok_tok,
-         |  (n_words >= 10 AND n_words <= 5000) AND (n_distinct * 5 >= n_words)
-         |    AND (stop_hits >= 1)
-         |    AND (n_nonws >= n_words * 2 AND n_nonws <= n_words * 12) AS keep
-         |FROM m ORDER BY doc_id""".stripMargin),
+      (s, d) => qualityVerdict(Tables.documents(s, d)).orderBy("doc_id"),
+      duckD21Sql),
 
     // Adjacent-pair statistics (the BPE merge-step aggregation): counts
     // of adjacent whitespace-token pairs across the corpus, with a

@@ -366,6 +366,26 @@ object StreamQueries {
       },
       graft.operators.Dedup.duckD24Sql),
 
+    // s11: streaming quality filter — d21's KEEP/DROP verdict applied to
+    // documents AS THEY ARRIVE (the intake-side placement a production
+    // pipeline wants: drop gibberish before it ever lands in the lake).
+    // The verdict is one shared per-row definition with the batch d21 —
+    // no aggregation, no state, APPEND mode: the cheapest possible
+    // streaming op, and the proof that the quality gate can sit on the
+    // firehose without a re-shuffle. Oracle: d21's SQL verbatim.
+    "s11_stream_quality_filter" -> OpDef.sql(
+      (s, d) => {
+        val dir = stagedDocsDir(s, d)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val docs = s.readStream.schema(schema).parquet(dir)
+        drain(s, "s11",
+            graft.operators.TextAnalysis.qualityVerdict(
+              docs.select("doc_id", "text")),
+            "append")
+          .orderBy("doc_id")
+      },
+      graft.operators.TextAnalysis.duckD21Sql),
+
     // s08: hopping windows — every event counted into its TWO overlapping
     // 1-hour/30-minute windows. The oracle derives both window starts per
     // event arithmetically (floor to the slide grid, minus one slide), so

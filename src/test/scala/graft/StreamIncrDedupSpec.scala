@@ -36,6 +36,15 @@ class StreamIncrDedupSpec extends AnyFunSuite with SparkFixture {
         s"onlyPerRow=${(perRow -- batch).take(3)}")
   }
 
+  test("s11 streamed quality verdicts equal d21's batch verdicts row-for-row") {
+    val s11 = SparkEntry.queries("s11_stream_quality_filter")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val d21 = SparkEntry.queries("d21_quality_filter")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(s11.nonEmpty && s11.toSeq == d21.toSeq,
+      s"stream and batch quality verdicts diverge (${s11.length} vs ${d21.length})")
+  }
+
   test("s10 streamed verdicts equal d24's batch verdicts row-for-row") {
     val s10 = SparkEntry.queries("s10_stream_incr_dedup")(spark, sfDir)
       .collect().map(_.toSeq)
