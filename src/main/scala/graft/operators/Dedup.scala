@@ -1362,7 +1362,61 @@ object Dedup {
         |SELECT z.doc_id, CAST(len(z.hs) AS INT) AS n_spans, p.n_repeated,
         |       round(CAST(p.n_repeated AS DOUBLE) / len(z.hs) + 1e-8, 4) AS span_dup_ratio
         |FROM nz z JOIN per p ON z.doc_id = p.doc_id
-        |ORDER BY z.doc_id""".stripMargin)
+        |ORDER BY z.doc_id""".stripMargin),
+
+    // Priority-based cluster retention: within each near-dup cluster keep
+    // the doc from the most-preferred SOURCE (ties to the lower id),
+    // instead of d13/d14's blind min-id rule — the retention policy real
+    // corpus builds use (curated/licensed sources outrank crawl dumps
+    // when they carry the same content). Priority here is a
+    // deterministic demo function of the source name (suffix mod 4, the
+    // d17 convention); a real pipeline passes a curated rank table and
+    // nothing downstream changes. Unclustered docs are their own
+    // cluster (size 1, trivially kept).
+    //
+    // Scale shape: the label table (d13's loop output) left-joins the
+    // corpus, then ONE min_by aggregation per cluster — the arg-min
+    // rides the same shuffle as the cluster-size count; the keeper's
+    // attributes come back via an equality join on the kept id. No new
+    // pairwise work: selection costs one combinable aggregate over the
+    // corpus regardless of cluster shapes.
+    "d28_priority_select" -> OpDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .withColumn("prio",
+            (substring(col("source"), 4, 10).cast("int") % 4).cast("int"))
+        val clustered = docs.join(dupLabels(s, d), Seq("doc_id"), "left")
+          .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
+        val keep = clustered.groupBy("cluster_id")
+          .agg(expr("min_by(doc_id, named_struct('p', prio, 'i', doc_id))").as("keep_id"),
+               count(lit(1)).as("cluster_size"))
+        keep
+          .join(clustered.select(col("doc_id").as("keep_id"),
+                                 col("source"), col("prio")), "keep_id")
+          .select(col("cluster_id"), col("keep_id"), col("source"),
+                  col("prio"), col("cluster_size"))
+          .orderBy("cluster_id")
+      },
+      s"""WITH RECURSIVE $duckLabelCtes,
+         |pr AS (
+         |  SELECT doc_id, source,
+         |         CAST(CAST(substr(source, 4, 10) AS INT) % 4 AS INT) AS prio
+         |  FROM documents),
+         |cl AS (
+         |  SELECT p.doc_id, p.source, p.prio,
+         |         coalesce(l.canonical_id, p.doc_id) AS cluster_id
+         |  FROM pr p LEFT JOIN lab l ON p.doc_id = l.doc_id),
+         |sz AS (
+         |  SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM cl GROUP BY cluster_id),
+         |keep AS (
+         |  SELECT cluster_id, doc_id AS keep_id, source, prio FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY cluster_id
+         |             ORDER BY prio, doc_id) AS rk
+         |    FROM cl) WHERE rk = 1)
+         |SELECT k.cluster_id, k.keep_id, k.source, k.prio, s.cluster_size
+         |FROM keep k JOIN sz s USING (cluster_id)
+         |ORDER BY k.cluster_id""".stripMargin)
   )
 
   /** The gate registry: both halves (the map is split only so

@@ -43,6 +43,46 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("d28 keeps the best-priority member of every union-find cluster") {
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    val pairs = SparkEntry.queries("d02_minhash_lsh")(spark, dir)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val prio = docs.map { case (id, src) => id -> src.drop(3).toInt % 4 }.toMap
+    val cluster = docs.map { case (id, _) =>
+      id -> (if (parent.contains(id)) find(id) else id)
+    }.toMap
+    val members = cluster.toSeq.groupBy(_._2).view
+      .mapValues(_.map(_._1)).toMap
+    val expected = members.map { case (c, ms) =>
+      c -> ((ms.minBy(m => (prio(m), m)), ms.size.toLong))
+    }
+    assert(expected.exists { case (c, (k, _)) => k != c },
+      "priority never overrode the min-id canonical; spec is vacuous")
+
+    val got = SparkEntry.queries("d28_priority_select")(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(4)))).toMap
+    assert(got.keySet == expected.keySet,
+      s"cluster sets diverge: extra=${(got.keySet -- expected.keySet).take(3)} " +
+        s"missing=${(expected.keySet -- got.keySet).take(3)}")
+    got.foreach { case (c, (keep, size)) =>
+      assert((keep, size) == expected(c),
+        s"cluster $c kept ($keep, $size), expected ${expected(c)}")
+    }
+  }
+
   test("d14 survivors are exactly the exact-keepers that are cluster canonicals") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(dir).isDirectory)
