@@ -82,6 +82,52 @@ object Corpus {
     sh.toInt
   }
 
+  /** d17's quantized per-source accept-rate table (source, rate_q) from
+    * any documents frame — factored so s12 can compute it over the
+    * STATIC corpus and broadcast it against a stream. M = min_s(n_s/p_s)
+    * keeps the most-constrained source in full; everything else
+    * downsamples toward its target share.
+    */
+  private[graft] def mixtureRates(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("w", demoWeight(col("source")))
+    val sw = counts.agg(sum(col("w")).as("sw"))
+    val withSw = counts.crossJoin(broadcast(sw))
+    val mm = withSw.agg(min(col("n").cast("double") * col("sw") / col("w")).as("mm"))
+    withSw.crossJoin(broadcast(mm))
+      .withColumn(
+        "rate",
+        least(lit(1.0), col("w").cast("double") * col("mm") / col("sw") / col("n")))
+      .withColumn("rate_q", floor(col("rate") * RateScale + lit(1e-9)))
+      .select("source", "rate_q")
+  }
+
+  /** The per-row accept test: a pure function of doc_id (md5 bucket vs
+    * the quantized rate) — adding data never flips a prior keep, and a
+    * stream can apply it row-by-row with zero state.
+    */
+  private[graft] def mixtureAccept(docId: Column, rateQ: Column): Column =
+    saltedBucket("mix", docId, RateScale) < rateQ
+
+  /** d17's oracle — shared VERBATIM with s12_stream_mixture. */
+  private[graft] val duckD17Sql: String =
+    s"""WITH c AS (
+       |  SELECT source, count(*) AS n,
+       |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+       |  FROM documents GROUP BY source),
+       |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c),
+       |m AS (SELECT min(CAST(n AS DOUBLE) * sw / w) AS mm FROM c, s),
+       |r AS (
+       |  SELECT source,
+       |         CAST(floor(least(1.0, CAST(w AS DOUBLE) * mm / sw / n)
+       |                    * $RateScale + 1e-9) AS BIGINT) AS rate_q
+       |  FROM c, s, m)
+       |SELECT d.doc_id, d.source, r.rate_q
+       |FROM documents d JOIN r ON d.source = r.source
+       |WHERE ${duckSaltedBucket("mix", "d.doc_id", RateScale)} < r.rate_q
+       |ORDER BY d.doc_id""".stripMargin
+
   val defs: Map[String, OpDef] = Map(
 
     // Domain-mixture resampling: downsample over-represented sources so
@@ -100,38 +146,12 @@ object Corpus {
     "d17_source_mixture" -> OpDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val counts = docs.groupBy("source")
-          .agg(count(lit(1)).as("n"))
-          .withColumn("w", demoWeight(col("source")))
-        val sw = counts.agg(sum(col("w")).as("sw"))
-        val withSw = counts.crossJoin(broadcast(sw))
-        val mm = withSw.agg(min(col("n").cast("double") * col("sw") / col("w")).as("mm"))
-        val rates = withSw.crossJoin(broadcast(mm))
-          .withColumn(
-            "rate",
-            least(lit(1.0), col("w").cast("double") * col("mm") / col("sw") / col("n")))
-          .withColumn("rate_q", floor(col("rate") * RateScale + lit(1e-9)))
-          .select("source", "rate_q")
-        docs.join(broadcast(rates), "source")
-          .filter(saltedBucket("mix", col("doc_id"), RateScale) < col("rate_q"))
+        docs.join(broadcast(mixtureRates(docs)), "source")
+          .filter(mixtureAccept(col("doc_id"), col("rate_q")))
           .select(col("doc_id"), col("source"), col("rate_q"))
           .orderBy("doc_id")
       },
-      s"""WITH c AS (
-         |  SELECT source, count(*) AS n,
-         |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
-         |  FROM documents GROUP BY source),
-         |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c),
-         |m AS (SELECT min(CAST(n AS DOUBLE) * sw / w) AS mm FROM c, s),
-         |r AS (
-         |  SELECT source,
-         |         CAST(floor(least(1.0, CAST(w AS DOUBLE) * mm / sw / n)
-         |                    * $RateScale + 1e-9) AS BIGINT) AS rate_q
-         |  FROM c, s, m)
-         |SELECT d.doc_id, d.source, r.rate_q
-         |FROM documents d JOIN r ON d.source = r.source
-         |WHERE ${duckSaltedBucket("mix", "d.doc_id", RateScale)} < r.rate_q
-         |ORDER BY d.doc_id""".stripMargin),
+      duckD17Sql),
 
     // Sequence packing: lay documents end-to-end into fixed-token-budget
     // bins (the training-file layout step — trainers read fixed-length

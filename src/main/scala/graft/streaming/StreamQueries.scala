@@ -386,6 +386,29 @@ object StreamQueries {
       },
       graft.operators.TextAnalysis.duckD21Sql),
 
+    // s12: streaming mixture sampling — d17's per-source accept/reject
+    // applied to documents as they arrive. The rate table comes from the
+    // STATIC corpus (one 20-row broadcast — in production, yesterday's
+    // corpus counts setting today's intake rates); the accept test is a
+    // pure function of doc_id, so the stream leg is stateless append
+    // mode with zero shuffle, and re-running after a failure accepts
+    // exactly the same documents. Oracle: d17's SQL verbatim.
+    "s12_stream_mixture" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Corpus
+        val rates = Corpus.mixtureRates(graft.sources.Tables.documents(s, d))
+        val dir = stagedDocsDir(s, d)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val docs = s.readStream.schema(schema).parquet(dir)
+        drain(s, "s12",
+            docs.join(broadcast(rates), "source")
+              .filter(Corpus.mixtureAccept(col("doc_id"), col("rate_q")))
+              .select(col("doc_id"), col("source"), col("rate_q")),
+            "append")
+          .orderBy("doc_id")
+      },
+      graft.operators.Corpus.duckD17Sql),
+
     // s08: hopping windows — every event counted into its TWO overlapping
     // 1-hour/30-minute windows. The oracle derives both window starts per
     // event arithmetically (floor to the slide grid, minus one slide), so

@@ -45,6 +45,15 @@ class StreamIncrDedupSpec extends AnyFunSuite with SparkFixture {
       s"stream and batch quality verdicts diverge (${s11.length} vs ${d21.length})")
   }
 
+  test("s12 streamed mixture keeps exactly d17's accepted docs") {
+    val s12 = SparkEntry.queries("s12_stream_mixture")(spark, sfDir)
+      .collect().map(_.toSeq)
+    val d17 = SparkEntry.queries("d17_source_mixture")(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(s12.nonEmpty && s12.toSeq == d17.toSeq,
+      s"stream and batch mixture diverge (${s12.length} vs ${d17.length})")
+  }
+
   test("s10 streamed verdicts equal d24's batch verdicts row-for-row") {
     val s10 = SparkEntry.queries("s10_stream_incr_dedup")(spark, sfDir)
       .collect().map(_.toSeq)
