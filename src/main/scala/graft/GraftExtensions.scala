@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("md5_shingle3_hashes",
         "md5_shingle3_hashes(text) - sorted distinct md5-60-bit hashes of 3-word shingles"),
       (exprs: Seq[Expression]) => Md5ShingleHashes(exprs(0), 3)))
+    ext.injectFunction((FunctionIdentifier("md5_shingle8_hashes"),
+      info("md5_shingle8_hashes",
+        "md5_shingle8_hashes(text) - sorted distinct md5-60-bit hashes of 8-word spans (d27's family)"),
+      (exprs: Seq[Expression]) => Md5ShingleHashes(exprs(0), 8)))
     ext.injectFunction((FunctionIdentifier("poly_hash"),
       info("poly_hash", "poly_hash(arr) - rolling polynomial hash of a long array"),
       (exprs: Seq[Expression]) => PolyHash(exprs(0))))
