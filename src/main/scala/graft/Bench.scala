@@ -83,16 +83,27 @@ object Bench {
       val cpu = if (reps.isEmpty) -1.0 else median(reps.map(_._2))
       (name, wall, cpu, la)
     }
-    val qs = results.map { case (k, w, _, _) => s"\"" + k + "\":" + w }
+    // The stdout contract line must stay COMPACT: the driver machine-reads
+    // it from a bounded tail capture, and r6/r7 both came back
+    // `parsed: null` because the line (grown by the diag block and
+    // full-precision doubles) outran that window. Wall times at 3 decimals
+    // keep ~90 queries under ~3 KB; everything diagnostic goes to a file.
+    val qs = results.map { case (k, w, _, _) => f""""$k":$w%.3f""" }
       .mkString("{", ",", "}")
     val diag = results
-      .map { case (k, _, c, l) =>
-        f""""$k":{"cpu_sec":$c%.3f,"loadavg":$l%.2f}""" }
+      .map { case (k, w, c, l) =>
+        f""""$k":{"wall_sec":$w%.3f,"cpu_sec":$c%.3f,"loadavg":$l%.2f}""" }
       .mkString(
-        s"""{"loadavg_start":$loadStart,"loadavg_end":$loadAvg,"queries":{""",
+        s"""{"loadavg_start":$loadStart,"loadavg_end":$loadAvg,"sf":"$sfDir","queries":{""",
         ",", "}}")
+    val diagFile = new java.io.File("bench/BENCH_diag_last.json")
+    diagFile.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(diagFile, "UTF-8")
+    try w.println(diag) finally w.close()
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","diag":$diag}""")
     spark.stop()
+    // printed AFTER spark.stop() so no late executor/log line can land
+    // between the contract line and the end of stdout
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","diag_file":"${diagFile.getPath}"}""")
   }
 }
