@@ -41,13 +41,34 @@ object Corpus {
   private def duckSaltedBucketVar(salt: String, idSql: String, modSql: String): String =
     s"('0x' || substr(md5('$salt:' || CAST($idSql AS VARCHAR)), 1, 15))::BIGINT % $modSql"
 
-  /** Demo per-source weight for the gate entry: a small deterministic
-    * function of the source name (suffix mod 4, weights 1–4). A real
-    * pipeline passes a curated weight table; everything downstream of
-    * `w` is independent of where the weights came from.
+  /** Deterministic demo source priority (numeric suffix mod 4, 0 = most
+    * preferred) shared by d17 (as weight prio+1) and d28 (as retention
+    * rank). The digits guard is explicit and mirrored verbatim in
+    * [[sourcePrioSql]] so BOTH engines take the same branch on any
+    * source name: an unguarded cast diverges the moment the naming
+    * convention drifts (Spark ANSI throws, DuckDB CAST throws, TRY_CAST
+    * NULLs — three different behaviors for one malformed row).
+    * Non-numeric or >18-digit suffixes (past bigint's 19 digits) fall
+    * back to the WORST rank, 3, identically on both sides. A real
+    * pipeline passes a curated rank table; everything downstream is
+    * independent of where the rank came from.
+    */
+  private[operators] def sourcePrio(source: Column): Column = {
+    val sfx = source.substr(lit(4), length(source))
+    when(sfx.rlike("^[0-9]{1,18}$"), (sfx.cast("bigint") % 4).cast("int"))
+      .otherwise(lit(3))
+  }
+
+  /** [[sourcePrio]]'s DuckDB twin — same regex, same fallback. */
+  private[operators] def sourcePrioSql(colSql: String): String =
+    s"CASE WHEN regexp_matches(substr($colSql, 4), '^[0-9]{1,18}$$') " +
+      s"THEN CAST(CAST(substr($colSql, 4) AS BIGINT) % 4 AS INT) ELSE 3 END"
+
+  /** Demo per-source weight for the gate entry: [[sourcePrio]] + 1
+    * (weights 1–4).
     */
   private def demoWeight(source: Column): Column =
-    (substring(source, 4, 10).cast("int") % 4 + 1).cast("long")
+    (sourcePrio(source) + 1).cast("long")
 
   // Mixture sampling-rate quantization: rates are materialized as an
   // integer threshold out of 10000 so the accept test is exact-integer
@@ -114,7 +135,7 @@ object Corpus {
   private[graft] val duckD17Sql: String =
     s"""WITH c AS (
        |  SELECT source, count(*) AS n,
-       |         CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS w
+       |         CAST(${sourcePrioSql("source")} + 1 AS BIGINT) AS w
        |  FROM documents GROUP BY source),
        |s AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM c),
        |m AS (SELECT min(CAST(n AS DOUBLE) * sw / w) AS mm FROM c, s),

@@ -558,10 +558,14 @@ object Dedup {
       s.sparkContext.setCheckpointDir(
         java.nio.file.Files.createTempDirectory("graft_ckpt").toString)
     }
-    // the PREVIOUS run's kept cuts under this name are superseded the
-    // moment this run starts (its labels tracker is about to be replaced
-    // too) — delete them, or a bench loop leaks one cut pair per rep
-    Option(keptCkpts.remove(name)).foreach(_.foreach(f => dropCkpt(s, Some(f))))
+    // the PREVIOUS run's kept cuts under this name are superseded once
+    // this run's labels REPLACE the tracked table — not before. Deleting
+    // them here would pull the recovery floor out from under a caller
+    // still holding the previous labels frame (eviction would recompute
+    // through deleted files). They're deleted on the success path right
+    // after persistTracked swaps the entry; on failure they're restored.
+    val staleCkpts: Seq[String] =
+      Option(keptCkpts.remove(name)).map(_.toSeq).getOrElse(Nil)
     // a superseded checkpoint's files (deleted once a newer cut lands —
     // the reference-tracking cleaner only runs at GC time, which a bench
     // loop may never reach)
@@ -584,13 +588,23 @@ object Dedup {
     // edges) every per-step join otherwise schedules dozens of near-empty
     // tasks per stage, and the fixed per-task overhead dominates the loop
     // (the bulk of e06's 15 s constant). The count is a scan of the
-    // just-written checkpoint files. Conf is restored in finally; plans
-    // read it lazily at execution, so only the loop's own jobs see it.
+    // just-written checkpoint files. The small setting lives in a CLONED
+    // session (shared context, caches and checkpoint dir; private conf):
+    // mutate-and-restore on the caller's session raced — two interleaved
+    // runs could strand the session at 1 partition, and any concurrent
+    // query planned its shuffles with the loop's tiny value.
     val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = s.conf.get(partsKey)
-    val loopParts = math.max(1L, math.min(prevParts.toLong,
+    val loopParts = math.max(1L, math.min(s.conf.get(partsKey).toLong,
       (edgesCut.count() + 99999L) / 100000L)).toString
-    s.conf.set(partsKey, loopParts)
+    val loopSession = s.newSession()
+    loopSession.conf.set(partsKey, loopParts)
+    // frames plan under the session that CREATED them, so the loop must
+    // build from a frame owned by the clone — a global temp view (the
+    // global_temp db is shared across sessions) carries the checkpoint
+    // scan over without re-materializing anything
+    val edgesView = s"graft_${name}_loop_edges"
+    edgesCut.createOrReplaceGlobalTempView(edgesView)
+    val edgesLoop = loopSession.table(s"global_temp.$edgesView")
     // `cached` is whatever materialized table currently backs the labels;
     // `pending` holds persisted-but-unreleased intermediates (odd steps
     // materialize lazily through the NEXT step's evaluation — counting
@@ -600,7 +614,7 @@ object Dedup {
     // count materializes their successor (unpersist-first would recompute
     // the whole label lineage from edges); the final incarnation is
     // handed to the per-name tracker so the next invocation releases it.
-    var cached = edgesCut.groupBy("src").agg(min("dst").as("md"))
+    var cached = edgesLoop.groupBy("src").agg(min("dst").as("md"))
       .select(col("src"), least(col("src"), col("md")).as("lbl"))
       .persist()
     var labels = cached
@@ -625,7 +639,7 @@ object Dedup {
           throw new IllegalStateException(
             "dup label propagation did not converge in 64 steps")
         // neighbor-min (one graph hop) ...
-        val next = edgesCut
+        val next = edgesLoop
           .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
           .groupBy("src").agg(min("nlbl").as("plbl"))
           .join(labels, "src")
@@ -667,12 +681,32 @@ object Dedup {
       }
     } catch {
       case t: Throwable =>
-        (cached :: pending).foreach(_.unpersist(blocking = false)); throw t
-    } finally s.conf.set(partsKey, prevParts)
+        (cached :: pending).foreach(_.unpersist(blocking = false))
+        // this run's cuts are unreferenced once its frames are released —
+        // delete them here or a harness that swallows per-rep failures
+        // leaks one checkpoint set per failed attempt; the previous
+        // run's kept cuts go BACK in the tracker (its labels table is
+        // still the live one and may recompute through them)
+        (ckptFileOf(edgesCut) ++ prevCkptFile).foreach(f => dropCkpt(s, Some(f)))
+        if (staleCkpts.nonEmpty) keptCkpts.put(name, staleCkpts)
+        throw t
+    } finally s.catalog.dropGlobalTempView(edgesView)
+    // Hand the converged labels back to the CALLER's session (again via
+    // the shared global_temp db): downstream plans built on the result
+    // must plan under the caller's conf, not the loop clone's 1-partition
+    // setting. The persisted table is found through the view — the cache
+    // manager lives in shared state and matches the aliased child plan.
+    val labelsOut = persistTracked(s"${name}_labels", cached)
+    val labelsView = s"graft_${name}_loop_labels"
+    labelsOut.createOrReplaceGlobalTempView(labelsView)
+    val out = s.table(s"global_temp.$labelsView")
+      .select(col("src").as("doc_id"), col("lbl").as("canonical_id"))
+    s.catalog.dropGlobalTempView(labelsView) // resolution was eager
+    // the new labels now back the tracker entry, so the previous run's
+    // cuts are finally unreferenced — delete them and record this run's
+    staleCkpts.foreach(f => dropCkpt(s, Some(f)))
     keptCkpts.put(name, (ckptFileOf(edgesCut) ++ prevCkptFile).toSeq)
-    (persistTracked(s"${name}_labels", cached)
-       .select(col("src").as("doc_id"), col("lbl").as("canonical_id")),
-     steps)
+    (out, steps)
   }
 
   /** Near-dup cluster labels (doc_id, canonical_id = component minimum)
@@ -1383,8 +1417,7 @@ object Dedup {
     "d28_priority_select" -> OpDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
-          .withColumn("prio",
-            (substring(col("source"), 4, 10).cast("int") % 4).cast("int"))
+          .withColumn("prio", Corpus.sourcePrio(col("source")))
         val clustered = docs.join(dupLabels(s, d), Seq("doc_id"), "left")
           .withColumn("cluster_id", coalesce(col("canonical_id"), col("doc_id")))
         val keep = clustered.groupBy("cluster_id")
@@ -1400,7 +1433,7 @@ object Dedup {
       s"""WITH RECURSIVE $duckLabelCtes,
          |pr AS (
          |  SELECT doc_id, source,
-         |         CAST(CAST(substr(source, 4, 10) AS INT) % 4 AS INT) AS prio
+         |         ${Corpus.sourcePrioSql("source")} AS prio
          |  FROM documents),
          |cl AS (
          |  SELECT p.doc_id, p.source, p.prio,

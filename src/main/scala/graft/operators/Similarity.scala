@@ -832,10 +832,17 @@ object Similarity {
               .as("q"))
           .orderBy("vec_id", "pos")
       },
+      // the oracle's position series derives from len(embedding), not a
+      // hard-coded Dim: with a fixed series, a short row would yield
+      // NULL-v rows here and NO rows from Spark's posexplode — a silent
+      // desync. Zipped unnests are exactly posexplode: same row count
+      // per document on both engines, malformed data diverges LOUDLY
+      // (hash mismatch) instead of quietly.
       s"""WITH ex AS (
-         |  SELECT vec_id, CAST(i AS INT) AS pos, embedding[i + 1]::DOUBLE AS v
-         |  FROM embeddings, (SELECT unnest(generate_series(0, ${
-             graft.expressions.LshKernels.Dim - 1})) AS i)),
+         |  SELECT vec_id,
+         |         CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS pos,
+         |         unnest(embedding)::DOUBLE AS v
+         |  FROM embeddings),
          |dims AS (SELECT pos, max(abs(v)) AS mx FROM ex GROUP BY pos)
          |SELECT e.vec_id, e.pos,
          |  CASE WHEN d.mx = 0 THEN 0
