@@ -336,6 +336,146 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  // ---- e08: trained-quantizer semantic dedup ------------------------
+  // The anchor-ladder-FREE path: e04's drop rule with cell assignment
+  // from data-trained (distributed-Lloyd) centroids instead of the
+  // static deterministic anchor families. The total cell budget is
+  // RUNTIME DATA (n / TargetCell, no cap — e04's MaxSemCells and
+  // e04_large's MaxSemCells^2 ceilings don't exist here), split across
+  // two trained levels in the IVF/inverted-multi-index shape
+  // (Babenko & Lempitsky, CVPR 2012): level 1 quantizes the vector,
+  // level 2 quantizes the RESIDUAL v - c1(v), and dedup pairs within
+  // the composite (cell, cell2). Near-square levels keep per-vector
+  // assignment work AND the driver-resident model O(sqrt(cells) x dim):
+  // at 1B vectors the budget is 2^24 composite cells from two 4096-row
+  // centroid matrices (~4 MB of model), where a flat trained codebook
+  // would need a 16M-row matrix scanned per vector.
+  private[graft] val TrainPerCell = 32L // Lloyd sample: points/centroid
+  private[graft] val LloydIters = 2     // e03's choice, same reasoning
+
+  /** Total trained-cell budget: smallest power of two holding mean
+    * density <= TargetCell — same ladder rule as e04, WITHOUT the cap
+    * (the codebook is collected data, not SQL text, so nothing bounds
+    * its width).
+    */
+  private[graft] def e08CellBudget(n: Long): Long = {
+    var k = MinSemCells.toLong
+    while (n > k * TargetCell) k *= 2
+    k
+  }
+
+  /** Split the budget into two near-square levels (k1 >= k2,
+    * k1 * k2 = budget): assignment scores k1 + k2 ~ 2 sqrt(budget)
+    * centroids per vector instead of budget.
+    */
+  private[graft] def e08Levels(budget: Long): (Int, Int) = {
+    var k1 = 1L
+    while (k1 * k1 < budget) k1 *= 2
+    (k1.toInt, math.max(1L, budget / k1).toInt)
+  }
+
+  /** Deterministic training-sample predicate: a pure md5 function of
+    * vec_id (d11's rule — no RNG, reruns train on the same rows).
+    * `inMillion` is the acceptance threshold out of 1e6.
+    */
+  private def e08SamplePred(inMillion: Long): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit("e08:"), col("vec_id").cast("string"))),
+                   1, 15), 16, 10).cast("long") % 1000000L < inMillion
+
+  /** `LloydIters` rounds of distributed Lloyd over `vecs` (vec_id, vec):
+    * assignment is the codegen'd per-row NearestAnchor argmax bound to
+    * the CURRENT centroid matrix (the MLlib k-means shape — the model
+    * rides the closure, the data never leaves executors), means are one
+    * combinable (cell, pos) aggregate, and only the k x dim centroid
+    * matrix (the model, never data) is collected per round. Cells that
+    * lose all members keep their previous centroid. Seeded from the
+    * deterministic plane family at `seedOffset` (e03's seeding, offset
+    * so the two levels start disjoint).
+    */
+  private def trainLloyd(s: SparkSession, vecs: DataFrame, k: Int,
+      seedOffset: Int, fnPrefix: String): Array[Array[Float]] = {
+    var centroids: Array[Array[Float]] =
+      planes(seedOffset + k).slice(seedOffset, seedOffset + k)
+        .map(_.map(_.toFloat))
+    for (it <- 0 until LloydIters) {
+      val fn = s"${fnPrefix}_it$it"
+      GraftFunctions.registerNearestAnchor(s, fn, centroids)
+      val means = vecs
+        .select(expr(s"$fn(vec, $k)").as("cell"), posexplode(col("vec")))
+        .groupBy("cell", "pos").agg(avg("col").as("v"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(named_struct(" +
+                  "'p', pos, 'v', v))), x -> CAST(x.v AS float))").as("anchor"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      centroids = Array.tabulate(k)(c => means.getOrElse(c, centroids(c)))
+    }
+    centroids
+  }
+
+  /** e08's composite trained assignment (vec_id, cell, cell2, embedding),
+    * persisted under "e08_assigned" — factored so the spec and SemProbe
+    * can measure cell occupancy/density without the pair stage.
+    */
+  private[graft] def e08Assigned(s: SparkSession, emb: DataFrame): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    // a column-less count (row-group metadata) sizes the budget; the
+    // trained path has no cap to warn about — width follows the data
+    val n = math.max(1L, emb.count())
+    val (k1, k2) = e08Levels(e08CellBudget(n))
+    val trainTarget = TrainPerCell * math.max(k1, k2)
+    val sampleAll = trainTarget >= n
+    val samplePred =
+      if (sampleAll) lit(true)
+      // ceil-ish threshold: never rounds a nonempty target down to 0
+      else e08SamplePred(math.min(1000000L, trainTarget * 1000000L / n + 1))
+    val c1 = trainLloyd(s,
+      emb.filter(samplePred).select(col("vec_id"), col("embedding").as("vec")),
+      k1, 0, "e08_l1")
+    GraftFunctions.registerNearestAnchor(s, "e08_cell1", c1)
+    val cent1 = c1.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
+      .toSeq.toDF("cell", "c1vec")
+    // level-1 assignment + residual for the FULL corpus, persisted: the
+    // level-2 training sample and the final assignment both read it
+    val resid = graft.Caching.persistTracked("e08_resid", emb
+      .withColumn("cell", expr(s"e08_cell1(embedding, $k1)"))
+      .join(broadcast(cent1), "cell")
+      .withColumn("resid", expr("zip_with(embedding, c1vec, (x, y) -> x - y)"))
+      .select("vec_id", "cell", "embedding", "resid"))
+    // level 2 trains on the SAMPLE's residuals — quantizing what level 1
+    // left over (the IVF residual trick) rather than re-quantizing the
+    // same structure with a different seed
+    val c2 = trainLloyd(s,
+      resid.filter(samplePred).select(col("vec_id"), col("resid").as("vec")),
+      k2, k1, "e08_l2")
+    GraftFunctions.registerNearestAnchor(s, "e08_cell2", c2)
+    graft.Caching.persistTracked("e08_assigned", resid
+      .withColumn("cell2", expr(s"e08_cell2(resid, $k2)"))
+      .select("vec_id", "cell", "cell2", "embedding"))
+  }
+
+  /** e08's full body over an arbitrary embeddings frame (the spec plants
+    * duplicates through this): trained composite assignment, then e04's
+    * drop rule — within each composite cell, drop every vector with a
+    * LOWER-id near-duplicate (rounded cosine >= 0.35).
+    */
+  private[graft] def e08BodyFrom(s: SparkSession, emb: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val assigned = e08Assigned(s, emb)
+    val a = assigned.select(col("cell"), col("cell2"),
+                            col("vec_id").as("a_id"), col("embedding").as("a_vec"))
+    val b = assigned.select(col("cell"), col("cell2"),
+                            col("vec_id").as("b_id"), col("embedding").as("b_vec"))
+    val removed = a.join(b, Seq("cell", "cell2"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(round(expr("cosine_sim(a_vec, b_vec)") + lit(1e-10), 6) >= 0.35)
+      .select(col("b_id").as("vec_id")).distinct()
+    assigned.join(removed, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"), col("cell2"))
+      .orderBy("vec_id")
+  }
+
   val defs: Map[String, OpDef] = Map(
 
     // Brute-force cosine top-k for a fixed query set (vec_id < 5), ranked
@@ -804,6 +944,17 @@ object Similarity {
            |FROM cand QUALIFY rk <= $TopK
            |ORDER BY q_id, rk""".stripMargin
       }),
+
+    // Semantic dedup with a TRAINED quantizer — the production path once
+    // the corpus outgrows every static anchor family (see the e08 block
+    // comment above [[e08CellBudget]]). Rows-only by design: Lloyd means
+    // are distributed float avgs (partial-agg order varies), so the cell
+    // ids aren't bit-reproducible SQL — the gate checks rows, and
+    // TrainedSemDedupSpec holds the quantitative floors (survivor parity
+    // with e04_large at gate scale, in-cell density bound, planted-dup
+    // kill).
+    "e08_semantic_dedup_trained" -> OpDef.rowsOnly(
+      (s, d) => e08BodyFrom(s, Tables.embeddings(s, d))),
 
     // Int8 scalar quantization of the embedding lake — the storage/IO
     // step under every ANN index at scale (a 100-TB float32 embedding
