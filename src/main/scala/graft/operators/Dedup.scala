@@ -471,13 +471,16 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** STEPS between lineage truncations in the label loop: deep enough
-    * that shallow real-world dup clusters (a couple of jumped steps)
+  /** HOPS between lineage truncations in the label loop: deep enough
+    * that shallow real-world dup clusters (one unrolled iteration)
     * never pay a checkpoint write, shallow enough that the plan tree
-    * stays bounded — each step references the previous labels THREE
-    * times (neighbor join, label join, pointer jump), so the un-cut plan
-    * grows 3^steps between checkpoints; 3^4 ≈ 81 leaf references is
-    * cheap where 3^8 made plan stringification alone blow the heap.
+    * stays bounded — each hop references the previous labels THREE
+    * times (neighbor join, label join, pointer jump) and an iteration
+    * is two hops, so the un-cut plan grows 9^iterations between
+    * checkpoints; 9^2 = 81 leaf references is cheap where ~6k (the r2
+    * shape) made plan stringification alone blow the heap. Iterations
+    * advance `steps` by 2, so 4 cuts every second iteration, always on
+    * a frame the convergence count just materialized.
     */
   private[graft] val CheckpointEvery = 4
 
@@ -581,27 +584,39 @@ object Dedup {
     // consumers may recompute through it on eviction). The caller's own
     // persist of `edges` (both gate callers track theirs) backs the one
     // materializing pass — no redundant persist here.
-    val edgesCut = edges.checkpoint() // eager: materialize, then truncate
     // Loop-sized shuffle partitions: the label table is at most one row
     // per distinct edge endpoint, so partition the loop's shuffles for
     // THAT table, not the session default — at gate scale (hundreds of
     // edges) every per-step join otherwise schedules dozens of near-empty
     // tasks per stage, and the fixed per-task overhead dominates the loop
-    // (the bulk of e06's 15 s constant). The count is a scan of the
-    // just-written checkpoint files. The small setting lives in a CLONED
-    // session (shared context, caches and checkpoint dir; private conf):
-    // mutate-and-restore on the caller's session raced — two interleaved
-    // runs could strand the session at 1 partition, and any concurrent
-    // query planned its shuffles with the loop's tiny value.
+    // (the bulk of e06's 15 s constant). The count runs BEFORE the
+    // checkpoint (both gate callers persist `edges`, so it reads cache)
+    // so a tiny edge table can be coalesced before it is written — one
+    // checkpoint file and task instead of the caller's 32. The small
+    // setting lives in a CLONED session (shared context, caches and
+    // checkpoint dir; private conf): mutate-and-restore on the caller's
+    // session raced — two interleaved runs could strand the session at
+    // 1 partition, and any concurrent query planned its shuffles with
+    // the loop's tiny value.
     val partsKey = "spark.sql.shuffle.partitions"
     val loopParts = math.max(1L, math.min(s.conf.get(partsKey).toLong,
-      (edgesCut.count() + 99999L) / 100000L)).toString
+      (edges.count() + 99999L) / 100000L)).toString
+    val edgesCut = (if (loopParts == "1") edges.coalesce(1) else edges)
+      .checkpoint() // eager: materialize, then truncate
     val loopSession = s.newSession()
     loopSession.conf.set(partsKey, loopParts)
+    // a single-partition loop gains nothing from adaptive re-planning —
+    // AQE's per-stage plan/stats round-trips are pure overhead at this
+    // size (and only this cloned session is affected)
+    if (loopParts == "1")
+      loopSession.conf.set("spark.sql.adaptive.enabled", "false")
     // frames plan under the session that CREATED them, so the loop must
     // build from a frame owned by the clone — a global temp view (the
     // global_temp db is shared across sessions) carries the checkpoint
     // scan over without re-materializing anything
+    // (a 1-partition loop reads a 1-partition checkpoint: a
+    // SinglePartition child satisfies every join distribution, so the
+    // per-iteration joins run exchange-free in one stage)
     val edgesView = s"graft_${name}_loop_edges"
     edgesCut.createOrReplaceGlobalTempView(edgesView)
     val edgesLoop = loopSession.table(s"global_temp.$edgesView")
@@ -614,11 +629,24 @@ object Dedup {
     // count materializes their successor (unpersist-first would recompute
     // the whole label lineage from edges); the final incarnation is
     // handed to the per-name tracker so the next invocation releases it.
-    var cached = edgesLoop.groupBy("src").agg(min("dst").as("md"))
-      .select(col("src"), least(col("src"), col("md")).as("lbl"))
+    // TWO-HOP seed: l1 = min over {self} ∪ N(self), then one more
+    // neighbor-min over l1 folds in N²(self) — the loop starts at the
+    // state pure propagation reaches after two rounds, for ONE extra
+    // tiny join up front. Any min over nodes reachable from self is a
+    // valid label (only the fixpoint — the component minimum — is
+    // observable), so the oracle hash cannot move.
+    val nbr1 = edgesLoop.groupBy("src").agg(min("dst").as("md"))
+      .select(col("src"), least(col("src"), col("md")).as("l1"))
+      .persist()
+    var cached = edgesLoop
+      .join(nbr1.select(col("src").as("dst"), col("l1").as("nl1")), "dst")
+      .groupBy("src").agg(min("nl1").as("m2"))
+      .join(nbr1, "src")
+      .select(col("src"), least(col("l1"), col("m2")).as("lbl"))
       .persist()
     var labels = cached
-    var pending: List[DataFrame] = Nil
+    // nbr1 rides `pending` so the first convergence count releases it
+    var pending: List[DataFrame] = nbr1 :: Nil
     // convergence scalar: the COUNT of labels lowered by the last checked
     // step — never null on an empty corpus and never overflows, unlike a
     // sum of raw label values (doc ids can be 60-bit hash-derived)
@@ -628,25 +656,43 @@ object Dedup {
     // the in-flight persisted tables — they only reach the per-name
     // tracker after convergence, and a bench harness that swallows the
     // throw per-rep would otherwise strand orphaned caches per attempt
+    // One propagation hop: neighbor-min (one graph hop) then ONE
+    // pointer-jump through the label table (the left join is total in
+    // practice — lbl is a node id, every node has a label row; coalesce
+    // only guards the degenerate frame).
+    def hop(l: DataFrame): DataFrame = edgesLoop
+      .join(l.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
+      .groupBy("src").agg(min("nlbl").as("plbl"))
+      .join(l, "src")
+      .join(l.select(col("src").as("lbl"), col("lbl").as("jlbl")),
+            Seq("lbl"), "left")
+      .select(col("src"),
+              least(col("lbl"), col("plbl"),
+                    coalesce(col("jlbl"), col("lbl"))).as("lbl"))
     try {
       while (changed > 0) {
         if (steps >= 64)
           // silent exit would emit non-components and quietly diverge
-          // from the oracle. With pointer jumping, steps ~ log2 of the
-          // deepest component's diameter — 64 steps covers any graph
-          // that fits in longs, so a trip here means the loop is BROKEN
-          // (labels rising, a non-symmetric edge table), not big data.
+          // from the oracle. 64 hops covers every graph the pair
+          // builders can emit (their components are id-local by
+          // construction); a trip here means the loop is BROKEN (labels
+          // rising, a non-symmetric edge table) or the layout is
+          // adversarial enough to need a contraction-style algorithm,
+          // not more rounds of this one.
           throw new IllegalStateException(
-            "dup label propagation did not converge in 64 steps")
-        // neighbor-min (one graph hop) ...
+            "dup label propagation did not converge in 64 hops")
+        // TWO hops per scheduled iteration: the loop's cost at gate
+        // scale is per-ROUND fixed overhead (persist, convergence
+        // count, scheduling), not the joins — unrolling does the same
+        // join work in half the rounds, halving that overhead. `ch`
+        // tests the SECOND hop alone: a hop that lowers nothing proves
+        // the fixpoint regardless of what the first hop did.
+        val h1 = hop(labels)
         val next = edgesLoop
-          .join(labels.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
+          .join(h1.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
           .groupBy("src").agg(min("nlbl").as("plbl"))
-          .join(labels, "src")
-          // ... then pointer-jump through the label table itself: the
-          // left join is total in practice (lbl is a node id, every node
-          // has a label row), coalesce only guards the degenerate frame
-          .join(labels.select(col("src").as("lbl"), col("lbl").as("jlbl")),
+          .join(h1, "src")
+          .join(h1.select(col("src").as("lbl"), col("lbl").as("jlbl")),
                 Seq("lbl"), "left")
           .select(col("src"),
                   least(col("lbl"), col("plbl"),
@@ -655,15 +701,13 @@ object Dedup {
           .select(col("src"), col("nxt").as("lbl"),
                   (col("nxt") < col("cur")).as("ch"))
           .persist()
-        steps += 1
+        steps += 2
         pending = cached :: pending
         cached = next
         labels = next.select("src", "lbl")
-        if (steps % 2 == 0) {
-          changed = next.filter(col("ch")).count() // materializes the pair
-          pending.foreach(_.unpersist(blocking = false))
-          pending = Nil
-        }
+        changed = next.filter(col("ch")).count() // materializes the round
+        pending.foreach(_.unpersist(blocking = false))
+        pending = Nil
         if (changed > 0 && steps % CheckpointEvery == 0) {
           // eager checkpoint: writes the cached partitions, cuts the plan
           // at a scan of the checkpoint files (on throw, the outer catch

@@ -199,7 +199,7 @@ object Similarity {
     * (exactly as d02's pair builder is shared with d13). See the d09 def
     * for the banded/laddered design notes.
     */
-  private def embedDupPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def embedDupPairs(s: SparkSession, d: String): DataFrame = {
     GraftFunctions.register(s)
     val emb = Tables.embeddings(s, d)
     // one-row broadcast: every row learns the corpus count, and the
