@@ -68,6 +68,25 @@ object Dedup {
   private[graft] val WideChoose = 4
   private[graft] val SimHashWideAt = Long.MaxValue
 
+  /** The SMALLER-RADIUS family for denser corpora — the escape the wide
+    * family's demotion note names (see above). 6 blocks of 10 bits,
+    * choose 2: C(6,2) = 15 tables (half the narrow family's 28 bucket
+    * rows per doc) of 20-bit keys (16-32x fewer random collisions per
+    * table than the narrow 15/16-bit keys), guaranteed radius 6 - 2 = 4.
+    * The trade is explicit: exhaustive recall shrinks from Hamming <= 6
+    * to <= 4 — which still catches near-identical documents (true
+    * near-dup simhashes differ in 0-3 bits; the 5-6 bit band is mostly
+    * borderline rewrites) while cutting BOTH cost terms the wide family
+    * could not: bucket rows (sort volume) and random collisions.
+    * Probe-forced like the wide family (d03DenseBody; SimHashProbe
+    * measures, SimHashSpec proves the <= 4 recall exhaustively) — the
+    * gate ladder keeps the narrow family until a deployment's density
+    * demands the trade.
+    */
+  private[graft] val DenseBlockWidth: Array[Int] = Array.fill(6)(10)
+  private[graft] val DenseChoose = 2
+  private[graft] val DenseRadius: Int = DenseBlockWidth.length - DenseChoose
+
   /** All C(B,c) c-block combinations of a block layout, each one
     * candidate table, as (offset, width) slices. Pigeonhole: <= B - c
     * differing bits leave some c blocks untouched, so the guaranteed
@@ -176,6 +195,30 @@ object Dedup {
       // filter BEFORE distinct: drops the (majority) non-matching
       // pairs map-side instead of shuffling them through the dedup
       .filter(col("hamming") <= SimHashRadius)
+      .distinct()
+      .orderBy("a_id", "b_id")
+  }
+
+  /** d03 under the FORCED dense family: same pipeline shape as d03Body
+    * (bucket self-join via sort-merge, Hamming cut before distinct) with
+    * [[DenseBlockWidth]]/[[DenseChoose]] tables and the matching
+    * guaranteed radius as the output cut — so the result is EXACTLY
+    * "all pairs at Hamming <= DenseRadius" (opportunistic 5-6 bit
+    * collisions are filtered rather than emitted partially, keeping the
+    * semantics provable). Probe/spec path, not a gate entry.
+    */
+  private[graft] def d03DenseBody(s: SparkSession, d: String): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val sigs = persistTracked("d03dense_sigs", Tables.documents(s, d)
+      .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash")))
+    val buckets = simhashBuckets(sigs, DenseBlockWidth, DenseChoose)
+    val a = buckets.toDF("a_id", "a_hash", "tbl", "bkey")
+    val b = buckets.toDF("b_id", "b_hash", "tbl", "bkey")
+    a.join(b, Seq("tbl", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+              bit_count(expr("a_hash ^ b_hash")).as("hamming"))
+      .filter(col("hamming") <= DenseRadius)
       .distinct()
       .orderBy("a_id", "b_id")
   }

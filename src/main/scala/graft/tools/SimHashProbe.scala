@@ -43,13 +43,35 @@ object SimHashProbe {
     println(s"[probe] hot(sz>=100): n=${tail.get(0)} pairs=${tail.get(1)}")
     dens.orderBy(col("sz").desc).limit(10).collect()
       .foreach(r => println(s"[probe] top tbl=${r.get(0)} bkey=${r.get(1)} sz=${r.get(2)}"))
+    // the dense (smaller-radius) family's bucket profile on the same
+    // corpus: the candidate-work cut its 20-bit keys + 15 tables buy
+    val dBuckets = graft.operators.Dedup.simhashBuckets(sigs,
+      graft.operators.Dedup.DenseBlockWidth,
+      graft.operators.Dedup.DenseChoose).persist()
+    println(s"[probe] dense bucket_rows=${dBuckets.count()}")
+    val dDens = dBuckets.groupBy("tbl", "bkey").agg(count(lit(1)).as("sz"))
+    val dStats = dDens.agg(
+      count(lit(1)).as("buckets"),
+      max(col("sz")).as("max_sz"),
+      avg(col("sz")).as("mean_sz"),
+      sum(col("sz") * (col("sz") - 1) / 2).as("cand_pairs")).head
+    println(s"[probe] dense buckets=${dStats.get(0)} max_sz=${dStats.get(1)} " +
+      s"mean_sz=${dStats.get(2)} cand_pairs=${dStats.get(3)}")
     // like-for-like family curve: time the full pipeline with the family
-    // FORCED each way (wideAt=0 forces wide; Long.MaxValue forces narrow),
-    // so a rung switch between two dirs can't masquerade as superlinearity
-    for ((label, wideAt) <- Seq("narrow" -> Long.MaxValue, "wide" -> 0L)) {
+    // FORCED each way (wideAt=0 forces wide; Long.MaxValue forces narrow;
+    // dense has its own forced body), so a rung switch between two dirs
+    // can't masquerade as superlinearity. The wide leg is skippable — at
+    // 500k docs it measured 633 s (the r7 demotion) and re-proving that
+    // costs a probe session.
+    val legs = Seq(
+      "narrow" -> (() => graft.operators.Dedup.d03Body(s, dir, Long.MaxValue)),
+      "dense" -> (() => graft.operators.Dedup.d03DenseBody(s, dir))) ++
+      (if (sys.env.contains("SPARK_GRAFT_PROBE_WIDE"))
+         Seq("wide" -> (() => graft.operators.Dedup.d03Body(s, dir, 0L)))
+       else Nil)
+    for ((label, body) <- legs) {
       val t0 = System.nanoTime()
-      graft.operators.Dedup.d03Body(s, dir, wideAt)
-        .write.format("noop").mode("overwrite").save()
+      body().write.format("noop").mode("overwrite").save()
       println(s"[probe] d03 forced=$label sec=${(System.nanoTime() - t0) / 1e9}")
     }
     s.stop()

@@ -183,4 +183,50 @@ class SimHashSpec extends AnyFunSuite with SparkFixture {
     assert(missed.isEmpty, s"recall gap: ${missed.size} of ${expected.size} true pairs missed: ${missed.take(5)}")
     assert(spurious.isEmpty, s"${spurious.size} pairs beyond the radius emitted: ${spurious.take(5)}")
   }
+
+  test("the dense 6-choose-2 family is exhaustively complete at radius 4 (sf0.01)") {
+    // the denser-corpus escape (smaller guaranteed radius): C(6,2) = 15
+    // tables of 20-bit keys — provably everything within Hamming <= 4,
+    // nothing beyond it
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    graft.expressions.GraftFunctions.register(spark)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    val expected = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= Dedup.DenseRadius
+    } yield (sigs(i)._1, sigs(j)._1, h)).toSet
+    assert(expected.nonEmpty, "testdata has no pairs at radius 4; spec is vacuous")
+
+    val got = Dedup.d03DenseBody(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val missed = expected -- got
+    val spurious = got -- expected
+    assert(missed.isEmpty, s"recall gap: ${missed.size} of ${expected.size} true pairs missed: ${missed.take(5)}")
+    assert(spurious.isEmpty, s"${spurious.size} pairs beyond radius 4 emitted: ${spurious.take(5)}")
+  }
+
+  test("the dense family halves bucket rows against the narrow family") {
+    // the cost terms the wide family couldn't cut: 15 tables of rows
+    // (vs 28) and 20-bit keys (vs 15/16) — the structural claim behind
+    // the probe's measured candidate cut
+    assert(Dedup.blockCombos(Dedup.DenseBlockWidth, Dedup.DenseChoose).size == 15)
+    assert(Dedup.DenseRadius == 4)
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    graft.expressions.GraftFunctions.register(spark)
+    val sigs = Tables.documents(spark, dir)
+      .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash"))
+    val n = sigs.count()
+    assert(Dedup.simhashBuckets(sigs, Dedup.DenseBlockWidth, Dedup.DenseChoose).count() == 15 * n)
+    assert(Dedup.simhashBuckets(sigs, Dedup.BlockWidth, 2).count() == 28 * n)
+  }
 }
