@@ -108,4 +108,42 @@ object Ingest {
       .bucketBy(buckets, "user_id")
       .sortBy("user_id")
       .saveAsTable(table)
+
+  /** Write the curated-corpus selection (doc_id, source, split — the
+    * d14/d28 survivor shape) as the TRAINING lake, closing the loop from
+    * dedup to the bytes a trainer reads: split/source directory
+    * partitions prune a trainer's read ("train split, these sources")
+    * before any IO, and doc_id bucketing+sorting pre-shuffles the key
+    * every bytes-fetch join uses, once, at write time. Written through
+    * the catalog ([[writeBucketedEventLake]]'s discipline — a bare path
+    * write silently drops bucket metadata), with one task per
+    * (partition, bucket) so the file count is partitions x buckets, not
+    * x input tasks.
+    */
+  def writeCorpusLake(survivors: DataFrame, table: String,
+      buckets: Int = 8): Unit =
+    survivors
+      .repartition(col("split"), col("source"),
+                   pmod(hash(col("doc_id")), lit(buckets)))
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy("split", "source")
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .saveAsTable(table)
+
+  /** The bytes side of the corpus lake: the documents table bucketed by
+    * the SAME key and count, so the survivors-to-bytes join is a local
+    * merge of co-located buckets — zero exchange on either side
+    * (CorpusLakeSpec proves it on the executed plan).
+    */
+  def writeDocumentLake(docs: DataFrame, table: String,
+      buckets: Int = 8): Unit =
+    docs
+      .repartition(pmod(hash(col("doc_id")), lit(buckets)))
+      .write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "doc_id")
+      .sortBy("doc_id")
+      .saveAsTable(table)
 }
