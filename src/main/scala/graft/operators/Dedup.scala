@@ -415,7 +415,7 @@ object Dedup {
     * verified with exact shingle Jaccard, thresholded on the RAW value
     * (like d04/d10 — rounding first would admit boundary pairs).
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
     // Materialized once: the shingle table feeds the signature path and
     // both sides of the verify join (at 100 TB this is the signature
@@ -514,16 +514,16 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** HOPS between lineage truncations in the label loop: deep enough
-    * that shallow real-world dup clusters (one unrolled iteration)
-    * never pay a checkpoint write, shallow enough that the plan tree
-    * stays bounded — each hop references the previous labels THREE
-    * times (neighbor join, label join, pointer jump) and an iteration
-    * is two hops, so the un-cut plan grows 9^iterations between
-    * checkpoints; 9^2 = 81 leaf references is cheap where ~6k (the r2
-    * shape) made plan stringification alone blow the heap. Iterations
-    * advance `steps` by 2, so 4 cuts every second iteration, always on
-    * a frame the convergence count just materialized.
+  /** Nominal HOPS between lineage truncations in the label loop (the
+    * loop cuts every SECOND iteration — iteration 1 is a single hop,
+    * the rest are two, so cuts land at hops 3, 7, 11, ...): deep enough
+    * that shallow real-world dup clusters never pay a checkpoint write,
+    * shallow enough that the plan tree stays bounded — each hop
+    * references the previous labels THREE times (neighbor join, label
+    * join, pointer jump), so the un-cut plan holds at most ~9^2 = 81
+    * leaf references between cuts, cheap where ~6k (the r2 shape) made
+    * plan stringification alone blow the heap. Cuts always land on a
+    * frame the convergence count just materialized.
     */
   private[graft] val CheckpointEvery = 4
 
@@ -651,8 +651,15 @@ object Dedup {
     // a single-partition loop gains nothing from adaptive re-planning —
     // AQE's per-stage plan/stats round-trips are pure overhead at this
     // size (and only this cloned session is affected)
-    if (loopParts == "1")
+    if (loopParts == "1") {
       loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+      // a single-partition iteration runs ~512-row joins: interpreted
+      // execution is instant at this size, while whole-stage codegen
+      // pays a janino compile of the big fused iteration plan per run
+      // (~0.5 s, measured on d13 — the dominant cost of a 1-iteration
+      // loop). At real loop sizes loopParts > 1 and codegen stays on.
+      loopSession.conf.set("spark.sql.codegen.wholeStage", "false")
+    }
     // frames plan under the session that CREATED them, so the loop must
     // build from a frame owned by the clone — a global temp view (the
     // global_temp db is shared across sessions) carries the checkpoint
@@ -703,7 +710,9 @@ object Dedup {
     // pointer-jump through the label table (the left join is total in
     // practice — lbl is a node id, every node has a label row; coalesce
     // only guards the degenerate frame).
-    def hop(l: DataFrame): DataFrame = edgesLoop
+    // One propagation hop over `l`, keeping the PRE-hop label as `cur`
+    // so the convergence flag can test exactly this hop's progress.
+    def hopCmp(l: DataFrame): DataFrame = edgesLoop
       .join(l.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
       .groupBy("src").agg(min("nlbl").as("plbl"))
       .join(l, "src")
@@ -711,7 +720,11 @@ object Dedup {
             Seq("lbl"), "left")
       .select(col("src"),
               least(col("lbl"), col("plbl"),
-                    coalesce(col("jlbl"), col("lbl"))).as("lbl"))
+                    coalesce(col("jlbl"), col("lbl"))).as("nxt"),
+              col("lbl").as("cur"))
+    def hop(l: DataFrame): DataFrame =
+      hopCmp(l).select(col("src"), col("nxt").as("lbl"))
+    var iters = 0
     try {
       while (changed > 0) {
         if (steps >= 64)
@@ -724,34 +737,29 @@ object Dedup {
           // not more rounds of this one.
           throw new IllegalStateException(
             "dup label propagation did not converge in 64 hops")
-        // TWO hops per scheduled iteration: the loop's cost at gate
-        // scale is per-ROUND fixed overhead (persist, convergence
-        // count, scheduling), not the joins — unrolling does the same
-        // join work in half the rounds, halving that overhead. `ch`
-        // tests the SECOND hop alone: a hop that lowers nothing proves
-        // the fixpoint regardless of what the first hop did.
-        val h1 = hop(labels)
-        val next = edgesLoop
-          .join(h1.select(col("src").as("dst"), col("lbl").as("nlbl")), "dst")
-          .groupBy("src").agg(min("nlbl").as("plbl"))
-          .join(h1, "src")
-          .join(h1.select(col("src").as("lbl"), col("lbl").as("jlbl")),
-                Seq("lbl"), "left")
-          .select(col("src"),
-                  least(col("lbl"), col("plbl"),
-                        coalesce(col("jlbl"), col("lbl"))).as("nxt"),
-                  col("lbl").as("cur"))
+        // Iteration sizing: the FIRST iteration is a single hop — LSH
+        // dup graphs commonly converge within the seed + 1 hop, and the
+        // small plan halves the planning+materialization cost that
+        // common case pays (measured ~0.4 s/iteration of fixed cost on
+        // d13). From iteration 2 on, TWO hops per scheduled round: deep
+        // graphs (e06's 16-hop components) then pay the per-round fixed
+        // overhead half as often for the same join work. `ch` tests the
+        // LAST hop alone: a hop that lowers nothing proves the fixpoint
+        // regardless of what came before it.
+        val grown = if (iters == 0) hopCmp(labels) else hopCmp(hop(labels))
+        val next = grown
           .select(col("src"), col("nxt").as("lbl"),
                   (col("nxt") < col("cur")).as("ch"))
           .persist()
-        steps += 2
+        steps += (if (iters == 0) 1 else 2)
+        iters += 1
         pending = cached :: pending
         cached = next
         labels = next.select("src", "lbl")
         changed = next.filter(col("ch")).count() // materializes the round
         pending.foreach(_.unpersist(blocking = false))
         pending = Nil
-        if (changed > 0 && steps % CheckpointEvery == 0) {
+        if (changed > 0 && iters % 2 == 0) {
           // eager checkpoint: writes the cached partitions, cuts the plan
           // at a scan of the checkpoint files (on throw, the outer catch
           // releases `cached`, which is still `next` here)
