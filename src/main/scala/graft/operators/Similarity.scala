@@ -287,20 +287,22 @@ object Similarity {
     * assignment separately from the in-cell pair join.
     */
   private[graft] def e04LargeAssigned(s: SparkSession,
-      emb: DataFrame, level2Base: Long): DataFrame = {
+      emb: DataFrame, level2Base: Long, corpusN: Long): DataFrame = {
     // both levels are the codegen'd per-row argmax (NearestAnchor) over
     // their float anchor matrices — the broadcast-explode-max_by
     // formulation this replaced cost ~80 s of row traffic at 200k x 256
-    // for ~5 s of arithmetic; the ladder still sizes the ACTIVE prefix
-    // via the one-row broadcast, so no driver action is added
+    // for ~5 s of arithmetic. The active-prefix widths come from the
+    // corpus count the BODY already collected for its cap warning
+    // (metadata-only job), folded through the Scala ladder twins —
+    // spec-pinned equal to the oracle's CASE text — instead of a second
+    // in-plan one-row broadcast computing the same values.
     GraftFunctions.registerNearestAnchor(s, "sem_cell",
       planes(MaxSemCells).map(_.map(_.toFloat)))
     GraftFunctions.registerNearestAnchor(s, "sem_cell2",
       planes2.map(_.map(_.toFloat)))
     val sized = emb
-      .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
-      .withColumn("ncells", expr(semCellsCase("corpus_n")))
-      .withColumn("ncells2", expr(semCells2Case("corpus_n", level2Base)))
+      .withColumn("ncells", lit(semCells(corpusN)))
+      .withColumn("ncells2", lit(semCells2(corpusN, level2Base)))
     // persisted: both sides of the composite-cell self-join and the
     // survivor anti-join read it (same discipline as e04's assignment)
     graft.Caching.persistTracked("e04L_assigned",
@@ -317,12 +319,14 @@ object Similarity {
     import sp.implicits._
     val emb = Tables.embeddings(s, d)
     // the count is a column-less parquet scan (row-group metadata), so
-    // the saturation check costs nothing next to the operator itself
-    capWarning("e04_semantic_dedup_large", emb.count(),
+    // the saturation check costs nothing next to the operator itself —
+    // and it ALSO sizes the assignment ladder (one scalar, two uses)
+    val corpusN = emb.count()
+    capWarning("e04_semantic_dedup_large", corpusN,
       level2Base * MaxSemCells,
       "a third anchor level (same construction) or e03's trained quantizer")
       .foreach(System.err.println)
-    val assigned = e04LargeAssigned(s, emb, level2Base)
+    val assigned = e04LargeAssigned(s, emb, level2Base, corpusN)
     val a = assigned.select(col("cell"), col("cell2"),
                             col("vec_id").as("a_id"), col("embedding").as("a_vec"))
     val b = assigned.select(col("cell"), col("cell2"),
@@ -707,7 +711,12 @@ object Similarity {
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-        capWarning("e04_semantic_dedup", emb.count(), SemLevel2At,
+        // one metadata-only count, two uses: the saturation check and
+        // the ladder width (through the Scala twin, spec-pinned equal
+        // to the oracle's CASE text) — replacing the one-row broadcast
+        // that recomputed the same scalar in-plan
+        val corpusN = emb.count()
+        capWarning("e04_semantic_dedup", corpusN, SemLevel2At,
           "e04_semantic_dedup_large (two-level composite quantizer, " +
           "density-bounded to ~4M vectors)")
           .foreach(System.err.println)
@@ -716,9 +725,7 @@ object Similarity {
         // computes, without exploding corpus_n x ncells rows
         GraftFunctions.registerNearestAnchor(s, "sem_cell",
           planes(MaxSemCells).map(_.map(_.toFloat)))
-        val sized = emb
-          .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
-          .withColumn("ncells", expr(semCellsCase("corpus_n")))
+        val sized = emb.withColumn("ncells", lit(semCells(corpusN)))
         // persisted: both sides of the in-cell self-join and the final
         // survivor anti-join read it — unpersisted, the whole anchor
         // scoring pass would run three times

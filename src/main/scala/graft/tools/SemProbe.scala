@@ -26,7 +26,8 @@ object SemProbe {
     val assigned = mode match {
       case "e08" => graft.operators.Similarity.e08Assigned(s, emb)
       case _ => graft.operators.Similarity
-        .e04LargeAssigned(s, emb, graft.operators.Similarity.SemLevel2At)
+        .e04LargeAssigned(s, emb, graft.operators.Similarity.SemLevel2At,
+          emb.count())
     }
     assigned.write.format("noop").mode("overwrite").save()
     println(s"[probe] assignment sec=${(System.nanoTime() - t0) / 1e9}")
