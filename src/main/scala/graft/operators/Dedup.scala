@@ -788,15 +788,21 @@ object Dedup {
     } finally s.catalog.dropGlobalTempView(edgesView)
     // Hand the converged labels back to the CALLER's session (again via
     // the shared global_temp db): downstream plans built on the result
-    // must plan under the caller's conf, not the loop clone's 1-partition
-    // setting. The persisted table is found through the view — the cache
-    // manager lives in shared state and matches the aliased child plan.
-    val labelsOut = persistTracked(s"${name}_labels", cached)
+    // must plan under the caller's conf, not the loop clone's
+    // 1-partition setting. The CALLER-bound frame is what gets
+    // persisted+tracked: cache replacement does NOT reliably match the
+    // clone-session frame through the view alias (measured: consumers
+    // recomputed the final hops per use), so the tracked copy must be
+    // the very frame consumers' plans are built from. It materializes
+    // once, from the kept checkpoint cut; the loop-session incarnation
+    // is released here.
     val labelsView = s"graft_${name}_loop_labels"
-    labelsOut.createOrReplaceGlobalTempView(labelsView)
-    val out = s.table(s"global_temp.$labelsView")
-      .select(col("src").as("doc_id"), col("lbl").as("canonical_id"))
+    cached.createOrReplaceGlobalTempView(labelsView)
+    val out = persistTracked(s"${name}_labels",
+      s.table(s"global_temp.$labelsView")
+        .select(col("src").as("doc_id"), col("lbl").as("canonical_id")))
     s.catalog.dropGlobalTempView(labelsView) // resolution was eager
+    cached.unpersist(blocking = false)
     // the new labels now back the tracker entry, so the previous run's
     // cuts are finally unreferenced — delete them and record this run's
     staleCkpts.foreach(f => dropCkpt(s, Some(f)))
