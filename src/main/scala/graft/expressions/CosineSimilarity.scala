@@ -123,6 +123,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "md5_shingle8_hashes", exprs => Md5ShingleHashes(exprs(0), 8), "built-in")
     reg.createOrReplaceTempFunction(
+      "md5_span8_hashes", exprs => Md5SpanHashes(exprs(0), 8), "built-in")
+    reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")

@@ -117,6 +117,41 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Positional (index-aligned, NON-distinct) variant of
+    * [[md5ShingleHashes]]: element k = the hash of the n-word span
+    * starting at word k. d29 maps boilerplate spans back to the exact
+    * word positions they cover, so order and multiplicity must survive
+    * — the sorted-distinct form loses both. Same md5-60-bit fold, same
+    * DuckDB twin.
+    */
+  def md5SpanHashes(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split("\\s+", -1)
+    val m = words.length - n + 1
+    if (m <= 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val md = md5Local.get()
+    val sb = new java.lang.StringBuilder(64)
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      md.reset()
+      val dig = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var v = 0L
+      var b = 0
+      while (b < 7) { v = (v << 8) | (dig(b) & 0xFF).toLong; b += 1 }
+      v = (v << 4) | ((dig(7) >> 4) & 0xF).toLong
+      out(i) = v
+      i += 1
+    }
+    ArrayData.toArrayData(out)
+  }
+
   /** 60-bit SimHash of `text`'s word multiset with the md5-60-bit word
     * hash (first 15 hex chars of md5(word) as a long — the same
     * construction as [[md5ShingleHashes]]): bit i of the code is set iff
@@ -219,6 +254,28 @@ case class Md5ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
       s"graft.expressions.HashKernels.md5ShingleHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Native positional md5-60-bit span hashes: text -> array<long>,
+  * element k = hash of the n-word span at word k (see
+  * [[HashKernels.md5SpanHashes]]).
+  */
+case class Md5SpanHashes(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "md5_span_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.md5SpanHashes(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashKernels.md5SpanHashes($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5SpanHashes =
     copy(child = newChild)
 }
 

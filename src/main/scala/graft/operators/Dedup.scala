@@ -87,6 +87,15 @@ object Dedup {
   private[graft] val DenseChoose = 2
   private[graft] val DenseRadius: Int = DenseBlockWidth.length - DenseChoose
 
+  /** d29's boilerplate bar: an 8-word span must appear in at least this
+    * many DISTINCT documents to be scrubbed. 3 keeps the gate corpus
+    * non-vacuous without degenerating into near-dup removal (d27/d13's
+    * job); production boilerplate (headers, license blurbs) sits at doc
+    * frequencies in the thousands — the threshold is the tuned knob,
+    * the plan shape never changes.
+    */
+  private[graft] val BoilerMinDocs = 3
+
   /** All C(B,c) c-block combinations of a block layout, each one
     * candidate table, as (offset, width) slices. Pigeonhole: <= B - c
     * differing bits leave some c blocks untouched, so the guaranteed
@@ -1498,6 +1507,115 @@ object Dedup {
         |       round(CAST(p.n_repeated AS DOUBLE) / len(z.hs) + 1e-8, 4) AS span_dup_ratio
         |FROM nz z JOIN per p ON z.doc_id = p.doc_id
         |ORDER BY z.doc_id""".stripMargin),
+
+    // Boilerplate REMOVAL (the CCNet/RefinedWeb passage-level scrub):
+    // where d27 REPORTS span-level duplication, d29 edits it out —
+    // every 8-word span occurring in >= BoilerMinDocs distinct documents
+    // (headers, footers, license blurbs, navigation chrome) is erased
+    // from every document carrying it, and the text is rebuilt from the
+    // surviving words. Output: (doc_id, n_words, n_removed, clean_text).
+    //
+    // Scale shape: the ONLY per-word work that leaves its row is the
+    // positional span-hash explode (a native codegen'd kernel,
+    // md5_span8_hashes — the interpreted higher-order-md5 formulation
+    // measured ~2x the whole operator); doc-frequency is distinct
+    // (doc, span) then a combinable count (d27's two-shuffle
+    // discipline); the boilerplate hits come back as ONE small
+    // collect_set of span starts per affected doc; and the text is
+    // rebuilt IN-ROW (flatten spans to covered indices, filter the word
+    // array by index) — corpus words are never shuffled. No pairwise
+    // work anywhere. The threshold is the knob a real pipeline tunes
+    // (3 at gate scale; production boilerplate sits at df in the
+    // thousands).
+    "d29_boilerplate_scrub" -> OpDef.sql(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        // the kernel splits on \s+ exactly like the ws column, so span
+        // index k covers words k..k+7 of ws; the md5-60-bit fold is the
+        // engine-shared convention (saltedBucket, d08/d27)
+        // only (doc_id, text) is cached — the word ARRAYS would multiply
+        // the cache several-fold, and they're only needed in-row (split
+        // is codegen'd, recomputing beats caching at corpus scale)
+        val w = persistTracked("d29_docs", Tables.documents(s, d)
+          .select(col("doc_id"), col("text")))
+        val ex = persistTracked("d29_spans", w
+          .select(col("doc_id"),
+                  posexplode(expr("md5_span8_hashes(text)")).as(Seq("sp", "h"))))
+        // one shuffle, not distinct-then-count: countDistinct's partial
+        // aggregation dedups (h, doc_id) map-side before anything moves
+        val boiler = ex.groupBy("h")
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= BoilerMinDocs)
+          .select("h")
+        val hits = ex.join(boiler, "h")
+          .groupBy("doc_id").agg(collect_set(col("sp")).as("sps"))
+        // rebuild ONLY the affected docs (a tiny fraction of any real
+        // corpus): the higher-order rebuild expressions run interpreted
+        // (no codegen for lambdas), and running them per-word over every
+        // row measured as the operator's dominant stage (47.9 of 60 s at
+        // sf10). Untouched docs pass through VERBATIM — also the right
+        // semantics (no whitespace re-normalization of text the scrub
+        // never touched) — and the oracle mirrors the same split.
+        val affected = w.join(hits, "doc_id")
+          .withColumn("ws", split(col("text"), "\\s+"))
+          .withColumn("cov", expr(
+            "array_distinct(flatten(transform(sps, s -> sequence(s, s + 7))))"))
+          .withColumn("kept", expr(
+            "filter(transform(ws, (wd, i) -> " +
+            "named_struct('wd', wd, 'c', array_contains(cov, i))), " +
+            "x -> NOT x.c)"))
+          .select(col("doc_id"), size(col("ws")).as("n_words"),
+                  (size(col("ws")) - size(col("kept"))).as("n_removed"),
+                  expr("concat_ws(' ', transform(kept, x -> x.wd))")
+                    .as("clean_text"))
+        val untouched = w.join(hits, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"),
+                  size(split(col("text"), "\\s+")).as("n_words"),
+                  lit(0).as("n_removed"), col("text").as("clean_text"))
+        affected.union(untouched).orderBy("doc_id")
+      },
+      s"""WITH w AS (
+         |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws
+         |  FROM documents),
+         |ex AS (
+         |  SELECT doc_id, u.sp AS sp, u.h AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, greatest(len(ws) - 7, 0)),
+         |      i -> struct_pack(sp := i - 1,
+         |        h := ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1],
+         |          ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])),
+         |          1, 15))::BIGINT))) AS u
+         |    FROM w)),
+         |boiler AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS df FROM ex GROUP BY h)
+         |  WHERE df >= $BoilerMinDocs),
+         |hits AS (
+         |  SELECT DISTINCT e.doc_id FROM ex e JOIN boiler b USING (h)),
+         |cov AS (
+         |  SELECT DISTINCT e.doc_id, e.sp + g.g AS idx
+         |  FROM ex e JOIN boiler b USING (h),
+         |       (SELECT unnest(generate_series(0, 7)) AS g) g),
+         |wx AS (
+         |  SELECT doc_id, u.idx AS idx, u.wd AS wd FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+         |      i -> struct_pack(idx := i - 1, wd := ws[i]))) AS u
+         |    FROM w WHERE doc_id IN (SELECT doc_id FROM hits))),
+         |kept AS (
+         |  SELECT x.doc_id, x.idx, x.wd
+         |  FROM wx x LEFT JOIN cov c ON x.doc_id = c.doc_id AND x.idx = c.idx
+         |  WHERE c.doc_id IS NULL),
+         |agg AS (
+         |  SELECT h.doc_id, CAST(count(k.idx) AS BIGINT) AS n_kept,
+         |         coalesce(string_agg(k.wd, ' ' ORDER BY k.idx), '') AS clean_text
+         |  FROM hits h LEFT JOIN kept k USING (doc_id) GROUP BY h.doc_id)
+         |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+         |       CAST(CASE WHEN a.doc_id IS NULL THEN 0
+         |                 ELSE len(w.ws) - a.n_kept END AS INT) AS n_removed,
+         |       CASE WHEN a.doc_id IS NULL THEN w.text
+         |            ELSE a.clean_text END AS clean_text
+         |FROM w LEFT JOIN agg a USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin),
 
     // Priority-based cluster retention: within each near-dup cluster keep
     // the doc from the most-preferred SOURCE (ties to the lower id),

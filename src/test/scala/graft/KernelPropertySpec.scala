@@ -95,6 +95,27 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("md5SpanHashes is the positional, multiplicity-preserving shingle twin") {
+    val r = new Random(78)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "øh")
+    for (_ <- 1 to 150) {
+      val text = Seq.fill(r.nextInt(14))(words(r.nextInt(words.length))).mkString(" ")
+      val got = HashKernels.md5SpanHashes(UTF8String.fromString(text), 3).toLongArray()
+      val ws = text.split("\\s+", -1)
+      val expected =
+        if (ws.length < 3) Seq.empty[Long]
+        else ws.sliding(3).map(_.mkString(" ")).map { s =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val hex = md.digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+          java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        }.toSeq
+      assert(got.toSeq == expected, s"text='$text'")
+      // consistency with the sorted-distinct family d27 buckets on
+      assert(got.toSeq.distinct.sorted ==
+        HashKernels.md5ShingleHashes(UTF8String.fromString(text), 3).toLongArray().toSeq)
+    }
+  }
+
   test("codepointSet is sorted, distinct, and covers exactly the text's chars") {
     val r = new Random(31)
     for (_ <- 1 to 200) {
