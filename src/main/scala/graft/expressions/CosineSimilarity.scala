@@ -146,6 +146,16 @@ object GraftFunctions {
         }).toAggregateExpression(), "built-in")
   }
 
+  /** Register a sorted-long-set membership function (binary search over
+    * an array riding the closure — see [[InSortedLongs]]).
+    */
+  def registerInSortedLongs(spark: SparkSession, name: String,
+      values: Array[Long]): Unit = {
+    val sorted = values.clone().sorted
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => InSortedLongs(exprs(0), sorted), "built-in")
+  }
+
   /** Register a hyperplane sign-code function bound to a plane matrix. */
   def registerSignCode(spark: SparkSession, name: String,
       planes: Array[Array[Double]]): Unit =

@@ -279,6 +279,36 @@ case class Md5SpanHashes(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Codegen'd membership test against a SORTED long array riding the
+  * closure (binary search — the boiler-span list a stream-side scrub
+  * probes per span must not cost a linear scan per row). The caller
+  * sorts; an unsorted array would silently return wrong answers, so
+  * the registration helper sorts defensively.
+  */
+case class InSortedLongs(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "in_sorted_longs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: argument must be BIGINT, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    java.util.Arrays.binarySearch(sorted, input.asInstanceOf[Long]) >= 0
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sorted", sorted, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"(java.util.Arrays.binarySearch($ref, $c) >= 0)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): InSortedLongs =
+    copy(child = newChild)
+}
+
 /** Native 64-bit SimHash of a text column's word multiset. */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

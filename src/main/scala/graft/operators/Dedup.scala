@@ -1243,6 +1243,101 @@ object Dedup {
     * s10_stream_incr_dedup shares verbatim — one oracle, two engine
     * paths, the s01/q27 convention).
     */
+  /** The static corpus's boiler-span list as sorted hashes — the MODEL
+    * a stream-side scrub broadcasts (s12's rate-table pattern: the
+    * prior corpus builds the intake artifact; here it is a probe list
+    * rather than a joinable table). Size is bounded by the nature of
+    * boilerplate (shared chrome, not content): thousands to millions of
+    * spans, megabytes as longs — a model-sized driver collect, like
+    * e08's centroids, not a data collect.
+    */
+  private[graft] def boilerSpanHashes(s: SparkSession, d: String): Array[Long] = {
+    graft.expressions.GraftFunctions.register(s)
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("md5_span8_hashes(text)")).as("h"))
+      .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= BoilerMinDocs)
+      .select("h").collect().map(_.getLong(0))
+  }
+
+  /** The per-row scrub against a FIXED boiler list: span hashes, hit
+    * starts (codegen'd binary search per span), covered indices and the
+    * word filter all happen in-row, so the same frame logic runs on a
+    * batch table and a stream (stateless, append mode, zero shuffle).
+    * Untouched rows pass through verbatim, d29's convention; on the
+    * corpus the list was built from, the output IS d29's.
+    */
+  private[graft] def scrubAgainst(s: SparkSession, docs: DataFrame,
+      boiler: Array[Long]): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    graft.expressions.GraftFunctions.registerInSortedLongs(
+      s, "graft_boiler_hit", boiler)
+    docs
+      .withColumn("sps", expr(
+        "filter(transform(md5_span8_hashes(text), (h, i) -> " +
+        "named_struct('i', i, 'b', graft_boiler_hit(h))), x -> x.b)"))
+      .withColumn("ws", split(col("text"), "\\s+"))
+      .withColumn("cov", expr(
+        "array_distinct(flatten(transform(sps, x -> sequence(x.i, x.i + 7))))"))
+      .withColumn("kept", expr(
+        "filter(transform(ws, (wd, i) -> " +
+        "named_struct('wd', wd, 'c', array_contains(cov, i))), " +
+        "x -> NOT x.c)"))
+      .select(col("doc_id"), size(col("ws")).as("n_words"),
+              (size(col("ws")) - size(col("kept"))).as("n_removed"),
+              when(size(col("sps")) === 0, col("text"))
+                .otherwise(expr("concat_ws(' ', transform(kept, x -> x.wd))"))
+                .as("clean_text"))
+  }
+
+  /** d29's DuckDB twin — shared VERBATIM with s13_stream_scrub (the
+    * stream applies the static corpus's boiler list, so its batch truth
+    * IS d29's output).
+    */
+  private[graft] def duckD29Sql: String =
+    s"""WITH w AS (
+         |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws
+         |  FROM documents),
+         |ex AS (
+         |  SELECT doc_id, u.sp AS sp, u.h AS h FROM (
+         |    SELECT doc_id, unnest(list_transform(
+         |      generate_series(1, greatest(len(ws) - 7, 0)),
+         |      i -> struct_pack(sp := i - 1,
+         |        h := ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1],
+         |          ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])),
+         |          1, 15))::BIGINT))) AS u
+         |    FROM w)),
+         |boiler AS (
+         |  SELECT h FROM (
+         |    SELECT h, count(DISTINCT doc_id) AS df FROM ex GROUP BY h)
+         |  WHERE df >= $BoilerMinDocs),
+         |hits AS (
+         |  SELECT DISTINCT e.doc_id FROM ex e JOIN boiler b USING (h)),
+         |cov AS (
+         |  SELECT DISTINCT e.doc_id, e.sp + g.g AS idx
+         |  FROM ex e JOIN boiler b USING (h),
+         |       (SELECT unnest(generate_series(0, 7)) AS g) g),
+         |wx AS (
+         |  SELECT doc_id, u.idx AS idx, u.wd AS wd FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+         |      i -> struct_pack(idx := i - 1, wd := ws[i]))) AS u
+         |    FROM w WHERE doc_id IN (SELECT doc_id FROM hits))),
+         |kept AS (
+         |  SELECT x.doc_id, x.idx, x.wd
+         |  FROM wx x LEFT JOIN cov c ON x.doc_id = c.doc_id AND x.idx = c.idx
+         |  WHERE c.doc_id IS NULL),
+         |agg AS (
+         |  SELECT h.doc_id, CAST(count(k.idx) AS BIGINT) AS n_kept,
+         |         coalesce(string_agg(k.wd, ' ' ORDER BY k.idx), '') AS clean_text
+         |  FROM hits h LEFT JOIN kept k USING (doc_id) GROUP BY h.doc_id)
+         |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
+         |       CAST(CASE WHEN a.doc_id IS NULL THEN 0
+         |                 ELSE len(w.ws) - a.n_kept END AS INT) AS n_removed,
+         |       CASE WHEN a.doc_id IS NULL THEN w.text
+         |            ELSE a.clean_text END AS clean_text
+         |FROM w LEFT JOIN agg a USING (doc_id)
+         |ORDER BY w.doc_id""".stripMargin
+
   private val defs2: Map[String, OpDef] = Map(
 
     // SimHash: 64-bit per-row signature, then near-dup pairs at Hamming
@@ -1574,48 +1669,7 @@ object Dedup {
                   lit(0).as("n_removed"), col("text").as("clean_text"))
         affected.union(untouched).orderBy("doc_id")
       },
-      s"""WITH w AS (
-         |  SELECT doc_id, text, string_split_regex(text, '\\s+') AS ws
-         |  FROM documents),
-         |ex AS (
-         |  SELECT doc_id, u.sp AS sp, u.h AS h FROM (
-         |    SELECT doc_id, unnest(list_transform(
-         |      generate_series(1, greatest(len(ws) - 7, 0)),
-         |      i -> struct_pack(sp := i - 1,
-         |        h := ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1],
-         |          ws[i+2], ws[i+3], ws[i+4], ws[i+5], ws[i+6], ws[i+7])),
-         |          1, 15))::BIGINT))) AS u
-         |    FROM w)),
-         |boiler AS (
-         |  SELECT h FROM (
-         |    SELECT h, count(DISTINCT doc_id) AS df FROM ex GROUP BY h)
-         |  WHERE df >= $BoilerMinDocs),
-         |hits AS (
-         |  SELECT DISTINCT e.doc_id FROM ex e JOIN boiler b USING (h)),
-         |cov AS (
-         |  SELECT DISTINCT e.doc_id, e.sp + g.g AS idx
-         |  FROM ex e JOIN boiler b USING (h),
-         |       (SELECT unnest(generate_series(0, 7)) AS g) g),
-         |wx AS (
-         |  SELECT doc_id, u.idx AS idx, u.wd AS wd FROM (
-         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
-         |      i -> struct_pack(idx := i - 1, wd := ws[i]))) AS u
-         |    FROM w WHERE doc_id IN (SELECT doc_id FROM hits))),
-         |kept AS (
-         |  SELECT x.doc_id, x.idx, x.wd
-         |  FROM wx x LEFT JOIN cov c ON x.doc_id = c.doc_id AND x.idx = c.idx
-         |  WHERE c.doc_id IS NULL),
-         |agg AS (
-         |  SELECT h.doc_id, CAST(count(k.idx) AS BIGINT) AS n_kept,
-         |         coalesce(string_agg(k.wd, ' ' ORDER BY k.idx), '') AS clean_text
-         |  FROM hits h LEFT JOIN kept k USING (doc_id) GROUP BY h.doc_id)
-         |SELECT w.doc_id, CAST(len(w.ws) AS INT) AS n_words,
-         |       CAST(CASE WHEN a.doc_id IS NULL THEN 0
-         |                 ELSE len(w.ws) - a.n_kept END AS INT) AS n_removed,
-         |       CASE WHEN a.doc_id IS NULL THEN w.text
-         |            ELSE a.clean_text END AS clean_text
-         |FROM w LEFT JOIN agg a USING (doc_id)
-         |ORDER BY w.doc_id""".stripMargin),
+      duckD29Sql),
 
     // Priority-based cluster retention: within each near-dup cluster keep
     // the doc from the most-preferred SOURCE (ties to the lower id),

@@ -386,6 +386,28 @@ object StreamQueries {
       },
       graft.operators.TextAnalysis.duckD21Sql),
 
+    // s13: streaming boilerplate scrub — d29's passage-level removal at
+    // the intake. The boiler-span list comes from the STATIC corpus
+    // (s12's pattern — the prior corpus builds the intake artifact; here
+    // a sorted hash list probed by a codegen'd binary search per span,
+    // not a joinable table), and the edit is fully in-row, so the stream
+    // leg is stateless append with zero shuffle and zero state: exactly
+    // where a production pipeline wants the scrub — before the bytes
+    // land in the lake. Oracle: d29's SQL verbatim.
+    "s13_stream_scrub" -> OpDef.sql(
+      (s, d) => {
+        val boiler = graft.operators.Dedup.boilerSpanHashes(s, d)
+        val dir = stagedDocsDir(s, d)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val docs = s.readStream.schema(schema).parquet(dir)
+        drain(s, "s13",
+            graft.operators.Dedup.scrubAgainst(
+              s, docs.select("doc_id", "text"), boiler),
+            "append")
+          .orderBy("doc_id")
+      },
+      graft.operators.Dedup.duckD29Sql),
+
     // s12: streaming mixture sampling — d17's per-source accept/reject
     // applied to documents as they arrive. The rate table comes from the
     // STATIC corpus (one 20-row broadcast — in production, yesterday's

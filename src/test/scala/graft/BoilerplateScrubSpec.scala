@@ -55,4 +55,20 @@ class BoilerplateScrubSpec extends AnyFunSuite with SparkFixture {
     assert(removed > 0 && removed < total / 2,
       s"removed $removed of $total words")
   }
+
+  test("the in-row scrub against the collected boiler list equals d29") {
+    // s13's machinery on a BATCH frame: the fixed-list, fully in-row
+    // formulation must reproduce the distributed doc-frequency one
+    // exactly when the list comes from the same corpus
+    assume(new java.io.File(GateDir).isDirectory)
+    val boiler = graft.operators.Dedup.boilerSpanHashes(spark, GateDir)
+    assert(boiler.nonEmpty)
+    val got = graft.operators.Dedup.scrubAgainst(spark,
+        graft.sources.Tables.documents(spark, GateDir).select("doc_id", "text"),
+        boiler)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val batch = SparkEntry.queries("d29_boilerplate_scrub")(spark, GateDir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == batch)
+  }
 }

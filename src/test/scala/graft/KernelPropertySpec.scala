@@ -116,6 +116,22 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("InSortedLongs equals Set membership under random probes") {
+    val r = new Random(79)
+    for (_ <- 1 to 100) {
+      val vals = Array.fill(r.nextInt(40))(r.nextLong() % 1000)
+      val sorted = vals.clone().sorted
+      val set = vals.toSet
+      for (_ <- 1 to 50) {
+        val probe = r.nextLong() % 1000
+        val got = graft.expressions.InSortedLongs(
+          org.apache.spark.sql.catalyst.expressions.Literal(probe), sorted)
+          .eval(null)
+        assert(got == set.contains(probe), s"probe=$probe vals=${vals.toSeq}")
+      }
+    }
+  }
+
   test("codepointSet is sorted, distinct, and covers exactly the text's chars") {
     val r = new Random(31)
     for (_ <- 1 to 200) {
