@@ -71,4 +71,29 @@ class BoilerplateScrubSpec extends AnyFunSuite with SparkFixture {
       .collect().map(_.toSeq).toSeq
     assert(got == batch)
   }
+
+  test("s13's stream leg is stateless: zero state operators in progress") {
+    // the intake-placement claim: the scrub is a pure per-row edit
+    // against a broadcast list — nothing accumulates between batches
+    val sp = spark
+    import sp.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val boiler = graft.operators.Dedup.boilerSpanHashes(spark, GateDir)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.operators.Dedup.scrubAgainst(spark,
+        in.toDF().toDF("doc_id", "text"), boiler)
+      .writeStream.format("memory").queryName("s13_probe")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "just some words"), (2L, "more words here"))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.isEmpty,
+        s"s13 accumulated state: ${q.lastProgress.stateOperators.map(_.operatorName).mkString(", ")}")
+      assert(spark.table("s13_probe").count() == 2)
+    } finally {
+      q.stop()
+      spark.catalog.dropTempView("s13_probe")
+    }
+  }
 }
