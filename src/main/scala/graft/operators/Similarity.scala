@@ -963,6 +963,76 @@ object Similarity {
     "e08_semantic_dedup_trained" -> OpDef.rowsOnly(
       (s, d) => e08BodyFrom(s, Tables.embeddings(s, d))),
 
+    // k-NN over the INT8 lake — e07's follow-through: the 4x-smaller
+    // quantized table must actually carry search, or the storage cut is
+    // theoretical. Asymmetric (ADC-style) search: raw FLOAT queries
+    // scored against the dequantized int8 corpus (q * scale / 127,
+    // truncated to float as ARITHMETIC in both engines — e04's literal
+    // trick — so the whole quantize->dequantize->rank pipeline
+    // hash-checks end-to-end). Same plan skeleton as e01: broadcast
+    // queries, codegen'd cosine, map-side TopKBy heaps. QuantizeSpec
+    // floors recall@10 vs the float baseline; at production scale the
+    // deq frame is read pre-packed from the int8 lake instead of being
+    // derived in-plan.
+    "e09_knn_int8" -> OpDef.sql(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val ex = emb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        val dims = ex.groupBy("pos")
+          .agg(max(abs(col("v").cast("double"))).as("mx"))
+        val deq = ex.join(broadcast(dims), "pos")
+          .withColumn("qv",
+            when(col("mx") === 0.0, lit(0))
+              .otherwise(floor(col("v").cast("double") / col("mx") * 127
+                               + lit(0.5) + lit(1e-9)).cast("int")))
+          .withColumn("dv",
+            when(col("mx") === 0.0, lit(0.0))
+              .otherwise(col("qv") * col("mx") / 127).cast("float"))
+          .groupBy("vec_id")
+          .agg(expr("transform(array_sort(collect_list(" +
+                    "named_struct('p', pos, 'v', dv))), x -> x.v)").as("dvec"))
+        val queries = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        deq.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+          .withColumn("sim",
+            round(expr("cosine_sim(dvec, q_vec)") + lit(1e-10), 6))
+          .groupBy("q_id")
+          .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
+          .select(col("q_id"), posexplode(col("top")))
+          .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+                  col("col.id").as("neighbor_id"), col("col.score").as("sim"))
+          .orderBy("q_id", "rk")
+      },
+      s"""WITH ex AS (
+         |  SELECT vec_id,
+         |         CAST(unnest(generate_series(0, len(embedding) - 1)) AS INT) AS pos,
+         |         unnest(embedding)::DOUBLE AS v
+         |  FROM embeddings),
+         |dims AS (SELECT pos, max(abs(v)) AS mx FROM ex GROUP BY pos),
+         |deq AS (
+         |  SELECT e.vec_id,
+         |         list(CASE WHEN d.mx = 0 THEN 0.0
+         |              ELSE CAST(CAST(floor(e.v / d.mx * 127 + 0.5 + 1e-9) AS INT)
+         |                        * d.mx / 127 AS FLOAT)::DOUBLE END
+         |              ORDER BY e.pos) AS dvec
+         |  FROM ex e JOIN dims d USING (pos) GROUP BY e.vec_id),
+         |q AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+         |  FROM embeddings WHERE vec_id < $NumQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(e.dvec, q.q_vec) + 1e-10, 6) AS sim
+         |  FROM deq e JOIN q ON e.vec_id <> q.q_id)
+         |SELECT q_id,
+         |       CAST(row_number() OVER (PARTITION BY q_id
+         |         ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
+         |       neighbor_id, sim
+         |FROM scored
+         |QUALIFY rk <= $TopK
+         |ORDER BY q_id, rk""".stripMargin),
+
     // Int8 scalar quantization of the embedding lake — the storage/IO
     // step under every ANN index at scale (a 100-TB float32 embedding
     // table is 25 TB at int8; recall cost of symmetric per-dim scalar

@@ -35,4 +35,24 @@ class QuantizeSpec extends AnyFunSuite with SparkFixture {
       got.collect { case ((_, p), q) if p == i => math.abs(q) }.max == 127),
       "some dimension never reaches the int8 extreme — scales are off")
   }
+
+  test("e09: search over the int8 lake keeps recall@10 vs the float baseline") {
+    // the claim behind the 4x storage cut: the quantized table carries
+    // the SAME search. Asymmetric (float query, dequantized corpus)
+    // top-10 per query vs e01's exact float top-10.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    def topk(op: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(op)(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val exact = topk("e01_knn_brute")
+    val quant = topk("e09_knn_int8")
+    assert(exact.keySet == quant.keySet)
+    val recalls = exact.map { case (q, ids) =>
+      (quant(q) & ids).size.toDouble / ids.size }
+    val mean = recalls.sum / recalls.size
+    assert(recalls.forall(_ >= 0.8), s"per-query recall@10: $recalls")
+    assert(mean >= 0.9, s"mean recall@10 $mean")
+  }
 }
