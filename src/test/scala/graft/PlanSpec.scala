@@ -91,6 +91,19 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       s"TopKBy not map-side combined:\n$p")
   }
 
+  test("e09 broadcasts the scales and the query set; top-k stays partial") {
+    val p = planOf("e09_knn_int8")
+    // two broadcasts: the Dim-row scale table onto the exploded corpus,
+    // and the query set onto the dequantized corpus — the corpus itself
+    // must never be the build side
+    assert(p.contains("BroadcastHashJoin") &&
+           (p.contains("BroadcastNestedLoopJoin") ||
+            p.split("BroadcastHashJoin").length > 2),
+      s"expected both broadcasts:\n$p")
+    assert(p.contains("partial_topk_by"),
+      s"TopKBy not map-side combined:\n$p")
+  }
+
   test("d20 joins df and N back by broadcast (no corpus-wide shuffle joins)") {
     val p = planOf("d20_tfidf")
     assert(p.contains("BroadcastHashJoin"), "vocabulary df table not broadcast")
