@@ -84,26 +84,49 @@ object Bench {
       (name, wall, cpu, la)
     }
     // The stdout contract line must stay COMPACT: the driver machine-reads
-    // it from a bounded tail capture, and r6/r7 both came back
-    // `parsed: null` because the line (grown by the diag block and
-    // full-precision doubles) outran that window. Wall times at 3 decimals
-    // keep ~90 queries under ~3 KB; everything diagnostic goes to a file.
+    // it from a ~2000-char tail capture (with sbt's `[success]` line
+    // eating the end), and at 90+ queries even a 3-decimal per-query map
+    // is ~2300 chars — r5 through r9 all came back `parsed: null`. So the
+    // LINE carries only totals + the slowest three + failure accounting;
+    // the full per-query map and the cpu/loadavg diagnostics live in
+    // bench/ artifact files whose paths the line names.
+    //
+    // A probe run (SPARK_GRAFT_QUERIES set) writes its artifacts to
+    // *_probe.json so a one-query iteration never clobbers the committed
+    // full-run record (the r9 lesson: a q24 probe overwrote the full
+    // diag).
+    val suffix = if (filter.isDefined) "probe" else "last"
+    def writeJson(path: String, body: String): String = {
+      val f = new java.io.File(path)
+      f.getParentFile.mkdirs()
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(body) finally w.close()
+      f.getPath
+    }
     val qs = results.map { case (k, w, _, _) => f""""$k":$w%.3f""" }
       .mkString("{", ",", "}")
-    val diag = results
-      .map { case (k, w, c, l) =>
-        f""""$k":{"wall_sec":$w%.3f,"cpu_sec":$c%.3f,"loadavg":$l%.2f}""" }
-      .mkString(
-        s"""{"loadavg_start":$loadStart,"loadavg_end":$loadAvg,"sf":"$sfDir","queries":{""",
-        ",", "}}")
-    val diagFile = new java.io.File("bench/BENCH_diag_last.json")
-    diagFile.getParentFile.mkdirs()
-    val w = new java.io.PrintWriter(diagFile, "UTF-8")
-    try w.println(diag) finally w.close()
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val queriesFile = writeJson(s"bench/BENCH_queries_$suffix.json",
+      s"""{"sf":"$sfDir","queries":$qs}""")
+    val diagFile = writeJson(s"bench/BENCH_diag_$suffix.json",
+      results
+        .map { case (k, w, c, l) =>
+          f""""$k":{"wall_sec":$w%.3f,"cpu_sec":$c%.3f,"loadavg":$l%.2f}""" }
+        .mkString(
+          s"""{"loadavg_start":$loadStart,"loadavg_end":$loadAvg,"sf":"$sfDir","queries":{""",
+          ",", "}}"))
+    val ok = results.filter(_._2 >= 0)
+    val failed = results.filter(_._2 < 0).map(_._1)
+    val total = ok.map(_._2).sum
+    // a run with hard-failed queries must not read as a speedup: the
+    // contract line carries n_failed + the failed names so a gate
+    // summing `value` can see the coverage hole (r9: 14 crashes
+    // presented as rc=0 with a lower total)
+    val failedJson = failed.map(n => s""""$n"""").mkString("[", ",", "]")
+    val slowest = ok.sortBy(-_._2).take(3)
+      .map { case (k, w, _, _) => f""""$k":$w%.3f""" }.mkString("{", ",", "}")
     spark.stop()
     // printed AFTER spark.stop() so no late executor/log line can land
     // between the contract line and the end of stdout
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","diag_file":"${diagFile.getPath}"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"sf":"$sfDir","queries_file":"$queriesFile","diag_file":"$diagFile"}""")
   }
 }

@@ -22,12 +22,15 @@ object Verify {
     filter.foreach(f => System.err.println(
       s"[verify] FILTERED RUN (${f.mkString(",")}): $outDir holds a " +
         "partial dump — do not read it as the correctness gate"))
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          errors(name) = s"${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").take(300)
         }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -46,6 +49,16 @@ object Verify {
       .filter { case (k, _) => selected(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // a crashed query must be VISIBLE, not just absent: the manifest
+    // names every query this dump was supposed to produce and the error
+    // map says which ones crashed — a checker that only walks existing
+    // parquet outputs would otherwise score a shrunken dump all-green
+    // (the r9 failure mode: 14 crashes, artifact looked like 77/77)
+    val declared = SparkEntry.queries.keys.filter(selected).toSeq.sorted
+    Files.writeString(Paths.get(s"$outDir/queries_manifest.json"),
+      declared.map(q).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     // stream-vs-batch parity for every streaming op (s02/s04 are only
     // checkable under a moving watermark, which the oracle dump can't
     // drive) — written as parquet so the gate's directory walk reads it,

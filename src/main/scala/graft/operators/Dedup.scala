@@ -467,9 +467,17 @@ object Dedup {
     */
   private[graft] def d24Artifacts(s: SparkSession, d: String,
       name: String = "d24")
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) =
+    d24ArtifactsFrom(s, Tables.documents(s, d), name)
+
+  /** Same artifact build from an arbitrary docs frame (the parity
+    * harness feeds a hand corpus through the identical pipeline).
+    */
+  private[graft] def d24ArtifactsFrom(s: SparkSession, docsIn: DataFrame,
+      name: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     graft.expressions.GraftFunctions.register(s)
-    val docs = Tables.documents(s, d)
+    val docs = docsIn
       .withColumn("split", splitOf(splitBucket(col("doc_id"))))
       .withColumn("fp", textFp)
     val index = docs.filter(col("split") =!= "test")
@@ -521,6 +529,41 @@ object Dedup {
              col("near_sim")))
       .select("doc_id", "verdict", "match_id", "sim")
       .orderBy("doc_id")
+  }
+
+  /** s10's stream-side probe: arriving (doc_id, text) documents against
+    * the static index artifacts. Everything ahead of the single verdict
+    * aggregation is stateless — per-row signatures and stream-static
+    * broadcast joins — and the min-verified-match selection is ONE
+    * min_by agg (streaming's one-stateful-agg rule). Shared by the gate
+    * entry and the MemoryStream parity harness so both drive the SAME
+    * plan; works identically on a batch frame (the parity twin).
+    */
+  private[graft] def incrDedupStreamVerdicts(arriving: DataFrame,
+      fpIdx: DataFrame, bandIdx: DataFrame, shIdx: DataFrame): DataFrame = {
+    val probed = arriving
+      .withColumn("fp", textFp)
+      .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+      .join(broadcast(fpIdx), Seq("fp"), "left")
+      .withColumn("band", explode_outer(bandArray(col("mh"))))
+      .select(col("doc_id"), col("exact_match"), col("mh"),
+              col("band.band_id"), col("band.band_sig"))
+      .join(broadcast(bandIdx), Seq("band_id", "band_sig"), "left")
+      .join(broadcast(shIdx), Seq("i_id"), "left")
+      .withColumn("sim_raw", jaccard("mh", "i_sh"))
+    probed.groupBy("doc_id")
+      .agg(first(col("exact_match")).as("exact_match"),
+           // min_by ignores rows whose ordering is null, so the CASE
+           // keeps only Jaccard-verified index matches (d24's rule)
+           expr("min_by(named_struct('m', i_id, 's', sim_raw), " +
+                "CASE WHEN sim_raw >= 0.3 THEN i_id END)").as("near"))
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, "exact_dup")
+          .when(col("near.m").isNotNull, "near_dup")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_match"), col("near.m")).as("match_id"),
+        when(col("exact_match").isNull && col("near.m").isNotNull,
+             round(col("near.s") + lit(1e-8), 4)).as("sim"))
   }
 
   /** Nominal HOPS between lineage truncations in the label loop (the
@@ -1251,9 +1294,16 @@ object Dedup {
     * spans, megabytes as longs — a model-sized driver collect, like
     * e08's centroids, not a data collect.
     */
-  private[graft] def boilerSpanHashes(s: SparkSession, d: String): Array[Long] = {
+  private[graft] def boilerSpanHashes(s: SparkSession, d: String): Array[Long] =
+    boilerSpanHashesFrom(s, Tables.documents(s, d))
+
+  /** Same model build from an arbitrary docs frame (the parity harness
+    * feeds a hand corpus through the identical pipeline).
+    */
+  private[graft] def boilerSpanHashesFrom(s: SparkSession,
+      docs: DataFrame): Array[Long] = {
     graft.expressions.GraftFunctions.register(s)
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), explode(expr("md5_span8_hashes(text)")).as("h"))
       .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= BoilerMinDocs)

@@ -1,8 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Schema-aware loaders for the driver-provided parquet tables.
   *
@@ -23,25 +23,43 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark only reads with
-    * `nanosAsLong` (as a raw Long of epoch nanoseconds). To keep time
-    * arithmetic bit-identical with the DuckDB oracle we expose `ts_us`
-    * (epoch microseconds, floor division — matches `epoch_ns(ts)//1000`)
-    * and do all bucketing/gap math on it numerically.
+  /** `events.ts` has shifted physical encodings across driver testdata
+    * generations — parquet TIMESTAMP(NANOS) (readable only via
+    * `nanosAsLong`, as a raw Long of epoch nanoseconds) and plain
+    * microsecond timestamps without the UTC flag (which Spark infers as
+    * TIMESTAMP_NTZ). The engine's canonical lake shape is `ts` = epoch
+    * NANOSECONDS as a Long: every loader normalizes to it so downstream
+    * code (sentinel writers, the Kafka wire encoder, oracles) never
+    * branches on the file's encoding. `ts_us` (epoch microseconds, floor
+    * division — matches the oracles' `epoch_ns(ts)//1000`) rides along
+    * for all bucketing/gap math.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     withTsUs(load(spark, dir, "events"))
   }
 
-  /** The ts_us lifting, shared with the streaming readers so batch twins,
-    * oracles, and streams all derive event time identically.
+  /** Epoch-nanos Column from whatever physical type the file carries.
+    * The NTZ branch casts through TIMESTAMP under the session timezone —
+    * pinned to UTC in [[graft.GraftSession]], so the wall-clock value IS
+    * the epoch instant, exactly how DuckDB's `epoch_ns` reads the same
+    * naive column.
     */
-  def withTsUs(df: DataFrame): DataFrame = {
-    val tsUs = df.schema("ts").dataType match {
-      case LongType => expr("ts DIV 1000")
-      case _        => unix_micros(col("ts"))
-    }
-    df.withColumn("ts_us", tsUs)
+  private def tsNanos(df: DataFrame): Column = df.schema("ts").dataType match {
+    case LongType         => col("ts")
+    case TimestampNTZType => unix_micros(col("ts").cast(TimestampType)) * lit(1000L)
+    case _                => unix_micros(col("ts")) * lit(1000L)
   }
+
+  /** Rewrites `ts` to the canonical nanos-long shape (no-op when the file
+    * already reads as Long).
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.withColumn("ts", tsNanos(df))
+
+  /** The ts normalization + ts_us lifting, shared with the streaming
+    * readers so batch twins, oracles, and streams all derive event time
+    * identically.
+    */
+  def withTsUs(df: DataFrame): DataFrame =
+    normalizeTs(df).withColumn("ts_us", expr("ts DIV 1000"))
 }

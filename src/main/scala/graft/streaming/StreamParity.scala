@@ -9,14 +9,16 @@ import java.sql.Timestamp
 import java.time.Instant
 
 /** Machine-readable stream-vs-batch parity: every streaming operator
-  * (s01–s09) run over a deterministic MemoryStream feed whose results are
+  * (s01–s13) run over a deterministic MemoryStream feed whose results are
   * compared row-for-row with the equivalent batch computation on the same
   * data. `Verify` serializes the results next to the oracle dump. All
-  * nine entries are ALSO DuckDB-oracle gate entries ([[StreamQueries]]);
-  * this harness remains the independent cross-check that drives the
-  * moving-watermark paths (append-mode window finalization, timeout
-  * flushes, cross-batch dedup, kafka-shape decode, stream-static
-  * enrichment) on hand-built feeds with known answers.
+  * thirteen entries are ALSO DuckDB-oracle gate entries
+  * ([[StreamQueries]]); this harness remains the independent cross-check
+  * that drives the moving-watermark paths (append-mode window
+  * finalization, timeout flushes, cross-batch dedup, kafka-shape decode,
+  * stream-static enrichment) and the intake-side LLM-pipeline legs
+  * (incremental dedup verdicts, quality filter, mixture sampling,
+  * boilerplate scrub) on hand-built feeds with known answers.
   *
   * All timestamps derive from explicit UTC instants — host-timezone
   * independent by construction.
@@ -269,6 +271,155 @@ object StreamParity {
       Result("s09_stream_norm_dedup", streamed.size, batch.size, streamed == batch)
     }
 
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09)
+    // --- s10: incremental dedup verdicts against a static index ----------
+    // The SAME probe pipeline (Dedup.incrDedupStreamVerdicts) runs once
+    // as a stream over two micro-batches and once as a batch plan over
+    // identical rows — every verdict (exact_dup / near_dup / new,
+    // match_id, sim) must agree. Doc ids are picked on the live 80/10/10
+    // split so the arriving side really is the "test" split the gate
+    // entry probes.
+    val s10 = {
+      import graft.operators.Dedup
+      val buckets = spark.range(0, 300)
+        .select(col("id"), Dedup.splitOf(Dedup.splitBucket(col("id"))).as("sp"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val idxIds = buckets.filter(_._2 != "test").map(_._1).take(3)
+      val arrIds = buckets.filter(_._2 == "test").map(_._1).take(3)
+      val base = "the quick brown fox jumps over the lazy dog while the " +
+        "patient crow watches from a very tall oak tree near the river " +
+        "bend waiting for scraps of bread"
+      val near = base.replace("scraps of bread", "crumbs of bread")
+      val corpus = Seq(
+        (idxIds(0), base),
+        (idxIds(1), "spark shuffles partitions across the cluster while " +
+          "catalyst rewrites the logical plan into exchanges and scans"),
+        (idxIds(2), "a completely unrelated third corpus document whose " +
+          "words overlap with nothing else in this tiny index at all"),
+        (arrIds(0), base), // exact dup of the index keeper
+        (arrIds(1), near), // near dup (one word changed)
+        (arrIds(2), "nothing resembling anything indexed appears in this " +
+          "arriving document so the verdict must come back as new"))
+      val (_, _, fpIdx, bandIdx, shIdx) =
+        Dedup.d24ArtifactsFrom(spark, corpus.toDF("doc_id", "text"), "parity_s10")
+      val arriving = corpus.filter(c => arrIds.contains(c._1))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1),
+         if (r.isNullAt(2)) -1L else r.getLong(2),
+         if (r.isNullAt(3)) -1.0 else r.getDouble(3))
+      val in = MemoryStream[(Long, String)]
+      val streamed = drain(spark, "parity_s10",
+        Dedup.incrDedupStreamVerdicts(
+          in.toDF().toDF("doc_id", "text"), fpIdx, bandIdx, shIdx),
+        "complete",
+        Seq(() => { in.addData(arriving.take(2)); () },
+            // a later micro-batch must reach the same verdicts
+            () => { in.addData(arriving.drop(2)); () }))
+        .map(key).toSet
+      val batch = Dedup.incrDedupStreamVerdicts(
+          arriving.toDF("doc_id", "text"), fpIdx, bandIdx, shIdx)
+        .collect().map(key).toSet
+      // the feed is BUILT to exercise all three verdicts — assert that,
+      // not just stream==batch (a degenerate all-"new" run would
+      // otherwise pass silently)
+      val verdicts = batch.map(_._2)
+      Result("s10_stream_incr_dedup", streamed.size, batch.size,
+        streamed == batch && verdicts == Set("exact_dup", "near_dup", "new"))
+    }
+
+    // --- s11: quality filter on the stream = quality filter in batch -----
+    val s11 = {
+      import graft.operators.TextAnalysis
+      val docs = Seq(
+        (1L, "The quick brown fox jumps over the lazy dog and then " +
+          "the dog chases the fox back across the field."), // keeps
+        (2L, "zzzz zz zzz"),                 // too short, no stopwords
+        (3L, ("word " * 40).trim),           // repetitive: fails ok_rep
+        (4L, "El rapido zorro marron salta sobre el perro perezoso " +
+          "mientras la luna brilla sobre los campos de la granja."))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getBoolean(2), r.getBoolean(3),
+         r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+      val in = MemoryStream[(Long, String)]
+      val streamed = drain(spark, "parity_s11",
+        TextAnalysis.qualityVerdict(in.toDF().toDF("doc_id", "text")),
+        "append",
+        Seq(() => { in.addData(docs.take(2)); () },
+            () => { in.addData(docs.drop(2)); () }))
+        .map(key).toSet
+      val batch = TextAnalysis.qualityVerdict(docs.toDF("doc_id", "text"))
+        .collect().map(key).toSet
+      val keeps = batch.map(t => (t._1, t._7)).toMap
+      Result("s11_stream_quality_filter", streamed.size, batch.size,
+        streamed == batch && keeps(1L) && !keeps(2L) && !keeps(3L) && keeps(4L))
+    }
+
+    // --- s12: mixture sampling on the stream = mixture sampling in batch -
+    val s12 = {
+      import graft.operators.Corpus
+      // skewed static corpus: many "web" docs, few "books" — the rate
+      // table must keep books whole and downsample web
+      val staticDocs = (1L to 40L).map(i => (i, "web")) ++
+        (41L to 44L).map(i => (i, "books"))
+      val rates = Corpus.mixtureRates(
+        staticDocs.toDF("doc_id", "source"))
+      def leg(docs: DataFrame) =
+        docs.join(broadcast(rates), "source")
+          .filter(Corpus.mixtureAccept(col("doc_id"), col("rate_q")))
+          .select(col("doc_id"), col("source"), col("rate_q"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getLong(2))
+      val in = MemoryStream[(Long, String)]
+      val streamed = drain(spark, "parity_s12",
+        leg(in.toDF().toDF("doc_id", "source")),
+        "append",
+        Seq(() => { in.addData(staticDocs.take(20)); () },
+            () => { in.addData(staticDocs.drop(20)); () }))
+        .map(key).toSet
+      val batch = leg(staticDocs.toDF("doc_id", "source"))
+        .collect().map(key).toSet
+      // the accept test is a pure doc_id function, so some but not all
+      // web docs survive; every books doc must
+      val webKept = batch.count(_._2 == "web")
+      val booksKept = batch.count(_._2 == "books")
+      Result("s12_stream_mixture", streamed.size, batch.size,
+        streamed == batch && booksKept == 4 && webKept > 0 && webKept < 40)
+    }
+
+    // --- s13: boilerplate scrub on the stream = scrub in batch -----------
+    val s13 = {
+      import graft.operators.Dedup
+      val chrome = "subscribe to our newsletter for daily updates and offers"
+      val bodies = Seq(
+        "the actual article text discusses spark query planning in depth " +
+          "and how exchanges materialize between stages",
+        "another story entirely about crows solving puzzles with tools " +
+          "observed by researchers over several seasons",
+        "today we look at parquet encodings and why dictionary pages " +
+          "compress repeated strings so well in practice",
+        "a final piece on checkpointing streaming state and recovering " +
+          "exactly once after an executor loss")
+      // chrome appended to 3 of 4 docs => its 8-word spans clear
+      // BoilerMinDocs; doc 4 must pass through untouched
+      val docs = bodies.zipWithIndex.map { case (b, i) =>
+        (i.toLong + 1, if (i < 3) s"$b $chrome" else b) }
+      val boiler = Dedup.boilerSpanHashesFrom(spark, docs.toDF("doc_id", "text"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      val in = MemoryStream[(Long, String)]
+      val streamed = drain(spark, "parity_s13",
+        Dedup.scrubAgainst(spark, in.toDF().toDF("doc_id", "text"), boiler),
+        "append",
+        Seq(() => { in.addData(docs.take(2)); () },
+            () => { in.addData(docs.drop(2)); () }))
+        .map(key).toSet
+      val batch = Dedup.scrubAgainst(spark, docs.toDF("doc_id", "text"), boiler)
+        .collect().map(key).toSet
+      val removed = batch.map(t => (t._1, t._3)).toMap
+      Result("s13_stream_scrub", streamed.size, batch.size,
+        streamed == batch && boiler.nonEmpty &&
+          removed(1L) > 0 && removed(2L) > 0 && removed(3L) > 0 && removed(4L) == 0)
+    }
+
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
   }
 }

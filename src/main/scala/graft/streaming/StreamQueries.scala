@@ -23,6 +23,11 @@ object StreamQueries {
   // 2100-01-01T00:00Z in epoch nanoseconds: far past any test event, far
   // below Long.MaxValue
   private val FarFutureNs = 4102444800L * 1000000000L
+
+  /** Bump when the staging code itself changes what it writes (sentinel
+    * encoding, wire shape, layout) — part of every stage stamp.
+    */
+  private val StageFormatVersion = 2
   private val SentinelUser = -1L
 
   /** The file-stream source only reads directories (it force-sets its own
@@ -87,8 +92,11 @@ object StreamQueries {
           // reads everything in it, and a stray non-parquet file fails the
           // whole query
           val stampFile = stage.resolveSibling(stage.getFileName.toString + ".stamp")
+          // StageFormatVersion invalidates every cached stage when the
+          // staging CODE changes shape (e.g. sentinel ts now written in
+          // the source file's physical type) — data stamps can't see that
           val srcStamp = s"${Files.size(src)}_${Files.getLastModifiedTime(src).toMillis}" +
-            s"_${FarFutureNs}_${SentinelUser}_$recipe"
+            s"_${FarFutureNs}_${SentinelUser}_${recipe}_fmt$StageFormatVersion"
           val fresh = Files.exists(stage) && Files.exists(stampFile) &&
             new String(Files.readAllBytes(stampFile), "UTF-8") == srcStamp
           if (!fresh) {
@@ -168,12 +176,26 @@ object StreamQueries {
         build.resolve("events_kafka.parquet"))
     }
 
-  /** One sentinel row per key frame, in the events column shape. */
-  private def sentinelRows(keys: DataFrame, tsNs: Long): DataFrame =
+  /** One sentinel row per key frame, in the events column shape. The
+    * sentinel parquet is read by the file stream source under the schema
+    * inferred from the REAL events file, so `ts` must be written in that
+    * file's physical type (nanos-long, micros NTZ, or TIMESTAMP — the
+    * driver's testdata generations have used all of them); `tsType` is
+    * the source file's ts DataType.
+    */
+  private def sentinelRows(keys: DataFrame, tsNs: Long,
+                           tsType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val tsCol = tsType match {
+      case LongType         => lit(tsNs)
+      case TimestampNTZType => timestamp_micros(lit(tsNs / 1000L)).cast(TimestampNTZType)
+      case _                => timestamp_micros(lit(tsNs / 1000L))
+    }
     keys.select(
       lit(-1L).as("event_id"), col("user_id"),
-      lit("zz_sentinel").as("event_type"), lit(tsNs).as("ts"),
+      lit("zz_sentinel").as("event_type"), tsCol.as("ts"),
       lit(0.0).as("value"), lit(null).cast("string").as("props"))
+  }
 
   /** The events parquet lifted to a STREAMING DataFrame with an event-time
     * `ts` (TimestampType, microsecond-exact from the nanos long) plus the
@@ -250,7 +272,8 @@ object StreamQueries {
         val sp = s
         import sp.implicits._
         val dir = stagedEventsDir(s, d, "s02", recipe = "per-user-v1", ev => Seq(
-          sentinelRows(ev.select("user_id").distinct(), FarFutureNs)))
+          sentinelRows(ev.select("user_id").distinct(), FarFutureNs,
+            ev.schema("ts").dataType)))
         val events = eventStream(s, d, dir = dir)
           .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
           .as[StreamEvent]
@@ -270,9 +293,11 @@ object StreamQueries {
       (s, d) => {
         val dir = stagedEventsDir(s, d, "s04", recipe = "2-batches-v1", ev => Seq(
           sentinelRows(ev.sparkSession.range(1).select(
-            lit(SentinelUser).as("user_id")), FarFutureNs),
+            lit(SentinelUser).as("user_id")), FarFutureNs,
+            ev.schema("ts").dataType),
           sentinelRows(ev.sparkSession.range(1).select(
-            lit(SentinelUser).as("user_id")), FarFutureNs + 3600L * 1000000000L)))
+            lit(SentinelUser).as("user_id")), FarFutureNs + 3600L * 1000000000L,
+            ev.schema("ts").dataType)))
         val events = eventStream(s, d, dir = dir, filesPerTrigger = 1)
           .select(col("user_id"), col("ts"), col("value"))
         drain(s, "s04", StreamOps.sessionizeWithTimeout(events).toDF(), "append")
@@ -339,30 +364,10 @@ object StreamQueries {
         val schema = s.read.parquet(s"$d/documents.parquet").schema
         val arriving = s.readStream.schema(schema).parquet(dir)
           .filter(Dedup.splitOf(Dedup.splitBucket(col("doc_id"))) === "test")
-          .withColumn("fp", Dedup.textFp)
-          .withColumn("mh", expr("md5_shingle3_hashes(text)"))
-        val probed = arriving
-          .join(broadcast(fpIdx), Seq("fp"), "left")
-          .withColumn("band", explode_outer(Dedup.bandArray(col("mh"))))
-          .select(col("doc_id"), col("exact_match"), col("mh"),
-                  col("band.band_id"), col("band.band_sig"))
-          .join(broadcast(bandIdx), Seq("band_id", "band_sig"), "left")
-          .join(broadcast(shIdx), Seq("i_id"), "left")
-          .withColumn("sim_raw", Dedup.jaccard("mh", "i_sh"))
-        val verdicts = probed.groupBy("doc_id")
-          .agg(first(col("exact_match")).as("exact_match"),
-               // min_by ignores rows whose ordering is null, so the CASE
-               // keeps only Jaccard-verified index matches (d24's rule)
-               expr("min_by(named_struct('m', i_id, 's', sim_raw), " +
-                    "CASE WHEN sim_raw >= 0.3 THEN i_id END)").as("near"))
-          .select(col("doc_id"),
-            when(col("exact_match").isNotNull, "exact_dup")
-              .when(col("near.m").isNotNull, "near_dup")
-              .otherwise("new").as("verdict"),
-            coalesce(col("exact_match"), col("near.m")).as("match_id"),
-            when(col("exact_match").isNull && col("near.m").isNotNull,
-                 round(col("near.s") + lit(1e-8), 4)).as("sim"))
-        drain(s, "s10", verdicts, "complete").orderBy("doc_id")
+        drain(s, "s10",
+            Dedup.incrDedupStreamVerdicts(arriving, fpIdx, bandIdx, shIdx),
+            "complete")
+          .orderBy("doc_id")
       },
       graft.operators.Dedup.duckD24Sql),
 

@@ -34,7 +34,28 @@ def main(sf_dir, out_dir):
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # Queries the dump DECLARED but did not produce (crashed mid-verify)
+    # must fail loudly — walking only the outputs that exist scored the
+    # r9 dump (14 crashes) all-green. Older dumps lack the manifest; fall
+    # back to the oracle key set in that case.
+    import os
+    try:
+        declared = set(json.load(open(f"{out_dir}/queries_manifest.json")))
+    except FileNotFoundError:
+        declared = set(oracle)
+    try:
+        verrs = json.load(open(f"{out_dir}/verify_errors.json"))
+    except FileNotFoundError:
+        verrs = {}
+    produced = {e for e in os.listdir(out_dir)
+                if os.path.isdir(f"{out_dir}/{e}")}
+    for name in sorted(declared - produced):
+        print(f"FAIL {name}: no output produced"
+              + (f" (verify error: {verrs[name]})" if name in verrs else ""))
+        n_fail += 1
     for name, sql in sorted(oracle.items()):
+        if name in declared and name not in produced:
+            continue  # already failed above as not-produced
         try:
             res = con.execute(sql)
             dk_cols = [c[0] for c in res.description]
@@ -69,9 +90,8 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} ({len(a[1])} rows)")
             n_pass += 1
     rows_only = set()
-    import os
-    for entry in os.listdir(out_dir):
-        if entry not in oracle and entry != "oracle_sql.json":
+    for entry in sorted(produced):
+        if entry not in oracle:
             try:
                 n = pq.read_table(f"{out_dir}/{entry}").num_rows
                 print(f"ROWS {entry}: {n} rows")
