@@ -19,8 +19,8 @@ import graft.expressions.GraftFunctions
 object Similarity {
 
   private val NumPlanes = 8
-  private val NumQueries = 5
-  private val TopK = 10
+  private[graft] val NumQueries = 5
+  private[graft] val TopK = 10
   // d09 banded-LSH geometry: NumDupBands independent sign-code tables,
   // each MaxBandBits planes wide at most; the ACTIVE width per run is
   // derived from the corpus count so bucket density stays ~TargetBucket
@@ -417,15 +417,29 @@ object Similarity {
     centroids
   }
 
-  /** e08's composite trained assignment (vec_id, cell, cell2, embedding),
-    * persisted under "e08_assigned" — factored so the spec and SemProbe
-    * can measure cell occupancy/density without the pair stage.
+  /** The trained two-level quantizer MODEL: two centroid matrices plus
+    * their widths — everything a later job needs to reproduce the
+    * assignment without retraining. O(sqrt(cells) x dim) floats, the
+    * lake-persistable artifact ([[graft.sources.AnnIndexLake]]).
     */
-  private[graft] def e08Assigned(s: SparkSession, emb: DataFrame): DataFrame = {
+  final case class E08Model(k1: Int, k2: Int,
+      c1: Array[Array[Float]], c2: Array[Array[Float]])
+
+  /** Train e08's model over `emb`: budget from the corpus count, Lloyd
+    * per level, level 2 on the SAMPLE's residuals — quantizing what
+    * level 1 left over (the IVF residual trick) rather than
+    * re-quantizing the same structure with a different seed.
+    *
+    * The `emb.count()` here is a driver action by NECESSITY, not
+    * convenience: the budget it sizes becomes k1/k2 — the DIMENSIONS of
+    * the driver-resident centroid matrices Lloyd allocates — so it
+    * cannot ride the plan as a one-row broadcast the way d09's ladder
+    * widths do (those only parametrize column expressions). A
+    * column-less parquet count is row-group metadata, ~free.
+    */
+  private[graft] def e08TrainModel(s: SparkSession, emb: DataFrame): E08Model = {
     val sp = s
     import sp.implicits._
-    // a column-less count (row-group metadata) sizes the budget; the
-    // trained path has no cap to warn about — width follows the data
     val n = math.max(1L, emb.count())
     val (k1, k2) = e08Levels(e08CellBudget(n))
     val trainTarget = TrainPerCell * math.max(k1, k2)
@@ -434,29 +448,111 @@ object Similarity {
       if (sampleAll) lit(true)
       // ceil-ish threshold: never rounds a nonempty target down to 0
       else e08SamplePred(math.min(1000000L, trainTarget * 1000000L / n + 1))
+    val sample = graft.Caching.persistTracked("e08_train_sample",
+      emb.filter(samplePred).select(col("vec_id"), col("embedding")))
     val c1 = trainLloyd(s,
-      emb.filter(samplePred).select(col("vec_id"), col("embedding").as("vec")),
+      sample.select(col("vec_id"), col("embedding").as("vec")),
       k1, 0, "e08_l1")
     GraftFunctions.registerNearestAnchor(s, "e08_cell1", c1)
     val cent1 = c1.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
       .toSeq.toDF("cell", "c1vec")
-    // level-1 assignment + residual for the FULL corpus, persisted: the
-    // level-2 training sample and the final assignment both read it
-    val resid = graft.Caching.persistTracked("e08_resid", emb
-      .withColumn("cell", expr(s"e08_cell1(embedding, $k1)"))
+    val c2 = trainLloyd(s,
+      sample
+        .withColumn("cell", expr(s"e08_cell1(embedding, $k1)"))
+        .join(broadcast(cent1), "cell")
+        .withColumn("resid", expr("zip_with(embedding, c1vec, (x, y) -> x - y)"))
+        .select(col("vec_id"), col("resid").as("vec")),
+      k2, k1, "e08_l2")
+    E08Model(k1, k2, c1, c2)
+  }
+
+  /** Composite assignment of `emb` under an EXISTING model — zero
+    * training jobs: the centroid matrices ride the closure (codegen'd
+    * NearestAnchor argmax), level-1 centroids broadcast once for the
+    * residual. This is the probe side of the train-once/probe-many
+    * split: a production run reads the model from the lake
+    * ([[graft.sources.AnnIndexLake.readModel]]) and assigns any batch of
+    * vectors — today's corpus, tomorrow's arrivals — without a Lloyd job.
+    */
+  private[graft] def e08AssignWith(s: SparkSession, m: E08Model,
+      emb: DataFrame): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    GraftFunctions.registerNearestAnchor(s, "e08_cell1", m.c1)
+    GraftFunctions.registerNearestAnchor(s, "e08_cell2", m.c2)
+    val cent1 = m.c1.zipWithIndex.map { case (a, i) => (i, a.toSeq) }
+      .toSeq.toDF("cell", "c1vec")
+    emb
+      .withColumn("cell", expr(s"e08_cell1(embedding, ${m.k1})"))
       .join(broadcast(cent1), "cell")
       .withColumn("resid", expr("zip_with(embedding, c1vec, (x, y) -> x - y)"))
-      .select("vec_id", "cell", "embedding", "resid"))
-    // level 2 trains on the SAMPLE's residuals — quantizing what level 1
-    // left over (the IVF residual trick) rather than re-quantizing the
-    // same structure with a different seed
-    val c2 = trainLloyd(s,
-      resid.filter(samplePred).select(col("vec_id"), col("resid").as("vec")),
-      k2, k1, "e08_l2")
-    GraftFunctions.registerNearestAnchor(s, "e08_cell2", c2)
-    graft.Caching.persistTracked("e08_assigned", resid
-      .withColumn("cell2", expr(s"e08_cell2(resid, $k2)"))
-      .select("vec_id", "cell", "cell2", "embedding"))
+      .withColumn("cell2", expr(s"e08_cell2(resid, ${m.k2})"))
+      .select("vec_id", "cell", "cell2", "embedding")
+  }
+
+  /** e08's composite trained assignment (vec_id, cell, cell2, embedding),
+    * persisted under "e08_assigned" — factored so the spec and SemProbe
+    * can measure cell occupancy/density without the pair stage.
+    */
+  private[graft] def e08Assigned(s: SparkSession, emb: DataFrame): DataFrame =
+    graft.Caching.persistTracked("e08_assigned",
+      e08AssignWith(s, e08TrainModel(s, emb), emb))
+
+  /** e07's quantize + dequantize as one frame: (vec_id, dvec) with dvec
+    * the float reconstruction the int8 lake implies. Shared by the e09
+    * gate entry (inline) and [[graft.sources.AnnIndexLake]]'s
+    * reader (from the persisted packed table) — the reconstruction
+    * arithmetic is ONE definition, so the two paths cannot drift.
+    */
+  private[graft] def int8Dequantized(emb: DataFrame): DataFrame = {
+    val ex = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val dims = ex.groupBy("pos")
+      .agg(max(abs(col("v").cast("double"))).as("mx"))
+    ex.join(broadcast(dims), "pos")
+      .withColumn("qv", quantInt8(col("v"), col("mx")))
+      .withColumn("dv", dequantInt8(col("qv"), col("mx")))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(" +
+                "named_struct('p', pos, 'v', dv))), x -> x.v)").as("dvec"))
+  }
+
+  /** The int8 quantization arithmetic (floor(v/scale*127 + .5 + eps),
+    * zero-scale dims pinned to 0 — ANSI would throw on the division):
+    * ONE definition for the e07 gate entry, the e09 inline dequantize,
+    * and the persisted int8 lake writer.
+    */
+  private[graft] def quantInt8(v: org.apache.spark.sql.Column,
+      mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(mx === 0.0, lit(0))
+      .otherwise(floor(v.cast("double") / mx * 127
+                       + lit(0.5) + lit(1e-9)).cast("int"))
+
+  /** The int8 reconstruction arithmetic (q * scale / 127 as float, zero
+    * scale pinned) — the single definition both dequantize paths use.
+    */
+  private[graft] def dequantInt8(qv: org.apache.spark.sql.Column,
+      mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(mx === 0.0, lit(0.0)).otherwise(qv * mx / 127).cast("float")
+
+  /** e09's asymmetric search: raw float queries against a dequantized
+    * int8 corpus — e01's plan skeleton (broadcast queries, codegen'd
+    * cosine, map-side TopKBy heaps). Takes the corpus as a frame so the
+    * same search runs over the inline dequantize (gate) or the persisted
+    * int8 lake ([[graft.sources.AnnIndexLake]]).
+    */
+  private[graft] def knnInt8Search(s: SparkSession, deq: DataFrame,
+      queries: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    deq.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        round(expr("cosine_sim(dvec, q_vec)") + lit(1e-10), 6))
+      .groupBy("q_id")
+      .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+              col("col.id").as("neighbor_id"), col("col.score").as("sim"))
+      .orderBy("q_id", "rk")
   }
 
   /** e08's full body over an arbitrary embeddings frame (the spec plants
@@ -466,7 +562,17 @@ object Similarity {
     */
   private[graft] def e08BodyFrom(s: SparkSession, emb: DataFrame): DataFrame = {
     GraftFunctions.register(s)
-    val assigned = e08Assigned(s, emb)
+    e08PairStage(e08Assigned(s, emb))
+  }
+
+  /** e08's in-cell pair stage over an assignment frame (vec_id, cell,
+    * cell2, embedding): within each composite cell, drop every vector
+    * with a LOWER-id near-duplicate (rounded cosine >= 0.35). Factored
+    * so the same dedup runs on a freshly-trained assignment (gate) or on
+    * one read back from the persisted index
+    * ([[graft.sources.AnnIndexLake]] — zero retraining).
+    */
+  private[graft] def e08PairStage(assigned: DataFrame): DataFrame = {
     val a = assigned.select(col("cell"), col("cell2"),
                             col("vec_id").as("a_id"), col("embedding").as("a_vec"))
     val b = assigned.select(col("cell"), col("cell2"),
@@ -978,32 +1084,9 @@ object Similarity {
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-        val ex = emb.select(col("vec_id"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        val dims = ex.groupBy("pos")
-          .agg(max(abs(col("v").cast("double"))).as("mx"))
-        val deq = ex.join(broadcast(dims), "pos")
-          .withColumn("qv",
-            when(col("mx") === 0.0, lit(0))
-              .otherwise(floor(col("v").cast("double") / col("mx") * 127
-                               + lit(0.5) + lit(1e-9)).cast("int")))
-          .withColumn("dv",
-            when(col("mx") === 0.0, lit(0.0))
-              .otherwise(col("qv") * col("mx") / 127).cast("float"))
-          .groupBy("vec_id")
-          .agg(expr("transform(array_sort(collect_list(" +
-                    "named_struct('p', pos, 'v', dv))), x -> x.v)").as("dvec"))
         val queries = emb.filter(col("vec_id") < NumQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        deq.join(broadcast(queries), col("vec_id") =!= col("q_id"))
-          .withColumn("sim",
-            round(expr("cosine_sim(dvec, q_vec)") + lit(1e-10), 6))
-          .groupBy("q_id")
-          .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
-          .select(col("q_id"), posexplode(col("top")))
-          .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
-                  col("col.id").as("neighbor_id"), col("col.score").as("sim"))
-          .orderBy("q_id", "rk")
+        knnInt8Search(s, int8Dequantized(emb), queries)
       },
       s"""WITH ex AS (
          |  SELECT vec_id,

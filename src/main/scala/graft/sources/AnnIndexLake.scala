@@ -1,0 +1,139 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.operators.Similarity.E08Model
+
+/** Train-once / probe-many lake persistence for the ANN-family models —
+  * the production shape d24's index artifacts established for dedup,
+  * applied to the vector side.
+  *
+  * Why this exists: e03/e08 as GATE entries retrain their centroids
+  * inside every run, which is the right demo of the distributed trainer
+  * but the wrong production topology — at 100 TB the quantizer is
+  * trained once (on a sample), written to the lake, and every
+  * subsequent job (today's dedup, tomorrow's intake assignment, any
+  * number of searches) READS it. The model is O(sqrt(cells) x dim)
+  * floats — two 4096-row matrices (~4 MB) even at a 10^9-vector budget
+  * — so reading it is a metadata-sized collect, while the thing it
+  * saves (LloydIters x 2 full training passes over the corpus) scales
+  * with the data.
+  *
+  * Layout under a directory `dir`:
+  *  - `centroids_l1`  (cell,  vec: array<float>) — k1 rows
+  *  - `centroids_l2`  (cell2, vec: array<float>) — k2 rows
+  *  - `assignments`   (vec_id, cell, cell2) — the posting table, laid
+  *    out partition-per-cell-range and sorted by (cell, cell2, vec_id)
+  *    so a cell-targeted probe reads a contiguous, min/max-prunable
+  *    slice. At lake scale this is the table to BUCKET on `cell`
+  *    (the [[Ingest.writeBucketedEventLake]] discipline) so the dedup
+  *    pair-join re-reads it without an Exchange.
+  *
+  * Int8 lake ([[writeInt8Lake]]): e07's packed production layout —
+  *  - `scales`  (pos, mx: double) — Dim rows
+  *  - `vectors` (vec_id, qvec: array<tinyint>) — the 4x storage cut
+  * Reconstruction ([[readInt8Dequantized]]) shares its arithmetic with
+  * the e09 gate entry (Similarity.dequantInt8), so search over the lake
+  * is bit-identical to search over the inline quantize.
+  *
+  * Everything here is float/int-exact through parquet: centroid floats
+  * and int8 codes round-trip unchanged, so persisted-model assignment
+  * reproduces training-time assignment BIT-FOR-BIT
+  * (AnnIndexLakeSpec asserts all of it).
+  */
+object AnnIndexLake {
+
+  // ---- e08 trained-quantizer index ----------------------------------
+
+  /** Train e08's two-level quantizer on `emb`, persist model + posting
+    * table under `dir`, return the in-memory model (callers writing and
+    * immediately probing skip one read).
+    */
+  def writeE08Index(s: SparkSession, emb: DataFrame, dir: String): E08Model = {
+    val m = Similarity.e08TrainModel(s, emb)
+    writeCentroids(s, m.c1, s"$dir/centroids_l1", "cell")
+    writeCentroids(s, m.c2, s"$dir/centroids_l2", "cell2")
+    Similarity.e08AssignWith(s, m, emb)
+      .select("vec_id", "cell", "cell2")
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "cell2", "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/assignments")
+    m
+  }
+
+  private def writeCentroids(s: SparkSession, c: Array[Array[Float]],
+      path: String, idName: String): Unit = {
+    val sp = s
+    import sp.implicits._
+    c.zipWithIndex.map { case (a, i) => (i, a.toSeq) }.toSeq
+      .toDF(idName, "vec")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** The persisted model, collected back to driver arrays (model-sized:
+    * k1+k2 rows). Registering/assigning from it is
+    * [[Similarity.e08AssignWith]] — no Lloyd jobs.
+    */
+  def readE08Model(s: SparkSession, dir: String): E08Model = {
+    def mat(path: String): Array[Array[Float]] =
+      s.read.parquet(path).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+        .sortBy(_._1).map(_._2)
+    val c1 = mat(s"$dir/centroids_l1")
+    val c2 = mat(s"$dir/centroids_l2")
+    E08Model(c1.length, c2.length, c1, c2)
+  }
+
+  /** The posting table (vec_id, cell, cell2). */
+  def readE08Assignments(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/assignments")
+
+  /** e08's dedup verdicts FROM the persisted index: the posting table
+    * joined back to its embeddings (the lake keeps ids, not vector
+    * copies), then the same in-cell pair stage the gate runs — zero
+    * training jobs, identical survivors (spec-asserted).
+    */
+  def e08DedupFromIndex(s: SparkSession, dir: String,
+      emb: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val assigned = graft.Caching.persistTracked("e08_lake_assigned",
+      readE08Assignments(s, dir)
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select("vec_id", "cell", "cell2", "embedding"))
+    Similarity.e08PairStage(assigned)
+  }
+
+  // ---- int8 vector lake ----------------------------------------------
+
+  /** Quantize `emb` per e07 and persist the packed layout. */
+  def writeInt8Lake(s: SparkSession, emb: DataFrame, dir: String): Unit = {
+    val ex = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("pos", "v")))
+    val dims = ex.groupBy("pos")
+      .agg(max(abs(col("v").cast("double"))).as("mx"))
+    dims.coalesce(1).write.mode("overwrite").parquet(s"$dir/scales")
+    ex.join(broadcast(dims), "pos")
+      .withColumn("q", Similarity.quantInt8(col("v"), col("mx")))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(named_struct(" +
+                "'p', pos, 'v', q))), x -> CAST(x.v AS tinyint))").as("qvec"))
+      .write.mode("overwrite").parquet(s"$dir/vectors")
+  }
+
+  /** The dequantized corpus (vec_id, dvec) reconstructed from the lake —
+    * same arithmetic as the inline path, so [[Similarity.knnInt8Search]]
+    * over it returns the e09 gate result exactly.
+    */
+  def readInt8Dequantized(s: SparkSession, dir: String): DataFrame = {
+    val scales = s.read.parquet(s"$dir/scales")
+    s.read.parquet(s"$dir/vectors")
+      .select(col("vec_id"), posexplode(col("qvec")).as(Seq("pos", "q")))
+      .join(broadcast(scales), "pos")
+      .withColumn("dv", Similarity.dequantInt8(col("q").cast("int"), col("mx")))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(named_struct(" +
+                "'p', pos, 'v', dv))), x -> x.v)").as("dvec"))
+  }
+}

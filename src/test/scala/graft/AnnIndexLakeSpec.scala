@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import graft.sources.{AnnIndexLake, Tables}
+
+/** The train-once/probe-many contract for the persisted ANN artifacts:
+  *
+  *  - the e08 model round-trips the lake bit-exactly (float centroids
+  *    unchanged), so assignment from the persisted model reproduces the
+  *    persisted posting table row-for-row;
+  *  - the probe side runs NO Lloyd: its Spark job count is a fraction
+  *    of the training side's, measured via job groups in the same
+  *    session;
+  *  - dedup verdicts computed from the lake (posting table joined back
+  *    to embeddings, pair stage only) equal the verdicts the same model
+  *    yields inline;
+  *  - the int8 lake reconstructs the e09 dequantized corpus exactly,
+  *    and search over it returns the e09 gate result row-for-row.
+  */
+class AnnIndexLakeSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  private def countJobs(group: String)(body: => Unit): Int = {
+    spark.sparkContext.setJobGroup(group, group, interruptOnCancel = false)
+    try body finally spark.sparkContext.clearJobGroup()
+    spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+  }
+
+  test("e08 index: model round-trips, probe reproduces postings with no Lloyd") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = tmpDir("e08idx")
+    var written: Similarity.E08Model = null
+    val trainJobs = countJobs("e08_train") {
+      written = AnnIndexLake.writeE08Index(spark, emb, dir)
+    }
+    val m = AnnIndexLake.readE08Model(spark, dir)
+    assert(m.k1 == written.k1 && m.k2 == written.k2)
+    assert(m.c1.map(_.toSeq).toSeq == written.c1.map(_.toSeq).toSeq,
+      "level-1 centroids changed through the lake")
+    assert(m.c2.map(_.toSeq).toSeq == written.c2.map(_.toSeq).toSeq,
+      "level-2 centroids changed through the lake")
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2))
+    var persisted: Set[(Long, Int, Int)] = null
+    var reassigned: Set[(Long, Int, Int)] = null
+    val probeJobs = countJobs("e08_probe") {
+      persisted = AnnIndexLake.readE08Assignments(spark, dir)
+        .select("vec_id", "cell", "cell2").collect().map(key).toSet
+      reassigned = Similarity.e08AssignWith(spark, m, emb)
+        .select("vec_id", "cell", "cell2").collect().map(key).toSet
+    }
+    assert(persisted == reassigned,
+      "persisted-model assignment diverged from the persisted posting table")
+    assert(persisted.nonEmpty)
+    // no Lloyd on the probe side: training pays LloydIters x 2 collect
+    // rounds plus the sample/assignment passes; the probe is two scans
+    assert(probeJobs < trainJobs,
+      s"probe ran $probeJobs jobs vs $trainJobs for training")
+  }
+
+  test("e08 dedup from the persisted index equals the same model inline") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = tmpDir("e08dedup")
+    AnnIndexLake.writeE08Index(spark, emb, dir)
+    val m = AnnIndexLake.readE08Model(spark, dir)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getInt(2))
+    val fromLake = AnnIndexLake.e08DedupFromIndex(spark, dir, emb)
+      .collect().map(key).toSeq
+    val inline = Similarity.e08PairStage(
+        Similarity.e08AssignWith(spark, m, emb))
+      .collect().map(key).toSeq
+    assert(fromLake == inline, "lake dedup diverged from inline dedup")
+    assert(fromLake.nonEmpty)
+    assert(fromLake.size < emb.count(), "lake dedup dropped nothing")
+  }
+
+  test("int8 lake reconstructs the dequantized corpus exactly") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = tmpDir("int8")
+    AnnIndexLake.writeInt8Lake(spark, emb, dir)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    val inline = key(Similarity.int8Dequantized(emb))
+    val lake = key(AnnIndexLake.readInt8Dequantized(spark, dir))
+    assert(lake.keySet == inline.keySet)
+    val diverged = inline.collect {
+      case (id, v) if lake(id) != v => id
+    }
+    assert(diverged.isEmpty,
+      s"${diverged.size} vectors reconstruct differently; first: ${diverged.headOption}")
+  }
+
+  test("e09 search over the int8 lake returns the gate result row-for-row") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = tmpDir("int8knn")
+    AnnIndexLake.writeInt8Lake(spark, emb, dir)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val overLake = Similarity.knnInt8Search(spark,
+        AnnIndexLake.readInt8Dequantized(spark, dir), queries)
+      .collect().map(_.toSeq).toSeq
+    val gate = SparkEntry.queries("e09_knn_int8")(spark, sfDir)
+      .collect().map(_.toSeq).toSeq
+    assert(overLake == gate, "lake-backed e09 diverged from the gate entry")
+    assert(overLake.nonEmpty)
+  }
+}
