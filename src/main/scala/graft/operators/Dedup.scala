@@ -1301,13 +1301,84 @@ object Dedup {
     * feeds a hand corpus through the identical pipeline).
     */
   private[graft] def boilerSpanHashesFrom(s: SparkSession,
-      docs: DataFrame): Array[Long] = {
+      docs: DataFrame): Array[Long] =
+    boilerSpanTable(s, docs).collect().map(_.getLong(0))
+
+  /** The boiler-span model as a FRAME (h: long), the form that stays on
+    * the cluster: span doc-frequency (one combinable countDistinct
+    * shuffle), thresholded at [[BoilerMinDocs]]. [[boilerSpanHashesFrom]]
+    * collects it for the codegen'd binary-search probe;
+    * [[writeBoilerLake]] persists it for the join-path probe that needs
+    * no driver-resident copy at all.
+    */
+  private[graft] def boilerSpanTable(s: SparkSession,
+      docs: DataFrame): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
     docs
       .select(col("doc_id"), explode(expr("md5_span8_hashes(text)")).as("h"))
       .groupBy("h").agg(countDistinct(col("doc_id")).as("df"))
       .filter(col("df") >= BoilerMinDocs)
-      .select("h").collect().map(_.getLong(0))
+      .select("h")
+  }
+
+  /** Persist the boiler-span list as a sorted lake table — the
+    * 100-TB-crawl form of the model. The collected-array probe
+    * ([[scrubAgainst]]) is right while the list is model-sized
+    * (megabytes of longs ride the closure into a codegen'd binary
+    * search, zero shuffle); a planetary crawl's boiler list can reach
+    * 10^8 spans — GBs on the driver and in every task binary — so past
+    * that the list lives HERE and the probe becomes a join
+    * ([[scrubViaLake]]). Range-sorted by h so a reader gets
+    * min/max-prunable, merge-friendly files.
+    */
+  private[graft] def writeBoilerLake(s: SparkSession, docs: DataFrame,
+      path: String): Unit =
+    boilerSpanTable(s, docs)
+      .repartitionByRange(col("h")).sortWithinPartitions("h")
+      .write.mode("overwrite").parquet(path)
+
+  /** The scrub with the boiler list as a TABLE (lake form): per-doc
+    * spans exploded once, an equality join against the span table marks
+    * the hits, hit starts regroup per doc (combinable collect_set on the
+    * span shuffle — volume ∝ matching spans, not corpus words), and the
+    * rebuild is the same in-row frame logic as [[scrubAgainst]] over a
+    * left join back to the docs (untouched rows pass through verbatim).
+    *
+    * `broadcastBoiler` picks the join strategy: below the threshold the
+    * span table broadcasts (each task probes a local hash map — the
+    * join twin of the binary-search closure); above it the hint is
+    * omitted and the spans shuffle on h, with Spark's runtime bloom
+    * filter (spark.sql.optimizer.runtime.bloomFilter.enabled) pruning
+    * non-matching spans before the exchange. Output is bit-identical
+    * either way (BoilerLakeSpec).
+    *
+    * Measured (BoilerProbe, prebuilt model on every path): sf0.1 —
+    * array 0.57 s / broadcast-join 0.71 / shuffle-join 0.77; sf1 —
+    * array 14.1 / broadcast-join 2.2 / shuffle-join 3.5
+    * (bench/BENCH_boiler_probe_*.json). The in-row probe's cost is NOT
+    * the binary search (codegen'd) but the interpreted higher-order
+    * transform wrapping it, so for BATCH scrubs the join path wins well
+    * below the driver-size ceiling — use the lake form whenever the
+    * corpus is large enough to care, broadcast under ~10^7 spans
+    * (~100 MB of longs), shuffle+bloom above. The in-row probe remains
+    * the STREAM form: s13's append-mode statelessness forbids the
+    * hits-regroup aggregate, and a micro-batch's row count keeps the
+    * HOF cost irrelevant there.
+    */
+  private[graft] def scrubViaLake(s: SparkSession, docs: DataFrame,
+      boiler: DataFrame, broadcastBoiler: Boolean): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    val spanSide = if (broadcastBoiler) broadcast(boiler) else boiler
+    val hits = docs
+      .select(col("doc_id"),
+        posexplode(expr("md5_span8_hashes(text)")).as(Seq("i", "h")))
+      .join(spanSide, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_set(col("i"))).as("hit_is"))
+    rebuildScrubbed(
+      docs.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+                coalesce(col("hit_is"), expr("array()")).as("hit_is")))
   }
 
   /** The per-row scrub against a FIXED boiler list: span hashes, hit
@@ -1322,23 +1393,34 @@ object Dedup {
     graft.expressions.GraftFunctions.register(s)
     graft.expressions.GraftFunctions.registerInSortedLongs(
       s, "graft_boiler_hit", boiler)
-    docs
-      .withColumn("sps", expr(
-        "filter(transform(md5_span8_hashes(text), (h, i) -> " +
-        "named_struct('i', i, 'b', graft_boiler_hit(h))), x -> x.b)"))
+    rebuildScrubbed(docs
+      .withColumn("hit_is", expr(
+        "transform(filter(transform(md5_span8_hashes(text), (h, i) -> " +
+        "named_struct('i', i, 'b', graft_boiler_hit(h))), x -> x.b), " +
+        "x -> x.i)")))
+  }
+
+  /** The in-row rebuild shared by BOTH probe forms (collected-array
+    * binary search and lake-table join): given (doc_id, text, hit_is —
+    * the span starts that matched the boiler list), drop every word
+    * covered by a hit span (start..start+7), keep untouched rows
+    * verbatim. One definition, so the two probes cannot diverge on the
+    * edit itself.
+    */
+  private def rebuildScrubbed(docsWithHits: DataFrame): DataFrame =
+    docsWithHits
       .withColumn("ws", split(col("text"), "\\s+"))
       .withColumn("cov", expr(
-        "array_distinct(flatten(transform(sps, x -> sequence(x.i, x.i + 7))))"))
+        "array_distinct(flatten(transform(hit_is, x -> sequence(x, x + 7))))"))
       .withColumn("kept", expr(
         "filter(transform(ws, (wd, i) -> " +
         "named_struct('wd', wd, 'c', array_contains(cov, i))), " +
         "x -> NOT x.c)"))
       .select(col("doc_id"), size(col("ws")).as("n_words"),
               (size(col("ws")) - size(col("kept"))).as("n_removed"),
-              when(size(col("sps")) === 0, col("text"))
+              when(size(col("hit_is")) === 0, col("text"))
                 .otherwise(expr("concat_ws(' ', transform(kept, x -> x.wd))"))
                 .as("clean_text"))
-  }
 
   /** d29's DuckDB twin — shared VERBATIM with s13_stream_scrub (the
     * stream applies the static corpus's boiler list, so its batch truth
