@@ -8,6 +8,59 @@ import graft.sources.Tables
 final case class DecodedFeatures(doc_id: Long, n_bytes: Int, sig32: Long,
                                  fake_width: Int, n_frames: Int)
 
+/** m04 output row: REAL P6 parse results (nulls = parse failure). */
+final case class PpmFeatures(doc_id: Long, width: Option[Int],
+                             height: Option[Int], maxval: Option[Int],
+                             pixel_md5: Option[String])
+
+/** A real decoder for a real public format: binary PPM (P6, the netpbm
+  * spec) — magic, whitespace- and comment-tolerant ASCII header ints
+  * (width, height, maxval), ONE whitespace byte, then exactly
+  * width*height*3 pixel bytes. Pure JVM, no codec deps, and it parses
+  * the actual bytes — nothing here knows how the payload was built.
+  * Any malformation (bad magic, missing ints, truncated pixel data)
+  * returns None rather than throwing: one corrupt blob must not fail an
+  * intake batch.
+  */
+object PpmDecoder {
+  def parse(bytes: Array[Byte]): Option[(Int, Int, Int, String)] = {
+    var p = 0
+    def peek: Int = if (p < bytes.length) bytes(p) & 0xff else -1
+    def skipWsAndComments(): Unit = {
+      var go = true
+      while (go) {
+        while (p < bytes.length && Character.isWhitespace(peek)) p += 1
+        if (peek == '#') while (p < bytes.length && peek != '\n') p += 1
+        else go = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipWsAndComments()
+      val st = p
+      while (p < bytes.length && peek >= '0' && peek <= '9') p += 1
+      if (p == st || p - st > 9) None
+      else Some(new String(bytes, st, p - st, "US-ASCII").toInt)
+    }
+    if (bytes.length < 2 || bytes(0) != 'P' || bytes(1) != '6') return None
+    p = 2
+    for {
+      w <- readInt()
+      h <- readInt()
+      mx <- readInt()
+      // exactly one whitespace byte separates maxval from pixel data
+      _ <- if (p < bytes.length && Character.isWhitespace(peek)) Some(())
+           else None
+      n = w * h * 3
+      _ <- { p += 1; if (bytes.length - p >= n) Some(()) else None }
+    } yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(java.util.Arrays.copyOfRange(bytes, p, p + n))
+        .map(b => f"${b & 0xff}%02x").mkString
+      (w, h, mx, hex)
+    }
+  }
+}
+
 /** Multimodal column plumbing: treat payloads as opaque `binary` columns
   * with typed metadata. The container has no image/audio codecs, so the
   * decode step is a clearly-marked deterministic STUB (metadata derived
@@ -103,6 +156,63 @@ object Multimodal {
         |       ('0x' || substr(md5(text), 1, 8))::BIGINT AS sig32,
         |       CAST(('0x' || substr(md5(text), 1, 8))::BIGINT % 640 AS INT) AS fake_width,
         |       CAST(octet_length(encode(text)) // 100 + 1 AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // A REAL format decode end-to-end (no codec stub): each doc gets a
+    // deterministic binary P6 PPM payload synthesized in-plan — header
+    // dims from doc_id, a comment line on every 5th doc, a deliberately
+    // TRUNCATED payload on every 17th, pixel bytes from the doc's md5
+    // hex repeated (pure ASCII, so chars == bytes in both engines) —
+    // and PpmDecoder parses the BYTES back in the m03 mapPartitions
+    // shape (one MessageDigest per partition, no shuffle, scan speed).
+    // The oracle predicts the parse results purely from the
+    // construction parameters, so a parser that misreads the header,
+    // mishandles comments, or md5s the wrong byte range hash-mismatches
+    // loudly; the truncated payloads prove the failure path yields
+    // nulls, not exceptions.
+    "m04_decode_ppm" -> OpDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("CAST(doc_id % 8 AS INT) + 1").as("w"),
+            expr("CAST((doc_id DIV 8) % 8 AS INT) + 1").as("h"),
+            col("text"))
+          .withColumn("n", expr("w * h * 3"))
+          .withColumn("pixels", expr(
+            "substr(repeat(md5(text), CAST((n - 1) DIV 32 AS INT) + 1), 1, n)"))
+          .withColumn("payload",
+            when(col("doc_id") % 17 === 0, lit("P6"))
+              .otherwise(concat(
+                lit("P6\n"),
+                when(col("doc_id") % 5 === 0, lit("# synthetic\n")).otherwise(lit("")),
+                col("w").cast("string"), lit(" "), col("h").cast("string"),
+                lit("\n255\n"), col("pixels")))
+              .cast("binary"))
+          .select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.map { case (id, bytes) =>
+              PpmDecoder.parse(bytes) match {
+                case Some((w, h, mx, md5)) =>
+                  PpmFeatures(id, Some(w), Some(h), Some(mx), Some(md5))
+                case None => PpmFeatures(id, None, None, None, None)
+              }
+            }
+          }
+          .toDF()
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL
+        |       ELSE CAST(doc_id % 8 + 1 AS INT) END AS width,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL
+        |       ELSE CAST((doc_id // 8) % 8 + 1 AS INT) END AS height,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 255 END AS maxval,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL
+        |       ELSE md5(substr(repeat(md5(text),
+        |              CAST(((doc_id % 8 + 1) * ((doc_id // 8) % 8 + 1) * 3 - 1) // 32 AS INT) + 1),
+        |            1, CAST((doc_id % 8 + 1) * ((doc_id // 8) % 8 + 1) * 3 AS INT))) END AS pixel_md5
         |FROM documents ORDER BY doc_id""".stripMargin)
   )
 }
