@@ -38,6 +38,26 @@ object Bench {
     case _ => -1.0 // non-HotSpot bean: field reads -1, never lies as 0
   }
 
+  // Cross-box calibration: a fixed single-thread integer loop timed at
+  // bench start. The r10 lesson: the whole 91-query suite came back a
+  // uniform ~2x r8's walls — same code, same data sizes, trivial scans
+  // included — i.e. the BOX changed speed between rounds, and nothing in
+  // the artifact could prove it. This scalar normalizes round-over-round
+  // comparisons: wall_r10/wall_r8 ≈ calib_r10/calib_r8 => environment,
+  // not regression.
+  private def calibrate(): Double = {
+    var acc = 0L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 300000000) {
+      acc = acc * 6364136223846793005L + 1442695040888963407L + i
+      i += 1
+    }
+    val dt = (System.nanoTime() - t0) / 1e9
+    if (acc == 42L) System.err.print("") // defeat dead-code elimination
+    dt
+  }
+
   // true median: averages the middle pair on even counts (a rep that
   // failed leaves 2 survivors — taking the upper one would bias upward)
   private def median(xs: Seq[Double]): Double = {
@@ -68,6 +88,7 @@ object Bench {
         }
       }
     val loadStart = loadAvg
+    val calib = calibrate()
     val results = ordered.map { case (name, fn) =>
       val la = loadAvg
       val reps = (1 to Reps).flatMap { _ =>
@@ -112,7 +133,7 @@ object Bench {
         .map { case (k, w, c, l) =>
           f""""$k":{"wall_sec":$w%.3f,"cpu_sec":$c%.3f,"loadavg":$l%.2f}""" }
         .mkString(
-          s"""{"loadavg_start":$loadStart,"loadavg_end":$loadAvg,"sf":"$sfDir","queries":{""",
+          f"""{"loadavg_start":$loadStart,"loadavg_end":$loadAvg,"calib_sec":$calib%.3f,"sf":"$sfDir","queries":{""",
           ",", "}}"))
     val ok = results.filter(_._2 >= 0)
     val failed = results.filter(_._2 < 0).map(_._1)
@@ -127,6 +148,6 @@ object Bench {
     spark.stop()
     // printed AFTER spark.stop() so no late executor/log line can land
     // between the contract line and the end of stdout
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"sf":"$sfDir","queries_file":"$queriesFile","diag_file":"$diagFile"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"calib_sec":$calib%.3f,"sf":"$sfDir","queries_file":"$queriesFile","diag_file":"$diagFile"}""")
   }
 }

@@ -156,6 +156,17 @@ object GraftFunctions {
       name, exprs => InSortedLongs(exprs(0), sorted), "built-in")
   }
 
+  /** Register the fused boiler-span probe bound to a span-hash list
+    * (sorted defensively, like [[registerInSortedLongs]]):
+    * `name(text)` -> array<int> of hit span starts.
+    */
+  def registerSpanHitStarts(spark: SparkSession, name: String,
+      values: Array[Long], n: Int = 8): Unit = {
+    val sorted = values.clone().sorted
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => SpanHitStarts(exprs(0), n, sorted), "built-in")
+  }
+
   /** Register a hyperplane sign-code function bound to a plane matrix. */
   def registerSignCode(spark: SparkSession, name: String,
       planes: Array[Array[Double]]): Unit =

@@ -152,6 +152,28 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** Positions of the n-word spans of `text` whose md5-60-bit span hash
+    * occurs in `sorted` — [[md5SpanHashes]] + binary search FUSED in one
+    * kernel call. The transform/filter higher-order wrapper this
+    * replaces ran interpreted per row and measured ~6x the whole
+    * join-path scrub at sf1 (BoilerProbe); fusing makes the stream-side
+    * boiler probe one codegen'd call per row again.
+    */
+  def spanHitStarts(text: UTF8String, n: Int, sorted: Array[Long]): ArrayData = {
+    val hs = md5SpanHashes(text, n)
+    val m = hs.numElements()
+    val tmp = new Array[Int](m)
+    var cnt = 0
+    var i = 0
+    while (i < m) {
+      if (java.util.Arrays.binarySearch(sorted, hs.getLong(i)) >= 0) {
+        tmp(cnt) = i; cnt += 1
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(tmp, cnt))
+  }
+
   /** 60-bit SimHash of `text`'s word multiset with the md5-60-bit word
     * hash (first 15 hex chars of md5(word) as a long — the same
     * construction as [[md5ShingleHashes]]): bit i of the code is set iff
@@ -306,6 +328,34 @@ case class InSortedLongs(child: Expression, sorted: Array[Long])
   }
 
   override protected def withNewChildInternal(newChild: Expression): InSortedLongs =
+    copy(child = newChild)
+}
+
+/** Fused boiler-span probe: text -> array<int> of the span starts whose
+  * md5-60-bit span-n hash is in the SORTED list riding the closure (see
+  * [[HashKernels.spanHitStarts]]). The scrub's per-row hit detection as
+  * ONE codegen'd kernel call instead of an interpreted
+  * transform+filter chain over [[Md5SpanHashes]] + [[InSortedLongs]].
+  */
+case class SpanHitStarts(child: Expression, n: Int, sorted: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "span_hit_starts"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.spanHitStarts(input.asInstanceOf[UTF8String], n, sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sorted", sorted, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashKernels.spanHitStarts($c, $n, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHitStarts =
     copy(child = newChild)
 }
 

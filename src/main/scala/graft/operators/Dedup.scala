@@ -1352,18 +1352,18 @@ object Dedup {
     * non-matching spans before the exchange. Output is bit-identical
     * either way (BoilerLakeSpec).
     *
-    * Measured (BoilerProbe, prebuilt model on every path): sf0.1 —
-    * array 0.57 s / broadcast-join 0.71 / shuffle-join 0.77; sf1 —
-    * array 14.1 / broadcast-join 2.2 / shuffle-join 3.5
-    * (bench/BENCH_boiler_probe_*.json). The in-row probe's cost is NOT
-    * the binary search (codegen'd) but the interpreted higher-order
-    * transform wrapping it, so for BATCH scrubs the join path wins well
-    * below the driver-size ceiling — use the lake form whenever the
-    * corpus is large enough to care, broadcast under ~10^7 spans
-    * (~100 MB of longs), shuffle+bloom above. The in-row probe remains
-    * the STREAM form: s13's append-mode statelessness forbids the
-    * hits-regroup aggregate, and a micro-batch's row count keeps the
-    * HOF cost irrelevant there.
+    * Measured (BoilerProbe, prebuilt model on every path, sf1): the
+    * first in-row probe formulation — interpreted transform+filter HOFs
+    * around the codegen'd binary search — ran 14.1 s vs 2.2 broadcast-
+    * join / 3.5 shuffle-join, which exposed the HOF wrapper (not the
+    * search) as ~6x the whole operator. Fusing the probe into ONE
+    * codegen'd kernel (SpanHitStarts: span hashing + binary search per
+    * row, no lambdas) brought the in-row form to 2.45 s — parity with
+    * the joins (broadcast 1.87 / shuffle 2.62 same run,
+    * bench/BENCH_boiler_probe_*.json). Pick by MODEL SIZE now, not
+    * probe speed: in-row/broadcast under ~10^7 spans (~100 MB of
+    * longs), shuffle join above — the form with no driver-resident or
+    * per-task copy of the list at all.
     */
   private[graft] def scrubViaLake(s: SparkSession, docs: DataFrame,
       boiler: DataFrame, broadcastBoiler: Boolean): DataFrame = {
@@ -1391,13 +1391,10 @@ object Dedup {
   private[graft] def scrubAgainst(s: SparkSession, docs: DataFrame,
       boiler: Array[Long]): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
-    graft.expressions.GraftFunctions.registerInSortedLongs(
-      s, "graft_boiler_hit", boiler)
+    graft.expressions.GraftFunctions.registerSpanHitStarts(
+      s, "graft_boiler_hits", boiler)
     rebuildScrubbed(docs
-      .withColumn("hit_is", expr(
-        "transform(filter(transform(md5_span8_hashes(text), (h, i) -> " +
-        "named_struct('i', i, 'b', graft_boiler_hit(h))), x -> x.b), " +
-        "x -> x.i)")))
+      .withColumn("hit_is", expr("graft_boiler_hits(text)")))
   }
 
   /** The in-row rebuild shared by BOTH probe forms (collected-array
@@ -1410,14 +1407,20 @@ object Dedup {
   private def rebuildScrubbed(docsWithHits: DataFrame): DataFrame =
     docsWithHits
       .withColumn("ws", split(col("text"), "\\s+"))
-      .withColumn("cov", expr(
-        "array_distinct(flatten(transform(hit_is, x -> sequence(x, x + 7))))"))
-      .withColumn("kept", expr(
+      // the interpreted higher-order rebuild only EVALUATES for rows with
+      // hits (CaseWhen branches are lazy per row) — untouched rows, the
+      // overwhelming majority of any real corpus, pay the split and
+      // nothing else
+      .withColumn("cov", when(size(col("hit_is")) > 0, expr(
+        "array_distinct(flatten(transform(hit_is, x -> sequence(x, x + 7))))")))
+      .withColumn("kept", when(size(col("hit_is")) > 0, expr(
         "filter(transform(ws, (wd, i) -> " +
         "named_struct('wd', wd, 'c', array_contains(cov, i))), " +
-        "x -> NOT x.c)"))
+        "x -> NOT x.c)")))
       .select(col("doc_id"), size(col("ws")).as("n_words"),
-              (size(col("ws")) - size(col("kept"))).as("n_removed"),
+              when(size(col("hit_is")) === 0, lit(0))
+                .otherwise(size(col("ws")) - size(col("kept")))
+                .as("n_removed"),
               when(size(col("hit_is")) === 0, col("text"))
                 .otherwise(expr("concat_ws(' ', transform(kept, x -> x.wd))"))
                 .as("clean_text"))

@@ -132,6 +132,25 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("spanHitStarts equals the per-span hash + membership composition") {
+    val r = new Random(113)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    for (_ <- 1 to 150) {
+      val words = Seq.fill(r.nextInt(30))(vocab(r.nextInt(vocab.length)))
+      val text = words.mkString(" ")
+      val u = UTF8String.fromString(text)
+      val spans = HashKernels.md5SpanHashes(u, 8).toLongArray()
+      // boiler = a random subset of this text's own spans plus noise
+      val boiler = (spans.filter(_ => r.nextBoolean()) ++
+        Array.fill(5)(r.nextLong())).sorted
+      val got = HashKernels.spanHitStarts(u, 8, boiler).toIntArray().toSeq
+      val expected = spans.zipWithIndex.collect {
+        case (h, i) if java.util.Arrays.binarySearch(boiler, h) >= 0 => i
+      }.toSeq
+      assert(got == expected, s"text='$text'")
+    }
+  }
+
   test("codepointSet is sorted, distinct, and covers exactly the text's chars") {
     val r = new Random(31)
     for (_ <- 1 to 200) {
