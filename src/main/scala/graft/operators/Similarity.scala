@@ -535,6 +535,91 @@ object Similarity {
       mx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     when(mx === 0.0, lit(0.0)).otherwise(qv * mx / 127).cast("float")
 
+  /** Every vector scored against every anchor (anchors broadcast — the
+    * matrix is NumCells rows). Shared by e03's trainer, indexer, and
+    * prober.
+    */
+  private def e03CellSims(vecs: DataFrame, anchors: DataFrame,
+      vecCol: String): DataFrame =
+    vecs.crossJoin(broadcast(anchors))
+      .withColumn("sim_a", expr(s"cosine_sim($vecCol, anchor)"))
+
+  /** e03's coarse quantizer: NumCells deterministic seed anchors refined
+    * by TWO distributed Lloyd iterations — assignment is a broadcast
+    * cross-join + max_by groupBy (all codegen, map-side combinable), the
+    * centroid mean is a per-dimension explode + avg, and NOTHING touches
+    * the driver: the model STAYS a DataFrame, which is also what makes
+    * it directly lake-persistable ([[graft.sources.AnnIndexLake]] —
+    * train once, probe many with zero Lloyd jobs).
+    */
+  private[graft] def e03TrainCentroids(s: SparkSession,
+      emb: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val sp = s
+    import sp.implicits._
+    // deterministic tie-break on equal similarity: prefer lower cell id
+    def nearestCell(anchors: DataFrame): DataFrame =
+      e03CellSims(emb, anchors, "embedding")
+        .groupBy(col("vec_id"))
+        .agg(expr("max_by(cell, named_struct('s', sim_a, 'c', -cell))").as("cell"),
+             first(col("embedding")).as("embedding"))
+    // one Lloyd iteration: mean of each cell's members, per dimension
+    def lloydIter(anchors: DataFrame): DataFrame =
+      nearestCell(anchors)
+        .select(col("cell"), posexplode(col("embedding")))
+        .groupBy("cell", "pos").agg(avg("col").as("v"))
+        .groupBy("cell")
+        .agg(expr("transform(array_sort(collect_list(named_struct('p', pos, 'v', v)))," +
+                  " x -> CAST(x.v AS float))").as("anchor"))
+    val seed = planes(NumCells).zipWithIndex
+      .map { case (p, i) => (i, p.map(_.toFloat).toSeq) }.toSeq
+      .toDF("cell", "anchor")
+    lloydIter(lloydIter(seed))
+  }
+
+  /** The inverted file: (vec_id, embedding, cell) postings, each vector
+    * posted to its TOP-2 cells (the standard IVF replication trick: 2x
+    * index storage buys a squared-miss recall boost).
+    */
+  private[graft] def e03Postings(emb: DataFrame,
+      centroids: DataFrame): DataFrame =
+    e03CellSims(emb, centroids, "embedding")
+      .groupBy(col("vec_id"))
+      .agg(expr("topk_by(sim_a, CAST(cell AS BIGINT), 2)").as("cells"),
+           first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"),
+              explode(col("cells.id")).as("cell"))
+
+  /** e03's probe-side search: each query probes its NProbe nearest cells
+    * (tiny broadcast), exact cosine only within probed cells, duplicate
+    * (doubly-posted) candidates merged map-side, top-k via the bounded
+    * TopKBy heap. Takes postings + centroids as frames, so the same
+    * search runs over the inline index (gate) or one read back from the
+    * lake — with zero training on the probe side.
+    */
+  private[graft] def e03Search(s: SparkSession, postings: DataFrame,
+      centroids: DataFrame, queries: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    // each query's NProbe nearest cells (queries x NumCells rows: tiny)
+    val wq = Window.partitionBy("q_id").orderBy(col("sim_a").desc, col("cell"))
+    val probes = e03CellSims(queries, centroids, "q_vec")
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= NProbe)
+      .select(col("q_id"), col("q_vec"), col("cell").cast("long").as("cell"))
+    postings
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
+      // merge the (at most 2) copies of a doubly-posted candidate
+      .groupBy("q_id", "vec_id").agg(max("sim").as("sim"))
+      .groupBy("q_id")
+      .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+              col("col.id").as("neighbor_id"), col("col.score").as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
   /** e09's asymmetric search: raw float queries against a dequantized
     * int8 corpus — e01's plan skeleton (broadcast queries, codegen'd
     * cosine, map-side TopKBy heaps). Takes the corpus as a frame so the
@@ -730,64 +815,12 @@ object Similarity {
     "e03_ann_ivf" -> OpDef.rowsOnly(
       (s, d) => {
         GraftFunctions.register(s)
-        val sp = s
-        import sp.implicits._
         val emb = Tables.embeddings(s, d)
-
-        def cellSims(vecs: DataFrame, anchors: DataFrame, vecCol: String): DataFrame =
-          vecs.crossJoin(broadcast(anchors))
-            .withColumn("sim_a", expr(s"cosine_sim($vecCol, anchor)"))
-
-        // deterministic tie-break on equal similarity: prefer lower cell id
-        def nearestCell(vecs: DataFrame, anchors: DataFrame,
-                        idCol: String, vecCol: String): DataFrame =
-          cellSims(vecs, anchors, vecCol)
-            .groupBy(col(idCol))
-            .agg(expr("max_by(cell, named_struct('s', sim_a, 'c', -cell))").as("cell"),
-                 first(col(vecCol)).as(vecCol))
-
-        // one Lloyd iteration: mean of each cell's members, per dimension
-        def lloydIter(anchors: DataFrame): DataFrame =
-          nearestCell(emb, anchors, "vec_id", "embedding")
-            .select(col("cell"), posexplode(col("embedding")))
-            .groupBy("cell", "pos").agg(avg("col").as("v"))
-            .groupBy("cell")
-            .agg(expr("transform(array_sort(collect_list(named_struct('p', pos, 'v', v)))," +
-                      " x -> CAST(x.v AS float))").as("anchor"))
-
-        val seed = planes(NumCells).zipWithIndex
-          .map { case (p, i) => (i, p.map(_.toFloat).toSeq) }.toSeq
-          .toDF("cell", "anchor")
         val centroids = graft.Caching.persistTracked("e03_centroids",
-          lloydIter(lloydIter(seed)))
-        // the inverted file: (cell, vec) postings, top-2 cells per vector
-        val assigned = cellSims(emb, centroids, "embedding")
-          .groupBy(col("vec_id"))
-          .agg(expr("topk_by(sim_a, CAST(cell AS BIGINT), 2)").as("cells"),
-               first(col("embedding")).as("embedding"))
-          .select(col("vec_id"), col("embedding"),
-                  explode(col("cells.id")).as("cell"))
-        // each query's NProbe nearest cells (queries x NumCells rows: tiny)
-        val wq = Window.partitionBy("q_id").orderBy(col("sim_a").desc, col("cell"))
-        val probes = cellSims(
-            emb.filter(col("vec_id") < NumQueries)
-              .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
-            centroids, "q_vec")
-          .withColumn("rk", row_number().over(wq))
-          .filter(col("rk") <= NProbe)
-          .select(col("q_id"), col("q_vec"), col("cell").cast("long").as("cell"))
-        assigned
-          .join(broadcast(probes), Seq("cell"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
-          // merge the (at most 2) copies of a doubly-posted candidate
-          .groupBy("q_id", "vec_id").agg(max("sim").as("sim"))
-          .groupBy("q_id")
-          .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
-          .select(col("q_id"), posexplode(col("top")))
-          .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
-                  col("col.id").as("neighbor_id"), col("col.score").as("sim"))
-          .orderBy("q_id", "rk")
+          e03TrainCentroids(s, emb))
+        e03Search(s, e03Postings(emb, centroids), centroids,
+          emb.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
       }),
 
     // Semantic dedup (SemDeDup-style, arXiv:2303.09540 shape): partition

@@ -105,6 +105,40 @@ object AnnIndexLake {
     Similarity.e08PairStage(assigned)
   }
 
+  // ---- e03 IVF index --------------------------------------------------
+
+  /** Train e03's coarse quantizer (two distributed Lloyd iterations —
+    * the model never touches the driver even here: centroids stay a
+    * DataFrame end to end) and persist it under `dir`:
+    *  - `centroids` (cell, anchor: array<float>) — NumCells rows
+    *  - `postings`  (vec_id, cell) — the inverted file, top-2 cells per
+    *    vector, partitioned by cell (the lake layout a cell-targeted
+    *    probe prunes on)
+    */
+  def writeE03Index(s: SparkSession, emb: DataFrame, dir: String): Unit = {
+    val centroids = graft.Caching.persistTracked("e03_lake_centroids",
+      Similarity.e03TrainCentroids(s, emb))
+    centroids.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    Similarity.e03Postings(emb, centroids)
+      .select("vec_id", "cell")
+      .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
+      .write.mode("overwrite").parquet(s"$dir/postings")
+  }
+
+  /** IVF search over the persisted index: centroids and postings read
+    * from the lake (postings re-joined to their embeddings by id — the
+    * lake keeps ids, not vector copies), probe-side plan identical to
+    * the gate's, ZERO Lloyd jobs.
+    */
+  def e03SearchFromIndex(s: SparkSession, dir: String, emb: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val centroids = s.read.parquet(s"$dir/centroids")
+    val postings = s.read.parquet(s"$dir/postings")
+      .join(emb.select("vec_id", "embedding"), "vec_id")
+      .select("vec_id", "embedding", "cell")
+    Similarity.e03Search(s, postings, centroids, queries)
+  }
+
   // ---- int8 vector lake ----------------------------------------------
 
   /** Quantize `emb` per e07 and persist the packed layout. */

@@ -81,6 +81,36 @@ class AnnIndexLakeSpec extends AnyFunSuite with SparkFixture {
     assert(fromLake.size < emb.count(), "lake dedup dropped nothing")
   }
 
+  test("e03 search from the persisted IVF index equals same-centroid inline search, no Lloyd") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = tmpDir("e03idx")
+    AnnIndexLake.writeE03Index(spark, emb, dir)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val lakeSearch = AnnIndexLake.e03SearchFromIndex(spark, dir, emb, queries)
+    val fromLake = lakeSearch.collect().map(_.toSeq).toSeq
+    // inline search under the SAME persisted centroids (retraining would
+    // give float-avg-order-different centroids; the lake's premise is
+    // that the model is fixed)
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val inline = Similarity.e03Search(spark,
+        Similarity.e03Postings(emb, centroids), centroids, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(fromLake == inline, "lake-backed IVF search diverged")
+    assert(fromLake.nonEmpty)
+    // "no Lloyd on the probe side" is STRUCTURAL here: e03's training is
+    // one declarative query (job counts can't separate it), but its mean
+    // aggregation carries a collect_list signature the probe plan must
+    // not contain — the lake plan's centroid side must be a parquet scan
+    val lakePlan = lakeSearch.queryExecution.optimizedPlan.toString
+    assert(!lakePlan.contains("collect_list"),
+      "probe plan contains the Lloyd mean aggregate (retraining)")
+    val trainPlan = Similarity.e03TrainCentroids(spark, emb)
+      .queryExecution.optimizedPlan.toString
+    assert(trainPlan.contains("collect_list"),
+      "sentinel: the Lloyd signature moved; update this assert")
+  }
+
   test("int8 lake reconstructs the dequantized corpus exactly") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = tmpDir("int8")
