@@ -133,6 +133,43 @@ class PlanSpec extends AnyFunSuite with SparkFixture {
       "corpus stats not map-side combined")
   }
 
+  test("scrubViaLake broadcast mode broadcasts the span table; shuffle mode exchanges it") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val boiler = graft.operators.Dedup.boilerSpanTable(spark, docs)
+    val pB = graft.operators.Dedup.scrubViaLake(spark, docs, boiler,
+        broadcastBoiler = true)
+      .queryExecution.executedPlan.toString
+    assert(pB.contains("BroadcastHashJoin"),
+      s"span table not broadcast in broadcast mode:\n$pB")
+    val Thresh = "spark.sql.autoBroadcastJoinThreshold"
+    val before = spark.conf.get(Thresh)
+    spark.conf.set(Thresh, "-1")
+    try {
+      val pS = graft.operators.Dedup.scrubViaLake(spark, docs, boiler,
+          broadcastBoiler = false)
+        .queryExecution.executedPlan.toString
+      assert(!pS.contains("BroadcastHashJoin"),
+        s"shuffle mode still broadcasts (the 10^8-span form must not):\n$pS")
+      assert(pS.contains("SortMergeJoin") || pS.contains("ShuffledHashJoin"),
+        s"no shuffle join in shuffle mode:\n$pS")
+    } finally spark.conf.set(Thresh, before)
+  }
+
+  test("s13's stream scrub probe is one codegen'd kernel call (no HOF probe)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.sources.Tables.documents(spark, sfDir)
+      .select("doc_id", "text")
+    val boiler = graft.operators.Dedup.boilerSpanHashesFrom(spark, docs)
+    val p = graft.operators.Dedup.scrubAgainst(spark, docs, boiler)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("span_hit_starts"),
+      s"fused probe kernel missing from the scrub plan:\n$p")
+    assert(!p.contains("in_sorted_longs"),
+      s"scrub still probes span-by-span through the HOF wrapper:\n$p")
+  }
+
   test("q34 latest-snapshot windows on the high-cardinality part key only") {
     val p = planOf("q34_latest_snapshot")
     assert(p.contains("Window"), "expected the row_number window")
