@@ -620,6 +620,41 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** e10's verdict stage under a FIXED model: arriving vectors assigned
+    * by the trained quantizer, probed against the EXISTING corpus's
+    * assignment (i_id/i_vec per composite cell), one min_by selection of
+    * the lowest Jaccard-era-style verified match (d24's rule in
+    * embedding space — verified here means rounded cosine >= 0.35).
+    * Factored so the gate (freshly trained model) and the lake path
+    * (model + postings read from [[graft.sources.AnnIndexLake]], zero
+    * training) drive the SAME plan — the spec proves their verdicts
+    * identical.
+    */
+  private[graft] def e10VerdictsWith(s: SparkSession, m: E08Model,
+      idxAssigned: DataFrame, arriving: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    e08AssignWith(s, m, arriving)
+      .join(idxAssigned, Seq("cell", "cell2"), "left")
+      .withColumn("sim_raw",
+        when(col("i_id").isNotNull,
+          round(expr("cosine_sim(embedding, i_vec)") + lit(1e-10), 6)))
+      .groupBy("vec_id")
+      .agg(expr("min_by(named_struct('m', i_id, 's', sim_raw), " +
+                "CASE WHEN sim_raw >= 0.35 THEN i_id END)").as("near"))
+      .select(col("vec_id"),
+        when(col("near.m").isNotNull, "near_dup").otherwise("new").as("verdict"),
+        col("near.m").as("match_id"),
+        when(col("near.m").isNotNull, col("near.s")).as("sim"))
+      .orderBy("vec_id")
+  }
+
+  /** The index side's (cell, cell2, i_id, i_vec) frame for [[e10VerdictsWith]]. */
+  private[graft] def e10IndexAssigned(s: SparkSession, m: E08Model,
+      index: DataFrame): DataFrame =
+    e08AssignWith(s, m, index)
+      .select(col("cell"), col("cell2"),
+              col("vec_id").as("i_id"), col("embedding").as("i_vec"))
+
   /** e09's asymmetric search: raw float queries against a dequantized
     * int8 corpus — e01's plan skeleton (broadcast queries, codegen'd
     * cosine, map-side TopKBy heaps). Takes the corpus as a frame so the
@@ -1113,6 +1148,34 @@ object Similarity {
     // floors recall@10 vs the float baseline; at production scale the
     // deq frame is read pre-packed from the int8 lake instead of being
     // derived in-plan.
+    // Incremental SEMANTIC dedup — d24's batch-vs-existing-corpus mode
+    // in embedding space (the missing fourth corner: d24/s10 cover
+    // textual incremental, e04/e08 cover semantic full-corpus). The
+    // corpus split (train/val = index, test = arriving, d11's md5 rule)
+    // mirrors d24 exactly; the quantizer trains on the INDEX only (the
+    // model an earlier corpus build would have persisted —
+    // AnnIndexLake's spec proves verdicts identical when it is read
+    // back instead of retrained), arriving vectors are assigned per-row
+    // (model rides the closure, codegen'd), probed against the index
+    // assignment by composite-cell equality join, and the lowest
+    // verified match (rounded cosine >= 0.35, d24's min-id rule) is ONE
+    // min_by aggregate. Cost ∝ arriving batch + matching-cell postings,
+    // never the corpus pair space. Rows-only (trained model);
+    // IncrSemDedupSpec pins planted-dup recall, verdict-shape
+    // invariants, and lake parity.
+    "e10_incremental_semdedup" -> OpDef.rowsOnly(
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val split = graft.operators.Dedup.splitOf(
+          graft.operators.Dedup.splitBucket(col("vec_id")))
+        val index = emb.filter(split =!= "test")
+        val arriving = emb.filter(split === "test")
+        val m = e08TrainModel(s, index)
+        val idxAssigned = graft.Caching.persistTracked("e10_idx",
+          e10IndexAssigned(s, m, index))
+        e10VerdictsWith(s, m, idxAssigned, arriving)
+      }),
+
     "e09_knn_int8" -> OpDef.sql(
       (s, d) => {
         GraftFunctions.register(s)
