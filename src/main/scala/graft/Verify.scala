@@ -67,7 +67,8 @@ object Verify {
     // green-looking parity file after an exception would silently remove
     // streaming from the gate, so the catch writes an explicit failure row
     val parity =
-      if (!SparkEntry.queries.keys.exists(n => n.startsWith("s0") && selected(n)))
+      if (!SparkEntry.queries.keys.exists(n =>
+            (n.startsWith("s0") || n.startsWith("s1")) && selected(n)))
         Seq.empty // filtered run with no streaming op selected: skip parity
       else
       try graft.streaming.StreamParity.run(spark)

@@ -420,6 +420,50 @@ object StreamParity {
           removed(1L) > 0 && removed(2L) > 0 && removed(3L) > 0 && removed(4L) == 0)
     }
 
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13)
+    // --- s14: incremental semantic dedup on the stream = e10 in batch ----
+    // A hand embedding corpus: the model trains on three index vectors,
+    // the arriving side carries an exact copy (must verdict near_dup at
+    // sim 1.0) and a genuinely new direction; the SAME model and index
+    // assignment drive the stream and the batch, so verdicts must agree
+    // row-for-row.
+    val s14 = {
+      import graft.operators.Similarity
+      // dim matches the embeddings table (the deterministic seed-anchor
+      // family the trainer starts from is built at this width)
+      val dim = 64
+      def vec(seed: Int): Seq[Float] =
+        Seq.tabulate(dim)(j => math.sin(seed * 31.0 + j * 7.0).toFloat)
+      val index = Seq((10L, vec(1)), (11L, vec(2)), (12L, vec(3)))
+      val arriving = Seq(
+        (20L, vec(1)),  // exact copy of index vector 10
+        (21L, vec(9)),  // new direction
+        (22L, vec(2)))  // exact copy of index vector 11
+      val indexDF = index.toDF("vec_id", "embedding")
+      val m = Similarity.e08TrainModel(spark, indexDF)
+      val idx = Similarity.e10IndexAssigned(spark, m, indexDF)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1),
+         if (r.isNullAt(2)) -1L else r.getLong(2),
+         if (r.isNullAt(3)) -1.0 else r.getDouble(3))
+      val in = MemoryStream[(Long, Seq[Float])]
+      val streamed = drain(spark, "parity_s14",
+        Similarity.e10VerdictsWith(spark, m, idx,
+          in.toDF().toDF("vec_id", "embedding")),
+        "complete",
+        Seq(() => { in.addData(arriving.take(2)); () },
+            () => { in.addData(arriving.drop(2)); () }))
+        .map(key).toSet
+      val batch = Similarity.e10VerdictsWith(spark, m, idx,
+          arriving.toDF("vec_id", "embedding"))
+        .collect().map(key).toSet
+      val byId = batch.map(t => t._1 -> t).toMap
+      Result("s14_stream_semdedup", streamed.size, batch.size,
+        streamed == batch &&
+          byId(20L)._2 == "near_dup" && byId(20L)._4 == 1.0 &&
+          byId(22L)._2 == "near_dup" && byId(22L)._4 == 1.0 &&
+          byId(21L)._2 == "new")
+    }
+
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14)
   }
 }

@@ -155,6 +155,16 @@ object StreamQueries {
     * (stagedDir's convention) — fine here because the driver regenerates
     * testdata dirs atomically, never one parquet in place.
     */
+  /** The embeddings table staged as a one-file directory for the file
+    * stream source (s14's feed) — stagedDocsDir's twin.
+    */
+  private def stagedEmbDir(s: SparkSession, d: String): String =
+    stagedDir(s, d, "emb", recipe = "emb-v1") { build =>
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      Files.copy(Paths.get(d, "embeddings.parquet"),
+        build.resolve("embeddings.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    }
+
   private def stagedDocsDir(s: SparkSession, d: String): String =
     stagedDir(s, d, "docs", recipe = "docs-v1") { build =>
       import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -412,6 +422,34 @@ object StreamQueries {
           .orderBy("doc_id")
       },
       graft.operators.Dedup.duckD29Sql),
+
+    // s14: streaming incremental SEMANTIC dedup — e10 at the intake, the
+    // s10 pattern in embedding space. The quantizer model and the index
+    // assignment come from the STATIC corpus (in production: AnnIndexLake
+    // artifacts — the spec proves persisted-model verdicts identical);
+    // arriving vectors are assigned per-row (the model rides the
+    // closure, codegen'd — stateless), probed against the index by a
+    // stream-static composite-cell join, and the verdict selection is
+    // the ONE permitted stateful aggregation (min_by, complete mode).
+    // Rows-only like batch e10 (trained model has no SQL twin); the
+    // parity harness pins stream == batch verdict identity under the
+    // same model.
+    "s14_stream_semdedup" -> OpDef.rowsOnly(
+      (s, d) => {
+        import graft.operators.{Dedup, Similarity}
+        val emb = graft.sources.Tables.embeddings(s, d)
+        val split = Dedup.splitOf(Dedup.splitBucket(col("vec_id")))
+        val index = emb.filter(split =!= "test")
+        val m = Similarity.e08TrainModel(s, index)
+        val idx = graft.Caching.persistTracked("s14_idx",
+          Similarity.e10IndexAssigned(s, m, index))
+        val dir = stagedEmbDir(s, d)
+        val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+        val arriving = s.readStream.schema(schema).parquet(dir)
+          .filter(Dedup.splitOf(Dedup.splitBucket(col("vec_id"))) === "test")
+        drain(s, "s14", Similarity.e10VerdictsWith(s, m, idx, arriving),
+          "complete")
+      }),
 
     // s12: streaming mixture sampling — d17's per-source accept/reject
     // applied to documents as they arrive. The rate table comes from the
