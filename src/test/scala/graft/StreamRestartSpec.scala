@@ -83,6 +83,62 @@ class StreamRestartSpec extends AnyFunSuite with SparkFixture {
   }
 
   for ((provName, confValue) <- providers)
+  test(s"s14 semantic verdict aggregation survives a checkpoint restart ($provName)") {
+    withProvider(confValue) {
+      val sp = spark
+      implicit val sqlCtx = sp.sqlContext
+      import sp.implicits._
+      import graft.operators.Similarity
+      val dim = 64
+      def vec(seed: Int): Seq[Float] =
+        Seq.tabulate(dim)(j => math.sin(seed * 31.0 + j * 7.0).toFloat)
+      val index = Seq((10L, vec(1)), (11L, vec(2)), (12L, vec(3)))
+        .toDF("vec_id", "embedding")
+      val arriving = Seq(
+        (20L, vec(1)),  // exact dup, pre-restart
+        (21L, vec(9)),  // new, pre-restart
+        (22L, vec(2)))  // exact dup, post-restart
+      val m = Similarity.e08TrainModel(spark, index)
+      val idx = graft.Caching.persistTracked(s"restart_s14_idx_$provName",
+        Similarity.e10IndexAssigned(spark, m, index))
+      val tmp = Files.createTempDirectory(s"graft_eo_s14_$provName").toString
+      val input = MemoryStream[(Long, Seq[Float])]
+      val sinkName = s"restart_s14_out_$provName"
+      def start() = Similarity.e10VerdictsWith(spark, m, idx,
+          input.toDF().toDF("vec_id", "embedding"))
+        .writeStream
+        .format("memory").queryName(sinkName)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .outputMode("complete")
+        .start()
+
+      val q1 = start()
+      try {
+        input.addData(arriving.take(2))
+        q1.processAllAvailable()
+      } finally q1.stop() // down with verdict state checkpointed
+
+      val q2 = start()
+      try {
+        input.addData(arriving.drop(2))
+        q2.processAllAvailable()
+      } finally q2.stop()
+
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1),
+         if (r.isNullAt(2)) -1L else r.getLong(2),
+         if (r.isNullAt(3)) -1.0 else r.getDouble(3))
+      val streamed = spark.table(sinkName).collect().map(key).toSet
+      val batch = Similarity.e10VerdictsWith(spark, m, idx,
+          arriving.toDF("vec_id", "embedding"))
+        .collect().map(key).toSet
+      assert(streamed == batch,
+        s"semantic verdicts diverged after restart under $provName: $streamed vs $batch")
+      assert(streamed.map(_._1) == Set(20L, 21L, 22L))
+    }
+  }
+
+  for ((provName, confValue) <- providers)
   test(s"s10 verdict aggregation survives a checkpoint restart ($provName)") {
     withProvider(confValue) {
       val sp = spark
