@@ -58,13 +58,22 @@ object ScaleData {
     def shift(c: String, s: Long, i: Int): (String, Column) =
       c -> (col(c) + lit(i * s))
 
-    // single-file output matching the driver layout (see scaladoc)
+    // single-file output matching the driver layout (see scaladoc) — but
+    // with SMALL row groups: Spark parallelizes a parquet scan at
+    // row-group granularity, and the driver's own files carry ONE row
+    // group, which pins every scan-side stage to a single core (measured:
+    // the per-row text ops came back 12-18x for 10x data at sf10 purely
+    // from this starvation). 16 MB row groups keep the one-file layout
+    // the stream staging needs while letting a 32-core box actually scan
+    // in parallel.
     def writeOne(name: String, df: DataFrame): Unit = {
       import java.nio.file.{Files, Paths, StandardCopyOption}
       val dstDir = Paths.get(dst)
       Files.createDirectories(dstDir)
       val tmp = Files.createTempDirectory(dstDir, s".build_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (16L * 1024 * 1024).toString)
+        .parquet(tmp.toString)
       val listing = Files.list(tmp)
       val part =
         try listing.filter(_.getFileName.toString.endsWith(".parquet"))
