@@ -71,9 +71,15 @@ object ScaleData {
       val dstDir = Paths.get(dst)
       Files.createDirectories(dstDir)
       val tmp = Files.createTempDirectory(dstDir, s".build_$name")
-      df.coalesce(1).write.mode("overwrite")
-        .option("parquet.block.size", (16L * 1024 * 1024).toString)
-        .parquet(tmp.toString)
+      // parquet.block.size only takes effect through the hadoop conf
+      // (writer options don't reach ParquetOutputFormat's block size).
+      // 2 MB: small for a production lake, right for a scale PROBE —
+      // text compresses ~10x and the per-row work (regex, shingling) is
+      // CPU-bound, so byte-sized row groups must be small for a 32-core
+      // box to engage on a single-file table (docs at sf1 are 6 MB).
+      df.sparkSession.sparkContext.hadoopConfiguration
+        .setLong("parquet.block.size", 2L * 1024 * 1024)
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val listing = Files.list(tmp)
       val part =
         try listing.filter(_.getFileName.toString.endsWith(".parquet"))
