@@ -156,6 +156,25 @@ object GraftFunctions {
       name, exprs => InSortedLongs(exprs(0), sorted), "built-in")
   }
 
+  /** Register a fused count-of-members function bound to a sorted long
+    * list (sorted defensively): `name(array<long>)` -> BIGINT count of
+    * elements present in the list — see [[CountInSortedLongs]].
+    */
+  def registerCountInSortedLongs(spark: SparkSession, name: String,
+      values: Array[Long]): Unit = {
+    val sorted = values.clone().sorted
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => CountInSortedLongs(exprs(0), sorted), "built-in")
+  }
+
+  /** Register a Bloom-filter membership probe bound to a built filter:
+    * `name(BIGINT)` -> BOOLEAN might-contain — see [[BloomContainsLong]].
+    */
+  def registerBloomContainsLong(spark: SparkSession, name: String,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BloomContainsLong(exprs(0), bloom), "built-in")
+
   /** Register the fused boiler-span probe bound to a span-hash list
     * (sorted defensively, like [[registerInSortedLongs]]):
     * `name(text)` -> array<int> of hit span starts.

@@ -233,6 +233,20 @@ object HashKernels {
     }
     acc
   }
+
+  /** Count of `arr` elements present in the SORTED `sorted` list (one
+    * binary search per element) — the [[CountInSortedLongs]] kernel.
+    */
+  def countInSorted(arr: ArrayData, sorted: Array[Long]): Long = {
+    var cnt = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (java.util.Arrays.binarySearch(sorted, arr.getLong(i)) >= 0) cnt += 1
+      i += 1
+    }
+    cnt
+  }
 }
 
 /** Native shingle-hash expression: text -> array<long> of distinct n-word
@@ -412,5 +426,69 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expressions.HashKernels.polyHash($c)")
 
   override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+/** How many elements of an array<long> occur in a SORTED long list —
+  * [[InSortedLongs]] lifted over an array and FUSED with the count, so
+  * a per-doc "shared shingles vs the benchmark set" tally is ONE
+  * codegen'd kernel call per row instead of an interpreted
+  * filter-lambda chain (the same HOF trap [[SpanHitStarts]] closed for
+  * the boiler probe). Caller sorts; the registration helper sorts
+  * defensively.
+  */
+case class CountInSortedLongs(child: Expression, sorted: Array[Long])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "count_in_sorted_longs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.countInSorted(input.asInstanceOf[ArrayData], sorted)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("sorted", sorted, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashKernels.countInSorted($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CountInSortedLongs =
+    copy(child = newChild)
+}
+
+/** Codegen'd Bloom-filter membership probe over a long column. The
+  * filter (Spark's `org.apache.spark.util.sketch.BloomFilter`, the same
+  * sketch the engine's own runtime row-group filters ship) rides the
+  * closure as a reference object — ~1.2 bytes/key at 1% fp, so a
+  * 10^9-key benchmark set probes from a ~1.2 GB broadcast instead of an
+  * un-broadcastable multi-GB exact table. Bloom has NO false negatives:
+  * a prefilter built from set S passes every true member of S, so
+  * `prefilter -> exact verify` is bit-identical to `exact` while cutting
+  * the verify join's probe side to true hits + the fp fraction.
+  */
+case class BloomContainsLong(child: Expression,
+    bloom: org.apache.spark.util.sketch.BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+  override def prettyName: String = "bloom_contains_long"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName: argument must be BIGINT, got ${child.dataType.simpleString}")
+
+  override def nullSafeEval(input: Any): Any =
+    bloom.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      "org.apache.spark.util.sketch.BloomFilter")
+    defineCodeGen(ctx, ev, c => s"$ref.mightContainLong($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomContainsLong =
     copy(child = newChild)
 }

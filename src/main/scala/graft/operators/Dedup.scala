@@ -1167,29 +1167,54 @@ object Dedup {
                           + lit(1e-8), 4).as("overlap"))
           .orderBy("doc_id")
       },
-      s"""WITH w AS (
-         |  SELECT doc_id, ${duckSplitCase("doc_id")} AS split,
-         |         string_split_regex(text, '\\s+') AS ws
-         |  FROM documents),
-         |sh AS (
-         |  SELECT doc_id, split, list_distinct(list_transform(
-         |    generate_series(1, len(ws) - 2),
-         |    i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15))::BIGINT)) AS hs
-         |  FROM w),
-         |nz AS (SELECT * FROM sh WHERE len(hs) > 0),
-         |bench AS (SELECT DISTINCT unnest(hs) AS h FROM nz WHERE split = 'test'),
-         |tr AS (
-         |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
-         |  FROM nz WHERE split = 'train'),
-         |hits AS (
-         |  SELECT t.doc_id, t.n_shingles, count(b.h) AS n_shared
-         |  FROM tr t LEFT JOIN bench b ON t.h = b.h
-         |  GROUP BY t.doc_id, t.n_shingles)
-         |SELECT doc_id, n_shingles, n_shared,
-         |       round(CAST(n_shared AS DOUBLE) / n_shingles + 1e-8, 4) AS overlap
-         |FROM hits
-         |WHERE CAST(n_shared AS DOUBLE) / n_shingles >= 0.2
-         |ORDER BY doc_id""".stripMargin),
+      duckD16Sql),
+
+    // d16 at the scale where the BENCHMARK side itself is big: the same
+    // decontamination verdicts behind a Bloom prefilter. d16's broadcast
+    // of the exact bench shingle table stops working when the held-out
+    // suite reaches ~10^9 distinct shingles (multi-GB exact table), and
+    // the fallback — a shuffled equality join — shuffles EVERY training
+    // shingle. The Bloom form restores corpus-side economy: build a
+    // Bloom filter over the bench set (~1.2 bytes/key at 1% fp — 10^9
+    // keys is a ~1.2 GB task-shippable model, the d24/boiler-lake
+    // artifact discipline), probe every training shingle in-scan with a
+    // codegen'd might-contain (BloomContainsLong), and send ONLY the
+    // survivors — true hits + the ~1% fp fraction — into the exact
+    // verify join (pinned SHUFFLE_HASH: the scale path where neither
+    // side broadcasts). Bloom has no false negatives, so
+    // prefilter -> exact verify is BIT-IDENTICAL to d16: same oracle,
+    // verbatim, while the verify join's probe side shrinks ~50x at
+    // gate overlap rates (BloomDecontamSpec measures it).
+    "d30_bloom_decontam" -> OpDef.sql(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val docs = Tables.documents(s, d)
+          .withColumn("split", splitOf(splitBucket(col("doc_id"))))
+          .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+          .filter(size(col("mh")) > 0)
+        val bench = docs.filter(col("split") === "test")
+          .select(explode(col("mh")).as("h")).distinct()
+        // Model build: size + bits in two driver-visible jobs (the
+        // trainLloyd convention — the MODEL comes to the driver, never
+        // the data; production persists the bits next to the benchmark
+        // suite and rebuilds only when the suite changes).
+        val bloom = bench.stat.bloomFilter("h", math.max(1L, bench.count()), 0.01)
+        graft.expressions.GraftFunctions.registerBloomContainsLong(
+          s, "bench_might_contain", bloom)
+        docs.filter(col("split") === "train")
+          .select(col("doc_id"), size(col("mh")).cast("bigint").as("n_shingles"),
+                  explode(col("mh")).as("h"))
+          .filter(expr("bench_might_contain(h)"))
+          .join(bench.hint("shuffle_hash"), Seq("h"), "inner")
+          .groupBy("doc_id", "n_shingles")
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared").cast("double") / col("n_shingles") >= 0.2)
+          .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+                  round(col("n_shared").cast("double") / col("n_shingles")
+                          + lit(1e-8), 4).as("overlap"))
+          .orderBy("doc_id")
+      },
+      duckD16Sql),
 
     // Incremental dedup: today's batch against the EXISTING corpus — the
     // mode a production pipeline actually runs (re-deduping 100 TB per
@@ -1219,6 +1244,84 @@ object Dedup {
       },
       duckD24Sql)
   )
+
+  /** d16's DuckDB oracle — shared VERBATIM with d30_bloom_decontam (the
+    * Bloom prefilter has no false negatives, so prefilter + exact verify
+    * must produce d16's exact output) and s15_stream_decontam (the
+    * intake-side twin; the s01/q27 one-oracle-many-paths convention).
+    */
+  private[graft] def duckD16Sql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, ${duckSplitCase("doc_id")} AS split,
+       |         string_split_regex(text, '\\s+') AS ws
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, split, list_distinct(list_transform(
+       |    generate_series(1, len(ws) - 2),
+       |    i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15))::BIGINT)) AS hs
+       |  FROM w),
+       |nz AS (SELECT * FROM sh WHERE len(hs) > 0),
+       |bench AS (SELECT DISTINCT unnest(hs) AS h FROM nz WHERE split = 'test'),
+       |tr AS (
+       |  SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_shingles, unnest(hs) AS h
+       |  FROM nz WHERE split = 'train'),
+       |hits AS (
+       |  SELECT t.doc_id, t.n_shingles, count(b.h) AS n_shared
+       |  FROM tr t LEFT JOIN bench b ON t.h = b.h
+       |  GROUP BY t.doc_id, t.n_shingles)
+       |SELECT doc_id, n_shingles, n_shared,
+       |       round(CAST(n_shared AS DOUBLE) / n_shingles + 1e-8, 4) AS overlap
+       |FROM hits
+       |WHERE CAST(n_shared AS DOUBLE) / n_shingles >= 0.2
+       |ORDER BY doc_id""".stripMargin
+
+  /** The benchmark's distinct md5-3-shingle hashes as a SORTED driver
+    * array — the intake-side decontamination model (s15's analog of
+    * s13's boiler-span list: benchmark-suite-sized, "megabytes as
+    * longs"; a suite too big for the closure uses d30's Bloom bits or
+    * the boiler-lake join path instead).
+    */
+  private[graft] def benchShingleList(s: SparkSession, d: String): Array[Long] =
+    benchShingleListFrom(s,
+      Tables.documents(s, d)
+        .filter(splitOf(splitBucket(col("doc_id"))) === "test"))
+
+  /** Same model from an arbitrary benchmark-docs frame (the parity
+    * harness feeds hand corpora through the identical definition).
+    */
+  private[graft] def benchShingleListFrom(s: SparkSession,
+      benchDocs: DataFrame): Array[Long] = {
+    graft.expressions.GraftFunctions.register(s)
+    benchDocs
+      .select(explode(expr("md5_shingle3_hashes(text)")).as("h"))
+      .distinct()
+      .orderBy("h")
+      .collect()
+      .map(_.getLong(0))
+  }
+
+  /** d16's verdict computed fully IN-ROW against a driver-resident
+    * benchmark shingle list: per-doc shared-shingle count as ONE
+    * codegen'd kernel call (CountInSortedLongs — no explode, no join,
+    * no shuffle), which is what lets s15 run the scrub stateless on the
+    * intake firehose. Shared by the s15 gate entry and the parity
+    * harness so both exercise one definition.
+    */
+  private[graft] def decontamVerdicts(s: SparkSession, docs: DataFrame,
+      bench: Array[Long]): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    graft.expressions.GraftFunctions.registerCountInSortedLongs(
+      s, "bench_shared_count", bench)
+    docs
+      .select(col("doc_id"), expr("md5_shingle3_hashes(text)").as("mh"))
+      .filter(size(col("mh")) > 0)
+      .select(col("doc_id"), size(col("mh")).cast("bigint").as("n_shingles"),
+              expr("bench_shared_count(mh)").as("n_shared"))
+      .filter(col("n_shared").cast("double") / col("n_shingles") >= 0.2)
+      .select(col("doc_id"), col("n_shingles"), col("n_shared"),
+              round(col("n_shared").cast("double") / col("n_shingles")
+                      + lit(1e-8), 4).as("overlap"))
+  }
 
   /** d24's full DuckDB oracle — shared VERBATIM with
     * s10_stream_incr_dedup (the streaming twin probes the same batch

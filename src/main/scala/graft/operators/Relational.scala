@@ -645,6 +645,103 @@ object Relational {
         |FROM (SELECT *, row_number() OVER (PARTITION BY l_partkey
         |        ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rk
         |      FROM lineitem)
-        |WHERE rk = 1 ORDER BY l_partkey""".stripMargin)
+        |WHERE rk = 1 ORDER BY l_partkey""".stripMargin),
+
+    // RANGE-frame sliding window: the 7-DAY moving average per brand —
+    // q23's frame follows the ROWS axis (6 physical predecessor rows);
+    // this one follows the VALUE axis (every row whose day falls in the
+    // trailing calendar week), which differs exactly where a brand's
+    // daily series has gaps — sparse series are the norm once the daily
+    // table is per-dimension, so an operator inventory needs both frame
+    // kinds. Order key = epoch-day integer so both engines run the same
+    // numeric RANGE frame (interval frames desugar to this; the integer
+    // form is the one DuckDB and Spark agree on bit-for-bit). The window
+    // input is the calendar-bounded (brand x day) aggregate — ~25x2500
+    // rows at ANY corpus scale — so the per-brand partition is the
+    // q21/q23 post-agg shape, not the q18 low-cardinality anti-pattern:
+    // the heavy lifting (the daily aggregate) shuffles on the
+    // high-cardinality composite key and map-side combines.
+    "q35_range_window" -> OpDef.sql(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)),
+                col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
+          .agg(r2e(avg("l_extendedprice")).as("avg_price"),
+               count(lit(1)).as("n"))
+          .withColumn("day_num", datediff(col("day"), lit("1970-01-01")))
+        val w = Window.partitionBy("p_brand").orderBy("day_num")
+          .rangeBetween(-6, 0)
+        daily
+          .withColumn("ma7_range", r2e(avg("avg_price").over(w)))
+          .withColumn("n7", sum("n").over(w))
+          .select("p_brand", "day", "avg_price", "ma7_range", "n7")
+          .orderBy("p_brand", "day")
+      },
+      """SELECT p_brand, day, avg_price,
+        |       round(avg(avg_price) OVER w + 1e-6, 2) AS ma7_range,
+        |       CAST(sum(n) OVER w AS BIGINT) AS n7
+        |FROM (
+        |  SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+        |         round(avg(l_extendedprice) + 1e-6, 2) AS avg_price,
+        |         count(*) AS n,
+        |         CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS day_num
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2, 5)
+        |WINDOW w AS (PARTITION BY p_brand ORDER BY day_num
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY p_brand, day""".stripMargin),
+
+    // Calendar densification + forward fill: the time-series ETL staple
+    // q35's gaps expose — downstream consumers (charting endpoints,
+    // models training on daily features) want ONE row per (brand, day)
+    // with the last known price carried across quiet days, not a sparse
+    // series. Shape: aggregate first (the corpus-sized work, map-side
+    // combinable), then per-brand `sequence(min_day, max_day)` exploded
+    // into the dense calendar — dense rows are bounded by brands x
+    // calendar days at ANY corpus scale — left-join the daily aggregate
+    // back and forward-fill with last(ignoreNulls) over an
+    // unbounded-preceding frame (the high-water-mark window idiom).
+    // Gap days carry n = 0 and the carried price; is_gap marks them.
+    "q36_gap_fill" -> OpDef.sql(
+      (s, d) => {
+        val daily = Tables.lineitem(s, d)
+          .join(broadcast(Tables.part(s, d)),
+                col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
+          .agg(r2e(avg("l_extendedprice")).as("avg_price"),
+               count(lit(1)).as("n"))
+        val calendar = daily.groupBy("p_brand")
+          .agg(min("day").as("d0"), max("day").as("d1"))
+          .select(col("p_brand"),
+                  explode(sequence(col("d0"), col("d1"))).as("day"))
+        val w = Window.partitionBy("p_brand").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        calendar.join(daily, Seq("p_brand", "day"), "left")
+          .select(col("p_brand"), col("day"),
+                  coalesce(col("n"), lit(0L)).as("n"),
+                  last("avg_price", ignoreNulls = true).over(w).as("px_ff"),
+                  col("avg_price").isNull.as("is_gap"))
+          .orderBy("p_brand", "day")
+      },
+      """WITH daily AS (
+        |  SELECT p_brand, CAST(l_shipdate AS DATE) AS day,
+        |         round(avg(l_extendedprice) + 1e-6, 2) AS avg_price,
+        |         count(*) AS n
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT p_brand, unnest(generate_series(min(day), max(day),
+        |           INTERVAL 1 DAY))::DATE AS day
+        |  FROM daily GROUP BY p_brand)
+        |SELECT c.p_brand, c.day,
+        |       COALESCE(d.n, 0) AS n,
+        |       last_value(d.avg_price IGNORE NULLS) OVER (
+        |         PARTITION BY c.p_brand ORDER BY c.day
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px_ff,
+        |       d.avg_price IS NULL AS is_gap
+        |FROM cal c LEFT JOIN daily d
+        |  ON c.p_brand = d.p_brand AND c.day = d.day
+        |ORDER BY c.p_brand, c.day""".stripMargin)
   )
 }

@@ -9,16 +9,18 @@ import java.sql.Timestamp
 import java.time.Instant
 
 /** Machine-readable stream-vs-batch parity: every streaming operator
-  * (s01–s13) run over a deterministic MemoryStream feed whose results are
+  * (s01–s15) run over a deterministic MemoryStream feed whose results are
   * compared row-for-row with the equivalent batch computation on the same
   * data. `Verify` serializes the results next to the oracle dump. All
-  * thirteen entries are ALSO DuckDB-oracle gate entries
-  * ([[StreamQueries]]); this harness remains the independent cross-check
+  * fifteen entries are ALSO driver-gate entries (fourteen
+  * DuckDB-oracle-checked; s14 rows-only like its batch twin e10 —
+  * [[StreamQueries]]); this harness remains the independent cross-check
   * that drives the moving-watermark paths (append-mode window
   * finalization, timeout flushes, cross-batch dedup, kafka-shape decode,
   * stream-static enrichment) and the intake-side LLM-pipeline legs
   * (incremental dedup verdicts, quality filter, mixture sampling,
-  * boilerplate scrub) on hand-built feeds with known answers.
+  * boilerplate scrub, semantic dedup, benchmark decontamination) on
+  * hand-built feeds with known answers.
   *
   * All timestamps derive from explicit UTC instants — host-timezone
   * independent by construction.
@@ -464,6 +466,45 @@ object StreamParity {
           byId(21L)._2 == "new")
     }
 
-    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13, s14)
+    // --- s15: decontamination at the intake = d16's verdict in batch -----
+    // A hand corpus with planted overlap: the bench list comes from two
+    // "benchmark" docs; the arriving side carries a verbatim copy
+    // (overlap 1.0), a 40% overlap (flagged), a one-shingle graze
+    // (below the 0.2 threshold) and a disjoint doc. Stream and batch
+    // run ONE shared definition (decontamVerdicts), so the flags and
+    // ratios must agree row-for-row.
+    val s15 = {
+      import graft.operators.Dedup
+      def run(tag: String, n: Int): String =
+        (0 until n).map(i => s"w${tag}_$i").mkString(" ")
+      val benchDocs = Seq((100L, run("a", 12)), (101L, run("b", 12)))
+      val arriving = Seq(
+        (1L, run("a", 12)),                              // verbatim: 1.0
+        (2L, run("a", 6) + " " + run("c", 6)),           // 4/10 = 0.4
+        (3L, run("d", 5) + " wb_0 wb_1 wb_2 " + run("e", 4)), // 1/10
+        (4L, run("f", 12)))                              // disjoint
+      val bench = Dedup.benchShingleListFrom(spark,
+        benchDocs.toDF("doc_id", "text"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val in = MemoryStream[(Long, String)]
+      val streamed = drain(spark, "parity_s15",
+        Dedup.decontamVerdicts(spark, in.toDF().toDF("doc_id", "text"), bench),
+        "append",
+        Seq(() => { in.addData(arriving.take(2)); () },
+            () => { in.addData(arriving.drop(2)); () }))
+        .map(key).toSet
+      val batch = Dedup.decontamVerdicts(spark,
+          arriving.toDF("doc_id", "text"), bench)
+        .collect().map(key).toSet
+      val flagged = batch.map(_._1)
+      Result("s15_stream_decontam", streamed.size, batch.size,
+        streamed == batch && flagged == Set(1L, 2L) &&
+          batch.find(_._1 == 1L).exists(_._4 == 1.0) &&
+          batch.find(_._1 == 2L).exists(_._4 == 0.4))
+    }
+
+    Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
+        s14, s15)
   }
 }

@@ -451,6 +451,31 @@ object StreamQueries {
           "complete")
       }),
 
+    // s15: streaming benchmark decontamination — d16/d30's verdict at
+    // the intake (the placement that stops eval data from ever landing
+    // in the training lake). The benchmark shingle list comes from the
+    // STATIC corpus test split (s13's model-artifact pattern: a sorted
+    // long list riding the closure; suites past closure size use d30's
+    // Bloom bits), and the whole per-doc verdict — shingle, count
+    // against the list, threshold — is ONE codegen'd kernel call per
+    // row (CountInSortedLongs): stateless append, zero shuffle, zero
+    // state. Oracle: d16's SQL verbatim — intake and batch must flag
+    // exactly the same documents.
+    "s15_stream_decontam" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Dedup
+        val bench = Dedup.benchShingleList(s, d)
+        val dir = stagedDocsDir(s, d)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val docs = s.readStream.schema(schema).parquet(dir)
+          .filter(Dedup.splitOf(Dedup.splitBucket(col("doc_id"))) === "train")
+        drain(s, "s15",
+            Dedup.decontamVerdicts(s, docs.select("doc_id", "text"), bench),
+            "append")
+          .orderBy("doc_id")
+      },
+      graft.operators.Dedup.duckD16Sql),
+
     // s12: streaming mixture sampling — d17's per-source accept/reject
     // applied to documents as they arrive. The rate table comes from the
     // STATIC corpus (one 20-row broadcast — in production, yesterday's
