@@ -705,12 +705,18 @@ object Relational {
     // Gap days carry n = 0 and the carried price; is_gap marks them.
     "q36_gap_fill" -> OpDef.sql(
       (s, d) => {
-        val daily = Tables.lineitem(s, d)
-          .join(broadcast(Tables.part(s, d)),
-                col("l_partkey") === col("p_partkey"))
-          .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
-          .agg(r2e(avg("l_extendedprice")).as("avg_price"),
-               count(lit(1)).as("n"))
+        // persisted because BOTH branches below (calendar bounds + the
+        // join back) consume it: without the cache Catalyst rewrites the
+        // min/max branch to re-aggregate straight off the corpus scan —
+        // two full corpus reads for one bounded (brand x day)
+        // intermediate, exactly the 2x a 100-TB plan can't afford
+        val daily = graft.Caching.persistTracked("q36_daily",
+          Tables.lineitem(s, d)
+            .join(broadcast(Tables.part(s, d)),
+                  col("l_partkey") === col("p_partkey"))
+            .groupBy(col("p_brand"), to_date(col("l_shipdate")).as("day"))
+            .agg(r2e(avg("l_extendedprice")).as("avg_price"),
+                 count(lit(1)).as("n")))
         val calendar = daily.groupBy("p_brand")
           .agg(min("day").as("d0"), max("day").as("d1"))
           .select(col("p_brand"),
