@@ -748,6 +748,71 @@ object Relational {
         |       d.avg_price IS NULL AS is_gap
         |FROM cal c LEFT JOIN daily d
         |  ON c.p_brand = d.p_brand AND c.day = d.day
-        |ORDER BY c.p_brand, c.day""".stripMargin)
+        |ORDER BY c.p_brand, c.day""".stripMargin),
+
+    // Set operators: EXCEPT / INTERSECT (distinct semantics) — the
+    // cohort algebra (churned = bought-then-stopped, retained = both
+    // years, acquired = new) a retention analysis runs, and the two
+    // relational operators the inventory was missing next to q11's
+    // UNION and q09/q10's semi/anti joins. Spark plans both as
+    // hash-partitioned distinct-aggregate joins on the full row — the
+    // shuffle is on the already-distinct key set (one row per customer
+    // x year BEFORE the set op, via the distinct), never the raw orders
+    // table, so the set algebra costs one orders scan + one bounded
+    // shuffle at any corpus scale.
+    "q37_set_ops" -> OpDef.sql(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+        def buyers(y: Int) =
+          o.filter(col("yr") === y).select("o_custkey").distinct()
+        val (y94, y95) = (buyers(1994), buyers(1995))
+        y94.except(y95).withColumn("cohort", lit("churned"))
+          .unionByName(y94.intersect(y95).withColumn("cohort", lit("retained")))
+          .unionByName(y95.except(y94).withColumn("cohort", lit("acquired")))
+          .select("cohort", "o_custkey")
+          .orderBy("cohort", "o_custkey")
+      },
+      """WITH y94 AS (SELECT DISTINCT o_custkey FROM orders
+        |            WHERE year(o_orderdate) = 1994),
+        |     y95 AS (SELECT DISTINCT o_custkey FROM orders
+        |            WHERE year(o_orderdate) = 1995)
+        |SELECT 'churned' AS cohort, o_custkey
+        |FROM (SELECT o_custkey FROM y94 EXCEPT SELECT o_custkey FROM y95)
+        |UNION ALL
+        |SELECT 'retained' AS cohort, o_custkey
+        |FROM (SELECT o_custkey FROM y94 INTERSECT SELECT o_custkey FROM y95)
+        |UNION ALL
+        |SELECT 'acquired' AS cohort, o_custkey
+        |FROM (SELECT o_custkey FROM y95 EXCEPT SELECT o_custkey FROM y94)
+        |ORDER BY cohort, o_custkey""".stripMargin),
+
+    // Pivot + unpivot round trip: q12 builds the wide grid by hand
+    // (conditional aggregates); this entry runs Spark's ACTUAL
+    // relational pivot operator (values enumerated up front — omitting
+    // them costs an extra distinct-scan driver job, the thing to never
+    // do at 100 TB) and then melts the grid back with unpivot. Dropping
+    // the null cells an absent (priority, status) combination leaves
+    // makes unpivot(pivot(X)) == X, which is exactly what the oracle
+    // checks: the long form computed directly by group-by. Wide-to-long
+    // is how a feature matrix ships to a trainer; long-to-wide is how
+    // it comes back — both directions belong in the inventory.
+    "q38_unpivot" -> OpDef.sql(
+      (s, d) => {
+        val wide = Tables.orders(s, d)
+          .groupBy("o_orderpriority")
+          .pivot("o_orderstatus", Seq("F", "O", "P"))
+          .agg(r2e(sum("o_totalprice")))
+        wide.unpivot(
+            Array(col("o_orderpriority")),
+            Array(col("F"), col("O"), col("P")),
+            "status", "total")
+          .filter(col("total").isNotNull)
+          .orderBy("o_orderpriority", "status")
+      },
+      """SELECT o_orderpriority, o_orderstatus AS status,
+        |       round(sum(o_totalprice) + 1e-6, 2) AS total
+        |FROM orders GROUP BY 1, 2
+        |ORDER BY o_orderpriority, status""".stripMargin)
   )
 }
