@@ -813,6 +813,33 @@ object Relational {
       """SELECT o_orderpriority, o_orderstatus AS status,
         |       round(sum(o_totalprice) + 1e-6, 2) AS total
         |FROM orders GROUP BY 1, 2
-        |ORDER BY o_orderpriority, status""".stripMargin)
+        |ORDER BY o_orderpriority, status""".stripMargin),
+
+    // GROUPING SETS with a NON-hierarchical set list — the one grouping
+    // shape q13's ROLLUP and q31's CUBE cannot express: the two
+    // independent one-dimension marginals (per-returnflag and
+    // per-linestatus) in ONE pass over the fact table. Spark plans this
+    // as a single Expand + one combinable aggregate — one lineitem scan
+    // where running the marginals separately would cost two; grouping_id
+    // disambiguates which set a row belongs to (the NULLs in grouping
+    // columns are markers, not data — same bit-vector semantics in both
+    // engines: bit set = column aggregated away).
+    "q39_grouping_sets" -> OpDef.sql(
+      (s, d) => Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+             sum("l_quantity").cast("long").as("sum_qty"),
+             count(lit(1)).as("n"))
+        .select("gid", "l_returnflag", "l_linestatus", "sum_qty", "n")
+        .orderBy("gid", "l_returnflag", "l_linestatus"),
+      """SELECT CAST(GROUPING_ID(l_returnflag, l_linestatus) AS INT) AS gid,
+        |       l_returnflag, l_linestatus,
+        |       CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
   )
 }

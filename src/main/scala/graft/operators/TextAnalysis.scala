@@ -16,6 +16,54 @@ object TextAnalysis {
   private def nMatches(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 
+  /** Whitespace-token count — d31/d33/s16's bucketing metric. */
+  private[graft] def withNTok(docs: DataFrame): DataFrame =
+    docs.withColumn("n_tok", nMatches(col("text"), WsTokenPat))
+
+  /** The sources x 9 per-source decile cut table (d31's model): a
+    * map-side-combinable aggregate whose output is tiny at any corpus
+    * size. Cuts are epsilon-rounded to 4 decimals so the interpolated
+    * values are bit-identical across engines.
+    */
+  private[graft] def decileCuts(docs: DataFrame): DataFrame =
+    docs.groupBy("source").agg(
+      expr("""transform(
+             |  percentile(n_tok, array(0.1D,0.2D,0.3D,0.4D,0.5D,
+             |                          0.6D,0.7D,0.8D,0.9D)),
+             |  t -> round(t + 1e-8, 4))""".stripMargin).as("cuts"))
+
+  /** Per-row decile assignment against a broadcast cut table: decile =
+    * 1 + #{cuts strictly below n_tok}. Shared verbatim by d31/d33 and
+    * the streaming intake twin s16 (stream-static broadcast join —
+    * stateless), so batch and stream bucketing cannot drift.
+    */
+  private[graft] def withDecile(docs: DataFrame, cuts: DataFrame): DataFrame =
+    docs.join(broadcast(cuts), "source")
+      .withColumn("decile",
+        (size(expr("filter(cuts, t -> CAST(n_tok AS DOUBLE) > t)"))
+          + lit(1)).cast("int"))
+
+  /** d31's DuckDB oracle; `where` narrows it to d33/s16's gate form. */
+  private[graft] def duckD31Sql(where: String = ""): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, source,
+       |         CAST(len(regexp_extract_all(text, '\\S+')) AS INT) AS n_tok
+       |  FROM documents),
+       |c AS (
+       |  SELECT source,
+       |         list_transform(
+       |           quantile_cont(n_tok, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+       |           x -> round(x + 1e-8, 4)) AS cuts
+       |  FROM t GROUP BY source),
+       |scored AS (
+       |  SELECT doc_id, t.source, n_tok,
+       |         CAST(len(list_filter(cuts, x -> CAST(n_tok AS DOUBLE) > x)) + 1
+       |              AS INT) AS decile
+       |  FROM t JOIN c ON t.source = c.source)
+       |SELECT doc_id, source, n_tok, decile FROM scored
+       |$where
+       |ORDER BY doc_id""".stripMargin
+
   // Stopword alternations per language; kept identical in the DuckDB SQL.
   private val EnPat = "\\b(the|and|of|a|is)\\b"
   private val EsPat = "\\b(el|la|los|las|es)\\b"
@@ -482,6 +530,120 @@ object TextAnalysis {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
         |            ORDER BY score DESC, term) AS INT) AS rk
         |  FROM scored)
-        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
+    // Per-source decile bucketing WITHOUT the window: corpus curation
+    // ranks documents into quantile buckets per source (keep the top-k
+    // length/quality deciles), and the textbook `ntile() OVER (PARTITION
+    // BY source ORDER BY metric)` is exactly q18's anti-pattern — source
+    // is a LOW-cardinality key, so the window funnels the whole corpus
+    // through a handful of sort partitions. The scale-safe form splits
+    // rank-assignment into (1) a map-side-combinable aggregate producing
+    // the 9 per-source cut points (a sources x 9 model table — tiny at
+    // any corpus size), (2) a broadcast join back, (3) a per-row
+    // codegen'd bucket compare: decile = 1 + #{cuts strictly below the
+    // metric}. One corpus scan, zero sorts, zero windows; the only
+    // all-rows shuffle in the naive form never happens. Ties sit in the
+    // LOWEST bucket their value allows in BOTH engines (strict `>` on
+    // cut points rounded to 4 decimals — the shared epsilon-rounding
+    // convention, so interpolated cuts are bit-identical cross-engine).
+    // NOTE decile is ntile-like, not ntile-exact: equal metric values
+    // always land in the same bucket here (ntile splits ties across
+    // buckets to force equal counts), which is the curation-correct
+    // semantics — a filter "decile >= 8" must not keep one copy of a
+    // value and drop another.
+    "d31_quality_deciles" -> OpDef.sql(
+      (s, d) => {
+        val docs = withNTok(Tables.documents(s, d))
+        withDecile(docs, decileCuts(docs))
+          .select("doc_id", "source", "n_tok", "decile")
+          .orderBy("doc_id")
+      },
+      duckD31Sql()),
+
+    // Intake decile gate: d31's bucketing as a corpus-curation FILTER —
+    // keep only the top-3 per-source token-count deciles. Same model,
+    // same compare, one more codegen'd predicate; the streaming twin
+    // (s16) broadcasts the identical cut table into the intake stream.
+    "d33_decile_gate" -> OpDef.sql(
+      (s, d) => {
+        val docs = withNTok(Tables.documents(s, d))
+        withDecile(docs, decileCuts(docs))
+          .filter(col("decile") >= 8)
+          .select("doc_id", "source", "n_tok", "decile")
+          .orderBy("doc_id")
+      },
+      duckD31Sql("WHERE decile >= 8")),
+
+    // BM25 retrieval over the corpus: the ranking function an actual
+    // search/retrieval pass runs (dedup-aware corpus QA, "find the docs
+    // about X", RAG index sanity checks). Query terms are chosen
+    // deterministically IN-PLAN — the 5 highest-df terms of length >= 4
+    // (df desc, term asc) — so the entry is self-contained on driver
+    // data. Scoring is BM25 with k1=1.2, b=0.75 and the RATIONAL idf
+    // (N - df + 0.5)/(df + 0.5) — the d20/d15 discipline: no libm log
+    // in a hash-compared score (a last-bit log difference across engines
+    // would flip the hash), products and divisions only, identical
+    // expression shape in both engines, final sum epsilon-rounded.
+    //
+    // Scale shape: tf/df/dl are d20's explode + map-side-combinable
+    // aggregates (in production they ARE the persisted inverted-index
+    // lake, written once per corpus build — the AnnIndexLake
+    // discipline); the query-term table is 5 rows broadcast into the tf
+    // scan, so only postings of the queried terms survive into scoring;
+    // doc-length norms join on doc_id over those candidates; the global
+    // top-10 is TakeOrderedAndProject (per-partition heads, no full
+    // sort). Corpus-side cost: one tokenize scan + the combinable
+    // index aggregates, independent of query count.
+    "d32_bm25" -> OpDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val tf = docs
+          .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+          .filter(length(col("term")) > 0)
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+        val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val qterms = dfT.filter(length(col("term")) >= 4)
+          .orderBy(desc("df"), col("term")).limit(5)
+        tf.join(broadcast(qterms), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          .withColumn("norm",
+            lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+          .withColumn("ts",
+            col("idf") * ((col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) * col("norm"))))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hit"),
+               round(sum(col("ts")) + lit(1e-8), 4).as("score"))
+          .orderBy(desc("score"), col("doc_id")).limit(10)
+          .select("doc_id", "n_hit", "score")
+      },
+      """WITH tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+        |        FROM documents)
+        |  WHERE length(term) > 0 GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, avg(dl) AS avgdl
+        |          FROM dl),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |q AS (SELECT term, df FROM df WHERE length(term) >= 4
+        |      ORDER BY df DESC, term LIMIT 5),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |         ((n_docs - q.df + 0.5) / (q.df + 0.5)) *
+        |         ((tf.tf * 2.2) / (tf.tf + 1.2 *
+        |            (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl)))) AS ts
+        |  FROM tf JOIN q USING (term) JOIN dl USING (doc_id), stats)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+        |       round(sum(ts) + 1e-8, 4) AS score
+        |FROM sc GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)
   )
 }

@@ -9,10 +9,10 @@ import java.sql.Timestamp
 import java.time.Instant
 
 /** Machine-readable stream-vs-batch parity: every streaming operator
-  * (s01–s15) run over a deterministic MemoryStream feed whose results are
+  * (s01–s16) run over a deterministic MemoryStream feed whose results are
   * compared row-for-row with the equivalent batch computation on the same
   * data. `Verify` serializes the results next to the oracle dump. All
-  * fifteen entries are ALSO driver-gate entries (fourteen
+  * sixteen entries are ALSO driver-gate entries (fifteen
   * DuckDB-oracle-checked; s14 rows-only like its batch twin e10 —
   * [[StreamQueries]]); this harness remains the independent cross-check
   * that drives the moving-watermark paths (append-mode window
@@ -504,7 +504,42 @@ object StreamParity {
           batch.find(_._1 == 2L).exists(_._4 == 0.4))
     }
 
+    // --- s16: decile gate at the intake = d33's filter in batch ----------
+    // Hand corpus with exactly-known deciles: web carries token counts
+    // 1..10 (cuts 1.9, 2.8, …, 9.1 → the gate keeps 8, 9, 10), books
+    // carries 10..50 by tens (cuts 14, 18, …, 46 → keeps 40, 50). The
+    // cut table comes from the STATIC corpus; stream and batch share
+    // one definition (withNTok/withDecile), so survivors must agree
+    // row-for-row — and the expected survivor set is asserted exactly.
+    val s16 = {
+      import graft.operators.TextAnalysis
+      def words(k: Int): String = (1 to k).map(_ => "tok").mkString(" ")
+      val staticDocs =
+        (1 to 10).map(i => (i.toLong, "web", words(i))) ++
+          (1 to 5).map(i => (100L + i, "books", words(10 * i)))
+      val cuts = TextAnalysis.decileCuts(TextAnalysis.withNTok(
+        staticDocs.toDF("doc_id", "source", "text")))
+      def leg(docs: DataFrame) =
+        TextAnalysis.withDecile(TextAnalysis.withNTok(docs), cuts)
+          .filter(col("decile") >= 8)
+          .select(col("doc_id"), col("source"), col("n_tok"), col("decile"))
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))
+      val in = MemoryStream[(Long, String, String)]
+      val streamed = drain(spark, "parity_s16",
+        leg(in.toDF().toDF("doc_id", "source", "text")),
+        "append",
+        Seq(() => { in.addData(staticDocs.take(7)); () },
+            () => { in.addData(staticDocs.drop(7)); () }))
+        .map(key).toSet
+      val batch = leg(staticDocs.toDF("doc_id", "source", "text"))
+        .collect().map(key).toSet
+      Result("s16_stream_deciles", streamed.size, batch.size,
+        streamed == batch &&
+          batch.map(_._1) == Set(8L, 9L, 10L, 104L, 105L))
+    }
+
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-        s14, s15)
+        s14, s15, s16)
   }
 }

@@ -461,6 +461,32 @@ object StreamQueries {
     // row (CountInSortedLongs): stateless append, zero shuffle, zero
     // state. Oracle: d16's SQL verbatim — intake and batch must flag
     // exactly the same documents.
+    // s16: streaming decile gate — d33's top-deciles curation filter at
+    // the intake. The sources x 9 cut table comes from the STATIC corpus
+    // (s12's pattern: yesterday's corpus sets today's intake thresholds)
+    // and broadcasts into the stream; the bucket compare is per-row, so
+    // the leg is stateless append with zero shuffle and zero state — a
+    // quality gate before the bytes land in the lake. Oracle: d33's SQL
+    // verbatim (d31's, filtered to decile >= 8).
+    "s16_stream_deciles" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.TextAnalysis
+        val cuts = TextAnalysis.decileCuts(
+          TextAnalysis.withNTok(graft.sources.Tables.documents(s, d)))
+        val dir = stagedDocsDir(s, d)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val docs = s.readStream.schema(schema).parquet(dir)
+        drain(s, "s16",
+            TextAnalysis.withDecile(
+                TextAnalysis.withNTok(docs.select("doc_id", "source", "text")),
+                cuts)
+              .filter(col("decile") >= 8)
+              .select("doc_id", "source", "n_tok", "decile"),
+            "append")
+          .orderBy("doc_id")
+      },
+      graft.operators.TextAnalysis.duckD31Sql("WHERE decile >= 8")),
+
     "s15_stream_decontam" -> OpDef.sql(
       (s, d) => {
         import graft.operators.Dedup

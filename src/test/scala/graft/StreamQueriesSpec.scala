@@ -101,7 +101,7 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
     assert(viaKafka == viaFiles)
   }
 
-  test("StreamParity reports stream/batch parity for all fifteen entries") {
+  test("StreamParity reports stream/batch parity for all sixteen entries") {
     val results = StreamParity.run(spark)
     assert(results.map(_.op).sorted == Seq(
       "s01_stream_windows", "s02_stream_sessions", "s03_stream_dedup",
@@ -109,7 +109,35 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
       "s06_stream_kafka_windows", "s07_stream_enrich", "s08_stream_hopping",
       "s09_stream_norm_dedup", "s10_stream_incr_dedup",
       "s11_stream_quality_filter", "s12_stream_mixture", "s13_stream_scrub",
-      "s14_stream_semdedup", "s15_stream_decontam"))
+      "s14_stream_semdedup", "s15_stream_decontam", "s16_stream_deciles"))
     results.foreach(r => assert(r.ok, s"parity failed: $r"))
+  }
+
+  test("s16 decile gate is stateless (no state store in the progress)") {
+    val q = SparkEntry.queries("s16_stream_deciles")(spark, sfDir)
+    assert(q.collect().nonEmpty)
+    // the entry drains its own query; statelessness is asserted on the
+    // plan of the same transform over a memory stream
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val in = MemoryStream[(Long, String, String)]
+    val cuts = graft.operators.TextAnalysis.decileCuts(
+      graft.operators.TextAnalysis.withNTok(
+        graft.sources.Tables.documents(spark, sfDir)))
+    val stream = graft.operators.TextAnalysis.withDecile(
+      graft.operators.TextAnalysis.withNTok(
+        in.toDF().toDF("doc_id", "source", "text")),
+      cuts).filter(org.apache.spark.sql.functions.col("decile") >= 8)
+    val query = stream.writeStream.format("memory")
+      .queryName("s16_stateless_probe").outputMode("append").start()
+    try {
+      in.addData((1L, "web", "tok tok tok"))
+      query.processAllAvailable()
+      val progress = query.lastProgress
+      assert(progress == null || progress.stateOperators.isEmpty,
+        "decile gate must carry zero streaming state")
+    } finally query.stop()
   }
 }
