@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.OpDef
 import graft.sources.Tables
@@ -54,6 +54,46 @@ object Lake {
       .partitionBy("month")
       .parquet(s"$base/compacted")
 
+  /** Morton/Z-value bit interleave of two PRE-BUCKETED columns (each in
+    * [0, 2^bits)): bit i of `a` lands at z-bit 2i, bit i of `b` at
+    * 2i+1. Pure shifts/masks/adds — stays inside whole-stage codegen.
+    */
+  private[graft] def zValue(a: Column, b: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc + shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+
+  /** The l02 working set: the lineitem columns the two filter dimensions
+    * (part, supplier) query together.
+    */
+  private[graft] def l02Cols(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select("l_orderkey", "l_linenumber", "l_partkey",
+      "l_suppkey", "l_quantity", "l_extendedprice", "l_shipdate")
+
+  /** Z-order write: normalize both keys to 8-bit buckets (integer DIV by
+    * the key's own max — rank-like for TPC-H's uniform keys, and the
+    * normalization is what makes the interleave balanced when the two
+    * dims have different bit widths), interleave, range-partition on the
+    * z-value into `files` contiguous z-ranges, sort within each. Every
+    * output file then covers a BOUNDED range of BOTH keys (a rectangle
+    * of the 2-D key space), so per-file/row-group min-max stats prune
+    * point or range predicates on EITHER dimension — the property a
+    * single-column sort gives only to its own column.
+    */
+  private[graft] def writeZOrdered(df: DataFrame, files: Int,
+      path: String): Unit = {
+    val stats = df.agg(max("l_partkey").as("pmax"), max("l_suppkey").as("smax"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("pb", expr("CAST(l_partkey * 256 DIV (pmax + 1) AS BIGINT)"))
+      .withColumn("sb", expr("CAST(l_suppkey * 256 DIV (smax + 1) AS BIGINT)"))
+      .withColumn("z", zValue(col("pb"), col("sb"), 8))
+      .repartitionByRange(files, col("z"))
+      .sortWithinPartitions("z")
+      .drop("pb", "sb", "z", "pmax", "smax")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   def defs: Map[String, OpDef] = Map(
     // Small-files compaction + partition-pruned layout, end to end: write
     // the arrival debris, compact it to a month-partitioned lake (one
@@ -77,6 +117,28 @@ object Lake {
       },
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |       o_orderdate, strftime(o_orderdate, '%Y-%m') AS month
-        |FROM orders ORDER BY o_orderkey""".stripMargin)
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // Z-order clustering: rewrite the fact table so min/max stats prune
+    // on BOTH filter dimensions. A date-sorted layout answers date
+    // filters cheaply and part/supplier filters with a full scan; the
+    // Morton interleave bounds every output file to a rectangle of the
+    // (part, supplier) key space, so a point predicate on EITHER key
+    // passes the stats check in only ~sqrt(#files) files — the layout
+    // trade a multi-tenant 100-TB lake makes for its two hottest filter
+    // columns. Like l01, the gate reads the clustered lake back in full
+    // and hash-matches the SOURCE rows: clustering must be a pure layout
+    // change. ZOrderSpec measures the pruning itself (files whose
+    // min-max range admits a probe value, z-layout vs date-sorted).
+    "l02_zorder_lake" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l02", d)
+        writeZOrdered(l02Cols(s, d), 16, s"$base/zorder")
+        s.read.parquet(s"$base/zorder")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
   )
 }
