@@ -539,7 +539,35 @@ object StreamParity {
           batch.map(_._1) == Set(8L, 9L, 10L, 104L, 105L))
     }
 
+    // --- s17: lake sink round trip = the batch rows, bit-exact ----------
+    // The sink leg has no transform to diverge; what parity pins is the
+    // TRANSPORT: rows streamed through the partitioned parquet sink and
+    // read back via its commit log must equal the batch projection
+    // exactly (no loss, no duplication, partition column intact).
+    val s17 = {
+      val rowsIn = Seq((1L, "web", 10L), (2L, "web", 20L), (3L, "books", 30L),
+        (4L, "web", 40L), (5L, "books", 50L))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_parity_s17")
+      val in = MemoryStream[(Long, String, Long)]
+      val q = in.toDF().toDF("doc_id", "source", "n_chars")
+        .writeStream.format("parquet")
+        .option("path", s"$tmp/lake")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .partitionBy("source")
+        .outputMode("append")
+        .start()
+      try {
+        in.addData(rowsIn.take(2)); q.processAllAvailable()
+        in.addData(rowsIn.drop(2)); q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.read.parquet(s"$tmp/lake")
+        .select("doc_id", "source", "n_chars").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      Result("s17_stream_lake_sink", streamed.size, rowsIn.size,
+        streamed == rowsIn.toSet)
+    }
+
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-        s14, s15, s16)
+        s14, s15, s16, s17)
   }
 }

@@ -461,6 +461,42 @@ object StreamQueries {
     // row (CountInSortedLongs): stateless append, zero shuffle, zero
     // state. Oracle: d16's SQL verbatim — intake and batch must flag
     // exactly the same documents.
+    // s17: the streaming LAKE SINK — the leg every other s-entry stops
+    // short of: intake stream → partitioned parquet lake, exactly-once.
+    // The file sink's commit log (_spark_metadata) + the checkpoint make
+    // file emission transactional per micro-batch — a batch is either
+    // fully committed and listed or invisible to readers, so a crash
+    // between commits can't duplicate or lose rows (the partitioned-sink
+    // restart proof in StreamRestartSpec kills and recovers exactly
+    // this shape). Partitioning by source at the sink is the l01
+    // discipline applied at intake: readers prune by directory from the
+    // first byte, no compaction pass required for partition locality.
+    // The gate run starts from a fresh sink+checkpoint (a reused
+    // checkpoint would skip the already-processed feed), drains, and
+    // hash-matches the read-back lake against the SOURCE table — the
+    // sink must be a pure transport.
+    "s17_stream_lake_sink" -> OpDef.sql(
+      (s, d) => {
+        val dir = stagedDocsDir(s, d)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val out = graft.operators.Lake.scratch("s17", d)
+        deleteTree(java.nio.file.Paths.get(out))
+        val docs = s.readStream.schema(schema).parquet(dir)
+          .select("doc_id", "source", "n_chars")
+        val q = docs.writeStream.format("parquet")
+          .option("path", s"$out/lake")
+          .option("checkpointLocation", s"$out/ckpt")
+          .partitionBy("source")
+          .outputMode("append")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$out/lake")
+          .select("doc_id", "source", "n_chars")
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // s16: streaming decile gate — d33's top-deciles curation filter at
     // the intake. The sources x 9 cut table comes from the STATIC corpus
     // (s12's pattern: yesterday's corpus sets today's intake thresholds)

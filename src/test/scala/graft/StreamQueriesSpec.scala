@@ -101,7 +101,7 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
     assert(viaKafka == viaFiles)
   }
 
-  test("StreamParity reports stream/batch parity for all sixteen entries") {
+  test("StreamParity reports stream/batch parity for all seventeen entries") {
     val results = StreamParity.run(spark)
     assert(results.map(_.op).sorted == Seq(
       "s01_stream_windows", "s02_stream_sessions", "s03_stream_dedup",
@@ -109,7 +109,8 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
       "s06_stream_kafka_windows", "s07_stream_enrich", "s08_stream_hopping",
       "s09_stream_norm_dedup", "s10_stream_incr_dedup",
       "s11_stream_quality_filter", "s12_stream_mixture", "s13_stream_scrub",
-      "s14_stream_semdedup", "s15_stream_decontam", "s16_stream_deciles"))
+      "s14_stream_semdedup", "s15_stream_decontam", "s16_stream_deciles",
+      "s17_stream_lake_sink"))
     results.foreach(r => assert(r.ok, s"parity failed: $r"))
   }
 

@@ -36,6 +36,59 @@ class StreamRestartSpec extends AnyFunSuite with SparkFixture {
     "hdfs" -> None,
     "rocksdb" -> Some(GraftSession.RocksDbProvider))
 
+  test("s17 partitioned file sink recovers exactly-once; orphan files stay invisible") {
+    val sp = spark
+    implicit val sqlCtx = sp.sqlContext
+    import sp.implicits._
+    val tmp = Files.createTempDirectory("graft_eo_s17").toString
+    val input = MemoryStream[(Long, String, Long)]
+    def start() = input.toDF().toDF("doc_id", "source", "n_chars")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/lake")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .partitionBy("source")
+      .outputMode("append")
+      .start()
+
+    val q1 = start()
+    try {
+      input.addData((1L, "web", 10L), (2L, "web", 20L), (3L, "books", 30L))
+      q1.processAllAvailable() // batch committed to the sink log
+      input.addData((4L, "web", 40L)) // pending at the stop — NOT drained
+    } finally q1.stop()
+
+    // restart from the checkpoint: the pending row must land exactly once
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      input.addData((5L, "books", 50L))
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val rows = spark.read.parquet(s"$tmp/lake")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(rows == Seq((1L, "web"), (2L, "web"), (3L, "books"),
+      (4L, "web"), (5L, "books")).sortBy(_._1).sorted,
+      s"lake diverged across the restart: $rows")
+
+    // partition locality at the sink: directories are the source values
+    val dirs = new java.io.File(s"$tmp/lake").listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.startsWith("_")).sorted
+    assert(dirs.toSeq == Seq("source=books", "source=web"))
+
+    // transactional visibility: a torn write (a parquet file present on
+    // disk but absent from the sink's _spark_metadata commit log) must
+    // not be readable — this is what makes a mid-write crash harmless
+    val webDir = new java.io.File(s"$tmp/lake/source=web")
+    val donor = webDir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(donor.toPath,
+      webDir.toPath.resolve("part-99999-orphan.snappy.parquet"))
+    val afterOrphan = spark.read.parquet(s"$tmp/lake").count()
+    assert(afterOrphan == 5,
+      s"reader must list files from the commit log, not the directory ($afterOrphan)")
+  }
+
   for ((provName, confValue) <- providers)
   test(s"s03 dedup state survives a checkpoint restart ($provName)") {
     withProvider(confValue) {
