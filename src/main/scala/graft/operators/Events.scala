@@ -138,6 +138,57 @@ object Events {
         .orderBy("hour_s", "event_type"),
       """SELECT (epoch_ns(ts) // 1000 // 3600000000) * 3600 AS hour_s,
         |       event_type, count(*) AS n, round(sum(value) + 1e-6, 2) AS total_value
-        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin)
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin),
+
+    // Funnel conversion: of the clicks each day, how many were followed
+    // by a `purchase` from the same user within 24 hours (the events
+    // table's inter-event gaps run to hours, so a same-session funnel
+    // would be empty — this is the day-scale funnel). The per-click
+    // "next purchase" comes from ONE window pass — min(purchase ts)
+    // over a VALUE-based RANGE frame [current ts, ts + 24 h] — instead
+    // of the naive self-join of clicks against purchases (an interval
+    // join that explodes on active users). The frame is value-based on ts_us
+    // deliberately: a ROWS frame would depend on tie ORDER between
+    // equal timestamps (engine-dependent), a RANGE frame cannot.
+    // user_id is a HIGH-cardinality partition key, so the window
+    // parallelizes with the corpus (the q18 anti-pattern is only the
+    // low-cardinality window); one shuffle on user_id total.
+    "q40_funnel" -> OpDef.sql(
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts_us")
+          .rangeBetween(Window.currentRow, 86400000000L)
+        Tables.events(s, d)
+          .withColumn("next_buy_us",
+            min(when(col("event_type") === "purchase", col("ts_us"))).over(w))
+          .filter(col("event_type") === "click")
+          .withColumn("day", expr("ts_us DIV 86400000000"))
+          .groupBy("day")
+          .agg(count(lit(1)).as("n_clicks"),
+               sum(when(col("next_buy_us").isNotNull, 1L).otherwise(0L))
+                 .as("n_converted"))
+          .withColumn("conv_rate",
+            round(col("n_converted").cast("double") / col("n_clicks")
+                    + lit(1e-8), 4))
+          .orderBy("day")
+      },
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_type, ts_us,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts_us END) OVER (
+        |           PARTITION BY user_id ORDER BY ts_us
+        |           RANGE BETWEEN CURRENT ROW AND 86400000000 FOLLOWING)
+        |           AS next_buy_us
+        |  FROM e)
+        |SELECT ts_us // 86400000000 AS day,
+        |       CAST(count(*) AS BIGINT) AS n_clicks,
+        |       CAST(sum(CASE WHEN next_buy_us IS NOT NULL THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_converted,
+        |       round(CAST(sum(CASE WHEN next_buy_us IS NOT NULL THEN 1 ELSE 0
+        |                      END) AS DOUBLE) / count(*) + 1e-8, 4)
+        |         AS conv_rate
+        |FROM f WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY day""".stripMargin)
   )
 }

@@ -840,6 +840,44 @@ object Relational {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
-        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
+
+    // Cohort retention matrix: customers bucketed by their FIRST order
+    // month, then counted per (cohort, months-since-cohort) — q37 gives
+    // the two-year churn verdicts, this is the full month-resolution
+    // retention grid an analytics team actually charts. All month math
+    // is INTEGER (linear month index y*12+m; never months_between or
+    // date subtraction, whose fractional conventions differ across
+    // engines). Two shuffles, both combinable: min-per-customer for the
+    // cohort, then the grid count-distinct riding a shuffle on the
+    // (cohort, offset) pair; the cohort join-back shuffles on custkey
+    // (bucket the orders lake on custkey and it's exchange-free).
+    "q41_retention" -> OpDef.sql(
+      (s, d) => {
+        val o = Tables.orders(s, d).select(col("o_custkey"),
+          (year(col("o_orderdate")) * lit(12) + month(col("o_orderdate")))
+            .as("m"))
+        val cohort = o.groupBy("o_custkey").agg(min("m").as("m0"))
+        o.join(cohort, "o_custkey")
+          .withColumn("m_offset", (col("m") - col("m0")).cast("int"))
+          .groupBy("m0", "m_offset")
+          .agg(countDistinct("o_custkey").as("n_cust"))
+          .select(expr("CAST((m0 - 1) DIV 12 AS INT)").as("cohort_y"),
+                  expr("CAST((m0 - 1) % 12 + 1 AS INT)").as("cohort_m"),
+                  col("m_offset"), col("n_cust"))
+          .orderBy("cohort_y", "cohort_m", "m_offset")
+      },
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |         year(o_orderdate) * 12 + month(o_orderdate) AS m
+        |  FROM orders),
+        |c AS (SELECT o_custkey, min(m) AS m0 FROM o GROUP BY o_custkey)
+        |SELECT CAST((m0 - 1) // 12 AS INT) AS cohort_y,
+        |       CAST((m0 - 1) % 12 + 1 AS INT) AS cohort_m,
+        |       CAST(m - m0 AS INT) AS m_offset,
+        |       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_cust
+        |FROM o JOIN c USING (o_custkey)
+        |GROUP BY m0, m - m0
+        |ORDER BY cohort_y, cohort_m, m_offset""".stripMargin)
   )
 }
