@@ -139,6 +139,37 @@ object Lake {
       },
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       l_quantity, l_extendedprice, l_shipdate
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // Schema evolution without a table rewrite: generation 1 of the lake
+    // lands three columns, generation 2 adds a fourth — and a
+    // mergeSchema read plans the UNION of the file schemas, backfilling
+    // the old files' missing column with nulls at scan time. This is how
+    // a 100-TB lake takes a new column: only new files carry it; nothing
+    // is rewritten, and per-file column pruning still applies (a query
+    // not touching the new column never reads it anywhere). The oracle
+    // reconstructs the same rows from the source table: generation-1
+    // rows must surface the new column as NULL.
+    "l03_schema_evolution" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l03", d)
+        val o = Tables.orders(s, d)
+          .withColumn("yr", year(col("o_orderdate")))
+        o.filter(col("yr") === 1994)
+          .select("o_orderkey", "o_totalprice")
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/lake/gen=1")
+        o.filter(col("yr") === 1995)
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/lake/gen=2")
+        s.read.option("mergeSchema", "true").parquet(s"$base/lake")
+          .select("o_orderkey", "o_totalprice", "o_orderpriority")
+          .orderBy("o_orderkey")
+      },
+      """SELECT o_orderkey, o_totalprice,
+        |       CASE WHEN year(o_orderdate) = 1995
+        |            THEN o_orderpriority END AS o_orderpriority
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1994, 1995)
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

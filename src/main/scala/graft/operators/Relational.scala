@@ -878,6 +878,45 @@ object Relational {
         |       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_cust
         |FROM o JOIN c USING (o_custkey)
         |GROUP BY m0, m - m0
-        |ORDER BY cohort_y, cohort_m, m_offset""".stripMargin)
+        |ORDER BY cohort_y, cohort_m, m_offset""".stripMargin),
+
+    // Table profiling (the ANALYZE/data-quality pass an ETL pipeline
+    // runs before trusting an intake): per-column non-null count, null
+    // count, exact distinct count, min/max/mean — ONE scan for all
+    // columns (the aggregates all ride the same pass; the per-column
+    // DISTINCTs cost one Expand, multiplying scan rows by #profiled
+    // columns map-side, still combinable). The wide one-row result is
+    // unpivoted to a row per column with `stack`. At 100 TB the exact
+    // distinct swaps for approx_count_distinct (q30's HLL path) — the
+    // plan shape is otherwise identical; exact is kept here because
+    // exact is what an oracle can check.
+    "q42_profile" -> OpDef.sql(
+      (s, d) => {
+        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        val aggs = cols.flatMap { c => Seq(
+          count(col(c)).as(s"${c}_n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_nd"),
+          round(min(col(c)) + lit(1e-8), 4).as(s"${c}_min"),
+          round(max(col(c)) + lit(1e-8), 4).as(s"${c}_max"),
+          round(avg(col(c)) + lit(1e-8), 4).as(s"${c}_mean")) }
+        Tables.lineitem(s, d)
+          .agg(aggs.head, aggs.tail: _*)
+          .selectExpr("stack(4, " + cols.map(c =>
+              s"'$c', ${c}_n, ${c}_nulls, ${c}_nd, " +
+              s"${c}_min, ${c}_max, ${c}_mean").mkString(", ") +
+            ") AS (col_name, n, n_null, n_distinct, min_v, max_v, mean_v)")
+          .orderBy("col_name")
+      },
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count($c) AS BIGINT) AS n,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  round(min($c) + 1e-8, 4) AS min_v,
+           |  round(max($c) + 1e-8, 4) AS max_v,
+           |  round(avg($c) + 1e-8, 4) AS mean_v
+           |FROM lineitem""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"))
   )
 }
