@@ -43,6 +43,68 @@ object TextAnalysis {
         (size(expr("filter(cuts, t -> CAST(n_tok AS DOUBLE) > t)"))
           + lit(1)).cast("int"))
 
+  /** One greedy left-to-right BPE merge of adjacent (a, b) over a symbol
+    * array, as a fold: the accumulator is the already-emitted prefix, so
+    * a symbol consumed by a merge can't start another one (the merged
+    * symbol, not `a`, is what lands in the prefix). a/b travel as plan
+    * literals — no SQL-string quoting of corpus-derived symbols.
+    */
+  private def bpeMergeOnce(sym: Column, a: String, b: String): Column =
+    aggregate(sym,
+      array().cast("array<string>"),
+      // CaseWhen evaluates branches lazily, so element_at(acc, -1) only
+      // runs on a non-empty prefix (ANSI mode throws on empty arrays;
+      // SQL && does not short-circuit, so one guarded when() would not
+      // be safe)
+      (acc, t) => when(size(acc) === 0, array(t))
+        .when(element_at(acc, -1) === lit(a) && t === lit(b),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(t))))
+
+  /** Train `k` BPE merges on the corpus (see the d34 gate entry's comment
+    * for the scale shape). Returns the merge table: one row per learned
+    * merge (rank, left, right, merged, pair count at selection time).
+    */
+  private[graft] def bpeTrain(s: SparkSession, docs: DataFrame,
+      k: Int): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val words = docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .select(col("freq"), split(col("w"), "").as("sym"))
+    var cur = words.persist()
+    val merges = scala.collection.mutable.ListBuffer.empty[(Int, String, String, String, Long)]
+    try {
+      for (r <- 1 to k) {
+        val top = cur
+          .select(col("freq"), explode(expr(
+            """arrays_zip(slice(sym, 1, greatest(size(sym) - 1, 0)),
+              |           slice(sym, 2, greatest(size(sym) - 1, 0)))""".stripMargin))
+            .as("pr"))
+          .select(col("freq"), expr("pr.`0`").as("l"), expr("pr.`1`").as("r"))
+          .groupBy("l", "r").agg(sum("freq").as("n"))
+          .orderBy(desc("n"), col("l"), col("r")).limit(1)
+          .collect()
+        if (top.nonEmpty) {
+          val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r, a, b, a + b, n))
+          val next = cur
+            .withColumn("sym", bpeMergeOnce(col("sym"), a, b))
+            .persist()
+          // materialize the round before dropping its parent, so the next
+          // round's aggregate never recomputes the whole merge chain
+          next.count()
+          cur.unpersist(blocking = false)
+          cur = next
+        }
+      }
+    } finally cur.unpersist(blocking = false)
+    merges.toSeq.toDF("rank", "left_sym", "right_sym", "merged", "n")
+      .orderBy("rank")
+  }
+
   /** d31's DuckDB oracle; `where` narrows it to d33/s16's gate form. */
   private[graft] def duckD31Sql(where: String = ""): String =
     s"""WITH t AS (
@@ -531,6 +593,26 @@ object TextAnalysis {
         |            ORDER BY score DESC, term) AS INT) AS rk
         |  FROM scored)
         |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin),
+
+    // BPE tokenizer TRAINING (Sennrich-style), distributed: the corpus
+    // is scanned ONCE for the word-frequency table, and the iterative
+    // merge loop runs entirely over that table — distinct words, not
+    // corpus tokens — which is what makes tokenizer induction feasible
+    // at 100 TB (the word table is millions of rows where the corpus is
+    // trillions). Each round: (1) adjacent symbol-pair counts weighted
+    // by word frequency — one combinable aggregate; (2) the argmax pair
+    // to the driver (ONE row per round — the trainLloyd model
+    // discipline; ties broken count desc, pair asc, so training is
+    // deterministic); (3) the merge applied per word by a fold
+    // (`aggregate` HOF) that replaces adjacent (a,b) with the merged
+    // symbol greedily left-to-right — the fold carries the emitted
+    // prefix, so overlapping occurrences ("aaa" under (a,a)) merge
+    // non-overlapping exactly like the reference algorithm. Output: the
+    // learned merge table. Rows-only (a K-round training loop has no
+    // SQL twin); BpeTrainSpec replays the whole algorithm in Scala and
+    // pins a hand corpus with arithmetically known merges.
+    "d34_bpe_train" -> OpDef.rowsOnly(
+      (s, d) => bpeTrain(s, Tables.documents(s, d), 8)),
 
     // Per-source decile bucketing WITHOUT the window: corpus curation
     // ranks documents into quantile buckets per source (keep the top-k
