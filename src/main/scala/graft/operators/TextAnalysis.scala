@@ -105,6 +105,52 @@ object TextAnalysis {
       .orderBy("rank")
   }
 
+  /** The trained merge model for this corpus as (left, right) in rank
+    * order — d34's output collected to the driver (K rows; the model,
+    * never the data). Shared by d35 and the s18 intake twin so batch
+    * and stream tokenize under the SAME vocabulary.
+    */
+  private[graft] def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeTrain(s, Tables.documents(s, d), 8)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+  /** The full merge fold for one word column: chars → the K merges in
+    * rank order (BPE apply is rank-ordered by definition).
+    */
+  private def bpeFold(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(w, "")) { case (c, (a, b)) => bpeMergeOnce(c, a, b) }
+
+  /** The tokenizer's word table: every DISTINCT word of `docs` folded
+    * ONCE. This is the model-shaped half of apply — vocabulary-sized
+    * (millions of rows at 100 TB, vs trillions of corpus tokens), so
+    * the expensive fold runs orders of magnitude fewer times than a
+    * per-occurrence apply, and the table broadcasts.
+    */
+  private[graft] def bpeVocab(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    docs
+      .select(explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0).distinct()
+      .withColumn("n_sym", size(bpeFold(col("w"), merges)))
+
+  /** Tokenize with a trained merge list: corpus words probe the folded
+    * vocab by broadcast join; words OUTSIDE the vocab (an arriving
+    * stream's novel words) fall back to the in-row fold — coalesce
+    * evaluates lazily, so the fold only ever runs on vocab misses.
+    * Emits per-doc whitespace-word and BPE-token counts.
+    */
+  private[graft] def bpeTokenCounts(docs: DataFrame,
+      merges: Seq[(String, String)], vocab: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .join(broadcast(vocab), Seq("w"), "left")
+      .withColumn("n_sym_eff",
+        coalesce(col("n_sym"), size(bpeFold(col("w"), merges))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym_eff").as("n_bpe_tokens"))
+      .orderBy("doc_id")
+
   /** d31's DuckDB oracle; `where` narrows it to d33/s16's gate form. */
   private[graft] def duckD31Sql(where: String = ""): String =
     s"""WITH t AS (
@@ -613,6 +659,26 @@ object TextAnalysis {
     // pins a hand corpus with arithmetically known merges.
     "d34_bpe_train" -> OpDef.rowsOnly(
       (s, d) => bpeTrain(s, Tables.documents(s, d), 8)),
+
+    // The apply side of the tokenizer loop (train once / apply many —
+    // the AnnIndexLake discipline in tokenizer form): the K-row merge
+    // table rides the plan as literals, the expensive merge fold runs
+    // ONCE PER DISTINCT WORD (the vocabulary-sized folded-word table,
+    // broadcast back into the corpus scan — per-occurrence apply would
+    // run the interpreted fold trillions of times at 100 TB; this runs
+    // it millions), and unseen words fall back to a lazy in-row fold;
+    // the per-doc output is the token count a sequence-packing /
+    // context-budget pass consumes (d18's input, now under a TRAINED
+    // vocabulary instead of the whitespace proxy). Rows-only
+    // (the counts depend on the trained model); BpeApplySpec replays
+    // tokenization in Scala, and s18 is the intake twin on the same
+    // model.
+    "d35_bpe_apply" -> OpDef.rowsOnly(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = trainedMerges(s, d)
+        bpeTokenCounts(docs, merges, bpeVocab(docs, merges))
+      }),
 
     // Per-source decile bucketing WITHOUT the window: corpus curation
     // ranks documents into quantile buckets per source (keep the top-k

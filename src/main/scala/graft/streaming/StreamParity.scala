@@ -567,7 +567,43 @@ object StreamParity {
         streamed == rowsIn.toSet)
     }
 
+    // --- s18: trained-vocabulary tokenization = the batch counts ---------
+    // Merges trained on the static hand corpus; stream and batch share
+    // one definition (bpeTokenCounts) under the SAME model, so per-doc
+    // token counts must agree row-for-row — and the merges must
+    // actually compress (BPE tokens strictly fewer than characters).
+    val s18 = {
+      import graft.operators.TextAnalysis
+      val staticDocs = Seq(
+        (1L, "low low lower newest newest widest"),
+        (2L, "aaaa aaaa lowest newest"))
+      val docsDF = staticDocs.toDF("doc_id", "text")
+      val merges = TextAnalysis.bpeTrain(spark, docsDF, 4)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+      // vocab DELIBERATELY trained on doc 1 only: doc 2's words hit the
+      // unseen-word fallback fold, so parity exercises BOTH paths
+      val vocab = TextAnalysis.bpeVocab(
+        docsDF.filter(col("doc_id") === 1L), merges)
+      def leg(docs: DataFrame) =
+        TextAnalysis.bpeTokenCounts(docs, merges, vocab)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2))
+      val in = MemoryStream[(Long, String)]
+      val streamed = drain(spark, "parity_s18",
+        leg(in.toDF().toDF("doc_id", "text")),
+        "complete",
+        Seq(() => { in.addData(staticDocs.take(1)); () },
+            () => { in.addData(staticDocs.drop(1)); () }))
+        .map(key).toSet
+      val batch = leg(docsDF).collect().map(key).toSet
+      val chars = staticDocs.map { case (id, t) =>
+        id -> t.split("\\s+").map(_.length.toLong).sum }.toMap
+      Result("s18_stream_bpe", streamed.size, batch.size,
+        streamed == batch && merges.size == 4 &&
+          batch.forall { case (id, _, nTok) => nTok < chars(id) })
+    }
+
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-        s14, s15, s16, s17)
+        s14, s15, s16, s17, s18)
   }
 }

@@ -461,6 +461,35 @@ object StreamQueries {
     // row (CountInSortedLongs): stateless append, zero shuffle, zero
     // state. Oracle: d16's SQL verbatim — intake and batch must flag
     // exactly the same documents.
+    // s18: streaming BPE tokenization — d35's trained-vocabulary token
+    // counting at the intake (the tokenize step every arriving document
+    // passes before packing/budgeting). The K-row merge model comes
+    // from the STATIC corpus (d34's training — in production a
+    // persisted tokenizer artifact) and rides the plan as literals; the
+    // per-word fold is per-row work, and the per-doc count rollup is
+    // the ONE permitted stateful aggregation (complete mode, keyed by
+    // doc_id — the s10 verdict pattern). Rows-only like its batch twin;
+    // the parity harness pins stream == batch counts under the same
+    // model.
+    "s18_stream_bpe" -> OpDef.rowsOnly(
+      (s, d) => {
+        import graft.operators.TextAnalysis
+        val merges = TextAnalysis.trainedMerges(s, d)
+        // the folded-vocab table is the second model artifact: words
+        // seen in the static corpus probe it by broadcast join; novel
+        // arriving words take the lazy in-row fold fallback
+        val vocab = TextAnalysis.bpeVocab(
+          graft.sources.Tables.documents(s, d), merges)
+        val dir = stagedDocsDir(s, d)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val docs = s.readStream.schema(schema).parquet(dir)
+        drain(s, "s18",
+            TextAnalysis.bpeTokenCounts(
+              docs.select("doc_id", "text"), merges, vocab),
+            "complete")
+          .orderBy("doc_id")
+      }),
+
     // s17: the streaming LAKE SINK — the leg every other s-entry stops
     // short of: intake stream → partitioned parquet lake, exactly-once.
     // The file sink's commit log (_spark_metadata) + the checkpoint make
