@@ -9,11 +9,11 @@ import java.sql.Timestamp
 import java.time.Instant
 
 /** Machine-readable stream-vs-batch parity: every streaming operator
-  * (s01–s16) run over a deterministic MemoryStream feed whose results are
+  * (s01–s18) run over a deterministic MemoryStream feed whose results are
   * compared row-for-row with the equivalent batch computation on the same
   * data. `Verify` serializes the results next to the oracle dump. All
-  * sixteen entries are ALSO driver-gate entries (fifteen
-  * DuckDB-oracle-checked; s14 rows-only like its batch twin e10 —
+  * eighteen entries are ALSO driver-gate entries (sixteen
+  * DuckDB-oracle-checked; s14/s18 rows-only like their batch twins —
   * [[StreamQueries]]); this harness remains the independent cross-check
   * that drives the moving-watermark paths (append-mode window
   * finalization, timeout flushes, cross-batch dedup, kafka-shape decode,
