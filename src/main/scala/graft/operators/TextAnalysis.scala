@@ -108,11 +108,23 @@ object TextAnalysis {
   /** The trained merge model for this corpus as (left, right) in rank
     * order — d34's output collected to the driver (K rows; the model,
     * never the data). Shared by d35 and the s18 intake twin so batch
-    * and stream tokenize under the SAME vocabulary.
+    * and stream tokenize under the SAME vocabulary. Memoized per
+    * (dir, source-file stamp) — the in-JVM form of the train-once /
+    * apply-many discipline (production persists the K rows as a
+    * tokenizer artifact); a regenerated corpus changes the stamp and
+    * retrains.
     */
-  private[graft] def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] =
-    bpeTrain(s, Tables.documents(s, d), 8)
-      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+
+  private[graft] def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] = {
+    val f = java.nio.file.Paths.get(d, "documents.parquet")
+    val key = s"$d|${java.nio.file.Files.size(f)}|" +
+      java.nio.file.Files.getLastModifiedTime(f).toMillis
+    mergeCache.computeIfAbsent(key, _ =>
+      bpeTrain(s, Tables.documents(s, d), 8)
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+  }
 
   /** The full merge fold for one word column: chars → the K merges in
     * rank order (BPE apply is rank-ordered by definition).
