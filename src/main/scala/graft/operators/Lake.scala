@@ -16,14 +16,44 @@ import graft.sources.Tables
   */
 object Lake {
 
-  /** Deterministic scratch root per (operator, input dir) — re-runs
-    * overwrite instead of accumulating; nothing is ever written outside
-    * the JVM temp dir.
+  /** Deterministic scratch root per (operator, input dir) — stable within
+    * one JVM so re-runs overwrite instead of accumulating, but namespaced
+    * so neither of the two sharing hazards can occur: the dir component is
+    * a full SHA-256 (not 32-bit hashCode, which collides across dirs) and
+    * the path carries a per-process token, so two concurrent JVMs gating
+    * the same data dir never race each other's deleteTree/Overwrite.
+    * Nothing is ever written outside the JVM temp dir; this process's
+    * roots are swept by a shutdown hook.
     */
+  private val procToken: String =
+    java.lang.Long.toHexString(ProcessHandle.current.pid)
+
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private val scratchRoots =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+
+  private lazy val sweepHook: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchRoots.forEach { p =>
+        try deleteTree(p) catch { case _: Exception => () }
+      }))
+
+  private[graft] def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+
   private[graft] def scratch(tag: String, d: String): String = {
-    val h = java.lang.Integer.toHexString(d.hashCode)
+    val h = sha256Hex(d).take(16)
     val base = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft_${tag}_$h")
+      sys.props("java.io.tmpdir"), s"graft_${procToken}_${tag}_$h")
+    sweepHook
+    scratchRoots.add(base)
     base.toString
   }
 

@@ -36,12 +36,21 @@ object TextAnalysis {
     * 1 + #{cuts strictly below n_tok}. Shared verbatim by d31/d33 and
     * the streaming intake twin s16 (stream-static broadcast join —
     * stateless), so batch and stream bucketing cannot drift.
+    *
+    * The join is LEFT on source: under the production pattern where
+    * yesterday's corpus sets today's cut table, a document from a source
+    * the model has never seen must be a VISIBLE decision, not silent
+    * loss — it passes through with `decile` NULL, and the gate sites
+    * (d33/s16) quarantine NULLs with an explicit predicate instead of
+    * relying on an inner join to disappear them.
     */
   private[graft] def withDecile(docs: DataFrame, cuts: DataFrame): DataFrame =
-    docs.join(broadcast(cuts), "source")
+    docs.join(broadcast(cuts), Seq("source"), "left")
       .withColumn("decile",
-        (size(expr("filter(cuts, t -> CAST(n_tok AS DOUBLE) > t)"))
-          + lit(1)).cast("int"))
+        when(col("cuts").isNull, lit(null).cast("int"))
+          .otherwise(
+            (size(expr("filter(cuts, t -> CAST(n_tok AS DOUBLE) > t)"))
+              + lit(1)).cast("int")))
 
   /** One greedy left-to-right BPE merge of adjacent (a, b) over a symbol
     * array, as a fold: the accumulator is the already-emitted prefix, so
@@ -108,22 +117,32 @@ object TextAnalysis {
   /** The trained merge model for this corpus as (left, right) in rank
     * order — d34's output collected to the driver (K rows; the model,
     * never the data). Shared by d35 and the s18 intake twin so batch
-    * and stream tokenize under the SAME vocabulary. Memoized per
-    * (dir, source-file stamp) — the in-JVM form of the train-once /
-    * apply-many discipline (production persists the K rows as a
-    * tokenizer artifact); a regenerated corpus changes the stamp and
-    * retrains.
+    * and stream tokenize under the SAME vocabulary. Memoized per corpus
+    * CONTENT stamp ([[Tables.stamp]]: size + head/tail digest, so a
+    * regenerated corpus of identical byte length within mtime granularity
+    * still retrains, and a missing table fails with a clear error) — the
+    * in-JVM form of the train-once / apply-many discipline (production
+    * persists the K rows as a tokenizer artifact). The cache is bounded:
+    * a long-lived JVM cycling many corpora evicts oldest-inserted.
     */
   private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]()
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[String, Seq[(String, String)]]() {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, Seq[(String, String)]]): Boolean =
+          size() > 8
+      })
 
   private[graft] def trainedMerges(s: SparkSession, d: String): Seq[(String, String)] = {
-    val f = java.nio.file.Paths.get(d, "documents.parquet")
-    val key = s"$d|${java.nio.file.Files.size(f)}|" +
-      java.nio.file.Files.getLastModifiedTime(f).toMillis
-    mergeCache.computeIfAbsent(key, _ =>
-      bpeTrain(s, Tables.documents(s, d), 8)
-        .collect().map(r => (r.getString(1), r.getString(2))).toSeq)
+    val key = Tables.stamp(d, "documents")
+    mergeCache.synchronized {
+      Option(mergeCache.get(key)).getOrElse {
+        val m = bpeTrain(s, Tables.documents(s, d), 8)
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        mergeCache.put(key, m)
+        m
+      }
+    }
   }
 
   /** The full merge fold for one word column: chars → the K merges in
@@ -729,7 +748,10 @@ object TextAnalysis {
       (s, d) => {
         val docs = withNTok(Tables.documents(s, d))
         withDecile(docs, decileCuts(docs))
-          .filter(col("decile") >= 8)
+          // explicit unknown-source policy: decile NULL (a source absent
+          // from the cut model) is quarantined here — stated, not an
+          // inner-join side effect
+          .filter(col("decile").isNotNull && col("decile") >= 8)
           .select("doc_id", "source", "n_tok", "decile")
           .orderBy("doc_id")
       },

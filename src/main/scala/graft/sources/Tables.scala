@@ -62,4 +62,45 @@ object Tables {
     */
   def withTsUs(df: DataFrame): DataFrame =
     normalizeTs(df).withColumn("ts_us", expr("ts DIV 1000"))
+
+  /** Content stamp for a table under `dir` — the cache key for every
+    * train-once/probe-many memo (BPE model, dup-cluster labels). Digests
+    * size + first/last 64 KiB of each data file (parquet footers live in
+    * the tail, so a regenerated file of identical byte length still
+    * changes the stamp — mtime granularity can't fool it), over the
+    * sorted file list when the table is a directory. Missing tables fail
+    * with a clear error instead of a raw NoSuchFileException.
+    */
+  def stamp(dir: String, name: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(dir, s"$name.parquet")
+    if (!Files.exists(root))
+      throw new IllegalArgumentException(
+        s"table $name not found under $dir (expected $root)")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def digestFile(p: Path): Unit = {
+      val size = Files.size(p)
+      md.update(p.getFileName.toString.getBytes("UTF-8"))
+      md.update(java.nio.ByteBuffer.allocate(8).putLong(size).array())
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        val head = java.nio.ByteBuffer.allocate(65536)
+        ch.read(head, 0L); head.flip(); md.update(head)
+        if (size > 65536L) {
+          val tail = java.nio.ByteBuffer.allocate(65536)
+          ch.read(tail, math.max(65536L, size - 65536L)); tail.flip()
+          md.update(tail)
+        }
+      } finally ch.close()
+    }
+    if (Files.isDirectory(root)) {
+      import scala.jdk.CollectionConverters._
+      Files.list(root).iterator().asScala.toSeq
+        .filter(p => Files.isRegularFile(p))
+        .filterNot(_.getFileName.toString.startsWith("_"))
+        .sortBy(_.getFileName.toString)
+        .foreach(digestFile)
+    } else digestFile(root)
+    s"$dir|$name|" + md.digest().map("%02x".format(_)).mkString
+  }
 }

@@ -545,7 +545,11 @@ object StreamQueries {
             TextAnalysis.withDecile(
                 TextAnalysis.withNTok(docs.select("doc_id", "source", "text")),
                 cuts)
-              .filter(col("decile") >= 8)
+              // explicit unknown-source policy (mirrors d33): a stream
+              // doc whose source is absent from the static cut model
+              // gets decile NULL from the left join and is quarantined
+              // by this stated predicate, never dropped silently
+              .filter(col("decile").isNotNull && col("decile") >= 8)
               .select("doc_id", "source", "n_tok", "decile"),
             "append")
           .orderBy("doc_id")

@@ -47,6 +47,24 @@ class DecileBm25Spec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("unknown sources pass through withDecile with decile NULL, never vanish") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.TextAnalysis
+    val docs = TextAnalysis.withNTok(graft.sources.Tables.documents(spark, sfDir))
+    val cuts = TextAnalysis.decileCuts(docs)
+    val novel = docs.limit(3).withColumn("source", lit("brand_new_source"))
+    val out = TextAnalysis.withDecile(docs.union(novel), cuts)
+    // the three novel-source docs survive the left join, with decile NULL
+    // as the visible "no model for this source" signal
+    val unknown = out.filter(col("source") === "brand_new_source").collect()
+    assert(unknown.length == 3, "unknown-source docs must not be dropped")
+    assert(unknown.forall(_.isNullAt(unknown.head.fieldIndex("decile"))),
+      "unknown sources must carry decile NULL, not a fabricated bucket")
+    // and every known-source doc still gets a real bucket
+    assert(out.filter(col("source") =!= "brand_new_source" &&
+      col("decile").isNull).count() == 0)
+  }
+
   test("d31 buckets without a window; the cut table is broadcast") {
     val p = SparkEntry.queries("d31_quality_deciles")(spark, sfDir)
       .queryExecution.executedPlan.toString
