@@ -146,8 +146,15 @@ object Bench {
     val slowest = ok.sortBy(-_._2).take(3)
       .map { case (k, w, _, _) => f""""$k":$w%.3f""" }.mkString("{", ",", "}")
     spark.stop()
+    // The same contract object ALSO lands in a bare-JSON file: six rounds
+    // of driver tails came back `parsed: null` because sbt frames stdout
+    // with `[info] `/`[success]` noise the builder does not control. Any
+    // consumer that wants the contract without log scraping reads the
+    // summary file (probe runs write *_probe so they never clobber it).
+    val contract = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"calib_sec":$calib%.3f,"sf":"$sfDir","queries_file":"$queriesFile","diag_file":"$diagFile","summary_file":"bench/BENCH_summary_$suffix.json"}"""
+    writeJson(s"bench/BENCH_summary_$suffix.json", contract)
     // printed AFTER spark.stop() so no late executor/log line can land
     // between the contract line and the end of stdout
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"calib_sec":$calib%.3f,"sf":"$sfDir","queries_file":"$queriesFile","diag_file":"$diagFile"}""")
+    println(contract)
   }
 }

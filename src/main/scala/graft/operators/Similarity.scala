@@ -785,13 +785,17 @@ object Similarity {
     // components) replicated in SQL.
     "e06_embed_clusters" -> OpDef.sql(
       (s, d) => {
-        val pairs = graft.Caching.persistTracked("e06_pairs",
-          embedDupPairs(s, d).select("a_id", "b_id"))
-        val edges = graft.Caching.persistTracked("e06_edges",
-          pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-            .toDF("src", "dst"))
-        val lab = Dedup.propagateLabels(s, edges, name = "e06")
-          .toDF("vec_id", "cluster_id")
+        // label table memoized per embeddings stamp, like d13's (the
+        // persisted-lake-artifact cost model — see Dedup.memoLabels)
+        val lab = Dedup.memoLabels("e06",
+            graft.sources.Tables.stamp(d, "embeddings")) {
+          val pairs = graft.Caching.persistTracked("e06_pairs",
+            embedDupPairs(s, d).select("a_id", "b_id"))
+          val edges = graft.Caching.persistTracked("e06_edges",
+            pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+              .toDF("src", "dst"))
+          Dedup.propagateLabels(s, edges, name = "e06")
+        }.toDF("vec_id", "cluster_id")
         lab
           .join(lab.groupBy("cluster_id").agg(count(lit(1)).as("cluster_size")),
                 "cluster_id")

@@ -182,6 +182,74 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_words"), sum("n_sym_eff").as("n_bpe_tokens"))
       .orderBy("doc_id")
 
+  /** DuckDB replay of the K-round BPE training loop — the d34/d35/s18
+    * oracle. The merge sequence is deterministic by construction (argmax
+    * with count-desc/pair-asc tie-break over integer counts), so a SQL
+    * replay is exact, not approximate. Representation: each word's
+    * symbol list is ONE string, every symbol wrapped in chr(31)
+    * sentinels (`␟a␟␟b␟…` — chr(31) is outside the corpus alphabet, and
+    * the decile/gate data is printable ASCII). One round's greedy
+    * left-to-right non-overlapping merge of (a,b) is then a single
+    * `replace(ws, '␟a␟␟b␟', '␟ab␟')`: standard replace scans left to
+    * right and resumes AFTER each replacement, which is exactly the
+    * fold semantics of [[bpeMergeOnce]] (a consumed symbol cannot start
+    * the next merge; "aaa" under (a,a) → "aa","a"), and the
+    * double-sentinel inner boundary means a pair pattern can never
+    * match across partial symbols. Every CTE is MATERIALIZED: the K
+    * chained rounds reference their predecessors several times, and
+    * DuckDB's default inlining would recompute the chain exponentially.
+    * coalesce-to-chr(30) guards the degenerate no-pairs round (the
+    * sentinel never occurs, so the replace is a no-op, matching the
+    * Spark loop that simply stops appending merges).
+    */
+  private[graft] def duckBpeChain(k: Int): String = {
+    val S = "chr(31)"
+    val w0 = s"""w0 AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS freq,
+       |         regexp_replace(w, '(.)', $S || '\\1' || $S, 'g') AS ws
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+       |  WHERE length(w) > 0 GROUP BY w)""".stripMargin
+    val rounds = (1 to k).map { i =>
+      val p = i - 1
+      s"""p$i AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS n
+         |  FROM (SELECT freq, string_split(trim(ws, $S), $S||$S) AS syms FROM w$p),
+         |       LATERAL unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (
+         |  SELECT $i AS rank, l, r, n FROM p$i ORDER BY n DESC, l, r LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w, freq,
+         |         replace(ws,
+         |           coalesce((SELECT $S||l||$S||$S||r||$S FROM m$i), chr(30)),
+         |           coalesce((SELECT $S||l||r||$S FROM m$i), chr(30))) AS ws
+         |  FROM w$p)""".stripMargin
+    }
+    (w0 +: rounds).mkString(",\n")
+  }
+
+  private[graft] def duckD34Sql(k: Int): String = {
+    val sel = (1 to k).map(i => s"SELECT * FROM m$i").mkString("\nUNION ALL\n")
+    s"""WITH ${duckBpeChain(k)},
+       |mm AS ($sel)
+       |SELECT CAST(rank AS INT) AS rank, l AS left_sym, r AS right_sym,
+       |       l || r AS merged, n
+       |FROM mm ORDER BY rank""".stripMargin
+  }
+
+  private[graft] def duckD35Sql(k: Int): String =
+    s"""WITH ${duckBpeChain(k)},
+       |vocab AS MATERIALIZED (
+       |  SELECT w, len(string_split(trim(ws, chr(31)), chr(31)||chr(31))) AS n_sym
+       |  FROM w$k)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS w
+       |      FROM documents) t
+       |JOIN vocab USING (w)
+       |WHERE length(w) > 0
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** d31's DuckDB oracle; `where` narrows it to d33/s16's gate form. */
   private[graft] def duckD31Sql(where: String = ""): String =
     s"""WITH t AS (
@@ -685,11 +753,15 @@ object TextAnalysis {
     // symbol greedily left-to-right — the fold carries the emitted
     // prefix, so overlapping occurrences ("aaa" under (a,a)) merge
     // non-overlapping exactly like the reference algorithm. Output: the
-    // learned merge table. Rows-only (a K-round training loop has no
-    // SQL twin); BpeTrainSpec replays the whole algorithm in Scala and
-    // pins a hand corpus with arithmetically known merges.
-    "d34_bpe_train" -> OpDef.rowsOnly(
-      (s, d) => bpeTrain(s, Tables.documents(s, d), 8)),
+    // learned merge table — HASH-PROVEN against a full cross-engine
+    // replay: the K-round loop IS expressible in SQL (see duckBpeChain's
+    // sentinel-wrapped-string trick), so the oracle re-trains the
+    // tokenizer in DuckDB and the merge sequence must match row for row.
+    // BpeTrainSpec additionally replays the algorithm in Scala and pins
+    // a hand corpus with arithmetically known merges.
+    "d34_bpe_train" -> OpDef.sql(
+      (s, d) => bpeTrain(s, Tables.documents(s, d), 8),
+      duckD34Sql(8)),
 
     // The apply side of the tokenizer loop (train once / apply many —
     // the AnnIndexLake discipline in tokenizer form): the K-row merge
@@ -700,16 +772,18 @@ object TextAnalysis {
     // it millions), and unseen words fall back to a lazy in-row fold;
     // the per-doc output is the token count a sequence-packing /
     // context-budget pass consumes (d18's input, now under a TRAINED
-    // vocabulary instead of the whitespace proxy). Rows-only
-    // (the counts depend on the trained model); BpeApplySpec replays
-    // tokenization in Scala, and s18 is the intake twin on the same
-    // model.
-    "d35_bpe_apply" -> OpDef.rowsOnly(
+    // vocabulary instead of the whitespace proxy). HASH-PROVEN: the
+    // oracle re-trains the model in DuckDB (duckBpeChain) and tokenizes
+    // the corpus under it, so Spark's fold and SQL's replace must agree
+    // on every word of every document. BpeApplySpec replays tokenization
+    // in Scala, and s18 is the intake twin on the same model.
+    "d35_bpe_apply" -> OpDef.sql(
       (s, d) => {
         val docs = Tables.documents(s, d)
         val merges = trainedMerges(s, d)
         bpeTokenCounts(docs, merges, bpeVocab(docs, merges))
-      }),
+      },
+      duckD35Sql(8)),
 
     // Per-source decile bucketing WITHOUT the window: corpus curation
     // ranks documents into quantile buckets per source (keep the top-k

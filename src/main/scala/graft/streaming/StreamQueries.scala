@@ -468,10 +468,12 @@ object StreamQueries {
     // persisted tokenizer artifact) and rides the plan as literals; the
     // per-word fold is per-row work, and the per-doc count rollup is
     // the ONE permitted stateful aggregation (complete mode, keyed by
-    // doc_id — the s10 verdict pattern). Rows-only like its batch twin;
-    // the parity harness pins stream == batch counts under the same
-    // model.
-    "s18_stream_bpe" -> OpDef.rowsOnly(
+    // doc_id — the s10 verdict pattern). Hash-proven like its batch
+    // twin: the oracle is d35's DuckDB tokenizer replay verbatim —
+    // intake and batch must count identically under the same model; the
+    // parity harness additionally exercises the vocab-miss fallback
+    // path on novel words.
+    "s18_stream_bpe" -> OpDef.sql(
       (s, d) => {
         import graft.operators.TextAnalysis
         val merges = TextAnalysis.trainedMerges(s, d)
@@ -488,7 +490,8 @@ object StreamQueries {
               docs.select("doc_id", "text"), merges, vocab),
             "complete")
           .orderBy("doc_id")
-      }),
+      },
+      graft.operators.TextAnalysis.duckD35Sql(8)),
 
     // s17: the streaming LAKE SINK — the leg every other s-entry stops
     // short of: intake stream → partitioned parquet lake, exactly-once.

@@ -43,6 +43,22 @@ class DupClusterSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("d13/d14/d28 share ONE label-loop execution per corpus (memoized)") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(dir).isDirectory)
+    Dedup.clearLabelMemo()
+    val before = Dedup.loopRuns.get()
+    SparkEntry.queries("d13_dup_clusters")(spark, dir).collect()
+    val afterFirst = Dedup.loopRuns.get()
+    assert(afterFirst == before + 1, "first consumer must run the loop")
+    SparkEntry.queries("d14_corpus_select")(spark, dir).collect()
+    SparkEntry.queries("d28_priority_select")(spark, dir).collect()
+    SparkEntry.queries("d13_dup_clusters")(spark, dir).collect()
+    assert(Dedup.loopRuns.get() == afterFirst,
+      "later consumers of the same corpus must reuse the memoized labels")
+  }
+
   test("d28 keeps the best-priority member of every union-find cluster") {
     val dir = "/root/testdata/sf0.01"
     assume(new java.io.File(dir).isDirectory)
