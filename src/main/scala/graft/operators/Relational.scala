@@ -38,6 +38,32 @@ object Relational {
     try s.sql(sql(view)) finally s.catalog.dropTempView(view)
   }
 
+  /** q42's profile pass; `approx = true` is the 100-TB form — the exact
+    * per-column DISTINCT (one Expand: scan rows × #columns map-side)
+    * becomes approx_count_distinct at q30's tuned 2.3% rsd, erasing the
+    * Expand while every other aggregate, the stack unpivot, and the
+    * single-scan shape stay bit-identical.
+    */
+  private[graft] def profileDf(s: SparkSession, d: String,
+      approx: Boolean): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val aggs = cols.flatMap { c => Seq(
+      count(col(c)).as(s"${c}_n"),
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+      (if (approx) approx_count_distinct(col(c), 0.023)
+       else countDistinct(col(c))).as(s"${c}_nd"),
+      round(min(col(c)) + lit(1e-8), 4).as(s"${c}_min"),
+      round(max(col(c)) + lit(1e-8), 4).as(s"${c}_max"),
+      round(avg(col(c)) + lit(1e-8), 4).as(s"${c}_mean")) }
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("stack(4, " + cols.map(c =>
+          s"'$c', ${c}_n, ${c}_nulls, ${c}_nd, " +
+          s"${c}_min, ${c}_max, ${c}_mean").mkString(", ") +
+        ") AS (col_name, n, n_null, n_distinct, min_v, max_v, mean_v)")
+      .orderBy("col_name")
+  }
+
   val defs: Map[String, OpDef] = Map(
 
     // Per-item pricelist: min/max/avg/volume per part (reference: per-item
@@ -886,28 +912,17 @@ object Relational {
     // columns (the aggregates all ride the same pass; the per-column
     // DISTINCTs cost one Expand, multiplying scan rows by #profiled
     // columns map-side, still combinable). The wide one-row result is
-    // unpivoted to a row per column with `stack`. At 100 TB the exact
-    // distinct swaps for approx_count_distinct (q30's HLL path) — the
-    // plan shape is otherwise identical; exact is kept here because
-    // exact is what an oracle can check.
+    // unpivoted to a row per column with `stack`. The 100-TB form is
+    // EXECUTABLE, not documented: SPARK_GRAFT_PROFILE_APPROX=1 (or
+    // profileDf(approx = true)) swaps the exact distinct for
+    // approx_count_distinct (q30's HLL path) with the IDENTICAL plan
+    // otherwise — no Expand, one ordinary combinable aggregate;
+    // ProfileApproxSpec asserts the shape swap and bounds the sketch
+    // error vs this exact gate entry (q30's discipline). Exact stays
+    // the gate default because exact is what an oracle can check.
     "q42_profile" -> OpDef.sql(
-      (s, d) => {
-        val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-        val aggs = cols.flatMap { c => Seq(
-          count(col(c)).as(s"${c}_n"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-          countDistinct(col(c)).as(s"${c}_nd"),
-          round(min(col(c)) + lit(1e-8), 4).as(s"${c}_min"),
-          round(max(col(c)) + lit(1e-8), 4).as(s"${c}_max"),
-          round(avg(col(c)) + lit(1e-8), 4).as(s"${c}_mean")) }
-        Tables.lineitem(s, d)
-          .agg(aggs.head, aggs.tail: _*)
-          .selectExpr("stack(4, " + cols.map(c =>
-              s"'$c', ${c}_n, ${c}_nulls, ${c}_nd, " +
-              s"${c}_min, ${c}_max, ${c}_mean").mkString(", ") +
-            ") AS (col_name, n, n_null, n_distinct, min_v, max_v, mean_v)")
-          .orderBy("col_name")
-      },
+      (s, d) => profileDf(s, d,
+        approx = sys.env.get("SPARK_GRAFT_PROFILE_APPROX").contains("1")),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
         s"""SELECT '$c' AS col_name,
            |  CAST(count($c) AS BIGINT) AS n,

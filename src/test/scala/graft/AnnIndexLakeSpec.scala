@@ -111,6 +111,27 @@ class AnnIndexLakeSpec extends AnyFunSuite with SparkFixture {
       "sentinel: the Lloyd signature moved; update this assert")
   }
 
+  test("e03 gate trains once per corpus stamp; repeat runs are pure index reads") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // first ensure call may write; once the stamp marker matches, a
+    // repeat ensure must neither retrain nor rewrite the index
+    val dir = AnnIndexLake.ensureE03Index(spark, sfDir, emb)
+    val centroidsDir = java.nio.file.Paths.get(dir, "centroids")
+    val before = java.nio.file.Files.getLastModifiedTime(centroidsDir)
+    val reuseJobs = countJobs("e03_reuse") {
+      assert(AnnIndexLake.ensureE03Index(spark, sfDir, emb) == dir)
+    }
+    assert(reuseJobs == 0, s"a current index must cost zero jobs to ensure, ran $reuseJobs")
+    assert(java.nio.file.Files.getLastModifiedTime(centroidsDir) == before,
+      "a current index must not be rewritten")
+    // and the gate entry's own result is stable across the reuse
+    val r1 = SparkEntry.queries("e03_ann_ivf")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val r2 = SparkEntry.queries("e03_ann_ivf")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(r1 == r2 && r1.nonEmpty)
+  }
+
   test("int8 lake reconstructs the dequantized corpus exactly") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = tmpDir("int8")
