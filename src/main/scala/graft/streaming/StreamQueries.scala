@@ -227,11 +227,40 @@ object StreamQueries {
 
   /** Runs `streamed` into a fresh memory-sink table, drains the source,
     * stops the query, and returns the sink as a DataFrame tracked under
-    * `name` (the previous run's cache is dropped).
+    * `name` (the previous run's cache is dropped). Heavy stateful legs
+    * pass `feedBytes` (the staged feed's on-disk size) so the drain can
+    * size its state shards to the data — see [[StreamRun.drain]].
     */
   private def drain(s: SparkSession, name: String, streamed: DataFrame,
-                    mode: String): DataFrame =
-    StreamRun.drain(s, streamed, mode, name)
+                    mode: String, feedBytes: Long = -1L): DataFrame =
+    StreamRun.drain(s, streamed, mode, name, inputBytes = feedBytes)
+
+  /** File-sink drain for the big append legs (see
+    * [[StreamRun.drainToFiles]]): results land as parquet under a
+    * per-(leg, corpus) scratch, never in a driver-side memory buffer.
+    */
+  private def drainFiles(s: SparkSession, name: String, streamed: DataFrame,
+                         d: String, feedBytes: Long): DataFrame =
+    StreamRun.drainToFiles(s, streamed, name,
+      graft.operators.Lake.scratch(s"${name}_drain", d), inputBytes = feedBytes)
+
+  /** Total bytes of the regular files under `dirs` (a staged feed's
+    * size; repeats count twice — s03 feeds the same stage to both union
+    * legs).
+    */
+  private def dirBytes(dirs: String*): Long =
+    dirs.map { d =>
+      import scala.jdk.CollectionConverters._
+      val p = java.nio.file.Paths.get(d)
+      if (!java.nio.file.Files.isDirectory(p)) 0L
+      else {
+        val listing = java.nio.file.Files.list(p)
+        try listing.iterator().asScala
+          .filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+        finally listing.close()
+      }
+    }.sum
 
   /** The windowed-aggregation oracle, shared verbatim by s01 (file feed)
     * and s06 (kafka-shaped feed) — the transport must not change a value.
@@ -287,7 +316,8 @@ object StreamQueries {
         val events = eventStream(s, d, dir = dir)
           .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
           .as[StreamEvent]
-        drain(s, "s02", StreamOps.sessionize(events).toDF(), "append")
+        drainFiles(s, "s02", StreamOps.sessionize(events).toDF(), d,
+              feedBytes = dirBytes(dir))
           .orderBy("user_id", "session_id")
       },
       graft.operators.Events.SessionOracleSql),
@@ -310,7 +340,8 @@ object StreamQueries {
             ev.schema("ts").dataType)))
         val events = eventStream(s, d, dir = dir, filesPerTrigger = 1)
           .select(col("user_id"), col("ts"), col("value"))
-        drain(s, "s04", StreamOps.sessionizeWithTimeout(events).toDF(), "append")
+        drainFiles(s, "s04", StreamOps.sessionizeWithTimeout(events).toDF(), d,
+              feedBytes = dirBytes(dir))
           .filter(col("user_id") =!= SentinelUser)
           .orderBy("user_id", "session_id")
       },
@@ -321,14 +352,17 @@ object StreamQueries {
     // per event_id must survive, so the oracle is the plain events table.
     "s03_stream_dedup" -> OpDef.sql(
       (s, d) => {
-        val one = eventStream(s, d)
+        val dir = stagedEventsDir(s, d, "events")
+        val one = eventStream(s, d, dir = dir)
           .select("event_id", "ts", "user_id", "event_type", "value")
-        val two = eventStream(s, d)
+        val two = eventStream(s, d, dir = dir)
           .select("event_id", "ts", "user_id", "event_type", "value")
-        drain(s, "s03", StreamOps.dedupStream(one.union(two))
+        drainFiles(s, "s03", StreamOps.dedupStream(one.union(two))
             .select(col("event_id"), col("user_id"), col("event_type"),
                     unix_micros(col("ts")).as("ts_us"), col("value")),
-          "append")
+          d,
+          // the union feeds the stage twice — state sizes to 2x the feed
+          feedBytes = dirBytes(dir, dir))
           .orderBy("event_id")
       },
       """SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, value
@@ -393,10 +427,10 @@ object StreamQueries {
         val dir = stagedDocsDir(s, d)
         val schema = s.read.parquet(s"$d/documents.parquet").schema
         val docs = s.readStream.schema(schema).parquet(dir)
-        drain(s, "s11",
+        drainFiles(s, "s11",
             graft.operators.TextAnalysis.qualityVerdict(
               docs.select("doc_id", "text")),
-            "append")
+            d, feedBytes = dirBytes(dir))
           .orderBy("doc_id")
       },
       graft.operators.TextAnalysis.duckD21Sql),
@@ -415,10 +449,10 @@ object StreamQueries {
         val dir = stagedDocsDir(s, d)
         val schema = s.read.parquet(s"$d/documents.parquet").schema
         val docs = s.readStream.schema(schema).parquet(dir)
-        drain(s, "s13",
+        drainFiles(s, "s13",
             graft.operators.Dedup.scrubAgainst(
               s, docs.select("doc_id", "text"), boiler),
-            "append")
+            d, feedBytes = dirBytes(dir))
           .orderBy("doc_id")
       },
       graft.operators.Dedup.duckD29Sql),
@@ -544,7 +578,7 @@ object StreamQueries {
         val dir = stagedDocsDir(s, d)
         val schema = s.read.parquet(s"$d/documents.parquet").schema
         val docs = s.readStream.schema(schema).parquet(dir)
-        drain(s, "s16",
+        drainFiles(s, "s16",
             TextAnalysis.withDecile(
                 TextAnalysis.withNTok(docs.select("doc_id", "source", "text")),
                 cuts)
@@ -554,7 +588,7 @@ object StreamQueries {
               // by this stated predicate, never dropped silently
               .filter(col("decile").isNotNull && col("decile") >= 8)
               .select("doc_id", "source", "n_tok", "decile"),
-            "append")
+            d, feedBytes = dirBytes(dir))
           .orderBy("doc_id")
       },
       graft.operators.TextAnalysis.duckD31Sql("WHERE decile >= 8")),
@@ -567,9 +601,9 @@ object StreamQueries {
         val schema = s.read.parquet(s"$d/documents.parquet").schema
         val docs = s.readStream.schema(schema).parquet(dir)
           .filter(Dedup.splitOf(Dedup.splitBucket(col("doc_id"))) === "train")
-        drain(s, "s15",
+        drainFiles(s, "s15",
             Dedup.decontamVerdicts(s, docs.select("doc_id", "text"), bench),
-            "append")
+            d, feedBytes = dirBytes(dir))
           .orderBy("doc_id")
       },
       graft.operators.Dedup.duckD16Sql),
