@@ -474,7 +474,9 @@ object StreamQueries {
         val emb = graft.sources.Tables.embeddings(s, d)
         val split = Dedup.splitOf(Dedup.splitBucket(col("vec_id")))
         val index = emb.filter(split =!= "test")
-        val m = Similarity.e08TrainModel(s, index)
+        // one model per corpus stamp, shared with the e10 batch face
+        val m = Similarity.e08ModelMemo("e10_index", d)(
+          Similarity.e08TrainModel(s, index))
         val idx = graft.Caching.persistTracked("s14_idx",
           Similarity.e10IndexAssigned(s, m, index))
         val dir = stagedEmbDir(s, d)
