@@ -396,8 +396,14 @@ object Similarity {
     * deterministic plane family at `seedOffset` (e03's seeding, offset
     * so the two levels start disjoint).
     */
+  /** Total Lloyd trainings this JVM — the model-memo spec asserts the
+    * e08/e10/s14 family trains once per corpus (cf. Dedup.loopRuns).
+    */
+  private[graft] val lloydRuns = new java.util.concurrent.atomic.AtomicLong
+
   private def trainLloyd(s: SparkSession, vecs: DataFrame, k: Int,
       seedOffset: Int, fnPrefix: String): Array[Array[Float]] = {
+    lloydRuns.incrementAndGet()
     var centroids: Array[Array[Float]] =
       planes(seedOffset + k).slice(seedOffset, seedOffset + k)
         .map(_.map(_.toFloat))

@@ -132,6 +132,22 @@ class AnnIndexLakeSpec extends AnyFunSuite with SparkFixture {
     assert(r1 == r2 && r1.nonEmpty)
   }
 
+  test("e08/e10/s14 share one trained model per corpus (no Lloyd on reuse)") {
+    // first calls may train (or hit an earlier test's memo); once warm,
+    // every consumer of the same corpus must assign under the cached
+    // model with zero Lloyd trainings
+    SparkEntry.queries("e08_semantic_dedup_trained")(spark, sfDir).collect()
+    SparkEntry.queries("e10_incremental_semdedup")(spark, sfDir).collect()
+    val before = Similarity.lloydRuns.get()
+    val r1 = SparkEntry.queries("e08_semantic_dedup_trained")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val r2 = SparkEntry.queries("e10_incremental_semdedup")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(Similarity.lloydRuns.get() == before,
+      "warm-corpus gate runs must not retrain the quantizer")
+    assert(r1.nonEmpty && r2.nonEmpty)
+  }
+
   test("int8 lake reconstructs the dequantized corpus exactly") {
     val emb = Tables.embeddings(spark, sfDir)
     val dir = tmpDir("int8")
