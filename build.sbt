@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The forked JVM's stdout passes straight through instead of being
+// re-logged with an `[info] ` prefix — Bench's one-line JSON contract
+// reaches the driver's tail capture as BARE JSON (the prefix kept six
+// rounds of BENCH_r*.json at `parsed: null`). sbt's own [success]
+// epilogue still follows, but the line itself is clean.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
