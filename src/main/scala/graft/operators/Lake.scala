@@ -200,6 +200,88 @@ object Lake {
         |            THEN o_orderpriority END AS o_orderpriority
         |FROM orders
         |WHERE year(o_orderdate) IN (1994, 1995)
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // Snapshot diff between two corpus builds — the audit every
+    // incremental pipeline runs before promoting a new lake version:
+    // which documents were ADDED, REMOVED, or CHANGED since the build
+    // the current models/dedup indexes were computed on? (The reference
+    // rewrites per-realm snapshots every ingest tick; diffing
+    // consecutive snapshots is how its consumers know what moved.)
+    //
+    // The gate derives build 2 from build 1 DETERMINISTICALLY via the
+    // d11 md5 bucket (bucket < 8 removed, 8..15 edited in place, clones
+    // of 16..23 added under a fresh id range), writes BOTH builds to a
+    // scratch lake, and diffs the read-backs — so the whole
+    // write/read/diff path is exercised and the oracle can replay the
+    // derivation in SQL.
+    //
+    // Scale shape: the diff is ONE full-outer join on doc_id comparing
+    // md5 CONTENT FINGERPRINTS, never text bytes (at 100 TB the
+    // fingerprint is a column stored at write time, so the diff reads
+    // two narrow (id, fp) projections — column pruning does the rest;
+    // both snapshots bucketed by doc_id make it a zero-Exchange
+    // sort-merge join, the d24 bucketed-lake discipline). Output is
+    // only the churn rows; 'unchanged' — the overwhelming bulk at
+    // production churn rates — never leaves the join.
+    "l04_snapshot_diff" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Dedup
+        val base = scratch("l04", d)
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val bucket = Dedup.splitBucket(col("doc_id"))
+        docs.write.mode(SaveMode.Overwrite).parquet(s"$base/v1")
+        docs.filter(bucket >= 8) // bucket < 8: removed in build 2
+          .withColumn("text",
+            when(bucket < 16, concat(col("text"), lit(" (rev 2)")))
+              .otherwise(col("text")))
+          .unionByName(
+            docs.filter(bucket >= 16 && bucket < 24)
+              .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+                      col("source"),
+                      concat(col("text"), lit(" (new)")).as("text")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/v2")
+        val v1 = s.read.parquet(s"$base/v1")
+          .select(col("doc_id"), col("source").as("source1"),
+                  md5(col("text").cast("binary")).as("fp1"))
+        val v2 = s.read.parquet(s"$base/v2")
+          .select(col("doc_id"), col("source").as("source2"),
+                  md5(col("text").cast("binary")).as("fp2"))
+        v1.join(v2, Seq("doc_id"), "full_outer")
+          .withColumn("status",
+            when(col("fp1").isNull, "added")
+              .when(col("fp2").isNull, "removed")
+              .when(col("fp1") =!= col("fp2"), "changed")
+              .otherwise("unchanged"))
+          .filter(col("status") =!= "unchanged")
+          .select(col("doc_id"),
+                  coalesce(col("source2"), col("source1")).as("source"),
+                  col("status"))
+          .orderBy("doc_id")
+      }, {
+        def b(id: String) =
+          s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % 100"
+        s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+           |v2 AS (
+           |  SELECT doc_id, source,
+           |         CASE WHEN ${b("doc_id")} < 16 THEN text || ' (rev 2)'
+           |              ELSE text END AS text
+           |  FROM v1 WHERE ${b("doc_id")} >= 8
+           |  UNION ALL
+           |  SELECT doc_id + 1000000000 AS doc_id, source,
+           |         text || ' (new)' AS text
+           |  FROM v1 WHERE ${b("doc_id")} >= 16 AND ${b("doc_id")} < 24),
+           |j AS (
+           |  SELECT coalesce(a.doc_id, c.doc_id) AS doc_id,
+           |         coalesce(c.source, a.source) AS source,
+           |         CASE WHEN a.doc_id IS NULL THEN 'added'
+           |              WHEN c.doc_id IS NULL THEN 'removed'
+           |              WHEN md5(a.text) <> md5(c.text) THEN 'changed'
+           |              ELSE 'unchanged' END AS status
+           |  FROM v1 a FULL OUTER JOIN v2 c ON a.doc_id = c.doc_id)
+           |SELECT doc_id, source, status FROM j
+           |WHERE status <> 'unchanged'
+           |ORDER BY doc_id""".stripMargin
+      })
   )
 }
