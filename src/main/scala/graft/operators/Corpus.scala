@@ -231,6 +231,57 @@ object Corpus {
          |SELECT doc_id, shard, n_tokens,
          |       (cum - n_tokens) // 256 AS bin_id,
          |       (cum - n_tokens) % 256 AS bin_offset
-         |FROM c ORDER BY doc_id""".stripMargin)
+         |FROM c ORDER BY doc_id""".stripMargin),
+
+    // Sliding-window chunking: split each document into overlapping
+    // token windows (W=64 tokens, stride S=48 → 16-token overlap) — the
+    // retrieval/context-window layout step (RAG indexes, long-doc
+    // training with context continuity) that complements d18's
+    // gap-free packing. Window count: 1 if n<=W, else ceil((n-W)/S)+1,
+    // so the final window always ends at the last token and every
+    // window holds >= W-S+1 real tokens. Tokenizer is the d05/d07
+    // split family (\\s+, parity with DuckDB's string_split_regex
+    // proven across those gates); all arithmetic is integer DIV.
+    //
+    // Scale shape: ZERO corpus shuffle — one scan, a per-row bounded
+    // explode (chunks-per-doc ∝ doc tokens / stride, so output size is
+    // a fixed ~1.33x multiple of the corpus), slice/array_join inside
+    // whole-stage codegen. The ORDER BY is gate determinism only; a
+    // production run writes chunks partition-local. At 100 TB this is
+    // exactly as parallel as the input file count.
+    "d36_chunk" -> OpDef.sql(
+      (s, d) => {
+        val W = 64
+        val S = 48
+        Tables.documents(s, d)
+          .select(col("doc_id"), split(col("text"), "\\s+").as("toks"))
+          .withColumn("n", size(col("toks")))
+          .withColumn("nc",
+            when(col("n") <= W, lit(1))
+              .otherwise(expr(s"CAST((n - $W + ${S - 1}) DIV $S AS INT) + 1")))
+          .withColumn("chunk_id", explode(sequence(lit(0), col("nc") - 1)))
+          .select(col("doc_id"),
+                  col("chunk_id").cast("long").as("chunk_id"),
+                  least(lit(W), col("n") - col("chunk_id") * S)
+                    .cast("long").as("n_tok"),
+                  array_join(slice(col("toks"),
+                    col("chunk_id") * S + 1, lit(W)), " ").as("chunk_text"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks, len(toks) AS n,
+        |         CASE WHEN len(toks) <= 64 THEN 1
+        |              ELSE ((len(toks) - 64 + 47) // 48) + 1 END AS nc
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, toks, n, unnest(range(0, nc)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tok,
+        |       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64],
+        |                       ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)
   )
 }

@@ -282,6 +282,159 @@ object Lake {
            |SELECT doc_id, source, status FROM j
            |WHERE status <> 'unchanged'
            |ORDER BY doc_id""".stripMargin
-      })
+      }),
+
+    // Incremental materialized-view refresh: the aggregate table a
+    // 100-TB lake serves dashboards from, refreshed by MERGING partial
+    // aggregates from only the arriving delta — the base corpus is
+    // NEVER rescanned. (The reference recomputes its pricelist/stats
+    // snapshots per ingest tick; the scalable form of that tick is
+    // exactly this: new tick's partials + stored MV -> merged MV.)
+    //
+    // The MV: orders by (priority, month) with count + sum(price).
+    // Both are DISTRIBUTIVE aggregates, so refresh is an exact
+    // algebraic merge: sum of counts, sum of sums; avg is DERIVED at
+    // read time from the merged partials (never stored — averages of
+    // averages are wrong). The cutoff lands MID-month (1996-06-15), so
+    // the merge exercises all three group classes: MV-only groups pass
+    // through, delta-only groups insert, and the boundary month
+    // genuinely merges.
+    //
+    // Scale shape: refresh cost ∝ |delta| + |MV|. The delta leg is one
+    // scan with the date predicate PUSHED to parquet (at 100 TB, a
+    // date-partitioned lake prunes to the new partitions by directory
+    // alone); the MV is priorities x months — kilobytes. Prices sum as
+    // DECIMAL(18,2), so the merge is EXACT and associative — a
+    // float-summing MV would drift from a full recompute by
+    // re-association, and the gate hash would catch it.
+    "l05_incr_mv" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l05", d)
+        val cutoff = "1996-06-15"
+        def partials(df: DataFrame): DataFrame = df
+          .withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
+          .groupBy("o_orderpriority", "ym")
+          .agg(count(lit(1)).as("n_orders"),
+               sum(col("o_totalprice").cast("decimal(18,2)")).as("sum_price"))
+        val orders = Tables.orders(s, d)
+        // build tick: materialize the MV over the base corpus
+        partials(orders.filter(col("o_orderdate") < lit(cutoff)))
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/mv_v1")
+        // refresh tick: partials over ONLY the delta, merged with the
+        // stored MV (sum-of-counts / sum-of-sums), avg derived last
+        s.read.parquet(s"$base/mv_v1")
+          .unionByName(
+            partials(orders.filter(col("o_orderdate") >= lit(cutoff))))
+          .groupBy("o_orderpriority", "ym")
+          .agg(sum("n_orders").as("n_orders"),
+               sum("sum_price").as("sum_price"))
+          .select(col("o_orderpriority"), col("ym"),
+                  col("n_orders"),
+                  r2(col("sum_price").cast("double")).as("sum_price"),
+                  r2(col("sum_price").cast("double") / col("n_orders"))
+                    .as("avg_price"))
+          .orderBy("o_orderpriority", "ym")
+      },
+      """SELECT o_orderpriority, strftime(o_orderdate, '%Y-%m') AS ym,
+        |       CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |               AS DOUBLE) + 1e-6, 2) AS sum_price,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |               AS DOUBLE) / count(*) + 1e-6, 2) AS avg_price
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin),
+
+    // CDC apply (MERGE INTO): take snapshot v1 plus a changelog of
+    // upserts and deletes and produce snapshot v2 — the write half of
+    // the snapshot lifecycle whose read half is l04's diff. (The
+    // reference's ingest tick IS this operation: apply the tick's
+    // auction updates/removals to the stored per-realm snapshot.) The
+    // changelog is derived from v1 by the same d11 bucket rule l04
+    // uses (<8 → D, 8–15 → U in place, clones of 16–23 → U under new
+    // ids), so diff(v1, apply(v1, log)) must equal l04's churn —
+    // CdcApplySpec pins that cross-operator identity.
+    //
+    // The merge itself is the scalable two-leg form: snapshot
+    // ANTI-JOIN changelog keys (drop superseded rows), UNION the
+    // changelog's upsert payloads. At 100 TB the changelog is a tick —
+    // orders of magnitude smaller than the snapshot — so the anti join
+    // BROADCASTS the keys and the snapshot never shuffles; a
+    // too-big-to-broadcast changelog degrades to a shuffled equality
+    // join on the same plan. Both builds transit the lake (v1 and v2
+    // written + read back), so the gate hashes real parquet bytes.
+    "l06_cdc_apply" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Dedup
+        val base = scratch("l06", d)
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        docs.write.mode(SaveMode.Overwrite).parquet(s"$base/v1")
+        val v1 = s.read.parquet(s"$base/v1")
+        cdcChangelog(v1).write.mode(SaveMode.Overwrite).parquet(s"$base/log")
+        val log = s.read.parquet(s"$base/log")
+        cdcMerge(v1, log).write.mode(SaveMode.Overwrite).parquet(s"$base/v2")
+        s.read.parquet(s"$base/v2")
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      duckCdcSql)
   )
+
+  /** The CDC-apply oracle, shared by l06 and its streaming twin s19:
+    * DuckDB replays the bucket-rule changelog derivation and the merge
+    * (v1 minus superseded keys, union upsert payloads).
+    */
+  private[graft] val duckCdcSql: String = {
+    def b(id: String) =
+      s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % 100"
+    s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+       |log AS (
+       |  SELECT 'D' AS op, doc_id, source, text
+       |  FROM v1 WHERE ${b("doc_id")} < 8
+       |  UNION ALL
+       |  SELECT 'U', doc_id, source, text || ' (rev 2)'
+       |  FROM v1 WHERE ${b("doc_id")} >= 8 AND ${b("doc_id")} < 16
+       |  UNION ALL
+       |  SELECT 'U', doc_id + 1000000000, source, text || ' (new)'
+       |  FROM v1 WHERE ${b("doc_id")} >= 16 AND ${b("doc_id")} < 24),
+       |v2 AS (
+       |  SELECT doc_id, source, text FROM v1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM log)
+       |  UNION ALL
+       |  SELECT doc_id, source, text FROM log WHERE op = 'U')
+       |SELECT doc_id, source, md5(text) AS fp
+       |FROM v2 ORDER BY doc_id""".stripMargin
+  }
+
+  /** The r2e epsilon-rounding convention (Relational.r2e), local copy. */
+  private def r2(c: Column): Column = round(c + lit(1e-6), 2)
+
+  /** The MERGE kernel of l06: drop every snapshot row the changelog
+    * supersedes (broadcast anti join — the snapshot side never
+    * shuffles), then union the upsert payloads.
+    */
+  private[graft] def cdcMerge(v1: DataFrame, log: DataFrame): DataFrame =
+    v1.join(broadcast(log.select("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(log.filter(col("op") === "U")
+        .select("doc_id", "source", "text"))
+
+  /** The deterministic gate changelog (l06/s19): deletes, in-place
+    * updates, and fresh-id inserts derived from the snapshot by the d11
+    * md5 bucket rule — the same derivation l04's diff predicts, so
+    * diff(v1, apply(v1, changelog)) == l04's churn by construction.
+    */
+  private[graft] def cdcChangelog(v1: DataFrame): DataFrame = {
+    val bucket = Dedup.splitBucket(col("doc_id"))
+    v1.filter(bucket < 8)
+      .select(lit("D").as("op"), col("doc_id"), col("source"), col("text"))
+      .unionByName(v1.filter(bucket >= 8 && bucket < 16)
+        .select(lit("U").as("op"), col("doc_id"), col("source"),
+                concat(col("text"), lit(" (rev 2)")).as("text")))
+      .unionByName(v1.filter(bucket >= 16 && bucket < 24)
+        .select(lit("U").as("op"),
+                (col("doc_id") + lit(1000000000L)).as("doc_id"),
+                col("source"),
+                concat(col("text"), lit(" (new)")).as("text")))
+  }
 }

@@ -9,10 +9,10 @@ import java.sql.Timestamp
 import java.time.Instant
 
 /** Machine-readable stream-vs-batch parity: every streaming operator
-  * (s01–s18) run over a deterministic MemoryStream feed whose results are
+  * (s01–s19) run over a deterministic MemoryStream feed whose results are
   * compared row-for-row with the equivalent batch computation on the same
   * data. `Verify` serializes the results next to the oracle dump. All
-  * eighteen entries are ALSO driver-gate entries (sixteen
+  * nineteen entries are ALSO driver-gate entries (seventeen
   * DuckDB-oracle-checked; s14/s18 rows-only like their batch twins —
   * [[StreamQueries]]); this harness remains the independent cross-check
   * that drives the moving-watermark paths (append-mode window
@@ -603,7 +603,49 @@ object StreamParity {
           batch.forall { case (id, _, nTok) => nTok < chars(id) })
     }
 
+    // --- s19: streamed chain of CDC merges = the one-shot batch merge ----
+    // What parity pins is the VERSIONING: two ticks applied through
+    // foreachBatch (delete, in-place update, fresh-id insert spread
+    // across both) must land exactly the state one batch cdcMerge of
+    // the whole changelog produces — no lost deletes, no double
+    // applies, untouched rows intact.
+    val s19 = {
+      val snap = Seq((1L, "web", "alpha"), (2L, "web", "beta"),
+        (3L, "books", "gamma"), (4L, "web", "delta"))
+      val logRows = Seq(("D", 2L, "web", "beta"),
+        ("U", 3L, "books", "gamma v2"),
+        ("U", 9L, "web", "epsilon"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_parity_s19")
+      val snapDF = snap.toDF("doc_id", "source", "text")
+      snapDF.write.mode("overwrite").parquet(s"$tmp/snap/v0")
+      val in = MemoryStream[(String, Long, String, String)]
+      val q = in.toDF().toDF("op", "doc_id", "source", "text")
+        .writeStream
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.operators.Lake.cdcMerge(
+              spark.read.parquet(s"$tmp/snap/v$id"), b)
+            .write.mode("overwrite").parquet(s"$tmp/snap/v${id + 1}")
+          ()
+        }.start()
+      try {
+        in.addData(logRows.take(1)); q.processAllAvailable()
+        in.addData(logRows.drop(1)); q.processAllAvailable()
+      } finally q.stop()
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getString(2))
+      val streamed = spark.read.parquet(s"$tmp/snap/v2").collect()
+        .map(key).toSet
+      val batch = graft.operators.Lake.cdcMerge(snapDF,
+          logRows.toDF("op", "doc_id", "source", "text")).collect()
+        .map(key).toSet
+      Result("s19_stream_cdc", streamed.size, batch.size,
+        streamed == batch &&
+          streamed == Set((1L, "web", "alpha"), (3L, "books", "gamma v2"),
+                          (4L, "web", "delta"), (9L, "web", "epsilon")))
+    }
+
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-        s14, s15, s16, s17, s18)
+        s14, s15, s16, s17, s18, s19)
   }
 }

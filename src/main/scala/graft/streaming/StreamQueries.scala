@@ -565,6 +565,58 @@ object StreamQueries {
       """SELECT doc_id, source, n_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // s19: streaming CDC apply — l06's MERGE running at the intake via
+    // foreachBatch, the write half of a continuously-maintained
+    // snapshot (s17 lands APPENDS exactly-once; s19 lands UPDATES and
+    // DELETES). Changelog ticks arrive as files (maxFilesPerTrigger=1
+    // => one micro-batch per tick); each batch b reads committed
+    // snapshot version v_b, merges (broadcast anti join + upsert
+    // union — Lake.cdcMerge, the SAME kernel as l06), and writes
+    // v_{b+1}. Exactly-once by versioned idempotence: v_{b+1} is a
+    // pure function of (v_b, tick b), and a retried batch rewrites
+    // the SAME version from the SAME unchanged input — the checkpoint
+    // replays ticks, never double-applies them. Readers pin a
+    // version; promotion is one pointer move. Oracle: l06's SQL
+    // verbatim — the streamed chain of merges must land the exact
+    // batch-merge state (each key appears in one tick, so tick order
+    // can't matter; the gate splits ticks by doc_id parity to prove
+    // it).
+    "s19_stream_cdc" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Lake
+        val base = Lake.scratch("s19", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = graft.sources.Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+        docs.write.mode("overwrite").parquet(s"$base/snap/v0")
+        val log = Lake.cdcChangelog(s.read.parquet(s"$base/snap/v0"))
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/stage"))
+        writeOneFile(log.filter(pmod(col("doc_id"), lit(2)) === 0),
+          java.nio.file.Paths.get(s"$base/stage/tick0.parquet"))
+        writeOneFile(log.filter(pmod(col("doc_id"), lit(2)) === 1),
+          java.nio.file.Paths.get(s"$base/stage/tick1.parquet"))
+        val logSchema = s.read.parquet(s"$base/stage").schema
+        val q = s.readStream.schema(logSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Lake.cdcMerge(s.read.parquet(s"$base/snap/v$batchId"), batch)
+              .write.mode("overwrite").parquet(s"$base/snap/v${batchId + 1}")
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        val last = new java.io.File(s"$base/snap").listFiles()
+          .map(_.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+        s.read.parquet(s"$base/snap/v$last")
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      graft.operators.Lake.duckCdcSql),
+
     // s16: streaming decile gate — d33's top-deciles curation filter at
     // the intake. The sources x 9 cut table comes from the STATIC corpus
     // (s12's pattern: yesterday's corpus sets today's intake thresholds)
