@@ -55,6 +55,15 @@ object GraftSession {
       // Deliberately left at the default (= shuffle.partitions).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The HDFS-backed state store retains `minBatchesToRetain` full
+      // in-memory STATE VERSIONS per stateful operator (default 100 —
+      // sized for deep lineage recovery, not for a suite that runs 19
+      // streaming legs in one JVM; the sentinel-staged legs tick
+      // hundreds of micro-batches, so 100 retained versions of
+      // per-user session state is pure heap ballast). 2 = current +
+      // previous, the minimum that still serves checkpoint recovery;
+      // the RocksDB path keeps its own on-disk retention regardless.
+      .config("spark.sql.streaming.minBatchesToRetain", "2")
       .config("spark.ui.enabled", "false")
     if (rocksDbStateStore)
       b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)

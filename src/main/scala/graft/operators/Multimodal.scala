@@ -61,6 +61,62 @@ object PpmDecoder {
   }
 }
 
+/** m05 output row: REAL RIFF/WAVE parse results (nulls = parse failure). */
+final case class WavFeatures(doc_id: Long, n_channels: Option[Int],
+                             sample_rate: Option[Int], bits: Option[Int],
+                             n_samples: Option[Long],
+                             data_md5: Option[String])
+
+/** A real decoder for a second real public format: RIFF/WAVE PCM (the
+  * Microsoft multimedia container spec) — "RIFF" magic + LE u32 size +
+  * "WAVE", then a WALK over (id, LE u32 size) sub-chunks honoring the
+  * word-alignment pad on odd sizes, tolerant of unknown chunks (LIST
+  * etc. — real encoders insert them), requiring one PCM "fmt " chunk
+  * (audioFormat == 1) and one "data" chunk whose declared size fits the
+  * actual bytes. Pure JVM, no codec deps; any malformation (bad magic,
+  * non-PCM, truncated data) returns None rather than throwing — one
+  * corrupt blob must not fail an intake batch. The declared RIFF size
+  * is deliberately NOT validated (real files get it wrong constantly);
+  * iteration is bounded by the actual byte length instead.
+  */
+object WavDecoder {
+  def parse(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+    def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
+    def u32(p: Int): Long =
+      (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
+        ((bytes(p + 2) & 0xffL) << 16) | ((bytes(p + 3) & 0xffL) << 24)
+    def tag(p: Int): String = new String(bytes, p, 4, "US-ASCII")
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var p = 12
+    var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+    var dataOff = -1
+    var dataLen = -1L
+    while (p + 8 <= bytes.length && (fmt.isEmpty || dataOff < 0)) {
+      val id = tag(p)
+      val sz = u32(p + 4)
+      if (id == "fmt " && sz >= 16 && p + 24 <= bytes.length) {
+        if (u16(p + 8) != 1) return None // PCM only
+        fmt = Some((u16(p + 10), u32(p + 12).toInt, u16(p + 22)))
+      } else if (id == "data") {
+        dataOff = p + 8; dataLen = sz
+      }
+      p += 8 + sz.toInt + (sz % 2).toInt // odd chunks carry a pad byte
+    }
+    for {
+      (c, r, b) <- fmt
+      blockAlign = c * b / 8
+      _ <- if (blockAlign > 0 && dataOff >= 0 &&
+               dataOff + dataLen <= bytes.length) Some(()) else None
+    } yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(java.util.Arrays.copyOfRange(
+          bytes, dataOff, dataOff + dataLen.toInt))
+        .map(x => f"${x & 0xff}%02x").mkString
+      (c, r, b, dataLen / blockAlign, hex)
+    }
+  }
+}
+
 /** Multimodal column plumbing: treat payloads as opaque `binary` columns
   * with typed metadata. The container has no image/audio codecs, so the
   * decode step is a clearly-marked deterministic STUB (metadata derived
@@ -68,6 +124,14 @@ object PpmDecoder {
   * metadata extraction, schema — is real and oracle-checked.
   */
 object Multimodal {
+
+  /** Hex of `x`'s low `nBytes` bytes in LITTLE-endian order (the RIFF
+    * wire encoding), built from codegen'd format_string — the in-plan
+    * synthesis path for m05's binary headers.
+    */
+  private def leHex(x: org.apache.spark.sql.Column, nBytes: Int) =
+    concat((0 until nBytes).map(i =>
+      format_string("%02x", shiftright(x, 8 * i).bitwiseAND(lit(255)))): _*)
 
   val defs: Map[String, OpDef] = Map(
 
@@ -213,6 +277,93 @@ object Multimodal {
         |       ELSE md5(substr(repeat(md5(text),
         |              CAST(((doc_id % 8 + 1) * ((doc_id // 8) % 8 + 1) * 3 - 1) // 32 AS INT) + 1),
         |            1, CAST((doc_id % 8 + 1) * ((doc_id // 8) % 8 + 1) * 3 AS INT))) END AS pixel_md5
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // A SECOND real format decode: RIFF/WAVE PCM, m04's discipline on
+    // an audio container. Each doc gets a byte-exact WAV synthesized
+    // IN-PLAN (header ints written little-endian through unhex'd
+    // format_string hex — the construction is Catalyst expressions the
+    // oracle can reason about, not JVM code the parser might share bugs
+    // with): channels/rate/sample-count derived from doc_id, 8-bit
+    // sample bytes from the doc's md5 hex repeated (pure ASCII — byte
+    // counts equal char counts in both engines), a spurious LIST chunk
+    // on every 7th doc (proves the parser WALKS chunks instead of
+    // assuming the canonical 44-byte layout), a truncated data payload
+    // on every 13th and a corrupted magic on every 19th (both must
+    // yield nulls, never throws). WavDecoder parses the BYTES back in
+    // the m03 mapPartitions shape; the oracle predicts every parsed
+    // field purely from the construction parameters.
+    "m05_decode_wav" -> OpDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("CAST(doc_id % 2 AS INT) + 1").as("c"),
+            expr("CAST(8000 * (1 + doc_id % 3) AS INT)").as("r"),
+            expr("CAST(10 + doc_id % 90 AS INT)").as("ns"),
+            col("text"))
+          .withColumn("n", expr("ns * c")) // 8-bit mono frames = c bytes
+          .withColumn("dataStr", expr(
+            "substr(repeat(md5(text), CAST((n - 1) DIV 32 AS INT) + 1), 1, n)"))
+          .withColumn("listHex", // "LIST" <4> "INFO", word-aligned
+            when(col("doc_id") % 7 === 0,
+                 lit("4c495354" + "04000000" + "494e464f"))
+              .otherwise(lit("")))
+          .withColumn("riffSize",
+            lit(4 + 24) + when(col("doc_id") % 7 === 0, 12).otherwise(0)
+              + lit(8) + col("n"))
+          .withColumn("magicHex",
+            when(col("doc_id") % 19 === 0, lit("52494658")) // "RIFX"
+              .otherwise(lit("52494646")))                  // "RIFF"
+          .withColumn("headerHex", concat(
+            col("magicHex"), leHex(col("riffSize"), 4),
+            lit("57415645"),                       // WAVE
+            col("listHex"),
+            lit("666d7420"), leHex(lit(16), 4),    // fmt , size 16
+            leHex(lit(1), 2),                      // PCM
+            leHex(col("c"), 2),                    // channels
+            leHex(col("r"), 4),                    // sample rate
+            leHex(col("r") * col("c"), 4),         // byte rate
+            leHex(col("c"), 2),                    // block align
+            leHex(lit(8), 2),                      // bits per sample
+            lit("64617461"), leHex(col("n"), 4)))  // data, declared size
+          .withColumn("payload", concat(
+            unhex(col("headerHex")),
+            // every 13th doc: write only half the declared data bytes
+            when(col("doc_id") % 13 === 0,
+                 expr("CAST(substr(dataStr, 1, CAST(n DIV 2 AS INT)) AS BINARY)"))
+              .otherwise(col("dataStr").cast("binary"))))
+          .select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.map { case (id, bytes) =>
+              WavDecoder.parse(bytes) match {
+                case Some((c, r, b, ns, md5)) =>
+                  WavFeatures(id, Some(c), Some(r), Some(b), Some(ns),
+                    Some(md5))
+                case None => WavFeatures(id, None, None, None, None, None)
+              }
+            }
+          }
+          .toDF()
+          .orderBy("doc_id")
+      },
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 2 + 1 AS INT) AS c,
+        |         CAST(8000 * (1 + doc_id % 3) AS INT) AS r,
+        |         CAST(10 + doc_id % 90 AS INT) AS ns,
+        |         doc_id % 13 = 0 OR doc_id % 19 = 0 AS corrupt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN corrupt THEN NULL ELSE c END AS n_channels,
+        |  CASE WHEN corrupt THEN NULL ELSE r END AS sample_rate,
+        |  CASE WHEN corrupt THEN NULL ELSE 8 END AS bits,
+        |  CASE WHEN corrupt THEN NULL
+        |       ELSE CAST(ns AS BIGINT) END AS n_samples,
+        |  CASE WHEN corrupt THEN NULL
+        |       ELSE md5(substr(repeat(md5(text), (ns * c - 1) // 32 + 1),
+        |                       1, ns * c)) END AS data_md5
+        |FROM p ORDER BY doc_id""".stripMargin)
   )
 }
