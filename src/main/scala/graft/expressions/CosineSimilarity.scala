@@ -125,6 +125,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "md5_span8_hashes", exprs => Md5SpanHashes(exprs(0), 8), "built-in")
     reg.createOrReplaceTempFunction(
+      "md5_span3_hashes", exprs => Md5SpanHashes(exprs(0), 3), "built-in")
+    reg.createOrReplaceTempFunction(
+      "winnow4_positions", exprs => WinnowPositions(exprs(0), 4), "built-in")
+    reg.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyHash(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs(0)), "built-in")

@@ -152,6 +152,42 @@ object HashKernels {
     ArrayData.toArrayData(out)
   }
 
+  /** 1-based positions selected by winnowing over windows of `w`
+    * consecutive hashes: per window the LEFTMOST minimum (the same
+    * leftmost-on-ties rule as `array_position`), deduplicated —
+    * ascending by construction, since a sliding window's min index
+    * never moves left. O(n) amortized via the classic monotone deque
+    * (each index enters and leaves the deque once) — the production
+    * replacement for the O(n·w) slice-per-window SQL form. An array
+    * shorter than `w` is one end-clamped window.
+    */
+  def winnowPositions(hs: ArrayData, w: Int): ArrayData = {
+    val n = hs.numElements()
+    if (n == 0) return ArrayData.toArrayData(Array.emptyIntArray)
+    val deq = new Array[Int](n)
+    var head = 0
+    var tail = 0 // live deque slots: [head, tail)
+    val out = new Array[Int](n)
+    var m = 0
+    var last = -1
+    var end = 0
+    while (end < n) {
+      val v = hs.getLong(end)
+      // strict pop keeps earlier EQUAL values, so the front stays the
+      // leftmost minimum of the window
+      while (tail > head && hs.getLong(deq(tail - 1)) > v) tail -= 1
+      deq(tail) = end
+      tail += 1
+      if (deq(head) <= end - w) head += 1
+      if (end >= w - 1 || end == n - 1) {
+        val sel = deq(head)
+        if (sel != last) { out(m) = sel + 1; m += 1; last = sel }
+      }
+      end += 1
+    }
+    ArrayData.toArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
   /** Positions of the n-word spans of `text` whose md5-60-bit span hash
     * occurs in `sorted` — [[md5SpanHashes]] + binary search FUSED in one
     * kernel call. The transform/filter higher-order wrapper this
@@ -312,6 +348,36 @@ case class Md5SpanHashes(child: Expression, n: Int) extends UnaryExpression {
       s"graft.expressions.HashKernels.md5SpanHashes($c, $n)")
 
   override protected def withNewChildInternal(newChild: Expression): Md5SpanHashes =
+    copy(child = newChild)
+}
+
+/** Native winnowing position selection over an array of span hashes —
+  * d37's window-min pass as ONE codegen'd O(n) kernel call per row
+  * (see [[HashKernels.winnowPositions]]).
+  */
+case class WinnowPositions(child: Expression, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "winnow_positions"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: argument must be ARRAY<BIGINT>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.winnowPositions(input.asInstanceOf[ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashKernels.winnowPositions($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowPositions =
     copy(child = newChild)
 }
 

@@ -1828,6 +1828,60 @@ object Dedup {
         |         (acc, h) -> (acc * 31 + h % 1000000007) % 1000000000000037) AS fingerprint
         |FROM nz ORDER BY doc_id""".stripMargin),
 
+    // Winnowing fingerprints (Schleimer/Wilkerson/Aiken's MOSS scheme):
+    // per sliding window of W consecutive shingle hashes, keep the
+    // minimum (leftmost on ties — array_position's first-occurrence rule
+    // in BOTH engines) with its position. Selects ~2/(W+1) of shingles
+    // yet GUARANTEES any sufficiently long shared passage between two
+    // documents shares a fingerprint — the sub-linear index for
+    // passage-level copy detection. d08 fingerprints whole documents
+    // (one row/doc, finds whole-doc dupes); d27 explodes EVERY span
+    // (finds all repeated spans, but its index is corpus-sized);
+    // winnowing is the middle tier a 100-TB plagiarism/overlap scan
+    // actually builds: position-robust local fingerprints at a fixed
+    // sampling rate.
+    //
+    // Scale shape: one scan, TWO codegen'd kernel calls per row — the
+    // d08-family positional span hasher (md5_span3_hashes) and the
+    // O(n) monotone-deque window-min pass (winnow4_positions; each
+    // index enters and leaves the deque once, vs the O(n·W)
+    // slice-per-window SQL form, which measured 82 s at sf1 where this
+    // runs with the d27/d29 span family). Output ~2/(W+1) of corpus
+    // shingles, no shuffle but the gate's ORDER BY. Matching then
+    // joins fingerprints by fp equality — d02's banded-join discipline
+    // on a far smaller table.
+    "d37_winnow" -> OpDef.sql(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        Tables.documents(s, d)
+          .withColumn("hs", expr("md5_span3_hashes(text)"))
+          .filter(size(col("hs")) > 0)
+          .select(col("doc_id"), col("hs"),
+                  explode(expr("winnow4_positions(hs)")).as("fpos"))
+          .select(col("doc_id"),
+                  element_at(col("hs"), col("fpos")).as("fp"),
+                  col("fpos"))
+          .orderBy("doc_id", "fpos", "fp")
+      },
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |h AS (
+        |  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15))::BIGINT)
+        |    ELSE [] END AS hs
+        |  FROM w),
+        |nz AS (SELECT * FROM h WHERE len(hs) > 0),
+        |f AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, greatest(len(hs) - 3, 1)),
+        |    s -> struct_pack(fp := list_min(hs[s : s + 3]),
+        |                     fpos := s + list_position(hs[s : s + 3],
+        |                                  list_min(hs[s : s + 3])) - 1))) AS f
+        |  FROM nz)
+        |SELECT DISTINCT doc_id, f.fp AS fp, CAST(f.fpos AS INT) AS fpos
+        |FROM f ORDER BY doc_id, fpos, fp""".stripMargin),
+
     // Span-level duplication scoring: for every document, how much of it
     // is built from 8-word spans that ALSO appear in other documents —
     // the substring-granularity view of duplication ("Deduplicating

@@ -193,4 +193,48 @@ object AnnIndexLake {
       .agg(expr("transform(array_sort(collect_list(named_struct(" +
                 "'p', pos, 'v', dv))), x -> x.v)").as("dvec"))
   }
+
+  // ---- e11 PQ index --------------------------------------------------
+
+  /** Train e11's PQ model on `emb`, persist sub-codebooks + code table
+    * under `dir`, return the model. Layout:
+    *  - `codebooks` (sub, cell, vec: array<float>) — M*K rows (~4 KB)
+    *  - `codes`     (vec_id, code0..code{M-1}, recon_n2) — the 16 B/row
+    *    production table ADC search scans INSTEAD of the float corpus
+    * Floats round-trip parquet unchanged, so a model read back encodes
+    * and searches bit-identically (spec-asserted).
+    */
+  def writePqIndex(s: SparkSession, emb: DataFrame,
+      dir: String): Similarity.PqModel = {
+    val sp = s
+    import sp.implicits._
+    val m = Similarity.pqTrain(s, emb)
+    m.books.zipWithIndex.flatMap { case (book, i) =>
+      book.zipWithIndex.map { case (c, j) => (i, j, c.toSeq) }
+    }.toSeq.toDF("sub", "cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+    Similarity.pqEncode(s, m, emb)
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    m
+  }
+
+  /** The persisted PQ model, collected back (M*K rows — metadata). */
+  def readPqModel(s: SparkSession, dir: String): Similarity.PqModel = {
+    val rows = s.read.parquet(s"$dir/codebooks").collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getSeq[Float](2).toArray))
+      .toMap
+    val mM = rows.keys.map(_._1).max + 1
+    val k = rows.keys.map(_._2).max + 1
+    val books = Array.tabulate(mM, k)((i, j) => rows((i, j)))
+    Similarity.PqModel(mM, k, books(0)(0).length, books)
+  }
+
+  /** e11's two-stage search FROM the persisted index: the ADC stage
+    * scans the 16 B/row code table, the refine stage point-fetches the
+    * shortlist from the float lake — zero training jobs.
+    */
+  def pqSearchFromIndex(s: SparkSession, dir: String, emb: DataFrame,
+      queries: DataFrame): DataFrame =
+    Similarity.pqSearch(s, readPqModel(s, dir),
+      s.read.parquet(s"$dir/codes"), emb, queries)
 }

@@ -178,4 +178,32 @@ class AnnIndexLakeSpec extends AnyFunSuite with SparkFixture {
     assert(overLake == gate, "lake-backed e09 diverged from the gate entry")
     assert(overLake.nonEmpty)
   }
+
+  test("e11 PQ index round-trips; lake-backed search = gate, no Lloyd") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = tmpDir("pq")
+    val trained = AnnIndexLake.writePqIndex(spark, emb, dir)
+    val read = AnnIndexLake.readPqModel(spark, dir)
+    assert(read.m == trained.m && read.k == trained.k &&
+           read.sub == trained.sub)
+    for (i <- 0 until trained.m; j <- 0 until trained.k)
+      assert(read.books(i)(j).toSeq == trained.books(i)(j).toSeq,
+        s"codebook ($i, $j) drifted through parquet")
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val before = Similarity.lloydRuns.get()
+    val overLake = AnnIndexLake.pqSearchFromIndex(spark, dir,
+        emb.select("vec_id", "embedding"), queries)
+      .collect().map(_.toSeq).toSeq
+    assert(Similarity.lloydRuns.get() == before,
+      "searching a persisted PQ index must run zero Lloyd jobs")
+    // identity vs the SAME model searched in memory (the write-path
+    // model): codes + shortlist + re-rank must survive the round trip
+    val inMem = Similarity.pqSearch(spark, trained,
+        Similarity.pqEncode(spark, trained, emb),
+        emb.select("vec_id", "embedding"), queries)
+      .collect().map(_.toSeq).toSeq
+    assert(overLake == inMem, "lake-backed e11 diverged from in-memory")
+    assert(overLake.nonEmpty)
+  }
 }
