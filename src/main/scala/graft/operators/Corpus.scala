@@ -41,6 +41,27 @@ object Corpus {
   private def duckSaltedBucketVar(salt: String, idSql: String, modSql: String): String =
     s"('0x' || substr(md5('$salt:' || CAST($idSql AS VARCHAR)), 1, 15))::BIGINT % $modSql"
 
+  /** d38's whole pipeline over an arbitrary documents frame — factored
+    * so the spec can drive a planted IMBALANCED corpus (the gate data
+    * is source-balanced, where temperature sampling is correctly a
+    * no-op): α=0.5 rate table (sqrt(n_min/n), IEEE-exact both
+    * engines), broadcast into one corpus scan, d17's md5 accept under
+    * its own salt.
+    */
+  private[graft] def temperatureSample(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min("n").as("nmin"))))
+      .withColumn("rate", sqrt(col("nmin").cast("double") / col("n")))
+      .withColumn("rate_q",
+        floor(col("rate") * RateScale + lit(1e-9)).cast("long"))
+      .select("source", "rate_q")
+    docs.join(broadcast(rates), "source")
+      .filter(saltedBucket("temp", col("doc_id"), RateScale) < col("rate_q"))
+      .select(col("doc_id"), col("source"), col("rate_q"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic demo source priority (numeric suffix mod 4, 0 = most
     * preferred) shared by d17 (as weight prio+1) and d28 (as retention
     * rank). The digits guard is explicit and mirrored verbatim in
@@ -282,6 +303,37 @@ object Corpus {
         |       CAST(least(64, n - chunk_id * 48) AS BIGINT) AS n_tok,
         |       array_to_string(toks[chunk_id * 48 + 1 : chunk_id * 48 + 64],
         |                       ' ') AS chunk_text
-        |FROM e ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM e ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // Temperature-based source rebalancing (α = 0.5): where d17 targets
+    // EXTERNALLY-GIVEN mixture weights, temperature sampling derives the
+    // rates from the data's own distribution — keep probability
+    // sqrt(n_min / n_s), so post-sampling source sizes ∝ sqrt(n_s)
+    // (= n^α): over-represented sources are damped, the smallest source
+    // is kept ENTIRELY (rate exactly 1), and relative order is
+    // preserved — the standard multi-source flattening for LLM corpus
+    // builds (multilingual sampling, The Pile-style source balancing).
+    // sqrt is IEEE-correctly-rounded, so the rate table is bit-identical
+    // across engines (no libm drift) and the accept stays the d17 md5
+    // bucket — deterministic, stateless, resumable. NOTE the modeling
+    // difference from d17: rates depend on the CORPUS COUNTS, so in
+    // production the rate table is a build artifact (yesterday's corpus
+    // sets today's rates — the s12/s16 pattern), not a constant.
+    //
+    // Scale shape: pass 1 a per-source count (map-side combinable,
+    // bytes of shuffle), one broadcast min; pass 2 one corpus scan
+    // against the broadcast rate table with the per-row md5 accept.
+    "d38_temperature_mix" -> OpDef.sql(
+      (s, d) => temperatureSample(Tables.documents(s, d)),
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |m AS (SELECT min(n) AS nmin FROM c),
+         |r AS (SELECT source,
+         |        CAST(floor(sqrt(CAST(nmin AS DOUBLE) / n) * $RateScale
+         |                   + 1e-9) AS BIGINT) AS rate_q
+         |      FROM c, m)
+         |SELECT d.doc_id, d.source, r.rate_q
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE ${duckSaltedBucket("temp", "d.doc_id", RateScale)} < r.rate_q
+         |ORDER BY d.doc_id""".stripMargin)
   )
 }
