@@ -85,13 +85,21 @@ object Verify {
     println(s"[verify] streaming_parity $parityJson")
     // skipped-parity filtered runs write NO artifact — overwriting a full
     // run's parity file with a zero-row table would read as "no streaming
-    // failures" to a later artifact walk
+    // failures" to a later artifact walk.
+    //
+    // The parquet lands under bench/ (its OWN artifact), NOT under
+    // outDir: the driver's correctness walk treats every outDir
+    // subdirectory as a query output, so a parity dir there surfaced as
+    // a perpetual `err: no_oracle` row — polluting the one column that
+    // should mean "broken". Failures stay visible three ways: the
+    // HARNESS_FAILURE row above, the stdout JSON line, and `ok=false`
+    // rows in the committed parquet.
     if (filter.isEmpty || parity.nonEmpty) try {
       import spark.implicits._
       parity.map(r => (r.op, r.streamRows, r.batchRows, r.ok))
         .toDF("op", "stream_rows", "batch_rows", "parity_match")
         .coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/streaming_parity")
+        .parquet("bench/streaming_parity_last")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] parity artifact write failed: ${e.getMessage}")
     }

@@ -50,11 +50,15 @@ object PpmDecoder {
       // exactly one whitespace byte separates maxval from pixel data
       _ <- if (p < bytes.length && Character.isWhitespace(peek)) Some(())
            else None
-      n = w * h * 3
+      // header dims are untrusted 9-digit ints: w*h*3 overflows Int
+      // (a negative n would pass the fit check and make copyOfRange
+      // throw), so the byte count stays in Long until the fit check
+      // bounds it by the actual payload length
+      n = w.toLong * h * 3
       _ <- { p += 1; if (bytes.length - p >= n) Some(()) else None }
     } yield {
       val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(java.util.Arrays.copyOfRange(bytes, p, p + n))
+      val hex = md.digest(java.util.Arrays.copyOfRange(bytes, p, p + n.toInt))
         .map(b => f"${b & 0xff}%02x").mkString
       (w, h, mx, hex)
     }
@@ -100,7 +104,13 @@ object WavDecoder {
       } else if (id == "data") {
         dataOff = p + 8; dataLen = sz
       }
-      p += 8 + sz.toInt + (sz % 2).toInt // odd chunks carry a pad byte
+      // advance in LONG: sz is an untrusted u32, and a crafted size near
+      // 2^31 would overflow an Int step to a negative p (tag() throwing)
+      // or to zero (an infinite loop). Clamping to bytes.length ends the
+      // walk on the loop condition; a declared size past the real bytes
+      // then fails the dataLen fit check below -> None, never a throw.
+      val next = p.toLong + 8L + sz + (sz % 2) // odd chunks carry a pad byte
+      p = if (next > bytes.length) bytes.length else next.toInt
     }
     for {
       (c, r, b) <- fmt

@@ -913,16 +913,17 @@ object Relational {
     // DISTINCTs cost one Expand, multiplying scan rows by #profiled
     // columns map-side, still combinable). The wide one-row result is
     // unpivoted to a row per column with `stack`. The 100-TB form is
-    // EXECUTABLE, not documented: SPARK_GRAFT_PROFILE_APPROX=1 (or
-    // profileDf(approx = true)) swaps the exact distinct for
-    // approx_count_distinct (q30's HLL path) with the IDENTICAL plan
-    // otherwise — no Expand, one ordinary combinable aggregate;
-    // ProfileApproxSpec asserts the shape swap and bounds the sketch
-    // error vs this exact gate entry (q30's discipline). Exact stays
-    // the gate default because exact is what an oracle can check.
+    // EXECUTABLE, not documented: profileDf(approx = true) swaps the
+    // exact distinct for approx_count_distinct (q30's HLL path) with the
+    // IDENTICAL plan otherwise — no Expand, one ordinary combinable
+    // aggregate; ProfileApproxSpec asserts the shape swap and bounds the
+    // sketch error vs this exact gate entry (q30's discipline). The gate
+    // entry is UNCONDITIONALLY exact — the approx form is reached only
+    // through the explicit profileDf flag (specs, bench probes), never
+    // ambient environment state, so a probe run can't be mistaken for
+    // the oracle-checked record or vice versa.
     "q42_profile" -> OpDef.sql(
-      (s, d) => profileDf(s, d,
-        approx = sys.env.get("SPARK_GRAFT_PROFILE_APPROX").contains("1")),
+      (s, d) => profileDf(s, d, approx = false),
       Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
         s"""SELECT '$c' AS col_name,
            |  CAST(count($c) AS BIGINT) AS n,

@@ -1425,8 +1425,8 @@ object Similarity {
          |ORDER BY q_id, rk""".stripMargin),
 
     // Product-quantized ANN search — the last classic compression tier
-    // after e07's int8 (64 B/vector) and e03's IVF partitioning: M=4
-    // codebook indices per vector (4 B — 64x over float32), searched by
+    // after e07's int8 (64 B/vector) and e03's IVF partitioning: M=16
+    // codebook indices per vector (16 B — 16x over float32), searched by
     // ADC (asymmetric distance computation: one M x K table per query,
     // M table-lookup adds per corpus row — no vector arithmetic in the
     // scan). Sub-codebooks Lloyd-trained per subspace (the e03/e08

@@ -128,9 +128,13 @@ object AnnIndexLake {
   /** Train-once entry point for the e03 gate: the index for corpus `d`
     * is written at most once per corpus CONTENT stamp (a `_graft_stamp`
     * marker, committed only AFTER the index lands, so a crash mid-write
-    * retrains) and every later call — bench reps, repeated gate runs,
-    * any search in the same or another JVM on this box — goes straight
-    * to [[e03SearchFromIndex]] with ZERO Lloyd jobs. This is the same
+    * retrains) and every later call in this JVM — bench reps, repeated
+    * gate runs — goes straight to [[e03SearchFromIndex]] with ZERO Lloyd
+    * jobs. (Lake.scratch embeds a per-process token precisely so
+    * concurrent JVMs never race each other's Overwrite, which also means
+    * each JVM trains its own copy; a production deployment points this
+    * at a DURABLE lake path instead, where the stamp marker alone
+    * arbitrates staleness.) This is the same
     * production topology e08/e10 already run: training is a corpus-build
     * step, search is a read.
     */

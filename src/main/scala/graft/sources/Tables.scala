@@ -83,12 +83,23 @@ object Tables {
       md.update(p.getFileName.toString.getBytes("UTF-8"))
       md.update(java.nio.ByteBuffer.allocate(8).putLong(size).array())
       val ch = java.nio.channels.FileChannel.open(p)
+      // loop to fill: a single positional read may legally return short,
+      // and a short read would digest fewer bytes — an UNSTABLE stamp for
+      // identical files, i.e. spurious retrains / mismatched memo keys
+      def readFully(buf: java.nio.ByteBuffer, pos: Long): Unit = {
+        var off = pos
+        var n = 0
+        while (buf.hasRemaining && n >= 0) {
+          n = ch.read(buf, off)
+          if (n > 0) off += n
+        }
+      }
       try {
         val head = java.nio.ByteBuffer.allocate(65536)
-        ch.read(head, 0L); head.flip(); md.update(head)
+        readFully(head, 0L); head.flip(); md.update(head)
         if (size > 65536L) {
           val tail = java.nio.ByteBuffer.allocate(65536)
-          ch.read(tail, math.max(65536L, size - 65536L)); tail.flip()
+          readFully(tail, math.max(65536L, size - 65536L)); tail.flip()
           md.update(tail)
         }
       } finally ch.close()
