@@ -294,55 +294,78 @@ object Multimodal {
     // IN-PLAN (header ints written little-endian through unhex'd
     // format_string hex — the construction is Catalyst expressions the
     // oracle can reason about, not JVM code the parser might share bugs
-    // with): channels/rate/sample-count derived from doc_id, 8-bit
-    // sample bytes from the doc's md5 hex repeated (pure ASCII — byte
-    // counts equal char counts in both engines), a spurious LIST chunk
-    // on every 7th doc (proves the parser WALKS chunks instead of
-    // assuming the canonical 44-byte layout), a truncated data payload
-    // on every 13th and a corrupted magic on every 19th (both must
-    // yield nulls, never throws). WavDecoder parses the BYTES back in
-    // the m03 mapPartitions shape; the oracle predicts every parsed
-    // field purely from the construction parameters.
+    // with): channels (mono/stereo), bit depth (8/16 — blockAlign 1, 2
+    // or 4, so multi-byte sample frames are exercised, not just the
+    // byte-per-frame case) and sample count derived from doc_id; sample
+    // bytes from the doc's md5 hex repeated (pure ASCII — byte counts
+    // equal char counts in both engines); a spurious LIST chunk on
+    // every 7th doc and the data chunk written BEFORE the fmt chunk on
+    // every 11th (together they prove the parser WALKS chunks in any
+    // order instead of assuming the canonical 44-byte layout — and the
+    // odd-length data-first docs put the word-alignment pad byte
+    // mid-walk, where skipping it misaligns every later tag); a
+    // truncated data payload on every 13th and a corrupted magic on
+    // every 19th (both must yield nulls, never throws). WavDecoder
+    // parses the BYTES back in the m03 mapPartitions shape; the oracle
+    // predicts every parsed field purely from the construction
+    // parameters.
     "m05_decode_wav" -> OpDef.sql(
       (s, d) => {
         import s.implicits._
         Tables.documents(s, d)
           .select(col("doc_id"),
             expr("CAST(doc_id % 2 AS INT) + 1").as("c"),
+            expr("CAST(8 * (1 + (doc_id DIV 2) % 2) AS INT)").as("bits"),
             expr("CAST(8000 * (1 + doc_id % 3) AS INT)").as("r"),
             expr("CAST(10 + doc_id % 90 AS INT)").as("ns"),
             col("text"))
-          .withColumn("n", expr("ns * c")) // 8-bit mono frames = c bytes
+          .withColumn("ba", expr("c * bits DIV 8")) // frame = ba bytes
+          .withColumn("n", expr("ns * ba"))
           .withColumn("dataStr", expr(
             "substr(repeat(md5(text), CAST((n - 1) DIV 32 AS INT) + 1), 1, n)"))
           .withColumn("listHex", // "LIST" <4> "INFO", word-aligned
             when(col("doc_id") % 7 === 0,
                  lit("4c495354" + "04000000" + "494e464f"))
               .otherwise(lit("")))
+          .withColumn("dataFirst", col("doc_id") % 11 === 0)
           .withColumn("riffSize",
             lit(4 + 24) + when(col("doc_id") % 7 === 0, 12).otherwise(0)
-              + lit(8) + col("n"))
+              + lit(8) + col("n")
+              + when(col("dataFirst") && col("n") % 2 === 1, 1).otherwise(0))
           .withColumn("magicHex",
             when(col("doc_id") % 19 === 0, lit("52494658")) // "RIFX"
               .otherwise(lit("52494646")))                  // "RIFF"
-          .withColumn("headerHex", concat(
-            col("magicHex"), leHex(col("riffSize"), 4),
-            lit("57415645"),                       // WAVE
-            col("listHex"),
+          .withColumn("fmtHex", concat(
             lit("666d7420"), leHex(lit(16), 4),    // fmt , size 16
             leHex(lit(1), 2),                      // PCM
             leHex(col("c"), 2),                    // channels
             leHex(col("r"), 4),                    // sample rate
-            leHex(col("r") * col("c"), 4),         // byte rate
-            leHex(col("c"), 2),                    // block align
-            leHex(lit(8), 2),                      // bits per sample
-            lit("64617461"), leHex(col("n"), 4)))  // data, declared size
+            leHex(col("r") * col("ba"), 4),        // byte rate
+            leHex(col("ba"), 2),                   // block align
+            leHex(col("bits"), 2)))                // bits per sample
+          .withColumn("dataHdrHex",
+            concat(lit("64617461"), leHex(col("n"), 4))) // data, size n
+          // chunk order: canonical fmt->data, or data->pad?->fmt on the
+          // data-first docs (the pad byte keeps fmt word-aligned when
+          // the data payload has odd length)
+          .withColumn("preHex", concat(
+            col("magicHex"), leHex(col("riffSize"), 4),
+            lit("57415645"),                       // WAVE
+            col("listHex"),
+            when(col("dataFirst"), col("dataHdrHex"))
+              .otherwise(concat(col("fmtHex"), col("dataHdrHex")))))
+          .withColumn("postHex",
+            when(col("dataFirst"),
+                 concat(when(col("n") % 2 === 1, lit("00")).otherwise(lit("")),
+                        col("fmtHex")))
+              .otherwise(lit("")))
           .withColumn("payload", concat(
-            unhex(col("headerHex")),
+            unhex(col("preHex")),
             // every 13th doc: write only half the declared data bytes
             when(col("doc_id") % 13 === 0,
                  expr("CAST(substr(dataStr, 1, CAST(n DIV 2 AS INT)) AS BINARY)"))
-              .otherwise(col("dataStr").cast("binary"))))
+              .otherwise(col("dataStr").cast("binary")),
+            unhex(col("postHex"))))
           .select(col("doc_id"), col("payload"))
           .as[(Long, Array[Byte])]
           .mapPartitions { rows =>
@@ -361,19 +384,21 @@ object Multimodal {
       """WITH p AS (
         |  SELECT doc_id, text,
         |         CAST(doc_id % 2 + 1 AS INT) AS c,
+        |         CAST(8 * (1 + (doc_id // 2) % 2) AS INT) AS bits,
         |         CAST(8000 * (1 + doc_id % 3) AS INT) AS r,
         |         CAST(10 + doc_id % 90 AS INT) AS ns,
         |         doc_id % 13 = 0 OR doc_id % 19 = 0 AS corrupt
-        |  FROM documents)
+        |  FROM documents),
+        |q AS (SELECT *, ns * (c * bits // 8) AS n FROM p)
         |SELECT doc_id,
         |  CASE WHEN corrupt THEN NULL ELSE c END AS n_channels,
         |  CASE WHEN corrupt THEN NULL ELSE r END AS sample_rate,
-        |  CASE WHEN corrupt THEN NULL ELSE 8 END AS bits,
+        |  CASE WHEN corrupt THEN NULL ELSE bits END AS bits,
         |  CASE WHEN corrupt THEN NULL
         |       ELSE CAST(ns AS BIGINT) END AS n_samples,
         |  CASE WHEN corrupt THEN NULL
-        |       ELSE md5(substr(repeat(md5(text), (ns * c - 1) // 32 + 1),
-        |                       1, ns * c)) END AS data_md5
-        |FROM p ORDER BY doc_id""".stripMargin)
+        |       ELSE md5(substr(repeat(md5(text), (n - 1) // 32 + 1),
+        |                       1, n)) END AS data_md5
+        |FROM q ORDER BY doc_id""".stripMargin)
   )
 }
