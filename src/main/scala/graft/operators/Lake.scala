@@ -378,6 +378,67 @@ object Lake {
                   md5(col("text").cast("binary")).as("fp"))
           .orderBy("doc_id")
       },
+      duckCdcSql),
+
+    // l06's big-delta twin: the SAME merge semantics (same oracle,
+    // verbatim) when the changelog is backfill-sized and cannot
+    // broadcast. Snapshot and changelog transit the lake as doc_id-
+    // BUCKETED tables (the d24 index discipline — in production the
+    // snapshot is ALREADY bucketed from the last apply, and the
+    // changelog bucket-aligns as it lands), and the supersede step is a
+    // sort-merge anti join that runs with ZERO Exchange on either side:
+    // merge cost at 100 TB is one co-located per-bucket merge
+    // regardless of the delta:snapshot ratio. CdcScaleSpec pins the
+    // exchange-free SMJ on the executed plan; the gate hash proves the
+    // two forms compute the identical snapshot.
+    "l07_cdc_merge_bucketed" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l07", d)
+        val buckets = 8
+        Tables.documents(s, d).select("doc_id", "source", "text")
+          .repartition(pmod(hash(col("doc_id")), lit(buckets)))
+          .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .mode(SaveMode.Overwrite).saveAsTable("graft_cdc_snap_bkt")
+        val v1 = s.table("graft_cdc_snap_bkt")
+        cdcChangelog(v1)
+          .repartition(pmod(hash(col("doc_id")), lit(buckets)))
+          .write.bucketBy(buckets, "doc_id").sortBy("doc_id")
+          .mode(SaveMode.Overwrite).saveAsTable("graft_cdc_log_bkt")
+        val log = s.table("graft_cdc_log_bkt")
+        cdcMergeShuffled(v1, log)
+          .write.mode(SaveMode.Overwrite).parquet(s"$base/v2")
+        s.read.parquet(s"$base/v2")
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      duckCdcSql),
+
+    // l06's partition-scoped twin: apply the changelog IN PLACE,
+    // rewriting only the snapshot partitions that contain changed keys
+    // (dynamic partition overwrite — l01's machinery pointed at the
+    // merge). The gate's bucket-rule changelog happens to touch every
+    // source partition, so the gate proves in-place apply end-to-end
+    // (same oracle, verbatim: stale rows surviving a partial overwrite,
+    // or dropped untouched partitions, would hash-mismatch);
+    // CdcScaleSpec proves the SCOPING with a source-confined changelog —
+    // untouched partitions keep byte-identical files — and the
+    // empty-partition delete path a declarative overwrite can't express.
+    "l08_cdc_apply_partitioned" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l08", d)
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        docs.repartition(col("source"))
+          .write.mode(SaveMode.Overwrite).partitionBy("source")
+          .parquet(s"$base/snap")
+        val v1 = s.read.parquet(s"$base/snap")
+          .select("doc_id", "source", "text")
+        cdcApplyPartitioned(s, s"$base/snap", cdcChangelog(v1), s"$base/stage")
+        s.read.parquet(s"$base/snap")
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
       duckCdcSql)
   )
 
@@ -418,6 +479,84 @@ object Lake {
     v1.join(broadcast(log.select("doc_id")), Seq("doc_id"), "left_anti")
       .unionByName(log.filter(col("op") === "U")
         .select("doc_id", "source", "text"))
+
+  /** The big-delta MERGE form (l07): a backfill-sized changelog cannot
+    * broadcast, so the supersede step is a sort-merge anti join instead
+    * (the `merge` hint pins the strategy — without it a small gate-scale
+    * log would broadcast and the demonstrated plan would be l06's). Over
+    * snapshot and changelog written as doc_id-BUCKETED lake tables with
+    * matching bucket counts (d24's index discipline), both scans already
+    * carry the join's hash distribution and the SMJ runs with ZERO
+    * Exchange on either side — the merge cost is one co-located
+    * per-bucket merge, resilient to any delta:snapshot ratio.
+    * CdcScaleSpec asserts exactly that on the executed plan.
+    */
+  private[graft] def cdcMergeShuffled(v1: DataFrame, log: DataFrame): DataFrame =
+    v1.join(log.select("doc_id").hint("merge"), Seq("doc_id"), "left_anti")
+      .unionByName(log.filter(col("op") === "U")
+        .select("doc_id", "source", "text"))
+
+  /** Delta-size dispatch between the two merge forms (the boiler probe's
+    * model-size-switch discipline): a trickle tick broadcasts, a
+    * backfill tick sort-merges. The count costs one metadata-cheap job
+    * over the (usually tiny) changelog — in production it comes free
+    * from the log's commit metadata.
+    */
+  private[graft] def cdcMergeAuto(v1: DataFrame, log: DataFrame,
+      broadcastMaxKeys: Long = 4L << 20): DataFrame =
+    if (log.count() <= broadcastMaxKeys) cdcMerge(v1, log)
+    else cdcMergeShuffled(v1, log)
+
+  /** Partition-scoped CDC apply (l08): rewrite ONLY the snapshot
+    * partitions that contain changed keys, in place. The l06 form
+    * rewrites the whole snapshot per tick — correct, but at 100 TB a
+    * trickle tick touching 0.1% of partitions must not pay a 100-TB
+    * write. Steps:
+    *
+    *  1. the touched-partition list comes from the changelog (driver-
+    *     side, partition-count-sized — kilobytes);
+    *  2. the snapshot read is FILTERED to touched partitions, which
+    *     directory-prunes before any IO (l01's layout contract);
+    *  3. the merged rows stage to a scratch dir first — Spark refuses
+    *     an Overwrite of a path the same plan reads, and the
+    *     stage-then-commit shape is what a production lake does anyway;
+    *  4. the commit is a DYNAMIC partition overwrite: only partitions
+    *     present in the staged output rewrite, every other partition's
+    *     files are untouched bytes (CdcScaleSpec asserts identical file
+    *     lists+mtimes);
+    *  5. a touched partition whose every row was deleted produces NO
+    *     staged output, and dynamic overwrite cannot delete what it
+    *     doesn't write — those partitions are removed explicitly (the
+    *     one imperative step a declarative overwrite can't express).
+    */
+  private[graft] def cdcApplyPartitioned(s: SparkSession, snapDir: String,
+      log: DataFrame, stageDir: String, partCol: String = "source"): Unit = {
+    val touched = log.select(partCol).distinct()
+      .collect().map(_.getString(0)).toSeq
+    val snapTouched = s.read.parquet(snapDir)
+      .filter(col(partCol).isin(touched: _*))
+      .select("doc_id", "source", "text")
+    val merged = cdcMergeAuto(snapTouched, log).repartition(col(partCol))
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(stageDir)
+    // explicit schema: a tick that only DELETES stages zero rows — no
+    // files to infer from — and the read must still resolve so the
+    // empty-partition sweep below runs
+    val staged = s.read.schema(merged.schema).parquet(stageDir)
+    val before = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try staged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      .parquet(snapDir)
+    finally before match {
+      case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    val stillThere = staged.select(partCol).distinct()
+      .collect().map(_.getString(0)).toSet
+    touched.filterNot(stillThere).foreach { v =>
+      deleteTree(java.nio.file.Paths.get(snapDir, s"$partCol=$v"))
+    }
+  }
 
   /** The deterministic gate changelog (l06/s19): deletes, in-place
     * updates, and fresh-id inserts derived from the snapshot by the d11
