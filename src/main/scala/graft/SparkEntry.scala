@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Corpus, Dedup, Events, Lake, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.operators.{Corpus, Dedup, Events, Lake, Multimodal, Pipeline, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory and §7 for the build plan.
@@ -11,7 +11,7 @@ object SparkEntry {
   private val allDefs: Map[String, OpDef] =
     Relational.defs ++ Events.defs ++ TextAnalysis.defs ++
       Dedup.defs ++ Corpus.defs ++ Similarity.defs ++ Multimodal.defs ++
-      Lake.defs ++
+      Lake.defs ++ Pipeline.defs ++
       graft.streaming.StreamQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -25,20 +25,20 @@ object Corpus {
     * consumer (mixture accept/reject, packing shard) draws an independent
     * "random" stream from the same id.
     */
-  private def saltedBucket(salt: String, id: Column, mod: Int): Column =
+  private[operators] def saltedBucket(salt: String, id: Column, mod: Int): Column =
     saltedBucketVar(salt, id, lit(mod))
 
   /** [[saltedBucket]] with a COLUMN modulus — for buckets whose count is
     * itself derived from the data (d18's laddered shard count).
     */
-  private def saltedBucketVar(salt: String, id: Column, mod: Column): Column =
+  private[operators] def saltedBucketVar(salt: String, id: Column, mod: Column): Column =
     conv(substring(md5(concat(lit(salt + ":"), id.cast("string"))), 1, 15), 16, 10)
       .cast("long") % mod
 
-  private def duckSaltedBucket(salt: String, idSql: String, mod: Int): String =
+  private[operators] def duckSaltedBucket(salt: String, idSql: String, mod: Int): String =
     duckSaltedBucketVar(salt, idSql, mod.toString)
 
-  private def duckSaltedBucketVar(salt: String, idSql: String, modSql: String): String =
+  private[operators] def duckSaltedBucketVar(salt: String, idSql: String, modSql: String): String =
     s"('0x' || substr(md5('$salt:' || CAST($idSql AS VARCHAR)), 1, 15))::BIGINT % $modSql"
 
   /** d38's whole pipeline over an arbitrary documents frame — factored
@@ -94,7 +94,7 @@ object Corpus {
   // Mixture sampling-rate quantization: rates are materialized as an
   // integer threshold out of 10000 so the accept test is exact-integer
   // in both engines (the double rate itself never gets hashed).
-  private val RateScale = 10000
+  private[operators] val RateScale = 10000
 
   /** d18 shard sizing: shards are the packing PARALLELISM (each packs as
     * an independent windowed cumsum), so the count must grow with the

@@ -424,13 +424,22 @@ object Dedup {
     * verified with exact shingle Jaccard, thresholded on the RAW value
     * (like d04/d10 — rounding first would admit boundary pairs).
     */
-  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashPairsFrom(s, Tables.documents(s, d), "d02")
+
+  /** [[minhashPairs]] over an arbitrary docs frame — p01 runs the same
+    * LSH pipeline over its quality-surviving subset, and the parity
+    * harness over hand corpora. `name` keys the persisted shingle table
+    * so concurrent corpora don't evict each other.
+    */
+  private[graft] def minhashPairsFrom(s: SparkSession, docsIn: DataFrame,
+      name: String): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
     // Materialized once: the shingle table feeds the signature path and
     // both sides of the verify join (at 100 TB this is the signature
     // table you'd persist to the lake between pipeline stages).
-    val shing = persistTracked("d02_shingles",
-      Tables.documents(s, d)
+    val shing = persistTracked(s"${name}_shingles",
+      docsIn
         .withColumn("mh", expr("md5_shingle3_hashes(text)"))
         .filter(size(col("mh")) > 0)
         .select("doc_id", "mh"))
@@ -913,25 +922,40 @@ object Dedup {
     * notes.
     */
   private def dupLabels(s: SparkSession, d: String): DataFrame =
-    memoLabels("d13", Tables.stamp(d, "documents")) {
+    dupLabelsFrom(s, Tables.documents(s, d), "d13", Tables.stamp(d, "documents"))
+
+  /** Near-dup labels over an arbitrary docs frame — p01 canonicalizes
+    * its quality-surviving subset with the identical machinery. `family`
+    * keys the memo, the per-name caches, and the checkpoint files;
+    * `stamp` is the corpus content stamp the memo invalidates on.
+    */
+  private[graft] def dupLabelsFrom(s: SparkSession, docs: DataFrame,
+      family: String, stamp: String): DataFrame =
+    memoLabels(family, stamp) {
       // pairs is persisted BEFORE the symmetrizing union: Spark doesn't
       // CSE across union branches, so an unpersisted plan would run the
       // whole candidate + Jaccard-verify pipeline twice
-      val pairs = persistTracked("d13_pairs",
-        minhashPairs(s, d).select("a_id", "b_id"))
-      val edges = persistTracked("d13_edges",
+      val pairs = persistTracked(s"${family}_pairs",
+        minhashPairsFrom(s, docs, family).select("a_id", "b_id"))
+      val edges = persistTracked(s"${family}_edges",
         pairs.union(pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
           .toDF("src", "dst"))
-      propagateLabels(s, edges)
+      propagateLabels(s, edges, family)
     }
 
   /** The d13 label CTE chain (pairs -> edges -> recursive reachability ->
     * `lab(doc_id, canonical_id)`), shared by the d13 and d14 oracles.
     */
-  private def duckLabelCtes: String =
+  private def duckLabelCtes: String = duckLabelCtesFrom("documents")
+
+  /** [[duckLabelCtes]] over an arbitrary base relation (a prior CTE name
+    * works — DuckDB resolves outer CTEs from nested WITH subqueries),
+    * for p01's composed oracle.
+    */
+  private[operators] def duckLabelCtesFrom(base: String): String =
     s"""pairs AS (
        |  SELECT a_id, b_id FROM (
-       |${duckD02Sql.linesIterator.map("    " + _).mkString("\n")}
+       |${duckD02SqlFrom(base).linesIterator.map("    " + _).mkString("\n")}
        |  ) p),
        |edges AS (
        |  SELECT a_id AS src, b_id AS dst FROM pairs
@@ -950,12 +974,14 @@ object Dedup {
     * self-join -> exact-Jaccard verify — stage for stage the operator's
     * own pipeline.
     */
-  private def duckD02Sql: String = {
+  private def duckD02Sql: String = duckD02SqlFrom("documents")
+
+  private[operators] def duckD02SqlFrom(base: String): String = {
     val minhashes = (0 until NumHashes).map(k =>
       s"list_min(list_transform(hs, h -> (${As(k)}*(h%$P31)+${Bs(k)})%$P31))")
       .mkString("[\n        ", ",\n        ", "]")
     s"""WITH w AS (
-       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
+       |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM $base),
        |sh AS (
        |  SELECT doc_id, list_distinct(list_transform(
        |    generate_series(1, len(ws) - 2),

@@ -64,6 +64,26 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** q43's body over an arbitrary data dir — shared with SkewJoinSpec
+    * (which lowers the AQE skew thresholds to force the split at test
+    * scale) and the sf-ladder probe. The remap sends ~30% of lineitem to
+    * order key 1; `hint("merge")` pins sort-merge so neither the gate's
+    * small orders side nor AQE's runtime size check turns the join into
+    * a broadcast that would sidestep the skew machinery.
+    */
+  private[graft] def skewJoinAgg(s: SparkSession, d: String): DataFrame = {
+    val f = Tables.lineitem(s, d)
+      .withColumn("k",
+        when(col("l_orderkey") % 10 < 3, lit(1L)).otherwise(col("l_orderkey")))
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    f.join(o.hint("merge"), col("k") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+           r2e(sum(col("l_extendedprice").cast("decimal(18,2)"))
+             .cast("double")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Map[String, OpDef] = Map(
 
     // Per-item pricelist: min/max/avg/volume per part (reference: per-item
@@ -579,6 +599,34 @@ object Relational {
         |       round(sum(l_quantity) + 1e-6, 2) AS volume,
         |       round(sum(l_extendedprice * (1.0 - l_discount)) + 1e-6, 2) AS revenue
         |FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin),
+
+    // q29's JOIN-side twin: a fact-fact join on a planted heavy-hitter
+    // key, the case where salting is NOT needed because AQE's
+    // OptimizeSkewedJoin handles it at runtime — the hot shuffle
+    // partition splits into task-sized slices, each joined against a
+    // replicated copy of the matching build rows. 30% of lineitem
+    // remaps its order key to ONE key, the join is pinned to sort-merge
+    // (a broadcast would dodge the demonstration AND the skew), and the
+    // post-join aggregate groups on a DIFFERENT key, so the split never
+    // has to preserve the join's output partitioning. At gate scale the
+    // hot partition sits under the 256 MB threshold and AQE leaves the
+    // plan alone — correctness is what the oracle hashes; SkewJoinSpec
+    // lowers the thresholds to force the split on THIS query, asserts
+    // `skew=true` lands in the final adaptive plan, and proves the
+    // split result row-identical to the unsplit one. The sf10 probe
+    // (bench/BENCH_skew_probe_*.json) measures the win.
+    "q43_skew_join" -> OpDef.sql(
+      (s, d) => skewJoinAgg(s, d),
+      """WITH f AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 3 THEN 1
+        |              ELSE l_orderkey END AS k,
+        |         l_extendedprice
+        |  FROM lineitem)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+        |               AS DOUBLE) + 1e-6, 2) AS sum_price
+        |FROM f JOIN orders ON o_orderkey = f.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // Full CUBE grouping sets (all region x segment combinations plus
     // both margins and the grand total) — the rollup family's other half.

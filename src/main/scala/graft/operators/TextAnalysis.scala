@@ -272,10 +272,10 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
 
   // Stopword alternations per language; kept identical in the DuckDB SQL.
-  private val EnPat = "\\b(the|and|of|a|is)\\b"
-  private val EsPat = "\\b(el|la|los|las|es)\\b"
-  private val DePat = "\\b(der|die|das|und|ist)\\b"
-  private val FrPat = "\\b(le|les|et|est|une)\\b"
+  private[operators] val EnPat = "\\b(the|and|of|a|is)\\b"
+  private[operators] val EsPat = "\\b(el|la|los|las|es)\\b"
+  private[operators] val DePat = "\\b(der|die|das|und|ist)\\b"
+  private[operators] val FrPat = "\\b(le|les|et|est|une)\\b"
 
   private val WsTokenPat = "\\S+"
   private val BpeTokenPat = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
@@ -305,6 +305,14 @@ object TextAnalysis {
     * the batch gate adds only its orderBy.
     */
   private[graft] def qualityVerdict(docs: DataFrame): DataFrame =
+    withQualityKeep(docs)
+      .select("doc_id", "n_words", "ok_len", "ok_rep", "ok_stop", "ok_tok", "keep")
+
+  /** d21's verdict columns appended to the INPUT columns — so p01 can
+    * apply the gate as a single-scan FILTER (`.filter(col("keep"))`)
+    * while keeping (source, text) for the stages downstream.
+    */
+  private[operators] def withQualityKeep(docs: DataFrame): DataFrame =
     withStopHits(docs)
       .withColumn("n_words", nMatches(col("text"), WsTokenPat))
       .withColumn("n_distinct",
@@ -318,7 +326,6 @@ object TextAnalysis {
         col("n_nonws") >= col("n_words") * 2 && col("n_nonws") <= col("n_words") * 12)
       .withColumn("keep",
         col("ok_len") && col("ok_rep") && col("ok_stop") && col("ok_tok"))
-      .select("doc_id", "n_words", "ok_len", "ok_rep", "ok_stop", "ok_tok", "keep")
 
   /** d21's oracle — shared VERBATIM with s11_stream_quality_filter. */
   private[graft] val duckD21Sql: String =
