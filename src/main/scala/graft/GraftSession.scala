@@ -64,6 +64,18 @@ object GraftSession {
       // previous, the minimum that still serves checkpoint recovery;
       // the RocksDB path keeps its own on-disk retention regardless.
       .config("spark.sql.streaming.minBatchesToRetain", "2")
+      // Managed tables (the bucketed lakes: writeCorpusLake, l07's
+      // snap/log) land in a PER-PROCESS warehouse: the default
+      // ./spark-warehouse survives the JVM, and a fresh session's
+      // in-memory catalog doesn't know the leftover directory — the
+      // next saveAsTable then dies with LOCATION_ALREADY_EXISTS. A
+      // pid-scoped tmp dir makes every JVM's catalog namespace clean
+      // by construction (and lets a test JVM and a verify JVM run
+      // concurrently). Nothing reads these tables across JVMs: durable
+      // artifacts go through Lake.scratch parquet paths instead.
+      .config("spark.sql.warehouse.dir", java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"),
+        s"graft_wh_${ProcessHandle.current().pid()}").toString)
       .config("spark.ui.enabled", "false")
     if (rocksDbStateStore)
       b.config("spark.sql.streaming.stateStore.providerClass", RocksDbProvider)
