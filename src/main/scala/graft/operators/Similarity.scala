@@ -557,13 +557,29 @@ object Similarity {
   // direction only; M=4 measured recall 0.14, M=16 + re-rank 0.9+).
   private[graft] val PqM = 16        // subspaces
   private[graft] val PqK = 16        // centroids per sub-codebook
-  private[graft] val PqShortlist = 50 // ADC candidates re-ranked exactly
+  private[graft] val PqShortlist = 50 // ADC re-rank budget at the 500-vec ref
+
+  /** e11's re-rank budget, COUNT-LADDERED: R quadruples per 10x of
+    * corpus past the 500-vector gate reference, capped at 6400. A
+    * constant 50 was measured collapsing recall at sf10 (0.32 vs 0.88
+    * at gate scale — near-uniform distractors overwhelm a 50-deep ADC
+    * shortlist as the corpus grows); the ladder restores it while
+    * re-rank cost stays R point fetches per query, never a scan
+    * (6400 x k queries is kilorows against a 100-TB corpus).
+    */
+  private[graft] def pqShortlistSize(nVecs: Long): Int = {
+    var r = PqShortlist
+    var n = 500L
+    while (r < 6400 && nVecs > n) { r *= 4; n *= 10 }
+    r
+  }
 
   /** The PQ model: M sub-codebooks of K centroids in the sub-dimension —
-    * M*K*sub floats (4 KB at dim 64), train-once metadata like E08Model.
+    * M*K*sub floats (4 KB at dim 64), train-once metadata like E08Model —
+    * plus the corpus count the shortlist ladder sizes from.
     */
   final case class PqModel(m: Int, k: Int, sub: Int,
-      books: Array[Array[Array[Float]]])
+      books: Array[Array[Array[Float]]], nVecs: Long)
 
   /** Train the M sub-codebooks: each subspace runs the SAME distributed
     * Lloyd as e03/e08 over its slice of every embedding, seeded from the
@@ -582,7 +598,7 @@ object Similarity {
           expr(s"slice(embedding, ${i * sub + 1}, $sub)").as("vec")),
         PqK, seed, s"pq_sub$i")
     }
-    PqModel(PqM, PqK, sub, books)
+    PqModel(PqM, PqK, sub, books, emb.count())
   }
 
   /** PQ models memoized per embeddings content stamp (the e08ModelMemo
@@ -660,7 +676,7 @@ object Similarity {
           (col("q_norm") * sqrt(greatest(col("recon_n2"), lit(1e-300))))
           + lit(1e-10), 6))
       .groupBy("q_id")
-      .agg(expr(s"topk_by(adc, vec_id, $PqShortlist)").as("top"))
+      .agg(expr(s"topk_by(adc, vec_id, ${pqShortlistSize(m.nVecs)})").as("top"))
       .select(col("q_id"), explode(col("top")).as("c"))
       .select(col("q_id"), col("c.id").as("vec_id"), col("c.score").as("adc"))
   }

@@ -230,7 +230,8 @@ object AnnIndexLake {
     val mM = rows.keys.map(_._1).max + 1
     val k = rows.keys.map(_._2).max + 1
     val books = Array.tabulate(mM, k)((i, j) => rows((i, j)))
-    Similarity.PqModel(mM, k, books(0)(0).length, books)
+    Similarity.PqModel(mM, k, books(0)(0).length, books,
+      s.read.parquet(s"$dir/codes").count())
   }
 
   /** e11's two-stage search FROM the persisted index: the ADC stage

@@ -88,7 +88,8 @@ class PqSpec extends AnyFunSuite with SparkFixture {
     for ((q, got) <- gotShort) {
       val expect = vecs.keys.filter(_ != q).toSeq
         .map(n => n -> adc(q, n))
-        .sortBy { case (n, s) => (-s, n) }.take(Similarity.PqShortlist)
+        .sortBy { case (n, s) => (-s, n) }
+        .take(Similarity.pqShortlistSize(m.nVecs))
       assert(got.toSeq.sortBy { case (n, s) => (-s, n) } == expect,
         s"q$q: plan shortlist diverged from the ADC replay")
     }
