@@ -477,8 +477,8 @@ object Lake {
     */
   private[graft] def cdcMerge(v1: DataFrame, log: DataFrame): DataFrame =
     v1.join(broadcast(log.select("doc_id")), Seq("doc_id"), "left_anti")
-      .unionByName(log.filter(col("op") === "U")
-        .select("doc_id", "source", "text"))
+      .unionByName(log.filter(col("op") === "U").drop("op")
+        .select(v1.columns.map(col): _*))
 
   /** The big-delta MERGE form (l07): a backfill-sized changelog cannot
     * broadcast, so the supersede step is a sort-merge anti join instead
@@ -493,8 +493,8 @@ object Lake {
     */
   private[graft] def cdcMergeShuffled(v1: DataFrame, log: DataFrame): DataFrame =
     v1.join(log.select("doc_id").hint("merge"), Seq("doc_id"), "left_anti")
-      .unionByName(log.filter(col("op") === "U")
-        .select("doc_id", "source", "text"))
+      .unionByName(log.filter(col("op") === "U").drop("op")
+        .select(v1.columns.map(col): _*))
 
   /** Delta-size dispatch between the two merge forms (the boiler probe's
     * model-size-switch discipline): a trickle tick broadcasts, a
@@ -530,14 +530,24 @@ object Lake {
     *     one imperative step a declarative overwrite can't express).
     */
   private[graft] def cdcApplyPartitioned(s: SparkSession, snapDir: String,
-      log: DataFrame, stageDir: String, partCol: String = "source"): Unit = {
-    val touched = log.select(partCol).distinct()
-      .collect().map(_.getString(0)).toSeq
-    val snapTouched = s.read.parquet(snapDir)
-      .filter(col(partCol).isin(touched: _*))
-      .select("doc_id", "source", "text")
-    val merged = cdcMergeAuto(snapTouched, log).repartition(col(partCol))
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+      log: DataFrame, stageDir: String,
+      partCols: Seq[String] = Seq("source")): Unit = {
+    // the touched-partition list (driver-side, partition-count-sized);
+    // the read filter is an OR of per-tuple literal conjunctions so the
+    // scan directory-prunes STATICALLY — a semi-join would scope the
+    // rows but still list and read every partition
+    val touched = log.select(partCols.map(col): _*).distinct()
+      .collect().map(r => partCols.indices.map(r.getString).toSeq).toSeq
+    val touchedPred = touched
+      .map(t => partCols.zip(t).map { case (c, v) => col(c) === lit(v) }
+        .reduce(_ && _))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val snap0 = s.read.parquet(snapDir)
+    val snapTouched = snap0.filter(touchedPred)
+      .select(snap0.columns.map(col): _*)
+    val merged = cdcMergeAuto(snapTouched, log)
+      .repartition(partCols.map(col): _*)
+    merged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(stageDir)
     // explicit schema: a tick that only DELETES stages zero rows — no
     // files to infer from — and the read must still resolve so the
@@ -545,16 +555,17 @@ object Lake {
     val staged = s.read.schema(merged.schema).parquet(stageDir)
     val before = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try staged.write.mode(SaveMode.Overwrite).partitionBy(partCol)
+    try staged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
       .parquet(snapDir)
     finally before match {
       case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
-    val stillThere = staged.select(partCol).distinct()
-      .collect().map(_.getString(0)).toSet
-    touched.filterNot(stillThere).foreach { v =>
-      deleteTree(java.nio.file.Paths.get(snapDir, s"$partCol=$v"))
+    val stillThere = staged.select(partCols.map(col): _*).distinct()
+      .collect().map(r => partCols.indices.map(r.getString).toSeq).toSet
+    touched.filterNot(stillThere).foreach { t =>
+      val sub = partCols.zip(t).map { case (c, v) => s"$c=$v" }
+      deleteTree(java.nio.file.Paths.get(snapDir, sub: _*))
     }
   }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.OpDef
@@ -191,6 +191,425 @@ object Pipeline {
        |       (cum - n_tokens) % 256 AS bin_offset
        |FROM cumt ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------------
+  // p02 — INCREMENTAL corpus build: a delta of new documents is folded
+  // into an existing p01-style corpus WITHOUT rescanning base text, and
+  // the landed state is bit-identical to a full rebuild over the union
+  // (the gate's oracle IS p01's full-rebuild replay over all documents).
+  //
+  // Why this is the 100-TB production mode: text dominates corpus bytes
+  // by ~1000x over the narrow curation metadata. A tick's costs are
+  //   - one text scan of the DELTA only (quality, shingles, tokens),
+  //   - index probes sized by the delta (band-key candidates, posting
+  //     hits of changed benchmark shingles),
+  //   - narrow-metadata aggregates (counts, rates, pack ladder), and
+  //   - a partition-scoped CDC rewrite of only the touched lake slices.
+  // Base text is unreadable by construction — p02Tick's inputs are the
+  // persisted metadata artifacts and the delta frame; IncrCorpusSpec
+  // deletes the base text files before ticking to prove it.
+  //
+  // Every retroactive flow the full-rebuild semantics imply is handled
+  // on metadata alone:
+  //   - a delta doc can steal an exact-dup keeper (smaller id, same fp);
+  //   - a delta doc can BRIDGE two base near-dup clusters (the merged
+  //     component keeps one canonical; the other's corpus row deletes);
+  //   - a delta test doc adds benchmark shingles → base train docs can
+  //     newly FLAG (decontamination drop);
+  //   - a delta near-dup can evict a base TEST doc from survivorship →
+  //     its bench shingles leave → a train doc flagged only by them
+  //     UN-flags and its corpus row RE-INSERTS (placement is pure
+  //     metadata, so re-insertion needs no text);
+  //   - mixture rates move with post-decontam counts → md5-accept flips
+  //     in the changed rate band;
+  //   - packing: bin cumsums recompute only for shards whose membership
+  //     changed (untouched shards reuse v1 rows verbatim); a ladder
+  //     step of the shard count rewrites all placements (metadata-only).
+  // ---------------------------------------------------------------------
+
+  /** Shared derivation: quality-gate a docs frame and attach everything
+    * the pipeline needs downstream — split, content fp, distinct shingle
+    * hashes (+count), token count. One text scan; after this, text is
+    * never consulted again.
+    */
+  private def p02Derive(s: SparkSession, docs: DataFrame): DataFrame = {
+    graft.expressions.GraftFunctions.register(s)
+    TextAnalysis.withQualityKeep(docs).filter(col("keep"))
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("split", Dedup.splitOf(Dedup.splitBucket(col("doc_id"))))
+      .withColumn("fp", Dedup.textFp)
+      .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+      .withColumn("n_sh", size(col("mh")).cast("bigint"))
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+          .cast("int"))
+      .drop("text")
+  }
+
+  /** s1 survivorship (exact keeper + near-dup canonical) as a predicate
+    * over state columns.
+    */
+  private def s1Flag: org.apache.spark.sql.Column =
+    col("is_keeper") &&
+      (col("canonical_id").isNull || col("canonical_id") === col("doc_id"))
+
+  /** Decontamination flag over state columns (train docs only; a doc
+    * with no shingles is never flagged — same guard as p01 stage 5).
+    */
+  private def flaggedPred: org.apache.spark.sql.Column =
+    col("split") === "train" && col("n_sh") > 0 &&
+      col("n_shared").cast("double") / col("n_sh") >= 0.2
+
+  /** Placement (shard, bin_id, bin_offset) for the s3 survivors —
+    * p01 stage 7's exact expressions, factored so the tick can window
+    * only the TOUCHED shards (same per-shard rows → same cumsums).
+    * `toks`: (doc_id, source, split, n_tokens).
+    */
+  private def p02Sharded(toks: DataFrame): DataFrame = {
+    val tot = toks.agg(sum(col("n_tokens").cast("long")).as("tok_total"))
+    toks.crossJoin(broadcast(tot))
+      .withColumn("n_shards", expr(Corpus.packShardsCase("tok_total")))
+      .withColumn("shard",
+        Corpus.saltedBucketVar("pack", col("doc_id"), col("n_shards"))
+          .cast("int"))
+  }
+
+  private def p02Bins(sharded: DataFrame): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sharded.withColumn("cum", sum(col("n_tokens").cast("long")).over(w))
+      .select(col("doc_id"), col("source"), col("split"), col("n_tokens"),
+              col("shard"),
+              expr("(cum - n_tokens) div 256").as("bin_id"),
+              expr("(cum - n_tokens) % 256").as("bin_offset"))
+  }
+
+  /** Mixture + placement from a full state frame — build-1's tail and
+    * the spec's full-rebuild reference share it. Returns the placement
+    * rows (the corpus lake content).
+    */
+  private def p02PlacementFromState(state: DataFrame): DataFrame = {
+    val s2 = state.filter(s1Flag && !flaggedPred)
+    val rates = Corpus.mixtureRates(s2.filter(col("split") === "train"))
+    val s3 = s2.join(broadcast(rates), Seq("source"), "left")
+      .filter(col("split") =!= "train" ||
+              Corpus.mixtureAccept(col("doc_id"), col("rate_q")))
+    p02Bins(p02Sharded(
+      s3.select("doc_id", "source", "split", "n_tokens")))
+  }
+
+  /** Build 1: run the pipeline over the base corpus, landing
+    *   - `$base/lake`     the placement lake, (split, source)-partitioned
+    *   - `$base/state`    per quality-survivor curation metadata
+    *                      (doc_id, source, split, fp, n_sh, n_tokens,
+    *                      is_keeper, canonical_id, n_shared)
+    *   - `$base/postings` (h, doc_id, split) shingle posting index
+    *   - `$base/bands`    (doc_id, band_id, band_sig) LSH band index
+    *   - `$base/bench`    (h, rc) benchmark-shingle refcounts over the
+    *                      test-split survivors
+    * In production each of these is a bucketed lake table (d24's index
+    * discipline: postings on h, bands on band_sig, state on doc_id) so
+    * every tick probe joins exchange-free; the gate writes plain parquet
+    * and IncrementalDedupLakeSpec already proves the bucketed form.
+    */
+  private[graft] def p02Build1(s: SparkSession, docsIn: DataFrame,
+      base: String): Unit = {
+    val q = graft.Caching.persistTracked("p02_q", p02Derive(s, docsIn))
+    val shing = q.filter(col("n_sh") > 0).select("doc_id", "mh")
+    val bands = Dedup.minhashBands(shing)
+    // the d02 pair pipeline inline (minhashPairsFrom re-derives shingles
+    // from text; build 1 already has them)
+    val a = bands.toDF("a_id", "band_id", "band_sig")
+    val b = bands.toDF("b_id", "band_id", "band_sig")
+    val cands = a.join(b, Seq("band_id", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val pairs = graft.Caching.persistTracked("p02_pairs", cands
+      .join(shing.toDF("a_id", "a_sh"), "a_id")
+      .join(shing.toDF("b_id", "b_sh"), "b_id")
+      .filter(Dedup.jaccard("a_sh", "b_sh") >= 0.3)
+      .select("a_id", "b_id"))
+    val edges = graft.Caching.persistTracked("p02_edges",
+      pairs.union(pairs.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst"))
+    val lab = Dedup.propagateLabels(s, edges, "p02b")
+    val fpMin = q.groupBy("fp").agg(min("doc_id").as("fp_min"))
+    val preState = q.select("doc_id", "source", "split", "fp", "n_sh",
+        "n_tokens")
+      .join(fpMin, "fp")
+      .withColumn("is_keeper", col("doc_id") === col("fp_min"))
+      .drop("fp_min")
+      .join(lab, Seq("doc_id"), "left")
+    // postings carry the split so bench/decontam probes never re-join
+    val postings = q.filter(col("n_sh") > 0)
+      .select(col("doc_id"), col("split"), explode(col("mh")).as("h"))
+    postings.write.mode(SaveMode.Overwrite).parquet(s"$base/postings")
+    bands.write.mode(SaveMode.Overwrite).parquet(s"$base/bands")
+    val postP = s.read.parquet(s"$base/postings")
+    // bench refcounts: how many test-split SURVIVORS contain each shingle
+    val testS1 = preState.filter(s1Flag && col("split") === "test")
+      .select("doc_id")
+    postP.join(testS1, "doc_id")
+      .groupBy("h").agg(count(lit(1)).as("rc"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/bench")
+    val benchSet = s.read.parquet(s"$base/bench").select("h")
+    // n_shared: |mh ∩ bench| for every TRAIN quality survivor (survivor
+    // or not — uniform maintenance keeps the tick's update one probe)
+    val nShared = postP.filter(col("split") === "train")
+      .join(benchSet.withColumn("hit", lit(1)), Seq("h"), "left")
+      .groupBy("doc_id").agg(count(col("hit")).as("n_shared"))
+    preState.join(nShared, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/state")
+    p02PlacementFromState(s.read.parquet(s"$base/state"))
+      .repartition(col("split"), col("source"))
+      .write.mode(SaveMode.Overwrite).partitionBy("split", "source")
+      .parquet(s"$base/lake")
+  }
+
+  /** Materialize a tick stage to the scratch lake and read it back flat.
+    * Two jobs in one: it IS the production shape (each stage lands as a
+    * lake table the next stage reads), and it truncates logical-plan
+    * lineage — the tick's stages cross-reference each other 2-4x apiece,
+    * and un-cut the final diff's analyzed tree multiplies out to
+    * millions of nodes (measured: 10+ driver-minutes of TreeNode
+    * traversal at gate scale before any task ran).
+    */
+  private def stageCut(s: SparkSession, df: DataFrame,
+      path: String): DataFrame = {
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+    s.read.parquet(path)
+  }
+
+  /** One incremental tick: fold `deltaDocs` into the build at `base`.
+    * Reads ONLY the persisted metadata artifacts and the delta; patches
+    * the lake in place (partition-scoped CDC) and rolls the artifacts
+    * forward for the next tick.
+    */
+  private[graft] def p02Tick(s: SparkSession, base: String,
+      deltaDocs: DataFrame): Unit = {
+    // NOT cache-tracked: the tick's tail overwrites $base/state (the
+    // version promote), and a persisted relation over the old files
+    // could serve a later tick stale rows through plan-cache matching
+    val state = s.read.parquet(s"$base/state")
+    val postings = s.read.parquet(s"$base/postings")
+    val bandIdx = s.read.parquet(s"$base/bands")
+    val bench = s.read.parquet(s"$base/bench")
+    val dq = graft.Caching.persistTracked("p02_dq",
+      p02Derive(s, deltaDocs))
+
+    // ---- exact keepers: only fps present in the delta can change
+    val dFp = dq.groupBy("fp").agg(min("doc_id").as("d_min"))
+    val bFp = state.join(dFp.select("fp"), Seq("fp"), "left_semi")
+      .groupBy("fp").agg(min("doc_id").as("b_min"))
+    val gMin = dFp.join(bFp, Seq("fp"), "full_outer")
+      .select(col("fp"),
+              least(coalesce(col("d_min"), col("b_min")),
+                    coalesce(col("b_min"), col("d_min"))).as("g_min"))
+
+    // ---- near-dup: delta bands probe the band index; Jaccard verify
+    // via posting-intersection counts (same integers as the array
+    // kernel → the same IEEE quotient → the same 0.3 verdicts)
+    val dsh = dq.filter(col("n_sh") > 0).select("doc_id", "mh", "n_sh")
+    val dBands = Dedup.minhashBands(dsh.select("doc_id", "mh"))
+    val da = dBands.toDF("a_id", "band_id", "band_sig")
+    val db = dBands.toDF("b_id", "band_id", "band_sig")
+    val ddPairs = da.join(db, Seq("band_id", "band_sig"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .join(dsh.select(col("doc_id").as("a_id"), col("mh").as("a_sh")), "a_id")
+      .join(dsh.select(col("doc_id").as("b_id"), col("mh").as("b_sh")), "b_id")
+      .filter(Dedup.jaccard("a_sh", "b_sh") >= 0.3)
+      .select("a_id", "b_id")
+    val dbCand = dBands.toDF("d_id", "band_id", "band_sig")
+      .join(bandIdx.toDF("b_id", "band_id", "band_sig"),
+            Seq("band_id", "band_sig"))
+      .select("d_id", "b_id").distinct()
+    val dEx = dsh.select(col("doc_id").as("d_id"), explode(col("mh")).as("h"))
+    val dbPairs = dbCand
+      .join(dEx, "d_id")
+      .join(postings.select(col("doc_id").as("b_id"), col("h")),
+            Seq("b_id", "h"))
+      .groupBy("d_id", "b_id").agg(count(lit(1)).as("shared"))
+      .join(dsh.select(col("doc_id").as("d_id"), col("n_sh").as("d_n")), "d_id")
+      .join(state.select(col("doc_id").as("b_id"), col("n_sh").as("b_n")), "b_id")
+      .filter(col("shared").cast("double") /
+              (col("d_n") + col("b_n") - col("shared")) >= 0.3)
+      .select("d_id", "b_id")
+
+    // ---- contracted label fixpoint: nodes are old canonicals (each old
+    // component contracted to its minimum) plus delta ids; new edges
+    // mapped through the contraction. min over a merged component of
+    // contracted minima == the full rebuild's component minimum.
+    val c0 = state.select(col("doc_id").as("b_id"),
+      coalesce(col("canonical_id"), col("doc_id")).as("node"))
+    val newPairs = graft.Caching.persistTracked("p02_tick_pairs",
+      dbPairs.join(c0, "b_id").select(col("d_id").as("a_id"),
+          col("node").as("b_id"))
+        .unionByName(ddPairs))
+    val cEdges = graft.Caching.persistTracked("p02_tick_edges",
+      newPairs.union(newPairs.select(col("b_id"), col("a_id")))
+        .toDF("src", "dst"))
+    val relab = Dedup.propagateLabels(s, cEdges, "p02t")
+      .select(col("doc_id").as("node"), col("canonical_id").as("new_min"))
+
+    // ---- roll the state forward (keeper flips, canonical relabels,
+    // delta rows appended). n_shared is patched after the bench update.
+    val baseUpd = state
+      .join(gMin, Seq("fp"), "left")
+      .withColumn("is_keeper",
+        when(col("g_min").isNotNull, col("doc_id") === col("g_min"))
+          .otherwise(col("is_keeper")))
+      .drop("g_min")
+      .join(c0.select(col("b_id").as("doc_id"), col("node")), "doc_id")
+      .join(relab, Seq("node"), "left")
+      .withColumn("canonical_id",
+        coalesce(col("new_min"), col("canonical_id")))
+      .drop("node", "new_min")
+    val deltaRows = dq.select("doc_id", "source", "split", "fp", "n_sh",
+        "n_tokens")
+      .join(gMin, Seq("fp"), "left")
+      .withColumn("is_keeper", col("doc_id") === col("g_min"))
+      .drop("g_min")
+      .join(relab.select(col("node").as("doc_id"), col("new_min")),
+            Seq("doc_id"), "left")
+      .withColumn("canonical_id", col("new_min")).drop("new_min")
+      .withColumn("n_shared", lit(0L))
+    val state2 = stageCut(s,
+      baseUpd.select(deltaRows.columns.map(col): _*).unionByName(deltaRows),
+      s"$base/tick/state2")
+
+    // ---- benchmark shingle refcounts: test-split survivorship changes
+    // add/remove shingles; only 0↔>0 transitions change membership
+    val oldTest = state.filter(s1Flag && col("split") === "test")
+      .select("doc_id")
+    val newTest = state2.filter(s1Flag && col("split") === "test")
+      .select("doc_id")
+    val addedTest = newTest.exceptAll(oldTest)
+    val removedTest = oldTest.exceptAll(newTest)
+    // added test docs are delta docs (base docs never regain
+    // survivorship); removed ones are base docs — shingles from postings
+    val addSh = dsh.join(addedTest, "doc_id")
+      .select(col("doc_id"), explode(col("mh")).as("h"))
+      .select(col("h"), lit(1L).as("d"))
+      .unionByName(postings.join(addedTest, "doc_id")
+        .select(col("h"), lit(1L).as("d")))
+    val remSh = postings.join(removedTest, "doc_id")
+      .select(col("h"), lit(-1L).as("d"))
+    val rcDelta = addSh.unionByName(remSh).groupBy("h")
+      .agg(sum("d").as("d"))
+    val bench2 = stageCut(s,
+      bench.join(rcDelta, Seq("h"), "full_outer")
+        .select(col("h"),
+                (coalesce(col("rc"), lit(0L)) +
+                 coalesce(col("d"), lit(0L))).as("rc2"),
+                coalesce(col("rc"), lit(0L)).as("rc1")),
+      s"$base/tick/bench2")
+    val hPlus = bench2.filter(col("rc1") === 0 && col("rc2") > 0)
+      .select(col("h"), lit(1L).as("d"))
+    val hMinus = bench2.filter(col("rc1") > 0 && col("rc2") <= 0)
+      .select(col("h"), lit(-1L).as("d"))
+
+    // ---- n_shared: base train docs adjust by posting hits on the
+    // changed shingles; delta train docs count against the full new set
+    val baseAdj = postings.filter(col("split") === "train")
+      .join(hPlus.unionByName(hMinus), "h")
+      .groupBy("doc_id").agg(sum("d").as("adj"))
+    val deltaShared = dEx
+      .join(dq.filter(col("split") === "train")
+        .select(col("doc_id").as("d_id")), "d_id")
+      .join(bench2.filter(col("rc2") > 0).select("h"), "h")
+      .groupBy("d_id").agg(count(lit(1)).as("cnt"))
+      .select(col("d_id").as("doc_id"), col("cnt"))
+    // state_v2 is both the next tick's input artifact and this tick's
+    // flat base for the mixture/pack tail
+    val state3 = stageCut(s,
+      state2
+        .join(baseAdj, Seq("doc_id"), "left")
+        .join(deltaShared, Seq("doc_id"), "left")
+        .withColumn("n_shared",
+          col("n_shared") + coalesce(col("adj"), lit(0L)) +
+            coalesce(col("cnt"), lit(0L)))
+        .drop("adj", "cnt"),
+      s"$base/state_v2")
+
+    // ---- mixture + pack over the new state (narrow metadata only)
+    val s2n = state3.filter(s1Flag && !flaggedPred)
+    val rates2 = Corpus.mixtureRates(s2n.filter(col("split") === "train"))
+    val s3n = s2n.join(broadcast(rates2), Seq("source"), "left")
+      .filter(col("split") =!= "train" ||
+              Corpus.mixtureAccept(col("doc_id"), col("rate_q")))
+      .select("doc_id", "source", "split", "n_tokens")
+    // NOT cache-tracked (same reason as `state`): the apply below
+    // rewrites the lake path in place, and a cached relation over it
+    // plan-matches ANY later read of the path — the post-apply gate
+    // read then resolves against the pre-apply file list (measured at
+    // sf0.1: FILE_NOT_EXIST on a replaced partition file)
+    val v1 = s.read.parquet(s"$base/lake")
+      .select("doc_id", "source", "split", "n_tokens", "shard",
+              "bin_id", "bin_offset")
+    // shard-count ladder: recompute v1's from its token sum (a metadata
+    // agg — in production it rides the lake's commit metadata)
+    def tokSum(df: DataFrame): Long = df
+      .agg(coalesce(sum(col("n_tokens").cast("long")), lit(0L)))
+      .head.getLong(0)
+    val ladderMoved = Corpus.packShards(tokSum(v1)) !=
+      Corpus.packShards(tokSum(s3n))
+    val sharded2 = stageCut(s, p02Sharded(s3n), s"$base/tick/sharded2")
+    // membership diff decides the touched shards (placement can only
+    // change where membership changed — untouched shards keep their
+    // exact per-shard rows and cumsums)
+    val insIds = sharded2.select("doc_id", "shard")
+      .join(v1.select("doc_id"), Seq("doc_id"), "left_anti")
+    val delIds = v1.select("doc_id", "shard")
+      .join(sharded2.select("doc_id"), Seq("doc_id"), "left_anti")
+    val touchedShards =
+      if (ladderMoved) None // every placement moves: full recompute
+      else Some(insIds.select("shard").unionByName(delIds.select("shard"))
+        .distinct())
+    val place2 = p02Bins(touchedShards match {
+      case Some(sh) => sharded2.join(broadcast(sh), Seq("shard"), "left_semi")
+      case None => sharded2
+    })
+    val v1Scope = touchedShards match {
+      case Some(sh) => v1.join(broadcast(sh), Seq("shard"), "left_semi")
+      case None => v1
+    }
+
+    // ---- changelog: diff the scoped placements, apply partition-scoped
+    val pay = Seq("doc_id", "source", "split", "n_tokens", "shard",
+      "bin_id", "bin_offset")
+    val oldS = v1Scope.select(col("doc_id"),
+      struct(pay.tail.map(col): _*).as("o"))
+    val newS = place2.select(col("doc_id"),
+      struct(pay.tail.map(col): _*).as("n"))
+    val diff = oldS.join(newS, Seq("doc_id"), "full_outer")
+    val log = stageCut(s,
+      diff.filter(col("n").isNull)
+        .select(lit("D").as("op"), col("doc_id"), col("o.*"))
+        .unionByName(diff.filter(col("n").isNotNull &&
+            (col("o").isNull || !(col("o") === col("n"))))
+          .select(lit("U").as("op"), col("doc_id"), col("n.*"))),
+      s"$base/tick/log")
+    Lake.cdcApplyPartitioned(s, s"$base/lake", log, s"$base/stage",
+      Seq("split", "source"))
+
+    // ---- roll the index artifacts forward for the next tick
+    val dPost = dq.filter(col("n_sh") > 0)
+      .select(col("doc_id"), col("split"), explode(col("mh")).as("h"))
+    dPost.write.mode(SaveMode.Append).parquet(s"$base/postings")
+    dBands.write.mode(SaveMode.Append).parquet(s"$base/bands")
+    // state3 already landed as $base/state_v2 via its stage cut
+    bench2.filter(col("rc2") > 0).select(col("h"), col("rc2").as("rc"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/bench_v2")
+    // promote v2 into place so ticks CHAIN (both sources are flat reads
+    // of the v2 dirs, so overwriting the v1 paths is safe); a real lake
+    // flips a version pointer instead of copying (s19's discipline)
+    s.read.parquet(s"$base/state_v2").write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/state")
+    s.read.parquet(s"$base/bench_v2").write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/bench")
+  }
+
   val defs: Map[String, OpDef] = Map(
     "p01_corpus_build" -> OpDef.sql(
       (s, d) => {
@@ -201,6 +620,29 @@ object Pipeline {
         // join) and hash the READ-BACK — the gate covers the write path
         Ingest.writeCorpusLake(built, "graft_p01_corpus")
         s.table("graft_p01_corpus")
+          .select("doc_id", "source", "split", "n_tokens", "shard",
+                  "bin_id", "bin_offset")
+          .orderBy("doc_id")
+      },
+      duckP01Sql),
+
+    // p02: build over 75% of the corpus, then fold the other 25% in as
+    // an incremental tick — base text untouched, lake patched partition-
+    // scoped. The oracle is p01's FULL-REBUILD replay over ALL documents
+    // verbatim: the hash match IS the proof that the incremental path
+    // computes the identical corpus (every retro flow included). The
+    // delta is drawn by an md5 bucket INDEPENDENT of the split bucket,
+    // so delta ids interleave with base ids — the adversarial case where
+    // keepers and canonicals can be stolen retroactively.
+    "p02_incr_corpus" -> OpDef.sql(
+      (s, d) => {
+        val base = Lake.scratch("p02", d)
+        val docs = Tables.documents(s, d)
+        val isDelta =
+          Corpus.saltedBucket("p02delta", col("doc_id"), 4) === 3
+        p02Build1(s, docs.filter(!isDelta), base)
+        p02Tick(s, base, docs.filter(isDelta))
+        s.read.parquet(s"$base/lake")
           .select("doc_id", "source", "split", "n_tokens", "shard",
                   "bin_id", "bin_offset")
           .orderBy("doc_id")
