@@ -226,6 +226,14 @@ object Pipeline {
   //     step of the shard count rewrites all placements (metadata-only).
   // ---------------------------------------------------------------------
 
+  /** The delta-selection bucket (gate + P02Probe): md5-salted,
+    * independent of the split bucket so delta ids interleave with base
+    * ids — the adversarial arrival order.
+    */
+  private[graft] def p02DeltaBucket(id: org.apache.spark.sql.Column,
+      mod: Int): org.apache.spark.sql.Column =
+    Corpus.saltedBucket("p02delta", id, mod)
+
   /** Shared derivation: quality-gate a docs frame and attach everything
     * the pipeline needs downstream — split, content fp, distinct shingle
     * hashes (+count), token count. One text scan; after this, text is
@@ -638,8 +646,7 @@ object Pipeline {
       (s, d) => {
         val base = Lake.scratch("p02", d)
         val docs = Tables.documents(s, d)
-        val isDelta =
-          Corpus.saltedBucket("p02delta", col("doc_id"), 4) === 3
+        val isDelta = p02DeltaBucket(col("doc_id"), 4) === 3
         p02Build1(s, docs.filter(!isDelta), base)
         p02Tick(s, base, docs.filter(isDelta))
         s.read.parquet(s"$base/lake")
