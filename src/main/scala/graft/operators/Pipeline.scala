@@ -350,16 +350,16 @@ object Pipeline {
     // postings carry the split so bench/decontam probes never re-join
     val postings = q.filter(col("n_sh") > 0)
       .select(col("doc_id"), col("split"), explode(col("mh")).as("h"))
-    postings.write.mode(SaveMode.Overwrite).parquet(s"$base/postings")
-    bands.write.mode(SaveMode.Overwrite).parquet(s"$base/bands")
-    val postP = s.read.parquet(s"$base/postings")
+    postings.write.mode(SaveMode.Overwrite).parquet(s"$base/postings/t0")
+    bands.write.mode(SaveMode.Overwrite).parquet(s"$base/bands/t0")
+    val postP = s.read.parquet(s"$base/postings/t0")
     // bench refcounts: how many test-split SURVIVORS contain each shingle
     val testS1 = preState.filter(s1Flag && col("split") === "test")
       .select("doc_id")
     postP.join(testS1, "doc_id")
       .groupBy("h").agg(count(lit(1)).as("rc"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$base/bench")
-    val benchSet = s.read.parquet(s"$base/bench").select("h")
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/bench/v0")
+    val benchSet = s.read.parquet(s"$base/bench/v0").select("h")
     // n_shared: |mh ∩ bench| for every TRAIN quality survivor (survivor
     // or not — uniform maintenance keeps the tick's update one probe)
     val nShared = postP.filter(col("split") === "train")
@@ -367,8 +367,8 @@ object Pipeline {
       .groupBy("doc_id").agg(count(col("hit")).as("n_shared"))
     preState.join(nShared, Seq("doc_id"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-      .write.mode(SaveMode.Overwrite).parquet(s"$base/state")
-    p02PlacementFromState(s.read.parquet(s"$base/state"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/state/v0")
+    p02PlacementFromState(s.read.parquet(s"$base/state/v0"))
       .repartition(col("split"), col("source"))
       .write.mode(SaveMode.Overwrite).partitionBy("split", "source")
       .parquet(s"$base/lake")
@@ -392,16 +392,28 @@ object Pipeline {
     * Reads ONLY the persisted metadata artifacts and the delta; patches
     * the lake in place (partition-scoped CDC) and rolls the artifacts
     * forward for the next tick.
+    *
+    * EXACTLY-ONCE under checkpoint replay (s19's discipline, so s20 can
+    * drive ticks through foreachBatch): tick b reads state/bench at
+    * version v{b} and writes v{b+1} (a replay overwrites the same
+    * version from the same input); the per-tick posting/band index
+    * slices land in t{b+1} subdirs and reads enumerate ONLY t0..t{b},
+    * so a failed attempt's leftovers are invisible; and the lake patch
+    * is CONVERGENT — a replayed diff runs against the already-patched
+    * lake, produces an empty changelog, and applies nothing.
     */
   private[graft] def p02Tick(s: SparkSession, base: String,
-      deltaDocs: DataFrame): Unit = {
-    // NOT cache-tracked: the tick's tail overwrites $base/state (the
-    // version promote), and a persisted relation over the old files
-    // could serve a later tick stale rows through plan-cache matching
-    val state = s.read.parquet(s"$base/state")
-    val postings = s.read.parquet(s"$base/postings")
-    val bandIdx = s.read.parquet(s"$base/bands")
-    val bench = s.read.parquet(s"$base/bench")
+      deltaDocs: DataFrame, tick: Long = 0L): Unit = {
+    // NOT cache-tracked: version promotion rewrites these roots across
+    // ticks, and a persisted relation over old files could serve a
+    // later tick stale rows through plan-cache matching
+    val state = s.read.parquet(s"$base/state/v$tick")
+    val tickDirs = (0L to tick)
+    val postings = s.read.parquet(
+      tickDirs.map(i => s"$base/postings/t$i"): _*)
+    val bandIdx = s.read.parquet(
+      tickDirs.map(i => s"$base/bands/t$i"): _*)
+    val bench = s.read.parquet(s"$base/bench/v$tick")
     val dq = graft.Caching.persistTracked("p02_dq",
       p02Derive(s, deltaDocs))
 
@@ -538,7 +550,7 @@ object Pipeline {
           col("n_shared") + coalesce(col("adj"), lit(0L)) +
             coalesce(col("cnt"), lit(0L)))
         .drop("adj", "cnt"),
-      s"$base/state_v2")
+      s"$base/state/v${tick + 1}")
 
     // ---- mixture + pack over the new state (narrow metadata only)
     val s2n = state3.filter(s1Flag && !flaggedPred)
@@ -604,18 +616,13 @@ object Pipeline {
     // ---- roll the index artifacts forward for the next tick
     val dPost = dq.filter(col("n_sh") > 0)
       .select(col("doc_id"), col("split"), explode(col("mh")).as("h"))
-    dPost.write.mode(SaveMode.Append).parquet(s"$base/postings")
-    dBands.write.mode(SaveMode.Append).parquet(s"$base/bands")
-    // state3 already landed as $base/state_v2 via its stage cut
+    dPost.write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/postings/t${tick + 1}")
+    dBands.write.mode(SaveMode.Overwrite)
+      .parquet(s"$base/bands/t${tick + 1}")
+    // state v{tick+1} already landed via state3's stage cut
     bench2.filter(col("rc2") > 0).select(col("h"), col("rc2").as("rc"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$base/bench_v2")
-    // promote v2 into place so ticks CHAIN (both sources are flat reads
-    // of the v2 dirs, so overwriting the v1 paths is safe); a real lake
-    // flips a version pointer instead of copying (s19's discipline)
-    s.read.parquet(s"$base/state_v2").write.mode(SaveMode.Overwrite)
-      .parquet(s"$base/state")
-    s.read.parquet(s"$base/bench_v2").write.mode(SaveMode.Overwrite)
-      .parquet(s"$base/bench")
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/bench/v${tick + 1}")
   }
 
   val defs: Map[String, OpDef] = Map(

@@ -617,6 +617,50 @@ object StreamQueries {
       },
       graft.operators.Lake.duckCdcSql),
 
+    // s20: streaming INCREMENTAL CORPUS BUILD — p02's tick driven from
+    // the intake via foreachBatch. The corpus is built once over the
+    // base (p02Build1's metadata artifacts + placement lake); delta
+    // documents then arrive as file-source micro-batches (two ticks,
+    // split by doc_id parity — tick composition must not matter), and
+    // each batch b folds in with the SAME p02Tick kernel, exactly-once
+    // by s19's versioned idempotence (state/bench at v{b} -> v{b+1},
+    // per-tick index slices, convergent lake patch — see p02Tick's
+    // scaladoc). Oracle: p01's FULL-REBUILD DuckDB replay over ALL
+    // documents VERBATIM — the streamed chain of ticks must land the
+    // exact from-scratch corpus, retroactive verdicts included.
+    "s20_stream_incr_corpus" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.{Lake, Pipeline}
+        val base = Lake.scratch("s20", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = graft.sources.Tables.documents(s, d)
+        val isDelta = Pipeline.p02DeltaBucket(col("doc_id"), 4) === 3
+        Pipeline.p02Build1(s, docs.filter(!isDelta), s"$base/b")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/feed"))
+        val delta = docs.filter(isDelta)
+        writeOneFile(delta.filter(pmod(col("doc_id"), lit(2)) === 0),
+          java.nio.file.Paths.get(s"$base/feed/tick0.parquet"))
+        writeOneFile(delta.filter(pmod(col("doc_id"), lit(2)) === 1),
+          java.nio.file.Paths.get(s"$base/feed/tick1.parquet"))
+        val schema = s.read.parquet(s"$base/feed").schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Pipeline.p02Tick(s, s"$base/b", batch, batchId)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$base/b/lake")
+          .select("doc_id", "source", "split", "n_tokens", "shard",
+                  "bin_id", "bin_offset")
+          .orderBy("doc_id")
+      },
+      graft.operators.Pipeline.duckP01Sql),
+
     // s16: streaming decile gate — d33's top-deciles curation filter at
     // the intake. The sources x 9 cut table comes from the STATIC corpus
     // (s12's pattern: yesterday's corpus sets today's intake thresholds)

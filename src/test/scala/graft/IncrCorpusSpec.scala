@@ -191,8 +191,8 @@ class IncrCorpusSpec extends AnyFunSuite with SparkFixture {
     val d2 = (50L to 60L).map(doc) :+ ((61L, "src0", doc(7L)._3))
     val base = newBase()
     Pipeline.p02Build1(spark, docsDF(baseRows), base)
-    Pipeline.p02Tick(spark, base, docsDF(d1))
-    Pipeline.p02Tick(spark, base, docsDF(d2))
+    Pipeline.p02Tick(spark, base, docsDF(d1), tick = 0)
+    Pipeline.p02Tick(spark, base, docsDF(d2), tick = 1)
     assert(lakeRows(base) == fullRebuild(baseRows ++ d1 ++ d2),
       "two chained ticks != full rebuild")
   }
