@@ -424,6 +424,38 @@ object Lake {
     // CdcScaleSpec proves the SCOPING with a source-confined changelog —
     // untouched partitions keep byte-identical files — and the
     // empty-partition delete path a declarative overwrite can't express.
+    // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
+    // already skips row groups whose parquet footer stats reject a
+    // predicate, but it must LIST the lake and OPEN every footer first:
+    // at 100 TB / ~10M files that per-file IO is the planning cost, not
+    // the data scan. The manifest is a TABLE of per-file stats (path,
+    // min/max key, rows) written once at load time — the Delta/Iceberg
+    // move — so planning a predicate is one scan of the manifest (a
+    // DISTRIBUTED filter; only the admitted paths, sized by query
+    // selectivity, ever reach the driver) and the data read opens
+    // exactly the admitted files. The date-range-partitioned layout
+    // gives each file a tight l_shipdate span, so a 2-month window
+    // admits ~2 of 32 files (ManifestSpec measures it, proves the scan
+    // touches ONLY admitted files via inputFiles, and pins the
+    // empty-range path). Oracle: the same aggregate over the source
+    // table — manifest pruning must be invisible to the answer.
+    "l09_stats_manifest" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l09", d)
+        writeManifestLake(s, Tables.lineitem(s, d), base)
+        manifestScan(s, base, "1995-03-01", "1995-05-01")
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+               sum("l_quantity").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |       sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |  AND l_shipdate <  TIMESTAMP '1995-05-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
     "l08_cdc_apply_partitioned" -> OpDef.sql(
       (s, d) => {
         val base = scratch("l08", d)
@@ -441,6 +473,58 @@ object Lake {
       },
       duckCdcSql)
   )
+
+  private[graft] val ManifestFiles = 32
+
+  /** l09's load path: land the fact table as `ManifestFiles` contiguous
+    * l_shipdate ranges (range partition + in-file sort — tight per-file
+    * min/max), then derive the manifest FROM the landed files in one
+    * scan grouped by `input_file_name()`. In production the writer
+    * appends manifest rows transactionally with each data commit; the
+    * derive-by-scan form here doubles as the backfill/repair job an
+    * existing lake runs once.
+    */
+  private[graft] def writeManifestLake(s: SparkSession, df: DataFrame,
+      base: String): Unit = {
+    df.repartitionByRange(ManifestFiles, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate")
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/lake")
+    s.read.parquet(s"$base/lake")
+      .groupBy(input_file_name().as("path"))
+      .agg(min("l_shipdate").as("ship_lo"), max("l_shipdate").as("ship_hi"),
+           count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/manifest")
+  }
+
+  /** The admitted file list for a [lo, hi) l_shipdate window: one
+    * interval-overlap filter on the manifest. Distributed; only the
+    * survivors (∝ query selectivity) are collected for the read.
+    */
+  private[graft] def manifestAdmitted(s: SparkSession, base: String,
+      lo: String, hi: String): Seq[String] =
+    s.read.parquet(s"$base/manifest")
+      .filter(col("ship_hi") >= to_timestamp(lit(lo)) &&
+              col("ship_lo") < to_timestamp(lit(hi)))
+      .select("path").collect().map(_.getString(0)).toSeq
+
+  /** A manifest-planned scan: read exactly the admitted files, with the
+    * residual predicate still applied (stats admit whole files; rows
+    * inside an admitted file can still miss the window).
+    */
+  private[graft] def manifestScan(s: SparkSession, base: String,
+      lo: String, hi: String): DataFrame = {
+    val admitted = manifestAdmitted(s, base, lo, hi)
+    val src =
+      if (admitted.isEmpty)
+        // zero admitted files: an empty frame with the LAKE's schema
+        // (a reader downstream must see the same shape either way)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          s.read.parquet(s"$base/lake").schema)
+      else s.read.parquet(admitted: _*)
+    src.filter(col("l_shipdate") >= to_timestamp(lit(lo)) &&
+               col("l_shipdate") < to_timestamp(lit(hi)))
+  }
 
   /** The CDC-apply oracle, shared by l06 and its streaming twin s19:
     * DuckDB replays the bucket-rule changelog derivation and the merge
