@@ -153,6 +153,52 @@ object Events {
     // user_id is a HIGH-cardinality partition key, so the window
     // parallelizes with the corpus (the q18 anti-pattern is only the
     // low-cardinality window); one shuffle on user_id total.
+    // q44: INTERVAL (range) join, binned. Spark has no range-join
+    // strategy: `p.ts BETWEEN iv.lo AND iv.hi` plans as a broadcast
+    // nested loop (O(|probe| x |intervals|) comparisons — a scale
+    // killer both here and on a cluster). The standard rewrite bins
+    // both sides at the maximum interval width W: an interval spans at
+    // most two W-bins (exploded, deduped), a probe lives in exactly
+    // one, and the non-equi condition becomes an EQUI join on the bin
+    // with the exact containment as a residual filter — one hash
+    // shuffle, volume ∝ matches, zero cartesian (IntervalJoinSpec pins
+    // the plan and the naive-join identity). Each purchase opens a
+    // 2-hour window; clicks from ANY user land in it (a per-user
+    // condition would make it q40's equi-window — the point here is
+    // the global interval semantics).
+    "q44_interval_join" -> OpDef.sql(
+      (s, d) => {
+        val W = 7200000000L // 2 h in epoch micros = the interval width
+        val ev = Tables.events(s, d)
+        val iv = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("window_id"),
+                  col("ts_us").as("lo"),
+                  (col("ts_us") + lit(W)).as("hi"))
+          .withColumn("bin", explode(array_distinct(array(
+            expr(s"lo DIV $W"), expr(s"(hi - 1) DIV $W")))))
+        val probe = ev.filter(col("event_type") === "click")
+          .select(col("ts_us"), col("value"),
+                  expr(s"ts_us DIV $W").as("bin"))
+        probe.join(iv, "bin")
+          .filter(col("ts_us") >= col("lo") && col("ts_us") < col("hi"))
+          .groupBy("window_id")
+          .agg(count(lit(1)).as("n"),
+               round(sum("value") + lit(1e-6), 2).as("total_value"))
+          .orderBy("window_id")
+      },
+      """WITH iv AS (
+        |  SELECT event_id AS window_id,
+        |         epoch_ns(ts) // 1000 AS lo,
+        |         epoch_ns(ts) // 1000 + 7200000000 AS hi
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (
+        |  SELECT epoch_ns(ts) // 1000 AS ts_us, value
+        |  FROM events WHERE event_type = 'click')
+        |SELECT iv.window_id, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(p.value) + 1e-6, 2) AS total_value
+        |FROM iv JOIN p ON p.ts_us >= iv.lo AND p.ts_us < iv.hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     "q40_funnel" -> OpDef.sql(
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy("ts_us")
