@@ -171,6 +171,38 @@ object Corpus {
        |ORDER BY d.doc_id""".stripMargin
 
   val defs: Map[String, OpDef] = Map(
+    // d39: stratified sampling with EXACT per-source quotas. d11/d17
+    // sample by rate (expected counts); an eval set or labeling batch
+    // needs exactly k per stratum. The naive form is
+    // `row_number() OVER (PARTITION BY source ...) <= k` — the q18/d31
+    // low-cardinality-window anti-pattern (the whole corpus sorts
+    // through a handful of partitions). Here the per-source top-k is
+    // ONE map-side-combinable aggregate (the TopKBy kernel: partial
+    // heaps of size k merge associatively — shuffled volume is
+    // sources x k rows, never the corpus), ordered by the d08/d11
+    // md5 bucket so the quota is a deterministic "random" draw any
+    // engine reproduces. Ties (60-bit md5) break id-asc in kernel and
+    // oracle alike.
+    "d39_stratified_sample" -> OpDef.sql(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val k = 20
+        Tables.documents(s, d)
+          .withColumn("b", Dedup.idBucket50(col("doc_id")))
+          .groupBy("source")
+          .agg(expr(s"topk_by(-CAST(b AS DOUBLE), doc_id, $k)").as("top"))
+          .select(col("source"), explode(col("top")).as("c"))
+          .select(col("source"), col("c.id").as("doc_id"))
+          .orderBy("source", "doc_id")
+      },
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |         row_number() OVER (
+         |           PARTITION BY source
+         |           ORDER BY ${Dedup.duckBucket50("doc_id")}, doc_id)
+         |           AS rk
+         |  FROM documents)
+         |WHERE rk <= 20 ORDER BY source, doc_id""".stripMargin),
 
     // Domain-mixture resampling: downsample over-represented sources so
     // the kept corpus matches target proportions (the "data mixing" step

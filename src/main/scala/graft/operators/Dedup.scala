@@ -352,6 +352,22 @@ object Dedup {
     s"CASE WHEN $b < 80 THEN 'train' WHEN $b < 90 THEN 'val' ELSE 'test' END"
   }
 
+  /** The RAW md5 bucket of a doc id, truncated to 50 bits (d39's sample
+    * order key): 50-bit longs are exactly representable as doubles, so
+    * the TopKBy kernel's double score ranks identically to the oracle's
+    * integer ORDER BY — a 60-bit value would round in the cast and the
+    * two engines could disagree inside a 2^7 neighborhood.
+    */
+  private[graft] def idBucket50(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    shiftright(conv(substring(md5(id.cast("string")), 1, 15), 16, 10)
+      .cast("long"), 10)
+
+  /** [[idBucket50]]'s DuckDB twin (the md5 prefix is non-negative, so
+    * `// 1024` == the operator's `>> 10`).
+    */
+  private[operators] def duckBucket50(idSql: String): String =
+    s"(('0x' || substr(md5(CAST($idSql AS VARCHAR)), 1, 15))::BIGINT // 1024)"
+
   /** Exact-duplicate fingerprint (d01's grouping key), shared with d14's
     * keeper rule. */
   private[graft] def textFp: org.apache.spark.sql.Column = md5(col("text").cast("binary"))
