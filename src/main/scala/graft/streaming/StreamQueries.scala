@@ -129,6 +129,51 @@ object StreamQueries {
     deleteTree(tmpOut)
   }
 
+  /** s21's per-batch commit: land the batch's data files under a
+    * per-batch subdir (range-sorted on doc_id so per-file min/max stats
+    * are tight), then write that subdir's manifest rows LAST — the
+    * manifest write is the commit point. Both writes are full-subdir
+    * overwrites keyed by batchId, so a checkpoint replay rewrites the
+    * same batch rather than duplicating it.
+    */
+  private[graft] def s21Commit(s: SparkSession, base: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    batch.repartitionByRange(2, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(s"$base/lake/b$batchId")
+    s.read.parquet(s"$base/lake/b$batchId")
+      .groupBy(input_file_name().as("path"))
+      .agg(min("doc_id").as("id_lo"), max("doc_id").as("id_hi"),
+           count(lit(1)).as("n_rows"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$base/manifest/b$batchId")
+  }
+
+  /** A manifest-planned read of the s21 lake: enumerate COMMITTED batch
+    * manifests (data subdirs without one are torn writes and stay
+    * invisible), admit files overlapping [lo, hi], read exactly those
+    * with the residual predicate.
+    */
+  private[graft] def s21ManifestScan(s: SparkSession, base: String,
+      lo: Long, hi: Long): DataFrame = {
+    val mDirs = Option(new java.io.File(s"$base/manifest").listFiles())
+      .map(_.toSeq).getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .map(_.toString)
+    val admitted =
+      if (mDirs.isEmpty) Seq.empty[String]
+      else s.read.parquet(mDirs: _*)
+        .filter(col("id_hi") >= lo && col("id_lo") <= hi)
+        .select("path").collect().map(_.getString(0)).toSeq
+    val src =
+      if (admitted.isEmpty)
+        s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          s.read.parquet(s"$base/feed").schema)
+      else s.read.parquet(admitted: _*)
+    src.filter(col("doc_id") >= lo && col("doc_id") <= hi)
+  }
+
   private def stagedEventsDir(s: SparkSession, d: String, tag: String,
       recipe: String = "",
       mkSentinels: DataFrame => Seq[DataFrame] = _ => Seq.empty): String =
@@ -660,6 +705,48 @@ object StreamQueries {
           .orderBy("doc_id")
       },
       graft.operators.Pipeline.duckP01Sql),
+
+    // s21: streaming MANIFEST-maintained lake sink — l09's metadata
+    // layer kept transactionally current at the intake. Each micro-
+    // batch lands its data files under a PER-BATCH subdir (replay
+    // overwrites the same subdir — s19's versioned idempotence) and
+    // then writes that subdir's manifest rows (path, min/max doc_id,
+    // rows) as the LAST step: the manifest IS the commit record, so a
+    // batch that dies between the data write and the manifest write
+    // leaves files a manifest-planned reader never sees (s17 proves
+    // the _spark_metadata form of this; s21 proves the lake-metadata
+    // form that also buys l09's planning — StreamManifestSpec plants
+    // the torn write). Batches are range-sorted on doc_id before
+    // landing so per-file stats are tight and the manifest-planned
+    // window read prunes. Oracle: the same window over the source
+    // table — the sink + manifest plan must be a pure transport.
+    "s21_stream_manifest" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Lake
+        val base = Lake.scratch("s21", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = graft.sources.Tables.documents(s, d)
+          .select("doc_id", "source", "n_chars")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/feed"))
+        writeOneFile(docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+          java.nio.file.Paths.get(s"$base/feed/tick0.parquet"))
+        writeOneFile(docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+          java.nio.file.Paths.get(s"$base/feed/tick1.parquet"))
+        val schema = s.read.parquet(s"$base/feed").schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/feed")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            s21Commit(s, base, batch, batchId)
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s21ManifestScan(s, base, 101L, 400L).orderBy("doc_id")
+      },
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE doc_id BETWEEN 101 AND 400 ORDER BY doc_id""".stripMargin),
 
     // s16: streaming decile gate — d33's top-deciles curation filter at
     // the intake. The sources x 9 cut table comes from the STATIC corpus
