@@ -653,10 +653,12 @@ object Similarity {
     * 100 TB. Approx cosine = Σ_m T[m][code_m] / (|q| · |x̂|). Emits the
     * top PqShortlist candidates per query (map-side TopKBy heaps).
     */
-  private[graft] def pqShortlist(s: SparkSession, m: PqModel,
-      codes: DataFrame, queries: DataFrame): DataFrame = {
-    GraftFunctions.register(s)
-    val qt = (0 until m.m).foldLeft(
+  /** The per-query ADC lookup tables as COLUMNS on the (tiny) query
+    * frame: q_norm + one M-slot table per subspace. Extra columns on
+    * `queries` (e12 carries the probed `cell`) ride through untouched.
+    */
+  private[graft] def pqQueryLut(m: PqModel, queries: DataFrame): DataFrame =
+    (0 until m.m).foldLeft(
       queries.withColumn("q_norm", expr(
         "sqrt(aggregate(q_vec, 0D, (a, x) -> a + CAST(x AS DOUBLE) * x))"))
     ) { (df, i) =>
@@ -668,13 +670,48 @@ object Similarity {
         s"slice(q_vec, ${i * m.sub + 1}, ${m.sub}), " +
         "(a, b) -> a * CAST(b AS DOUBLE)), 0D, (acc, x) -> acc + x))"))
     }.drop("q_vec") // the tables replace the vector in the broadcast
+
+  /** The ADC cosine of a code row against the broadcast LUT columns. */
+  private def adcScore(m: PqModel): org.apache.spark.sql.Column = {
     val scoreExpr = (0 until m.m).map(i => s"element_at(t$i, code$i + 1)")
       .mkString(" + ")
+    round(expr(scoreExpr) /
+      (col("q_norm") * sqrt(greatest(col("recon_n2"), lit(1e-300))))
+      + lit(1e-10), 6)
+  }
+
+  private[graft] def pqShortlist(s: SparkSession, m: PqModel,
+      codes: DataFrame, queries: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val qt = pqQueryLut(m, queries)
     codes.join(broadcast(qt), col("vec_id") =!= col("q_id"))
-      .withColumn("adc", round(
-        expr(scoreExpr) /
-          (col("q_norm") * sqrt(greatest(col("recon_n2"), lit(1e-300))))
-          + lit(1e-10), 6))
+      .withColumn("adc", adcScore(m))
+      .groupBy("q_id")
+      .agg(expr(s"topk_by(adc, vec_id, ${pqShortlistSize(m.nVecs)})").as("top"))
+      .select(col("q_id"), explode(col("top")).as("c"))
+      .select(col("q_id"), col("c.id").as("vec_id"), col("c.score").as("adc"))
+  }
+
+  /** e12 (IVFPQ): the ADC scan confined to each query's NProbe coarse
+    * cells — FAISS's IVFPQ proper, where e11 is its PQ-flat special
+    * case. `cellCodes` is the 16 B/row code table carrying the coarse
+    * cell id (codes ⋈ the IVF posting list — both lake artifacts); per
+    * query the scan touches ~NProbe/NumCells of the code rows instead
+    * of all of them, so at 100 TB the search reads a PRUNED slice of an
+    * already-16x-compressed table. A doubly-posted candidate (e03's
+    * top-2 replication) reaches a query through both cells — merged on
+    * (q_id, vec_id) before the heap, e03Search's discipline.
+    */
+  private[graft] def ivfPqShortlist(s: SparkSession, m: PqModel,
+      cellCodes: DataFrame, centroids: DataFrame,
+      queries: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val qt = pqQueryLut(m, e03ProbeCells(queries, centroids))
+    // qt: (q_id, cell, q_norm, t0..t{M-1})
+    cellCodes.join(broadcast(qt), Seq("cell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcScore(m))
+      .groupBy("q_id", "vec_id").agg(max("adc").as("adc"))
       .groupBy("q_id")
       .agg(expr(s"topk_by(adc, vec_id, ${pqShortlistSize(m.nVecs)})").as("top"))
       .select(col("q_id"), explode(col("top")).as("c"))
@@ -691,8 +728,16 @@ object Similarity {
     * the corpus.
     */
   private[graft] def pqSearch(s: SparkSession, m: PqModel,
-      codes: DataFrame, emb: DataFrame, queries: DataFrame): DataFrame = {
-    val cand = pqShortlist(s, m, codes, queries).select("q_id", "vec_id")
+      codes: DataFrame, emb: DataFrame, queries: DataFrame): DataFrame =
+    pqRefine(pqShortlist(s, m, codes, queries), emb, queries)
+
+  /** The exact-cosine refine stage shared by e11 and e12: re-rank only
+    * the shortlist's vectors (point fetches against the id-keyed lake,
+    * never a second corpus scan), emitted in e01's output shape.
+    */
+  private[graft] def pqRefine(shortlist: DataFrame, emb: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val cand = shortlist.select("q_id", "vec_id")
     emb.join(broadcast(cand), "vec_id")
       .join(broadcast(queries), "q_id")
       .withColumn("sim",
@@ -804,15 +849,22 @@ object Similarity {
     * search runs over the inline index (gate) or one read back from the
     * lake — with zero training on the probe side.
     */
-  private[graft] def e03Search(s: SparkSession, postings: DataFrame,
-      centroids: DataFrame, queries: DataFrame): DataFrame = {
-    GraftFunctions.register(s)
-    // each query's NProbe nearest cells (queries x NumCells rows: tiny)
+  /** Each query's NProbe nearest coarse cells (queries x NumCells rows:
+    * tiny) — shared by e03's float search and e12's IVFPQ.
+    */
+  private[graft] def e03ProbeCells(queries: DataFrame,
+      centroids: DataFrame): DataFrame = {
     val wq = Window.partitionBy("q_id").orderBy(col("sim_a").desc, col("cell"))
-    val probes = e03CellSims(queries, centroids, "q_vec")
+    e03CellSims(queries, centroids, "q_vec")
       .withColumn("rk", row_number().over(wq))
       .filter(col("rk") <= NProbe)
       .select(col("q_id"), col("q_vec"), col("cell").cast("long").as("cell"))
+  }
+
+  private[graft] def e03Search(s: SparkSession, postings: DataFrame,
+      centroids: DataFrame, queries: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val probes = e03ProbeCells(queries, centroids)
     postings
       .join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -1462,6 +1514,29 @@ object Similarity {
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         pqSearch(s, m, codes,
           emb.select("vec_id", "embedding"), queries)
+      }),
+
+    // e12: IVFPQ — the production ANN tier proper, composing the two
+    // compression axes the family built separately: e03's coarse
+    // partitioning prunes WHICH code rows a query reads (~NProbe/
+    // NumCells of the table), e11's PQ codes shrink each row to 16 B,
+    // and the exact re-rank restores recall. FAISS's IndexIVFPQ +
+    // refine shape; at 100 TB the search reads a pruned slice of an
+    // already-16x-compressed table, and both index artifacts are the
+    // SAME lake tables e03/e11 maintain (train-once per corpus stamp;
+    // the cell-tagged code table is their id join, written in one pass
+    // at build time in production). Rows-only (both stages are
+    // Lloyd-trained — e03/e11's reasoning); IvfPqSpec floors recall@10
+    // vs exact e01 and pins the structure: every emitted neighbor lies
+    // in one of its query's probed cells, zero Lloyd jobs on reuse.
+    "e12_ivfpq_search" -> OpDef.rowsOnly(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        graft.sources.AnnIndexLake.ivfPqSearch(s, d,
+          emb.select("vec_id", "embedding"),
+          emb.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
       }),
 
     // Int8 scalar quantization of the embedding lake — the storage/IO

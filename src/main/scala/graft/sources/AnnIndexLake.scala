@@ -242,4 +242,34 @@ object AnnIndexLake {
       queries: DataFrame): DataFrame =
     Similarity.pqSearch(s, readPqModel(s, dir),
       s.read.parquet(s"$dir/codes"), emb, queries)
+
+  /** e12's IVFPQ search, COMPOSED from the two persisted artifacts the
+    * family already maintains: the e03 coarse index (centroids + cell
+    * postings) and the e11 PQ index (codebooks + code table). The
+    * cell-tagged code table is their id join — in a production lake
+    * it's written that way at build time (cell and codes land in one
+    * pass over the corpus); the model/centroid reads are metadata.
+    * Zero training jobs when both indexes are current.
+    */
+  def ivfPqSearch(s: SparkSession, d: String, emb: DataFrame,
+      queries: DataFrame): DataFrame = {
+    val e03Dir = ensureE03Index(s, d, emb)
+    val pqDir = graft.operators.Lake.scratch("e11idx", d)
+    val marker = java.nio.file.Paths.get(pqDir, "_graft_stamp")
+    val stamp = Tables.stamp(d, "embeddings")
+    val current = java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
+    if (!current) {
+      writePqIndex(s, emb, pqDir)
+      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    val m = readPqModel(s, pqDir)
+    val cellCodes = s.read.parquet(s"$e03Dir/postings")
+      .select("vec_id", "cell")
+      .join(s.read.parquet(s"$pqDir/codes"), "vec_id")
+    Similarity.pqRefine(
+      Similarity.ivfPqShortlist(s, m, cellCodes,
+        s.read.parquet(s"$e03Dir/centroids"), queries),
+      emb, queries)
+  }
 }

@@ -29,7 +29,8 @@ object AnnTierProbe {
       ("e02_ann_lsh", "lsh_f32", 256), // + band codes (8 x 8B)
       ("e03_ann_ivf", "ivf_f32", 256), // + cell id (4B)
       ("e09_knn_int8", "int8", 64),    // + scale (4B)
-      ("e11_pq_search", "pq16_adc_rerank", 16))
+      ("e11_pq_search", "pq16_adc_rerank", 16),
+      ("e12_ivfpq_search", "ivfpq16_rerank", 20)) // 16B codes + cell id
 
     def topByQuery(name: String): Map[Long, Seq[Long]] =
       SparkEntry.queries(name)(s, sfDir).collect()
