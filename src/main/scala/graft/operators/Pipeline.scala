@@ -469,7 +469,13 @@ object Pipeline {
     val cEdges = graft.Caching.persistTracked("p02_tick_edges",
       newPairs.union(newPairs.select(col("b_id"), col("a_id")))
         .toDF("src", "dst"))
-    val relab = Dedup.propagateLabels(s, cEdges, "p02t")
+    // a pair-free tick (the common production case: most deltas carry
+    // no near-dups of anything) skips the fixpoint machinery entirely —
+    // its session-clone + checkpoint setup is ~1-2 s of fixed cost
+    val relab = (
+      if (cEdges.head(1).isEmpty)
+        s.range(0).select(col("id").as("doc_id"), col("id").as("canonical_id"))
+      else Dedup.propagateLabels(s, cEdges, "p02t"))
       .select(col("doc_id").as("node"), col("canonical_id").as("new_min"))
 
     // ---- roll the state forward (keeper flips, canonical relabels,
@@ -569,11 +575,14 @@ object Pipeline {
               "bin_id", "bin_offset")
     // shard-count ladder: recompute v1's from its token sum (a metadata
     // agg — in production it rides the lake's commit metadata)
-    def tokSum(df: DataFrame): Long = df
-      .agg(coalesce(sum(col("n_tokens").cast("long")), lit(0L)))
-      .head.getLong(0)
-    val ladderMoved = Corpus.packShards(tokSum(v1)) !=
-      Corpus.packShards(tokSum(s3n))
+    // both token sums in ONE job (tagged union → pivot on the tag)
+    val sums = v1.select(lit("v1").as("t"), col("n_tokens"))
+      .unionByName(s3n.select(lit("s3").as("t"), col("n_tokens")))
+      .groupBy("t").agg(coalesce(sum(col("n_tokens").cast("long")), lit(0L))
+        .as("tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ladderMoved = Corpus.packShards(sums.getOrElse("v1", 0L)) !=
+      Corpus.packShards(sums.getOrElse("s3", 0L))
     val sharded2 = stageCut(s, p02Sharded(s3n), s"$base/tick/sharded2")
     // membership diff decides the touched shards (placement can only
     // change where membership changed — untouched shards keep their
