@@ -424,6 +424,39 @@ object Lake {
     // CdcScaleSpec proves the SCOPING with a source-confined changelog —
     // untouched partitions keep byte-identical files — and the
     // empty-partition delete path a declarative overwrite can't express.
+    // l10: VERSION VACUUM — retention for the versioned snapshot chains
+    // the engine's CDC/incremental paths mint (s19's snap/v*, p02's
+    // state/v* and bench/v*). Every tick adds a full version; without
+    // retention a 100-TB snapshot chain grows by its own size per tick.
+    // Vacuum deletes all but the newest `keep` versions — never the
+    // maximum (the committed current), never a FUTURE version a crashed
+    // tick may have left (versions above current are a replay's
+    // property, not garbage — the replay overwrites them) — and is
+    // idempotent. The gate chains two CDC ticks (s19's parity split),
+    // vacuums to the last two versions, and hashes the CURRENT version
+    // through l06's oracle verbatim: retention must be invisible to
+    // every reader of a retained version. VacuumSpec proves the
+    // deletions, byte-identical retained files, and idempotence.
+    "l10_version_vacuum" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l10", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        docs.write.mode(SaveMode.Overwrite).parquet(s"$base/snap/v0")
+        val log = cdcChangelog(s.read.parquet(s"$base/snap/v0"))
+        Seq(0, 1).foreach { tick =>
+          cdcMerge(s.read.parquet(s"$base/snap/v$tick"),
+              log.filter(pmod(col("doc_id"), lit(2)) === tick))
+            .write.mode(SaveMode.Overwrite).parquet(s"$base/snap/v${tick + 1}")
+        }
+        vacuumVersions(s"$base/snap", keep = 2)
+        s.read.parquet(s"$base/snap/v2")
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      duckCdcSql),
+
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a
     // predicate, but it must LIST the lake and OPEN every footer first:
@@ -473,6 +506,22 @@ object Lake {
       },
       duckCdcSql)
   )
+
+  /** Delete all but the newest `keep` versions under `dir` (dirs named
+    * `v<N>`). Foreign names are untouched; `keep` is floored at 1 and
+    * the maximum version always survives. Idempotent: re-running after
+    * a crash mid-delete just resumes the same deletions.
+    */
+  private[graft] def vacuumVersions(dir: String, keep: Int): Seq[Int] = {
+    val vs = Option(new java.io.File(dir).listFiles()).map(_.toSeq)
+      .getOrElse(Seq.empty)
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(f => f.getName.drop(1).toInt)
+      .sorted
+    val doomed = vs.dropRight(math.max(1, keep))
+    doomed.foreach(v => deleteTree(java.nio.file.Paths.get(dir, s"v$v")))
+    doomed
+  }
 
   private[graft] val ManifestFiles = 32
 
