@@ -424,6 +424,46 @@ object Lake {
     // CdcScaleSpec proves the SCOPING with a source-confined changelog —
     // untouched partitions keep byte-identical files — and the
     // empty-partition delete path a declarative overwrite can't express.
+    // c01: CSV intake with EXPLICIT malformed-row quarantine. Real
+    // intake files carry damage — truncated lines, wrong column
+    // counts, type garbage — and the two failure postures are both
+    // wrong at scale: FAILFAST kills a 100-TB load for one bad line,
+    // silent DROPMALFORMED loses data with no audit trail. The
+    // PERMISSIVE + columnNameOfCorruptRecord read keeps every line in
+    // ONE pass: clean rows parse into typed columns, damaged lines
+    // surface verbatim in the corrupt column and are split into a
+    // quarantine table a human can audit (the gate returns the clean
+    // side; CsvQuarantineSpec pins the quarantine side row-for-row).
+    // The staged file is derived from orders with a deterministic 3%
+    // of rows mangled (bucket rule) plus free-floating garbage lines,
+    // so the oracle can replay exactly which rows survive without
+    // parsing CSV itself. Columns are int/string only — float text
+    // round-trips are a parity trap a real intake schema avoids by
+    // parsing decimals explicitly.
+    "c01_csv_quarantine" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("c01", d)
+        val bucket = Dedup.splitBucket(col("o_orderkey"))
+        val line = concat_ws(",", col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"))
+        Tables.orders(s, d)
+          .select(when(bucket < 3,
+              // type garbage in the long column, keyed so the spec can
+              // reconcile the quarantine against the derivation (arity
+              // damage quarantines too — spec covers those branches)
+              concat(lit("DAMAGED,garbage,"), col("o_orderkey").cast("string")))
+            .otherwise(line).as("value"))
+          .unionByName(s.range(7).select(
+            concat(lit("### trailing garbage "), col("id")).as("value")))
+          .write.mode(SaveMode.Overwrite).text(s"$base/csv")
+        csvQuarantineRead(s, s"$base/csv")._1
+          .orderBy("o_orderkey")
+      },
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+         |      % 100 >= 3
+         |ORDER BY o_orderkey""".stripMargin),
+
     // l10: VERSION VACUUM — retention for the versioned snapshot chains
     // the engine's CDC/incremental paths mint (s19's snap/v*, p02's
     // state/v* and bench/v*). Every tick adds a full version; without
@@ -506,6 +546,31 @@ object Lake {
       },
       duckCdcSql)
   )
+
+  /** c01's one-pass split: PERMISSIVE parse with a corrupt-record
+    * column → (clean typed rows, quarantined raw lines). The corrupt
+    * column must be REQUESTED in the schema or Spark never populates
+    * it; caching before the split is required by Spark's documented
+    * corrupt-record semantics (a filter on only the corrupt column
+    * against an unparsed relation is otherwise unsound) — and the
+    * cache is what makes the two sides ONE scan instead of two.
+    */
+  private[graft] def csvQuarantineRead(s: SparkSession,
+      path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("_damaged", StringType)))
+    val raw = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_damaged")
+      .csv(path)
+      .cache()
+    (raw.filter(col("_damaged").isNull).drop("_damaged"),
+     raw.filter(col("_damaged").isNotNull).select(col("_damaged").as("line")))
+  }
 
   /** Delete all but the newest `keep` versions under `dir` (dirs named
     * `v<N>`). Foreign names are untouched; `keep` is floored at 1 and
