@@ -1892,6 +1892,102 @@ object Dedup {
     // shingles, no shuffle but the gate's ORDER BY. Matching then
     // joins fingerprints by fp equality — d02's banded-join discipline
     // on a far smaller table.
+    // d41: CONTAINMENT dedup — the partial-overlap case every
+    // Jaccard-threshold op (d02/d04/d10) structurally misses: a short
+    // doc quoted whole inside a long one has high CONTAINMENT
+    // (|A∩B|/|A|) but low Jaccard (the union is article-sized), so the
+    // fragment survives near-dup dedup and trains twice. Rule: drop a
+    // doc when >= 75% of its shingle set lies inside another doc's,
+    // the LARGER doc wins (ties to the lower id) — curation keeps the
+    // superset, the fragment adds nothing.
+    //
+    // Scale shape: candidates come from the d37 WINNOW index (~2/(w+1)
+    // of shingles; a contained doc shares long runs with its container,
+    // and any shared run past the winnow guarantee shares a
+    // fingerprint), so pair generation is an equi self-join on the
+    // small fingerprint table — d02's banding discipline, same
+    // hot-bucket caveats, never all-pairs. Verification is one
+    // intersection count per candidate pair, and the per-doc "best
+    // container" is a size-1 TopKBy heap (map-side combinable — the
+    // same double containment ranks identically in both engines: int/
+    // int division of identical integers). The oracle replays the SAME
+    // candidate generation, so the two engines agree by construction
+    // even where winnowing's guarantee has gaps (many sub-guarantee
+    // fragments summing past 75% — those pairs are invisible to BOTH).
+    "d41_containment_dedup" -> OpDef.sql(
+      (s, d) => {
+        graft.expressions.GraftFunctions.register(s)
+        val sh = persistTracked("d41_sh",
+          Tables.documents(s, d)
+            .withColumn("hs", expr("md5_span3_hashes(text)"))
+            .filter(size(col("hs")) > 0)
+            .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+            .select(col("doc_id"), col("hs"), col("mh"),
+                    size(col("mh")).as("n_sh")))
+        val fps = sh
+          .select(col("doc_id"),
+                  explode(expr("winnow4_positions(hs)")).as("fpos"),
+                  col("hs"))
+          .select(col("doc_id"), element_at(col("hs"), col("fpos")).as("fp"))
+          .distinct()
+        val cand = fps.toDF("x", "fp")
+          .join(fps.toDF("y", "fp"), "fp")
+          .filter(col("x") =!= col("y"))
+          .select("x", "y").distinct()
+        val dropped = cand
+          .join(sh.select(col("doc_id").as("x"), col("mh").as("x_mh"),
+                          col("n_sh").as("n_x")), "x")
+          .join(sh.select(col("doc_id").as("y"), col("mh").as("y_mh"),
+                          col("n_sh").as("n_y")), "y")
+          .withColumn("cont",
+            size(array_intersect(col("x_mh"), col("y_mh"))).cast("double")
+              / col("n_x"))
+          .filter(col("cont") >= 0.75 &&
+                  (col("n_y") > col("n_x") ||
+                   (col("n_y") === col("n_x") && col("y") < col("x"))))
+        dropped.groupBy(col("x").as("doc_id"))
+          .agg(expr("topk_by(cont, y, 1)").as("top"))
+          .select(col("doc_id"),
+                  col("top")(0)("id").as("container_id"),
+                  round(col("top")(0)("score") + lit(1e-8), 4)
+                    .as("containment"))
+          .orderBy("doc_id")
+      },
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(text, '\s+') AS ws FROM documents),
+        |h AS (
+        |  SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+        |    list_transform(generate_series(1, len(ws) - 2),
+        |      i -> ('0x' || substr(md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2])), 1, 15))::BIGINT)
+        |    ELSE [] END AS hs
+        |  FROM w),
+        |nz AS (
+        |  SELECT doc_id, hs, list_distinct(hs) AS mh,
+        |         len(list_distinct(hs)) AS n_sh
+        |  FROM h WHERE len(hs) > 0),
+        |f AS (
+        |  SELECT DISTINCT doc_id, list_min(hs[s : s + 3]) AS fp
+        |  FROM nz, unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS t(s)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+        |v AS (
+        |  SELECT c.x, c.y,
+        |         CAST(len(list_intersect(mx.mh, my.mh)) AS DOUBLE)
+        |           / mx.n_sh AS cont,
+        |         mx.n_sh AS n_x, my.n_sh AS n_y
+        |  FROM cand c
+        |  JOIN nz mx ON mx.doc_id = c.x
+        |  JOIN nz my ON my.doc_id = c.y),
+        |d AS (
+        |  SELECT x, y, cont FROM v
+        |  WHERE cont >= 0.75 AND (n_y > n_x OR (n_y = n_x AND y < x)))
+        |SELECT x AS doc_id, y AS container_id,
+        |       round(cont + 1e-8, 4) AS containment
+        |FROM (SELECT x, y, cont, row_number() OVER (
+        |        PARTITION BY x ORDER BY cont DESC, y) AS rk FROM d)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin),
+
     "d37_winnow" -> OpDef.sql(
       (s, d) => {
         graft.expressions.GraftFunctions.register(s)
