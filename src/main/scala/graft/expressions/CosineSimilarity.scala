@@ -141,6 +141,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "sorted_jaccard", exprs => SortedSetJaccard(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "topk_by", exprs => TopKBy(exprs(0), exprs(1),
         exprs(2).eval() match {
           case i: Int => i

@@ -3,7 +3,7 @@ package graft.expressions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 object LshKernels {
@@ -150,6 +150,50 @@ object LshKernels {
     }
     inter.toDouble / (na + nb - inter)
   }
+
+  /** The merge scan's intersection COUNT alone (exact integer — d41's
+    * containment thresholds must not round-trip through a double).
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+}
+
+/** Codegen'd merge-scan intersection COUNT over two sorted-distinct
+  * long arrays — [[SortedSetJaccard]]'s integer core, for asymmetric
+  * set measures (d41's containment = count / |left|).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, left, right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LshKernels.sortedIntersectCount(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.expressions.LshKernels.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
 }
 
 /** Codegen'd hyperplane sign code over an `array<float>` embedding; the

@@ -49,6 +49,17 @@ class KernelPropertySpec extends AnyFunSuite {
     }
   }
 
+  test("sortedIntersectCount equals naive set intersection size") {
+    val r = new Random(8)
+    for (_ <- 1 to 300) {
+      val a = Seq.fill(r.nextInt(40))(r.nextInt(60).toLong).distinct.sorted
+      val b = Seq.fill(r.nextInt(40))(r.nextInt(60).toLong).distinct.sorted
+      val got = LshKernels.sortedIntersectCount(
+        ArrayData.toArrayData(a.toArray), ArrayData.toArrayData(b.toArray))
+      assert(got == a.toSet.intersect(b.toSet).size.toLong, s"a=$a b=$b")
+    }
+  }
+
   test("polyHash equals the reference fold") {
     val r = new Random(11)
     for (_ <- 1 to 200) {
