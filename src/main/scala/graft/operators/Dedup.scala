@@ -1906,14 +1906,22 @@ object Dedup {
     // and any shared run past the winnow guarantee shares a
     // fingerprint), so pair generation is an equi self-join on the
     // small fingerprint table — d02's banding discipline, same
-    // hot-bucket caveats, never all-pairs. Verification is one
-    // intersection count per candidate pair, and the per-doc "best
-    // container" is a size-1 TopKBy heap (map-side combinable — the
-    // same double containment ranks identically in both engines: int/
-    // int division of identical integers). The oracle replays the SAME
-    // candidate generation, so the two engines agree by construction
-    // even where winnowing's guarantee has gaps (many sub-guarantee
-    // fragments summing past 75% — those pairs are invisible to BOTH).
+    // hot-bucket caveats, never all-pairs. A pair must share >= 2
+    // fingerprints (MOSS's coincidence cut): one fp position dominates
+    // at most w window minima, so any shared run of >= 2w+k-1 = 11
+    // spans still guarantees two, while the single-shared-fp tail —
+    // measured 65.4M of 67.0M distinct candidate pairs at sf10, a 41x
+    // cut — never reaches the array-carrying verify join. Verification
+    // is one merge-scan intersection count per surviving pair (mh is
+    // the sorted-distinct view of hs — computed by array ops, not a
+    // second md5 pass), and the per-doc "best container" is a size-1
+    // TopKBy heap (map-side combinable — the same double containment
+    // ranks identically in both engines: int/int division of identical
+    // integers). The oracle replays the SAME candidate generation
+    // (HAVING count >= 2 over the distinct doc/fp table), so the two
+    // engines agree by construction even where winnowing's guarantee
+    // has gaps (many sub-guarantee fragments summing past 75% — those
+    // pairs are invisible to BOTH).
     "d41_containment_dedup" -> OpDef.sql(
       (s, d) => {
         graft.expressions.GraftFunctions.register(s)
@@ -1921,7 +1929,7 @@ object Dedup {
           Tables.documents(s, d)
             .withColumn("hs", expr("md5_span3_hashes(text)"))
             .filter(size(col("hs")) > 0)
-            .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+            .withColumn("mh", array_sort(array_distinct(col("hs"))))
             .select(col("doc_id"), col("hs"), col("mh"),
                     size(col("mh")).as("n_sh")))
         val fps = sh
@@ -1933,7 +1941,9 @@ object Dedup {
         val cand = fps.toDF("x", "fp")
           .join(fps.toDF("y", "fp"), "fp")
           .filter(col("x") =!= col("y"))
-          .select("x", "y").distinct()
+          .groupBy("x", "y").agg(count(lit(1)).as("nfp"))
+          .filter(col("nfp") >= 2)
+          .select("x", "y")
         val dropped = cand
           .join(sh.select(col("doc_id").as("x"), col("mh").as("x_mh"),
                           col("n_sh").as("n_x")), "x")
@@ -1972,8 +1982,9 @@ object Dedup {
         |  SELECT DISTINCT doc_id, list_min(hs[s : s + 3]) AS fp
         |  FROM nz, unnest(generate_series(1, greatest(len(hs) - 3, 1))) AS t(s)),
         |cand AS (
-        |  SELECT DISTINCT a.doc_id AS x, b.doc_id AS y
-        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id <> b.doc_id),
+        |  SELECT a.doc_id AS x, b.doc_id AS y
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |v AS (
         |  SELECT c.x, c.y,
         |         CAST(len(list_intersect(mx.mh, my.mh)) AS DOUBLE)
