@@ -464,6 +464,50 @@ object Lake {
          |      % 100 >= 3
          |ORDER BY o_orderkey""".stripMargin),
 
+    // c02: JSON-LINES intake with quarantine — the shape real API-dump
+    // intake actually arrives in (the reference's ingest loop pulls
+    // auction snapshots as JSON documents; SURVEY §1). Same one-scan
+    // PERMISSIVE + columnNameOfCorruptRecord split as c01, but the
+    // parse is NESTED: a clean line is {"order":{"key","cust"},
+    // "status"} and the typed projection flattens order.key/order.cust
+    // — schema-on-read over structured JSON, not just flat CSV. Two
+    // damage classes, both keyed to the derivation so the spec
+    // reconciles the quarantine verbatim: truncated objects (hard
+    // malformed JSON) and type garbage in a NESTED long field — under
+    // Spark's JSON semantics a type mismatch corrupts the whole
+    // RECORD (unlike CSV's per-column null-fill), which is exactly the
+    // audit-trail posture intake wants. Free-floating non-JSON lines
+    // quarantine too. Oracle replays survivorship by the bucket rule —
+    // c01's oracle with c02's 4% damage split.
+    "c02_jsonl_quarantine" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("c02", d)
+        val bucket = Dedup.splitBucket(col("o_orderkey"))
+        val line = concat(lit("{\"order\":{\"key\":"), col("o_orderkey"),
+          lit(",\"cust\":"), col("o_custkey"),
+          lit("},\"status\":\""), col("o_orderstatus"), lit("\"}"))
+        Tables.orders(s, d)
+          .select(
+            when(bucket < 2,
+              // truncated object — the line ends mid-value
+              concat(lit("{\"order\":{\"key\":"), col("o_orderkey")))
+            .when(bucket < 4,
+              // type garbage in a nested long field — record-corrupt
+              concat(lit("{\"order\":{\"key\":\"DMG\",\"cust\":"),
+                col("o_custkey"), lit("},\"status\":\""),
+                col("o_orderstatus"), lit("\"}")))
+            .otherwise(line).as("value"))
+          .unionByName(s.range(7).select(
+            concat(lit("### not json "), col("id")).as("value")))
+          .write.mode(SaveMode.Overwrite).text(s"$base/jsonl")
+        jsonQuarantineRead(s, s"$base/jsonl")._1
+          .orderBy("o_orderkey")
+      },
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+         |      % 100 >= 4
+         |ORDER BY o_orderkey""".stripMargin),
+
     // l10: VERSION VACUUM — retention for the versioned snapshot chains
     // the engine's CDC/incremental paths mint (s19's snap/v*, p02's
     // state/v* and bench/v*). Every tick adds a full version; without
@@ -569,6 +613,36 @@ object Lake {
       .csv(path)
       .cache()
     (raw.filter(col("_damaged").isNull).drop("_damaged"),
+     raw.filter(col("_damaged").isNotNull).select(col("_damaged").as("line")))
+  }
+
+  /** c02's one-pass split: the JSON twin of [[csvQuarantineRead]].
+    * Same PERMISSIVE + corrupt-column + cache discipline; the schema
+    * is nested and the clean side flattens it to the typed intake
+    * columns. JSON semantics differ from CSV where it matters for the
+    * audit trail: a type mismatch anywhere corrupts the whole record
+    * (CSV null-fills the one column), and a MISSING field is legal
+    * schema-on-read (null, not corrupt) — JsonQuarantineSpec drives
+    * both branches by hand.
+    */
+  private[graft] def jsonQuarantineRead(s: SparkSession,
+      path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("order", StructType(Seq(
+        StructField("key", LongType),
+        StructField("cust", LongType)))),
+      StructField("status", StringType),
+      StructField("_damaged", StringType)))
+    val raw = s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_damaged")
+      .json(path)
+      .cache()
+    (raw.filter(col("_damaged").isNull)
+       .select(col("order.key").as("o_orderkey"),
+               col("order.cust").as("o_custkey"),
+               col("status").as("o_orderstatus")),
      raw.filter(col("_damaged").isNotNull).select(col("_damaged").as("line")))
   }
 
