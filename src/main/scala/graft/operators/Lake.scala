@@ -508,6 +508,46 @@ object Lake {
          |      % 100 >= 4
          |ORDER BY o_orderkey""".stripMargin),
 
+    // c03: ORC round-trip — format interop for a lake that must serve
+    // readers standardized on ORC (or migrate from one). The gate
+    // lands a one-month lineitem slice as an ORC lake partitioned by
+    // l_returnflag, reads it back, and hash-matches the SOURCE rows
+    // through the oracle — every physical type the testdata uses
+    // (int64, int32, double, string-as-partition-dir, timestamp)
+    // must survive the format boundary bit-exact. The timestamp is
+    // the classic ORC trap (writer/reader session-timezone
+    // adjustment); emitting it as epoch MICROS on both sides makes
+    // any shift a hash mismatch rather than a formatting ambiguity.
+    // OrcInteropSpec proves the performance half of interop: ORC
+    // scans take predicate pushdown and directory partition pruning
+    // exactly like parquet (same FileSourceScan machinery), so
+    // serving from ORC costs no plan quality.
+    "c03_orc_roundtrip" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("c03", d)
+        Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1995-03-01").cast("timestamp") &&
+                  col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_returnflag", "l_shipdate")
+          .write.mode(SaveMode.Overwrite).partitionBy("l_returnflag")
+          .orc(s"$base/lake")
+        s.read.orc(s"$base/lake")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+                  col("l_returnflag"),
+                  // testdata timestamps are TIMESTAMP_NTZ; the session
+                  // TZ is pinned UTC so this cast is the identity
+                  // instant and matches DuckDB's naive epoch_us.
+                  unix_micros(col("l_shipdate").cast("timestamp")).as("ship_us"))
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+        |       epoch_us(l_shipdate) AS ship_us
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |  AND l_shipdate <  TIMESTAMP '1995-04-01'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // l10: VERSION VACUUM — retention for the versioned snapshot chains
     // the engine's CDC/incremental paths mint (s19's snap/v*, p02's
     // state/v* and bench/v*). Every tick adds a full version; without
