@@ -2002,6 +2002,93 @@ object Dedup {
         |        PARTITION BY x ORDER BY cont DESC, y) AS rk FROM d)
         |WHERE rk = 1 ORDER BY doc_id""".stripMargin),
 
+    // d40: EDIT-DISTANCE near-dup over a bounded window — the dedup
+    // tier BETWEEN d01's exact hash (catches byte-identity only) and
+    // d02/d04's Jaccard (bag-of-shingles; blind to ORDER, so it
+    // over-matches shuffled text and under-scores small in-place
+    // typo/OCR damage). Levenshtein is the right metric for that
+    // damage class, but it's O(L^2) per pair and all-pairs is O(n^2)
+    // — both dimensions need cutting before 100 TB:
+    //  - the WINDOW bound: distance is computed on the
+    //    first-128-chars window of docs that FILL the window
+    //    (length >= 128 — an explicit tier boundary, not a fudge: a
+    //    sub-window doc's whole text IS its window, so it belongs to
+    //    the short tier where d01/d25-style whole-string comparison
+    //    is already cheap; padding short docs into this tier instead
+    //    hands every one of them an identical all-space tail segment
+    //    — ONE join key shared by 12% of the corpus, which is a
+    //    quadratic hot bucket by construction: measured 621 docs on
+    //    the pad key at sf0.1, ~4B join rows at sf10 before the
+    //    verify ever ran). Every comparison is O(k*128) with the
+    //    banded threshold DP (`levenshtein(l, r, k)` early-exits).
+    //  - the SEGMENT filter (the pigeonhole behind PassJoin-style
+    //    edit joins): split the window into k+1 fixed segments; an
+    //    edit script of <= k ops touches <= k of them, so every true
+    //    pair shares at least one segment VERBATIM. The shift window
+    //    is +-k/2, not +-k: both windows are EXACTLY 128 chars, so a
+    //    segment shifted by s means the text before it grew by s
+    //    (>= s net insertions) AND the text after it shrank by s
+    //    (>= s net deletions) — 2|s| <= k. Candidates are then an
+    //    EQUI-join on xxhash64(slot, segment) — an 8-byte shuffle
+    //    key; a hash collision only ADDS a candidate the verify DP
+    //    rejects, never loses one. Content selectivity is that of
+    //    exact 14-char substring collision (sf0.01: 1,723 candidates
+    //    vs 124,750 all-pairs, 72x; hottest content key at sf0.1
+    //    carries 11 docs). Genuine boilerplate heat at corpus scale
+    //    is a skew KEY (AQE skew split / d41-style frequency cap),
+    //    not a design break. Probe keys dedup IN-ROW (array_distinct
+    //    before the explode) — shift collisions never reach a
+    //    shuffle; measured at sf10 the row-level dedup + the halved
+    //    window cut the entry 92 -> ~35 s.
+    // Candidate pairs canonicalize (least, greatest) + distinct so
+    // the verify DP runs once per unordered pair.
+    "d40_edit_dedup" -> OpDef.sql(
+      (s, d) => {
+        val k = 8; val L = 128; val nseg = k + 1
+        val docs = persistTracked("d40_docs",
+          Tables.documents(s, d)
+            .filter(length(col("text")) >= L)
+            .select(col("doc_id"),
+                    substring(col("text"), 1, L).as("w")))
+        val bounds = (0 until nseg).map { i =>
+          val st = i * L / nseg
+          (i, st, (i + 1) * L / nseg - st)
+        }
+        val homeArr = array(bounds.map { case (i, st, ln) =>
+          xxhash64(lit(i), substring(col("w"), st + 1, ln))
+        }: _*)
+        val probeArr = array_distinct(array(bounds.flatMap { case (i, st, ln) =>
+          (-k / 2 to k / 2).collect {
+            case sh if st + sh >= 0 && st + sh + ln <= L =>
+              xxhash64(lit(i), substring(col("w"), st + sh + 1, ln))
+          }
+        }: _*))
+        val home = docs
+          .select(col("doc_id").as("a"), explode(homeArr).as("hk"))
+        val probe = docs
+          .select(col("doc_id").as("b"), explode(probeArr).as("hk"))
+        val cand = home.join(probe, Seq("hk"))
+          .filter(col("a") =!= col("b"))
+          .select(least(col("a"), col("b")).as("doc_a"),
+                  greatest(col("a"), col("b")).as("doc_b"))
+          .distinct()
+        cand
+          .join(docs.select(col("doc_id").as("doc_a"), col("w").as("wa")), "doc_a")
+          .join(docs.select(col("doc_id").as("doc_b"), col("w").as("wb")), "doc_b")
+          .withColumn("lev", levenshtein(col("wa"), col("wb"), k))
+          .filter(col("lev") >= 0) // threshold form: -1 means "> k"
+          .select(col("doc_a"), col("doc_b"), col("lev").cast("long").as("lev"))
+          .orderBy("doc_a", "doc_b")
+      },
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 128) AS w
+        |  FROM documents WHERE length(text) >= 128)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(levenshtein(a.w, b.w) AS BIGINT) AS lev
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.w, b.w) <= 8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
     "d37_winnow" -> OpDef.sql(
       (s, d) => {
         graft.expressions.GraftFunctions.register(s)
