@@ -548,6 +548,68 @@ object Lake {
         |  AND l_shipdate <  TIMESTAMP '1995-04-01'
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // c04: XML-RECORD intake with quarantine — the third intake wire
+    // format, and the one where the STAGING LAYOUT is itself the scale
+    // decision. Spark's file-level rowTag XML reader is MONOLITHIC in
+    // its failure mode — measured on a 5-record file with one
+    // balanced-tag type-garbage record: 1 clean row came back and the
+    // ENTIRE remaining stream (three valid records included) landed as
+    // a single corrupt blob. An intake where one bad byte run poisons
+    // everything after it is the wrong posture at 100 TB, so the
+    // staging is one XML record PER LINE parsed by from_xml: recovery
+    // is per-record by construction and the file stays splittable.
+    // XML's damage semantics sit between the CSV and JSON twins: type
+    // garbage in a long element corrupts exactly its RECORD (like
+    // JSON), a mismatched inner tag is hard-malformed, a MISSING
+    // element is legal schema-on-read null (the clean side carries
+    // it — the third damage class stays clean with NULL custkey), and
+    // stray non-XML lines quarantine verbatim. Oracle replays
+    // survivorship by the bucket rule, nulling custkey for the
+    // missing-element class.
+    "c04_xml_quarantine" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("c04", d)
+        val bucket = Dedup.splitBucket(col("o_orderkey"))
+        val line = concat(lit("<order><key>"), col("o_orderkey"),
+          lit("</key><cust>"), col("o_custkey"),
+          lit("</cust><status>"), col("o_orderstatus"),
+          lit("</status></order>"))
+        Tables.orders(s, d)
+          .select(
+            when(bucket < 2,
+              // type garbage in a long element — record-corrupt
+              concat(lit("<order><key>DMG"), col("o_orderkey"),
+                lit("</key><cust>"), col("o_custkey"),
+                lit("</cust><status>"), col("o_orderstatus"),
+                lit("</status></order>")))
+            .when(bucket < 4,
+              // mismatched close tag — hard-malformed XML
+              concat(lit("<order><key>"), col("o_orderkey"),
+                lit("</keX><cust>"), col("o_custkey"),
+                lit("</cust><status>"), col("o_orderstatus"),
+                lit("</status></order>")))
+            .when(bucket < 6,
+              // missing <cust> element — LEGAL schema-on-read null;
+              // stays on the clean side
+              concat(lit("<order><key>"), col("o_orderkey"),
+                lit("</key><status>"), col("o_orderstatus"),
+                lit("</status></order>")))
+            .otherwise(line).as("value"))
+          .unionByName(s.range(7).select(
+            concat(lit("### not xml "), col("id")).as("value")))
+          .write.mode(SaveMode.Overwrite).text(s"$base/xml")
+        xmlQuarantineRead(s, s"$base/xml")._1
+          .orderBy("o_orderkey")
+      },
+      s"""SELECT o_orderkey,
+         |       CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+         |                 % 100 < 6 THEN NULL ELSE o_custkey END AS o_custkey,
+         |       o_orderstatus
+         |FROM orders
+         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+         |      % 100 >= 4
+         |ORDER BY o_orderkey""".stripMargin),
+
     // l10: VERSION VACUUM — retention for the versioned snapshot chains
     // the engine's CDC/incremental paths mint (s19's snap/v*, p02's
     // state/v* and bench/v*). Every tick adds a full version; without
@@ -684,6 +746,36 @@ object Lake {
                col("order.cust").as("o_custkey"),
                col("status").as("o_orderstatus")),
      raw.filter(col("_damaged").isNotNull).select(col("_damaged").as("line")))
+  }
+
+  /** c04's one-pass split: line-staged XML records parsed per line by
+    * from_xml — the splittable, per-record-recovery staging the gate
+    * entry's comment motivates (the file-level rowTag reader measured
+    * whole-stream poisoning from one damaged record). Same PERMISSIVE
+    * + corrupt-column + cache discipline as the CSV/JSON twins; a
+    * missing element is legal schema-on-read null, and the quarantine
+    * carries the ORIGINAL staged line, not the parser's echo.
+    */
+  private[graft] def xmlQuarantineRead(s: SparkSession,
+      path: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val schema = StructType(Seq(
+      StructField("key", LongType),
+      StructField("cust", LongType),
+      StructField("status", StringType),
+      StructField("_damaged", StringType)))
+    val raw = s.read.text(path)
+      .select(col("value"), from_xml(col("value"), schema,
+        Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> "_damaged").asJava).as("r"))
+      .cache()
+    (raw.filter(col("r._damaged").isNull)
+       .select(col("r.key").as("o_orderkey"),
+               col("r.cust").as("o_custkey"),
+               col("r.status").as("o_orderstatus")),
+     raw.filter(col("r._damaged").isNotNull)
+       .select(col("value").as("line")))
   }
 
   /** Delete all but the newest `keep` versions under `dir` (dirs named
