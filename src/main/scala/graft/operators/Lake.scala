@@ -569,46 +569,12 @@ object Lake {
     "c04_xml_quarantine" -> OpDef.sql(
       (s, d) => {
         val base = scratch("c04", d)
-        val bucket = Dedup.splitBucket(col("o_orderkey"))
-        val line = concat(lit("<order><key>"), col("o_orderkey"),
-          lit("</key><cust>"), col("o_custkey"),
-          lit("</cust><status>"), col("o_orderstatus"),
-          lit("</status></order>"))
-        Tables.orders(s, d)
-          .select(
-            when(bucket < 2,
-              // type garbage in a long element — record-corrupt
-              concat(lit("<order><key>DMG"), col("o_orderkey"),
-                lit("</key><cust>"), col("o_custkey"),
-                lit("</cust><status>"), col("o_orderstatus"),
-                lit("</status></order>")))
-            .when(bucket < 4,
-              // mismatched close tag — hard-malformed XML
-              concat(lit("<order><key>"), col("o_orderkey"),
-                lit("</keX><cust>"), col("o_custkey"),
-                lit("</cust><status>"), col("o_orderstatus"),
-                lit("</status></order>")))
-            .when(bucket < 6,
-              // missing <cust> element — LEGAL schema-on-read null;
-              // stays on the clean side
-              concat(lit("<order><key>"), col("o_orderkey"),
-                lit("</key><status>"), col("o_orderstatus"),
-                lit("</status></order>")))
-            .otherwise(line).as("value"))
-          .unionByName(s.range(7).select(
-            concat(lit("### not xml "), col("id")).as("value")))
+        xmlIntakeLines(s, d)
           .write.mode(SaveMode.Overwrite).text(s"$base/xml")
         xmlQuarantineRead(s, s"$base/xml")._1
           .orderBy("o_orderkey")
       },
-      s"""SELECT o_orderkey,
-         |       CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
-         |                 % 100 < 6 THEN NULL ELSE o_custkey END AS o_custkey,
-         |       o_orderstatus
-         |FROM orders
-         |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
-         |      % 100 >= 4
-         |ORDER BY o_orderkey""".stripMargin),
+      duckXmlIntakeSql),
 
     // l10: VERSION VACUUM — retention for the versioned snapshot chains
     // the engine's CDC/incremental paths mint (s19's snap/v*, p02's
@@ -748,16 +714,62 @@ object Lake {
      raw.filter(col("_damaged").isNotNull).select(col("_damaged").as("line")))
   }
 
-  /** c04's one-pass split: line-staged XML records parsed per line by
-    * from_xml — the splittable, per-record-recovery staging the gate
-    * entry's comment motivates (the file-level rowTag reader measured
-    * whole-stream poisoning from one damaged record). Same PERMISSIVE
-    * + corrupt-column + cache discipline as the CSV/JSON twins; a
-    * missing element is legal schema-on-read null, and the quarantine
+  /** c04's staged feed: orders rendered as line-delimited XML records
+    * with the bucket-rule damage classes, plus stray junk lines —
+    * shared by the batch gate and the s22 streaming twin so both
+    * intakes read the SAME bytes.
+    */
+  private[graft] def xmlIntakeLines(s: SparkSession, d: String): DataFrame = {
+    val bucket = Dedup.splitBucket(col("o_orderkey"))
+    val line = concat(lit("<order><key>"), col("o_orderkey"),
+      lit("</key><cust>"), col("o_custkey"),
+      lit("</cust><status>"), col("o_orderstatus"),
+      lit("</status></order>"))
+    Tables.orders(s, d)
+      .select(
+        when(bucket < 2,
+          // type garbage in a long element — record-corrupt
+          concat(lit("<order><key>DMG"), col("o_orderkey"),
+            lit("</key><cust>"), col("o_custkey"),
+            lit("</cust><status>"), col("o_orderstatus"),
+            lit("</status></order>")))
+        .when(bucket < 4,
+          // mismatched close tag — hard-malformed XML
+          concat(lit("<order><key>"), col("o_orderkey"),
+            lit("</keX><cust>"), col("o_custkey"),
+            lit("</cust><status>"), col("o_orderstatus"),
+            lit("</status></order>")))
+        .when(bucket < 6,
+          // missing <cust> element — LEGAL schema-on-read null;
+          // stays on the clean side
+          concat(lit("<order><key>"), col("o_orderkey"),
+            lit("</key><status>"), col("o_orderstatus"),
+            lit("</status></order>")))
+        .otherwise(line).as("value"))
+      .unionByName(s.range(7).select(
+        concat(lit("### not xml "), col("id")).as("value")))
+  }
+
+  /** c04/s22's shared oracle: survivorship by the bucket rule, custkey
+    * nulled for the missing-element class.
+    */
+  private[graft] val duckXmlIntakeSql: String =
+    s"""SELECT o_orderkey,
+       |       CASE WHEN ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+       |                 % 100 < 6 THEN NULL ELSE o_custkey END AS o_custkey,
+       |       o_orderstatus
+       |FROM orders
+       |WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+       |      % 100 >= 4
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** c04's per-line parse + split, on any frame of `value` lines —
+    * batch or STREAMING (from_xml is a plain expression, so the same
+    * split runs unchanged at the intake; s22 reuses it verbatim). A
+    * missing element is legal schema-on-read null; the quarantine
     * carries the ORIGINAL staged line, not the parser's echo.
     */
-  private[graft] def xmlQuarantineRead(s: SparkSession,
-      path: String): (DataFrame, DataFrame) = {
+  private[graft] def xmlSplit(raw: DataFrame): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.types._
     import scala.jdk.CollectionConverters._
     val schema = StructType(Seq(
@@ -765,18 +777,28 @@ object Lake {
       StructField("cust", LongType),
       StructField("status", StringType),
       StructField("_damaged", StringType)))
-    val raw = s.read.text(path)
+    val parsed = raw
       .select(col("value"), from_xml(col("value"), schema,
         Map("mode" -> "PERMISSIVE",
             "columnNameOfCorruptRecord" -> "_damaged").asJava).as("r"))
-      .cache()
-    (raw.filter(col("r._damaged").isNull)
+    (parsed.filter(col("r._damaged").isNull)
        .select(col("r.key").as("o_orderkey"),
                col("r.cust").as("o_custkey"),
                col("r.status").as("o_orderstatus")),
-     raw.filter(col("r._damaged").isNotNull)
+     parsed.filter(col("r._damaged").isNotNull)
        .select(col("value").as("line")))
   }
+
+  /** c04's one-pass batch read: line-staged XML records parsed per
+    * line by from_xml — the splittable, per-record-recovery staging
+    * the gate entry's comment motivates (the file-level rowTag reader
+    * measured whole-stream poisoning from one damaged record). The
+    * cache makes the clean/quarantine sides ONE scan, matching the
+    * CSV/JSON twins' discipline.
+    */
+  private[graft] def xmlQuarantineRead(s: SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    xmlSplit(s.read.text(path).cache())
 
   /** Delete all but the newest `keep` versions under `dir` (dirs named
     * `v<N>`). Foreign names are untouched; `keep` is floored at 1 and

@@ -217,6 +217,26 @@ object StreamQueries {
         build.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
     }
 
+  /** s22's feed: c04's line-delimited XML intake bytes staged once per
+    * corpus (Lake.xmlIntakeLines — the SAME derivation the batch gate
+    * writes, so the twins cannot drift).
+    */
+  private def stagedXmlDir(s: SparkSession, d: String): String =
+    stagedDir(s, d, "xml", recipe = "xml-v1") { build =>
+      import java.nio.file.{Files, StandardCopyOption}
+      val tmpOut = Files.createTempDirectory("graft_stage_xml")
+      graft.operators.Lake.xmlIntakeLines(s, d)
+        .coalesce(1).write.mode("overwrite").text(tmpOut.toString)
+      val listing = Files.list(tmpOut)
+      val part =
+        try listing.filter(_.getFileName.toString.endsWith(".txt"))
+          .findFirst().get()
+        finally listing.close()
+      Files.move(part, build.resolve("intake.txt"),
+        StandardCopyOption.REPLACE_EXISTING)
+      deleteTree(tmpOut)
+    }
+
   /** The events table re-encoded in the Kafka WIRE shape (s06's feed):
     * what `spark.readStream.format("kafka")` would deliver, staged as
     * parquet so the gate exercises the adapter without a broker.
@@ -747,6 +767,27 @@ object StreamQueries {
       },
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id BETWEEN 101 AND 400 ORDER BY doc_id""".stripMargin),
+
+    // s22: streaming XML intake with quarantine — c04 AT THE WIRE,
+    // which is where a quarantine intake actually belongs (damaged
+    // records should never land in the lake at all). The line-staged
+    // from_xml split is a plain expression, so the EXACT batch split
+    // (Lake.xmlSplit) runs unchanged on the stream: stateless append,
+    // zero shuffle, zero state — and because c04 and s22 read the
+    // same staged bytes through the same split, batch and stream
+    // survivorship cannot drift. The gate drains the clean side;
+    // the quarantine side is a second stateless sink in production
+    // (the spec-side XmlQuarantineSpec already pins its contents on
+    // the identical feed). Oracle: c04's verbatim.
+    "s22_stream_xml_intake" -> OpDef.sql(
+      (s, d) => {
+        val dir = stagedXmlDir(s, d)
+        val lines = s.readStream.text(dir)
+        val (clean, _) = graft.operators.Lake.xmlSplit(lines)
+        drainFiles(s, "s22", clean, d, feedBytes = dirBytes(dir))
+          .orderBy("o_orderkey")
+      },
+      graft.operators.Lake.duckXmlIntakeSql),
 
     // s16: streaming decile gate — d33's top-deciles curation filter at
     // the intake. The sources x 9 cut table comes from the STATIC corpus

@@ -65,6 +65,16 @@ class XmlQuarantineSpec extends AnyFunSuite with SparkFixture {
       s"quarantine side wrong: $q")
   }
 
+  test("the s22 stream twin lands exactly the batch clean side") {
+    val batch = SparkEntry.queries("c04_xml_quarantine")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("s22_stream_xml_intake")(spark, sfDir)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch,
+      s"intake twins drifted: batch-only=${(batch -- stream).take(3)} " +
+        s"stream-only=${(stream -- batch).take(3)}")
+  }
+
   test("the monolithic rowTag reader poisons the stream; line staging does not") {
     // the measured behavior that motivates the staging layout: feed
     // the same five records to the FILE-level reader and to the
