@@ -13,6 +13,16 @@ final case class PpmFeatures(doc_id: Long, width: Option[Int],
                              height: Option[Int], maxval: Option[Int],
                              pixel_md5: Option[String])
 
+/** m06 output row: one row per payload of a MIXED-format feed — the
+  * sniffed format plus that format's features (nulls where the format
+  * has no such feature, or on decode failure).
+  */
+final case class RoutedFeatures(doc_id: Long, fmt: String,
+                                width: Option[Int], height: Option[Int],
+                                n_channels: Option[Int],
+                                sample_rate: Option[Int],
+                                content_md5: Option[String])
+
 /** A real decoder for a real public format: binary PPM (P6, the netpbm
   * spec) — magic, whitespace- and comment-tolerant ASCII header ints
   * (width, height, maxval), ONE whitespace byte, then exactly
@@ -139,6 +149,31 @@ object Multimodal {
     * wire encoding), built from codegen'd format_string — the in-plan
     * synthesis path for m05's binary headers.
     */
+  /** m06's per-payload dispatch: sniff the magic, run THAT format's
+    * real decoder, emit the unified row. A recognized magic with a
+    * failed decode keeps its `fmt` and nulls the features — routing
+    * knowledge is never thrown away just because the body is damaged
+    * (the downstream quarantine wants "broken wav", not "unknown").
+    */
+  private[graft] def route(id: Long, bytes: Array[Byte]): RoutedFeatures = {
+    def is(s: String) =
+      bytes.length >= s.length &&
+        s.indices.forall(i => bytes(i) == s.charAt(i).toByte)
+    if (is("P6"))
+      PpmDecoder.parse(bytes) match {
+        case Some((w, h, _, md5)) =>
+          RoutedFeatures(id, "ppm", Some(w), Some(h), None, None, Some(md5))
+        case None => RoutedFeatures(id, "ppm", None, None, None, None, None)
+      }
+    else if (is("RIFF") || is("RIFX"))
+      WavDecoder.parse(bytes) match {
+        case Some((c, r, _, _, md5)) =>
+          RoutedFeatures(id, "wav", None, None, Some(c), Some(r), Some(md5))
+        case None => RoutedFeatures(id, "wav", None, None, None, None, None)
+      }
+    else RoutedFeatures(id, "unknown", None, None, None, None, None)
+  }
+
   private def leHex(x: org.apache.spark.sql.Column, nBytes: Int) =
     concat((0 until nBytes).map(i =>
       format_string("%02x", shiftright(x, 8 * i).bitwiseAND(lit(255)))): _*)
@@ -399,6 +434,84 @@ object Multimodal {
         |  CASE WHEN corrupt THEN NULL
         |       ELSE md5(substr(repeat(md5(text), (n - 1) // 32 + 1),
         |                       1, n)) END AS data_md5
+        |FROM q ORDER BY doc_id""".stripMargin),
+
+    // m06: FORMAT ROUTING over a mixed binary feed — the dispatch a
+    // multimodal lake needs BEFORE any decoder runs: payloads arrive
+    // as one opaque binary column with no format column, and the
+    // router sniffs magic bytes ("P6" → image tier, "RIFF"/"RIFX" →
+    // audio tier, anything else → unknown/quarantine) then runs the
+    // RIGHT real decoder (m04's PPM, m05's WAV) in the SAME
+    // mapPartitions pass — one scan, one task, no per-format re-read
+    // of the lake, and the unified nullable schema is what a routing
+    // stage must emit so downstream tiers can filter on `fmt` with
+    // partition pruning after the split lands. Feed: one payload per
+    // doc, format by doc_id ladder (PPM / canonical 8-bit WAV / junk
+    // bytes whose md5-hex head can never collide with either magic).
+    // The oracle replays the routing rule and each format's expected
+    // decode analytically — m04/m05's oracle idiom composed.
+    "m06_format_route" -> OpDef.sql(
+      (s, d) => {
+        import s.implicits._
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          // PPM leg (doc_id % 3 == 0): m04's valid-form synthesis
+          .withColumn("pw", expr("CAST(doc_id % 8 AS INT) + 1"))
+          .withColumn("ph", expr("CAST((doc_id DIV 8) % 8 AS INT) + 1"))
+          .withColumn("pn", expr("pw * ph * 3"))
+          // WAV leg (doc_id % 3 == 1): canonical RIFF, PCM 8-bit
+          .withColumn("c", expr("CAST(doc_id % 2 AS INT) + 1"))
+          .withColumn("r", expr("CAST(8000 * (1 + (doc_id DIV 3) % 3) AS INT)"))
+          .withColumn("ns", expr("CAST(10 + (doc_id DIV 3) % 90 AS INT)"))
+          .withColumn("wn", expr("ns * c")) // 8-bit: blockAlign == c
+          .withColumn("n", when(col("doc_id") % 3 === 0, col("pn"))
+            .otherwise(col("wn")))
+          .withColumn("body", expr(
+            "substr(repeat(md5(text), CAST((n - 1) DIV 32 AS INT) + 1), 1, n)"))
+          .withColumn("payload",
+            when(col("doc_id") % 3 === 0,
+              concat(lit("P6\n"), col("pw").cast("string"), lit(" "),
+                col("ph").cast("string"), lit("\n255\n"), col("body"))
+                .cast("binary"))
+            .when(col("doc_id") % 3 === 1,
+              concat(
+                unhex(concat(
+                  lit("52494646"), leHex(lit(4 + 24 + 8) + col("wn"), 4),
+                  lit("57415645"),
+                  lit("666d7420"), leHex(lit(16), 4),
+                  leHex(lit(1), 2), leHex(col("c"), 2), leHex(col("r"), 4),
+                  leHex(col("r") * col("c"), 4), leHex(col("c"), 2),
+                  leHex(lit(8), 2),
+                  lit("64617461"), leHex(col("wn"), 4))),
+                col("body").cast("binary")))
+            .otherwise(md5(col("text")).cast("binary")))
+          .select(col("doc_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(rows => rows.map { case (id, bytes) => route(id, bytes) })
+          .toDF()
+          .orderBy("doc_id")
+      },
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 8 + 1 AS INT) AS pw,
+        |         CAST((doc_id // 8) % 8 + 1 AS INT) AS ph,
+        |         CAST(doc_id % 2 + 1 AS INT) AS c,
+        |         CAST(8000 * (1 + (doc_id // 3) % 3) AS INT) AS r,
+        |         CAST(10 + (doc_id // 3) % 90 AS INT) AS ns
+        |  FROM documents),
+        |q AS (SELECT *,
+        |        CASE WHEN doc_id % 3 = 0 THEN pw * ph * 3 ELSE ns * c END AS n
+        |      FROM p)
+        |SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+        |       ELSE 'unknown' END AS fmt,
+        |  CASE WHEN doc_id % 3 = 0 THEN pw END AS width,
+        |  CASE WHEN doc_id % 3 = 0 THEN ph END AS height,
+        |  CASE WHEN doc_id % 3 = 1 THEN c END AS n_channels,
+        |  CASE WHEN doc_id % 3 = 1 THEN r END AS sample_rate,
+        |  CASE WHEN doc_id % 3 <= 1
+        |       THEN md5(substr(repeat(md5(text), (n - 1) // 32 + 1), 1, n))
+        |       END AS content_md5
         |FROM q ORDER BY doc_id""".stripMargin)
   )
 }
