@@ -981,6 +981,76 @@ object Relational {
            |  round(max($c) + 1e-8, 4) AS max_v,
            |  round(avg($c) + 1e-8, 4) AS mean_v
            |FROM lineitem""".stripMargin
-      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"))
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")),
+
+    // q45: SCD TYPE-2 dimension build — the warehouse's versioned-
+    // dimension pattern, and the gaps-and-islands window shape the
+    // inventory lacked (q21-q23/q35 slide, q36 fills; this COLLAPSES
+    // consecutive repeats into validity intervals). Each customer's
+    // order stream is read as an attribute changelog (priority
+    // observed at each order date); first the log dedupes to the TIME
+    // GRAIN (two observations at the same instant are a conflict, not
+    // two versions — the latest orderkey wins, the textbook step real
+    // SCD2 builds need, and what makes valid_from STRICTLY increasing
+    // by construction), then one row per RUN of equal values:
+    // version = run ordinal, valid_from = first observation of the
+    // run, valid_to = start of the next run (NULL = current). All
+    // three windows ride the SAME (custkey, date...) sort — one
+    // Exchange, reused; the partition key is the full customer
+    // population, so the build parallelizes with the dimension at any
+    // scale. Timestamps hash-compare as epoch micros.
+    "q45_scd2" -> OpDef.sql(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        // ONE window shape for all three passes: partition by customer,
+        // order (date ASC, orderkey DESC) — so "first row per date" IS
+        // the max-orderkey observation, and the grain dedup needs no
+        // second partition key (a (custkey, date) window would cost
+        // its own Exchange)
+        val byKey = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey").desc)
+        val obs = Tables.orders(s, d)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+                  col("o_orderpriority").as("prio"))
+          .withColumn("pdate", lag(col("o_orderdate"), 1).over(byKey))
+          .filter(col("pdate").isNull || col("pdate") =!= col("o_orderdate"))
+          .withColumn("prev", lag(col("prio"), 1).over(byKey))
+          .filter(col("prev").isNull || col("prev") =!= col("prio"))
+        val runs = byKey
+        obs
+          .withColumn("version", row_number().over(runs))
+          .withColumn("valid_to_us",
+            unix_micros(lead(col("o_orderdate"), 1).over(runs)
+              .cast("timestamp")))
+          .select(col("o_custkey"), col("version"), col("prio"),
+                  unix_micros(col("o_orderdate").cast("timestamp"))
+                    .as("valid_from_us"),
+                  col("valid_to_us"))
+          .orderBy("o_custkey", "version")
+      },
+      """WITH g AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority AS prio
+        |  FROM (SELECT *, lag(o_orderdate) OVER w AS pdate FROM orders
+        |        WINDOW w AS (PARTITION BY o_custkey
+        |                     ORDER BY o_orderdate, o_orderkey DESC))
+        |  WHERE pdate IS NULL OR pdate <> o_orderdate),
+        |obs AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, prio,
+        |         lag(prio) OVER w AS prev
+        |  FROM g
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey DESC)),
+        |runs AS (
+        |  SELECT o_custkey, o_orderdate, o_orderkey, prio
+        |  FROM obs WHERE prev IS NULL OR prev <> prio)
+        |SELECT o_custkey,
+        |       CAST(row_number() OVER w AS INT) AS version,
+        |       prio,
+        |       epoch_us(o_orderdate) AS valid_from_us,
+        |       epoch_us(lead(o_orderdate) OVER w) AS valid_to_us
+        |FROM runs
+        |WINDOW w AS (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey DESC)
+        |ORDER BY o_custkey, version""".stripMargin)
   )
 }
