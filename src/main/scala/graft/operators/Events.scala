@@ -42,6 +42,70 @@ object Events {
       |FROM sessed GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** The q44 prefix-sum interval aggregate, factored out so
+    * IntervalJoinSpec can replay it over hand-built boundary cases and
+    * assert identity with the naive non-equi join. `ev` needs columns
+    * (event_id, ts_us, event_type, value); `W` is the window width in
+    * epoch micros. See the q44 entry below for the full design note.
+    */
+  def intervalAggPrefixSum(ev: org.apache.spark.sql.DataFrame,
+                           W: Long): org.apache.spark.sql.DataFrame = {
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("ts_us")
+      .agg(count(lit(1)).as("cnt"),
+           sum(col("value").cast("decimal(18,2)"))
+             .cast("decimal(28,2)").as("val"))
+      .withColumn("bin", expr(s"ts_us DIV $W"))
+    // two probes per window: +F(hi-1), -F(lo-1)
+    val windows = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("window_id"), col("ts_us").as("lo"))
+    val probes = windows
+      .select(col("window_id"), (col("lo") + lit(W - 1)).as("t"),
+              lit(1).as("sign"))
+      .unionByName(windows.select(col("window_id"),
+              (col("lo") - lit(1L)).as("t"), lit(-1).as("sign")))
+      .withColumn("bin", expr(s"t DIV $W"))
+    // one row per W-bin of the combined click+probe range, so every
+    // probe bin hits the dense table by exact equi-join (no clamp,
+    // no cross join) — model-sized: one row per 2h of time range
+    val rng = clicks.select("bin").unionByName(probes.select("bin"))
+      .agg(min("bin").as("lo_b"), max("bin").as("cap_b"))
+    val binTotals = clicks.groupBy("bin")
+      .agg(sum("cnt").as("b_cnt"), sum("val").as("b_val"))
+    val wBins = Window.orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val densePrefix = rng
+      .select(explode(sequence(col("lo_b"), col("cap_b"))).as("bin"))
+      .join(binTotals, Seq("bin"), "left")
+      .withColumn("p_cnt", coalesce(sum("b_cnt").over(wBins), lit(0L)))
+      .withColumn("p_val", coalesce(sum("b_val").over(wBins),
+                                    lit(0).cast("decimal(38,2)")))
+      .select(col("bin"), col("p_cnt"), col("p_val"))
+    // within-bin running sum carries probes in the same pass
+    val u = clicks.select(col("bin"), col("ts_us").as("t"),
+            lit(0).as("tag"), col("cnt"), col("val"),
+            lit(null).cast("long").as("window_id"),
+            lit(null).cast("int").as("sign"))
+      .unionByName(probes.select(col("bin"), col("t"), lit(1).as("tag"),
+            lit(0L).as("cnt"), lit(0).cast("decimal(28,2)").as("val"),
+            col("window_id"), col("sign")))
+    val wIn = Window.partitionBy("bin").orderBy("t", "tag", "window_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    u.withColumn("c_cnt", sum("cnt").over(wIn))
+      .withColumn("c_val", sum("val").over(wIn))
+      .filter(col("tag") === 1)
+      .join(broadcast(densePrefix), Seq("bin"))
+      .groupBy("window_id")
+      .agg(sum(col("sign") * (col("p_cnt") + col("c_cnt"))).as("n"),
+           sum(when(col("sign") === 1, col("p_val") + col("c_val"))
+             .otherwise(-(col("p_val") + col("c_val")))).as("tv"))
+      .filter(col("n") > 0)
+      .select(col("window_id"), col("n"),
+              round(col("tv").cast("double") + lit(1e-6), 2)
+                .as("total_value"))
+      .orderBy("window_id")
+  }
+
   val defs: Map[String, OpDef] = Map(
 
     // Gap-based sessionization: lag + cumulative-sum session ids per user.
@@ -153,39 +217,30 @@ object Events {
     // user_id is a HIGH-cardinality partition key, so the window
     // parallelizes with the corpus (the q18 anti-pattern is only the
     // low-cardinality window); one shuffle on user_id total.
-    // q44: INTERVAL (range) join, binned. Spark has no range-join
-    // strategy: `p.ts BETWEEN iv.lo AND iv.hi` plans as a broadcast
-    // nested loop (O(|probe| x |intervals|) comparisons — a scale
-    // killer both here and on a cluster). The standard rewrite bins
-    // both sides at the maximum interval width W: an interval spans at
-    // most two W-bins (exploded, deduped), a probe lives in exactly
-    // one, and the non-equi condition becomes an EQUI join on the bin
-    // with the exact containment as a residual filter — one hash
-    // shuffle, volume ∝ matches, zero cartesian (IntervalJoinSpec pins
-    // the plan and the naive-join identity). Each purchase opens a
-    // 2-hour window; clicks from ANY user land in it (a per-user
-    // condition would make it q40's equi-window — the point here is
-    // the global interval semantics).
+    // q44: INTERVAL (range) aggregate via PREFIX SUMS. Each purchase
+    // opens a 2-hour window; the answer per window is only
+    // count+sum of the clicks (from ANY user) it contains. The naive
+    // non-equi join is a nested loop; the binned equi-join rewrite
+    // (kept in IntervalJoinSpec as the cross-check) fixes the plan
+    // shape but still ENUMERATES every (purchase, click) containment
+    // pair — and for un-keyed windows that volume grows ~quadratically
+    // with event density at fixed width (measured 18x for 10x data at
+    // sf10). For a pure count/sum-over-range aggregate the scale-safe
+    // plan is a distributed prefix sum: F(t) = (count, value-sum) of
+    // clicks with ts <= t, and each window's answer is F(hi-1)-F(lo-1)
+    // — two probe points per window, cost O(clicks + windows), ZERO
+    // match enumeration. F is built without a global sort: clicks
+    // aggregate per timestamp (exact DECIMAL sums — `value` is
+    // 2-decimal, so cumulative differences are bit-equal to direct
+    // per-window sums), a within-bin running sum over W-bins carries
+    // the probes in the SAME window pass (clicks tag 0 sort before
+    // probes tag 1 at equal ts => inclusive <=), and the cross-bin
+    // carry comes from a DENSE model-sized bin-prefix table (one row
+    // per 2h of the combined click+probe time range) broadcast back.
+    // IntervalJoinSpec pins broadcast-only joins (no SMJ/BNLJ/
+    // cartesian past the probe stage) and naive-join identity.
     "q44_interval_join" -> OpDef.sql(
-      (s, d) => {
-        val W = 7200000000L // 2 h in epoch micros = the interval width
-        val ev = Tables.events(s, d)
-        val iv = ev.filter(col("event_type") === "purchase")
-          .select(col("event_id").as("window_id"),
-                  col("ts_us").as("lo"),
-                  (col("ts_us") + lit(W)).as("hi"))
-          .withColumn("bin", explode(array_distinct(array(
-            expr(s"lo DIV $W"), expr(s"(hi - 1) DIV $W")))))
-        val probe = ev.filter(col("event_type") === "click")
-          .select(col("ts_us"), col("value"),
-                  expr(s"ts_us DIV $W").as("bin"))
-        probe.join(iv, "bin")
-          .filter(col("ts_us") >= col("lo") && col("ts_us") < col("hi"))
-          .groupBy("window_id")
-          .agg(count(lit(1)).as("n"),
-               round(sum("value") + lit(1e-6), 2).as("total_value"))
-          .orderBy("window_id")
-      },
+      (s, d) => intervalAggPrefixSum(Tables.events(s, d), 7200000000L),
       """WITH iv AS (
         |  SELECT event_id AS window_id,
         |         epoch_ns(ts) // 1000 AS lo,
