@@ -174,17 +174,32 @@ object Similarity {
     * the knob, not the shape, is what changes with scale). Pure integer
     * comparisons: the SAME generated CASE ladder runs in Spark and DuckDB.
     */
-  private[graft] def bandBitsCase(cntSql: String): String =
+  private[graft] def bandBitsCase(cntSql: String,
+      target: Long = TargetBucket): String =
     (MinBandBits until MaxBandBits)
-      .map(r => s"WHEN $cntSql <= ${TargetBucket << r} THEN $r")
+      .map(r => s"WHEN $cntSql <= ${target << r} THEN $r")
       .mkString("CASE ", " ", s" ELSE $MaxBandBits END")
 
   /** The Scala twin of [[bandBitsCase]] (for specs). */
-  private[graft] def bandBits(n: Long): Int = {
+  private[graft] def bandBits(n: Long, target: Long = TargetBucket): Int = {
     var r = MinBandBits
-    while (r < MaxBandBits && n > (TargetBucket << r)) r += 1
+    while (r < MaxBandBits && n > (target << r)) r += 1
     r
   }
+
+  /** e02's bucket-density target. The ANN probe wants RECALL at moderate
+    * similarity (the sf10 corpus' true top-10 sims sit at 0.45-0.55,
+    * where sign-agreement probability p = 1 - acos(sim)/pi is only
+    * ~0.66, so p^bits dies fast) — d09's pair join wants tight buckets.
+    * A 16x denser bucket (512 vs 32) cuts the active width by 4 bits,
+    * and with Hamming-<=2 multiprobe the per-band hit probability at
+    * sim 0.5 rises from ~0.01 to ~0.2-0.3; OR'd over NumDupBands that
+    * is recall ~0.6-0.8. Cost: candidates per query ~ NumDupBands *
+    * (1 + bits + C(bits,2)) * 512 — and since bits grows ~log2(n) while
+    * density is pinned, the SCAN FRACTION of the corpus shrinks as n
+    * grows (3-4% at 5M vectors). Exact cosine re-rank keeps precision.
+    */
+  private[graft] val E02TargetBucket = 512L
 
   /** Register band `t`'s full-width sign code (idempotent per session). */
   private def bandCodeFn(s: SparkSession, t: Int): String = {
@@ -199,22 +214,33 @@ object Similarity {
     * (exactly as d02's pair builder is shared with d13). See the d09 def
     * for the banded/laddered design notes.
     */
-  private[graft] def embedDupPairs(s: SparkSession, d: String): DataFrame = {
-    GraftFunctions.register(s)
-    val emb = Tables.embeddings(s, d)
+  /** Density-laddered banded sign codes for every vector: (vec_id, band,
+    * bcode, bits) with NumDupBands rows per vector and the active width
+    * `bits` from [[bandBitsCase]] on a broadcast one-row corpus count.
+    * Shared by d09/e06's pair builder and e02's multiprobe ANN.
+    */
+  private[graft] def bandedCodes(s: SparkSession, emb: DataFrame,
+      target: Long = TargetBucket): DataFrame = {
     // one-row broadcast: every row learns the corpus count, and the
     // width ladder is plain integer CASE arithmetic on it
     val sized = emb
       .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
-      .withColumn("bits", expr(bandBitsCase("corpus_n")))
+      .withColumn("bits", expr(bandBitsCase("corpus_n", target)))
     val bandStructs = (0 until NumDupBands).map { t =>
       val fn = bandCodeFn(s, t)
       struct(lit(t).as("band"),
              expr(s"$fn(embedding) & (shiftleft(1, bits) - 1)").as("bcode"))
     }
-    val bands = sized
-      .select(col("vec_id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("vec_id"), col("bb.band").as("band"), col("bb.bcode").as("bcode"))
+    sized
+      .select(col("vec_id"), col("bits"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("vec_id"), col("bb.band").as("band"),
+              col("bb.bcode").as("bcode"), col("bits"))
+  }
+
+  private[graft] def embedDupPairs(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, d)
+    val bands = bandedCodes(s, emb).drop("bits")
     val a = bands.toDF("a_id", "band", "bcode")
     val b = bands.toDF("b_id", "band", "bcode")
     val cands = a.join(b, Seq("band", "bcode"))
@@ -1351,47 +1377,108 @@ object Similarity {
            |ORDER BY vec_id, rk""".stripMargin
       }),
 
-    // LSH-bucketed approximate nearest neighbors: equality join on the
-    // hyperplane sign code, then exact cosine only within the bucket. The
-    // oracle replicates the bucketing (same plane literals), so the ANN
-    // candidate generation is SQL-checked, not just row-counted.
+    // LSH-bucketed approximate nearest neighbors, banded + density-
+    // laddered + MULTIPROBE — the data-oblivious ANN tier. The r4-r12
+    // form joined on ONE static 8-bit sign code; the repo's own tier
+    // artifact measured its recall@10 collapsing to 0.02 at sf10 (the
+    // static bucket family doesn't adapt to corpus size). This form
+    // reuses d09's corpus-count-laddered band construction (NumDupBands
+    // independent sign-code tables whose active width tracks the corpus
+    // so bucket density stays pinned — see [[bandedCodes]] /
+    // [[bandBitsCase]], with e02's own denser [[E02TargetBucket]]) and
+    // adds query-side Hamming-<=2 multiprobe (Lv et al.'s multi-probe
+    // LSH, exhaustive to distance 2): each query probes its own bucket
+    // PLUS every bucket one or two bit-flips away, in every band.
+    // Per-band hit probability rises from p^bits to
+    // sum_{i<=2} C(bits,i) p^(bits-i) (1-p)^i (p = 1 - acos(sim)/pi) —
+    // at the moderate sims real top-10 neighbors have (see
+    // E02TargetBucket's scaladoc for the algebra) that is recall
+    // ~0.6-0.8 OR'd over bands, where the r12 static 8-bit code
+    // measured 0.02 at sf10. Candidates per query stay
+    // ~NumDupBands * (1 + bits + C(bits,2)) * E02TargetBucket — a few
+    // percent of the corpus, SHRINKING with n. Probes are a broadcast
+    // few-hundred-row frame; the corpus side is ONE scan of the banded
+    // codes, exact cosine only on distinct candidates, map-side TopKBy
+    // heaps for the top-k. The oracle replicates bucketing, ladder, and
+    // bit flips exactly (integer arithmetic both engines), so the entry
+    // stays hash-proven; AnnRecallSpec floors its recall next to e03's.
     "e02_ann_lsh" -> OpDef.sql(
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-          .withColumn("code", signCode(s, "embedding"))
-        val queries = emb.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"), col("code"))
-        emb
-          .join(broadcast(queries), Seq("code"))
+        val bands = bandedCodes(s, emb, E02TargetBucket)
+        // flip indices (i, j) over 1-based bit positions with 0 = "no
+        // flip": (0,0) is the home bucket, (i,0) single flips, (i,j<i)
+        // double flips — 1 + bits + C(bits,2) probes per (query, band)
+        val probes = bands.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("band"), col("bcode"),
+                  col("bits"))
+          .withColumn("i", explode(sequence(lit(0), col("bits"))))
+          .withColumn("j", explode(sequence(lit(0), col("i"))))
+          .filter(col("j") < col("i") || (col("i") === 0 && col("j") === 0))
+          .withColumn("pcode", expr(
+            """bcode
+              | ^ (CASE WHEN i > 0 THEN shiftleft(1, i - 1) ELSE 0 END)
+              | ^ (CASE WHEN j > 0 THEN shiftleft(1, j - 1) ELSE 0 END)"""
+              .stripMargin))
+          .select(col("q_id"), col("band"), col("pcode").as("bcode"))
+        val qVecs = emb.filter(col("vec_id") < NumQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        bands.join(broadcast(probes), Seq("band", "bcode"))
           .filter(col("vec_id") =!= col("q_id"))
+          .select("q_id", "vec_id").distinct()
+          .join(emb, "vec_id")
+          .join(broadcast(qVecs), "q_id")
           .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
           // same scale argument as e01: map-side bounded heaps, only k
           // rows per (query, task) shuffle — never a window over the
           // whole candidate set
-          .groupBy("q_id", "code")
+          .groupBy("q_id")
           .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
-          .select(col("q_id"), col("code"), posexplode(col("top")))
+          .select(col("q_id"), posexplode(col("top")))
           .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
-                  col("col.id").as("neighbor_id"), col("col.score").as("sim"),
-                  col("code"))
+                  col("col.id").as("neighbor_id"), col("col.score").as("sim"))
           .orderBy("q_id", "rk")
       }, {
-        val codeSql = signCodeSql("embedding::DOUBLE[]", planes(NumPlanes))
-        s"""WITH coded AS (
-           |  SELECT vec_id, embedding::DOUBLE[] AS vec, $codeSql AS code
+        val codeList = (0 until NumDupBands)
+          .map(t => signCodeSql("embedding::DOUBLE[]", bandPlanes(t)))
+          .mkString("[\n         ", ",\n         ", "]")
+        s"""WITH n AS (SELECT count(*) AS corpus_n FROM embeddings),
+           |p AS (SELECT ${bandBitsCase("corpus_n", E02TargetBucket)} AS bits FROM n),
+           |coded AS (
+           |  SELECT vec_id, embedding::DOUBLE[] AS vec,
+           |         $codeList AS codes
            |  FROM embeddings),
-           |q AS (SELECT vec_id AS q_id, vec AS q_vec, code FROM coded
-           |      WHERE vec_id < $NumQueries),
+           |bands AS (
+           |  SELECT vec_id, t AS band,
+           |         list_extract(codes, t + 1) & ((1 << bits) - 1) AS bcode
+           |  FROM coded, p, (SELECT unnest(generate_series(0, ${NumDupBands - 1})) AS t)),
+           |probes AS (
+           |  SELECT b.vec_id AS q_id, b.band,
+           |         xor(xor(b.bcode,
+           |                 CASE WHEN i > 0 THEN 1 << (i - 1) ELSE 0 END),
+           |             CASE WHEN j > 0 THEN 1 << (j - 1) ELSE 0 END) AS bcode
+           |  FROM bands b, p,
+           |       (SELECT unnest(generate_series(0, $MaxBandBits)) AS i) fi,
+           |       (SELECT unnest(generate_series(0, $MaxBandBits)) AS j) fj
+           |  WHERE b.vec_id < $NumQueries AND i <= bits
+           |    AND ((j < i) OR (i = 0 AND j = 0))),
            |cand AS (
-           |  SELECT q.q_id, e.vec_id AS neighbor_id, e.code AS code,
-           |         round(list_cosine_similarity(e.vec, q.q_vec) + 1e-10, 6) AS sim
-           |  FROM coded e JOIN q ON e.code = q.code AND e.vec_id <> q.q_id)
+           |  SELECT DISTINCT pr.q_id, b.vec_id
+           |  FROM bands b JOIN probes pr
+           |    ON b.band = pr.band AND b.bcode = pr.bcode
+           |   AND b.vec_id <> pr.q_id),
+           |scored AS (
+           |  SELECT c.q_id, c.vec_id AS neighbor_id,
+           |         round(list_cosine_similarity(y.vec, x.vec) + 1e-10, 6) AS sim
+           |  FROM cand c
+           |  JOIN coded x ON x.vec_id = c.q_id
+           |  JOIN coded y ON y.vec_id = c.vec_id)
            |SELECT q_id,
            |       CAST(row_number() OVER (PARTITION BY q_id
            |         ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
-           |       neighbor_id, sim, code
-           |FROM cand QUALIFY rk <= $TopK
+           |       neighbor_id, sim
+           |FROM scored QUALIFY rk <= $TopK
            |ORDER BY q_id, rk""".stripMargin
       }),
 

@@ -38,6 +38,29 @@ class AnnRecallSpec extends AnyFunSuite with SparkFixture {
     recalls.foreach(r => assert(r >= 0.7, f"a query fell to recall $r%.2f"))
   }
 
+  test("e02 banded multiprobe LSH recall@10 vs exact e01 is high at sf0.01") {
+    assume(new java.io.File(dir).isDirectory)
+    val exact = topIds("e01_knn_brute")
+    val lsh = topIds("e02_ann_lsh")
+    assert(lsh.keySet == exact.keySet, "LSH lost whole queries")
+    val recalls = exact.map { case (q, truth) =>
+      val r = (truth & lsh(q)).size.toDouble / truth.size
+      info(f"q$q recall@10 = $r%.2f")
+      r
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean recall@10 = $mean%.2f")
+    // the density ladder keeps per-band collision probability roughly
+    // scale-free and Hamming-1 multiprobe lifts it (p^bits ->
+    // p^bits + bits*p^(bits-1)*(1-p), OR'd over NumDupBands bands), so
+    // these floors are meant to HOLD ACROSS SFs, not just at the gate
+    // SF — AnnTierProbe measures the same quantity at sf10 (the r12
+    // static-code form measured 0.02 there; floors below would have
+    // caught it)
+    assert(mean >= 0.6, f"mean LSH recall $mean%.2f below floor 0.6")
+    recalls.foreach(r => assert(r >= 0.4, f"a query fell to recall $r%.2f"))
+  }
+
   test("e03 returns exactly k ranked rows per query, self excluded") {
     assume(new java.io.File(dir).isDirectory)
     val rows = SparkEntry.queries("e03_ann_ivf")(spark, dir)
