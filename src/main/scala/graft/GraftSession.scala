@@ -54,6 +54,18 @@ object GraftSession {
       // 32) turned the big exchanges into multi-minute stragglers.
       // Deliberately left at the default (= shuffle.partitions).
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Stock skew detection needs a partition to exceed 256 MB
+      // (compressed shuffle bytes) AND 5x the median. On this engine's
+      // workload sizes the hot partitions that actually straggle sit in
+      // the tens-of-MB range after compression — q43's planted
+      // 30%-of-lineitem key at sf10 compresses under the stock floor,
+      // so AQE declined to split it and the join ran 17.9 s where the
+      // split runs 7.5 s (bench/BENCH_skew_probe_r12.json: 64 MB -> 2.2x).
+      // 64 MB matches the advisory partition size (the slice target), so
+      // a partition is "skewed" as soon as it is worth slicing; the 5x
+      // median factor still gates false positives on uniform shuffles.
+      .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64MB")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // The HDFS-backed state store retains `minBatchesToRetain` full
       // in-memory STATE VERSIONS per stateful operator (default 100 —

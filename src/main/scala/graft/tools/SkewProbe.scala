@@ -40,17 +40,20 @@ object SkewProbe {
       (rs.map(_._1).min, rs.exists(_._2))
     }
 
+    val savedThreshold = s.conf.get(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
     val (offWall, _) = mode(skewOn = false)
     // stock thresholds (256 MB compressed / 5x median): at sf10 the hot
     // partition compresses under the byte floor, so stock leaves the
     // plan alone — recorded to show the runtime's own judgment
     val (stockWall, stockFired) = mode(skewOn = true)
-    // 64 MB: the common tuned floor on mid-size clusters; the planted
-    // partition crosses it and the split fires
+    // 64 MB: the common tuned floor on mid-size clusters, and since r14
+    // GraftSession's session default (see the builder comment); the
+    // planted partition crosses it and the split fires
     val (tunedWall, tunedFired) = mode(skewOn = true, thresholdMb = 64)
     s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-      "256MB")
+      savedThreshold)
 
     val json =
       f"""{"probe":"skew_join","sf_dir":"$sfDir","reps":$reps,""" +

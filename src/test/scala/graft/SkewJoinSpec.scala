@@ -27,6 +27,28 @@ class SkewJoinSpec extends AnyFunSuite with SparkFixture {
 
   private val d = "/root/testdata/sf0.01"
 
+  test("GraftSession ships the tuned 64 MB skew threshold") {
+    // bench/BENCH_skew_probe_r12.json: at sf10 the planted hot partition
+    // compresses under the stock 256 MB floor (AQE declines, 17.9 s)
+    // but crosses 64 MB (split fires, 7.5 s). GraftSession ships the
+    // tuned floor so the committed ladder reflects the split; this leg
+    // pins the conf so a revert is loud. (getOrCreate applies the
+    // builder's runtime confs onto the shared fixture session — that IS
+    // the production default landing; the test-scale knobs it also
+    // carries are put back so other suites keep their sizing.)
+    val restore = Seq("spark.sql.shuffle.partitions",
+        "spark.sql.streaming.minBatchesToRetain")
+      .map(k => k -> spark.conf.getOption(k))
+    val s = GraftSession.getOrCreate()
+    try assert(s.conf.get(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes")
+      == "64MB")
+    finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q43: AQE splits the planted hot partition and the answer is unchanged") {
     assume(new java.io.File(d).isDirectory)
     val base = java.nio.file.Files.createTempDirectory("graft_skew").toString
