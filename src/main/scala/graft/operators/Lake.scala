@@ -609,6 +609,38 @@ object Lake {
       },
       duckCdcSql),
 
+    // l11: the unified VERSIONED-TABLE facade with TIME TRAVEL —
+    // l06/l07's merge dispatch, s21's marker-file commit protocol, and
+    // l10's retention composed into one GraftTable API
+    // (graft.sources.GraftTable) instead of a parts kit over ad-hoc
+    // v{N} conventions. The gate builds the table at v0, applies the
+    // standard changelog as TWO committed merge ticks (split by key
+    // parity), vacuums to the last two versions (v0 retires), and then
+    // reads AS OF v1 — the MID version, not the current one: the hash
+    // only matches if v1's bytes survived both the second merge and the
+    // vacuum untouched. Oracle: DuckDB replays exactly ONE tick (the
+    // even-parity half of the log) over v0. GraftTableSpec holds the
+    // rest of the contract: vacuumed/uncommitted reads fail loudly by
+    // name, retained versions stay byte-identical through vacuum, and
+    // an uncommitted (torn) version directory is invisible to every
+    // reader.
+    "l11_time_travel" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l11", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = cdcChangelog(t.read())
+        t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0))
+        t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1))
+        t.vacuum(keep = 2)
+        t.readAsOf(1)
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      duckCdcSqlWhere("doc_id % 2 = 0")),
+
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a
     // predicate, but it must LIST the lake and OPEN every footer first:
@@ -870,13 +902,16 @@ object Lake {
 
   /** The CDC-apply oracle, shared by l06 and its streaming twin s19:
     * DuckDB replays the bucket-rule changelog derivation and the merge
-    * (v1 minus superseded keys, union upsert payloads).
+    * (v1 minus superseded keys, union upsert payloads). `logWhere`
+    * restricts the applied changelog — l11's time-travel oracle replays
+    * only the first tick's half of the log to reconstruct the MID
+    * version.
     */
-  private[graft] val duckCdcSql: String = {
+  private[graft] def duckCdcSqlWhere(logWhere: String): String = {
     def b(id: String) =
       s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % 100"
     s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
-       |log AS (
+       |fulllog AS (
        |  SELECT 'D' AS op, doc_id, source, text
        |  FROM v1 WHERE ${b("doc_id")} < 8
        |  UNION ALL
@@ -885,6 +920,7 @@ object Lake {
        |  UNION ALL
        |  SELECT 'U', doc_id + 1000000000, source, text || ' (new)'
        |  FROM v1 WHERE ${b("doc_id")} >= 16 AND ${b("doc_id")} < 24),
+       |log AS (SELECT * FROM fulllog WHERE $logWhere),
        |v2 AS (
        |  SELECT doc_id, source, text FROM v1
        |  WHERE doc_id NOT IN (SELECT doc_id FROM log)
@@ -894,6 +930,8 @@ object Lake {
        |FROM v2 ORDER BY doc_id""".stripMargin
   }
 
+  private[graft] val duckCdcSql: String = duckCdcSqlWhere("TRUE")
+
   /** The r2e epsilon-rounding convention (Relational.r2e), local copy. */
   private def r2(c: Column): Column = round(c + lit(1e-6), 2)
 
@@ -901,8 +939,9 @@ object Lake {
     * supersedes (broadcast anti join — the snapshot side never
     * shuffles), then union the upsert payloads.
     */
-  private[graft] def cdcMerge(v1: DataFrame, log: DataFrame): DataFrame =
-    v1.join(broadcast(log.select("doc_id")), Seq("doc_id"), "left_anti")
+  private[graft] def cdcMerge(v1: DataFrame, log: DataFrame,
+      key: String = "doc_id"): DataFrame =
+    v1.join(broadcast(log.select(key)), Seq(key), "left_anti")
       .unionByName(log.filter(col("op") === "U").drop("op")
         .select(v1.columns.map(col): _*))
 
@@ -917,8 +956,9 @@ object Lake {
     * per-bucket merge, resilient to any delta:snapshot ratio.
     * CdcScaleSpec asserts exactly that on the executed plan.
     */
-  private[graft] def cdcMergeShuffled(v1: DataFrame, log: DataFrame): DataFrame =
-    v1.join(log.select("doc_id").hint("merge"), Seq("doc_id"), "left_anti")
+  private[graft] def cdcMergeShuffled(v1: DataFrame, log: DataFrame,
+      key: String = "doc_id"): DataFrame =
+    v1.join(log.select(key).hint("merge"), Seq(key), "left_anti")
       .unionByName(log.filter(col("op") === "U").drop("op")
         .select(v1.columns.map(col): _*))
 
@@ -929,9 +969,10 @@ object Lake {
     * from the log's commit metadata.
     */
   private[graft] def cdcMergeAuto(v1: DataFrame, log: DataFrame,
-      broadcastMaxKeys: Long = 4L << 20): DataFrame =
-    if (log.count() <= broadcastMaxKeys) cdcMerge(v1, log)
-    else cdcMergeShuffled(v1, log)
+      broadcastMaxKeys: Long = 4L << 20,
+      key: String = "doc_id"): DataFrame =
+    if (log.count() <= broadcastMaxKeys) cdcMerge(v1, log, key)
+    else cdcMergeShuffled(v1, log, key)
 
   /** Partition-scoped CDC apply (l08): rewrite ONLY the snapshot
     * partitions that contain changed keys, in place. The l06 form

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Lake
+import graft.sources.{GraftTable, Tables}
+
+/** GraftTable (l11) — the contract pieces the gate hash can't carry:
+  * loud failures for vacuumed/nonexistent versions, byte-stable
+  * retained versions through vacuum, torn (uncommitted) version
+  * directories invisible to readers and recovered by the next merge,
+  * and idempotent vacuum.
+  */
+class GraftTableSpec extends AnyFunSuite with SparkFixture {
+
+  private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("doc_id").collect().map(_.toString).toSeq
+
+  private def fileState(dir: String): Map[String, (Long, String)] = {
+    val base = java.nio.file.Paths.get(dir)
+    val out = scala.collection.mutable.Map[String, (Long, String)]()
+    java.nio.file.Files.walk(base).forEach { p =>
+      if (java.nio.file.Files.isRegularFile(p)) {
+        val bytes = java.nio.file.Files.readAllBytes(p)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        out(base.relativize(p).toString) =
+          (bytes.length.toLong,
+           md.digest(bytes).map("%02x".format(_)).mkString)
+      }
+    }
+    out.toMap
+  }
+
+  test("version chain, time travel, loud retention, torn-dir recovery") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+
+    val t = GraftTable.create(spark, dir, docs)
+    assert(t.versions == Seq(0) && t.currentVersion == 0)
+
+    val log = Lake.cdcChangelog(t.read())
+    val even = log.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = log.filter(pmod(col("doc_id"), lit(2)) === 1)
+    assert(t.merge(even) == 1)
+    assert(t.merge(odd) == 2)
+    assert(t.versions == Seq(0, 1, 2))
+
+    // time travel reproduces every committed state
+    assert(collectSorted(t.readAsOf(0)) == collectSorted(docs))
+    assert(collectSorted(t.readAsOf(1)) ==
+      collectSorted(Lake.cdcMerge(docs, even)))
+    assert(collectSorted(t.readAsOf(2)) == collectSorted(t.read()))
+    assert(collectSorted(t.read()) ==
+      collectSorted(Lake.cdcMerge(Lake.cdcMerge(docs, even), odd)))
+
+    // retained versions are byte-identical through vacuum
+    val before = Seq(1, 2).map(v => fileState(s"$dir/v$v"))
+    assert(t.vacuum(keep = 2) == Seq(0))
+    assert(Seq(1, 2).map(v => fileState(s"$dir/v$v")) == before,
+      "vacuum touched retained version bytes")
+    assert(t.versions == Seq(1, 2))
+
+    // vacuumed read fails loudly and names retention
+    val gone = intercept[java.util.NoSuchElementException](t.readAsOf(0))
+    assert(gone.getMessage.contains("vacuum") &&
+           gone.getMessage.contains("v1"),
+      s"retention failure message unhelpful: ${gone.getMessage}")
+    // never-committed read names the committed range
+    val missing = intercept[java.util.NoSuchElementException](t.readAsOf(7))
+    assert(missing.getMessage.contains("[1, 2]"),
+      s"missing-version message unhelpful: ${missing.getMessage}")
+
+    // vacuum is idempotent
+    assert(t.vacuum(keep = 2).isEmpty)
+
+    // a torn (crashed, uncommitted) version directory is invisible...
+    docs.limit(3).write.parquet(s"$dir/v3")
+    assert(t.versions == Seq(1, 2) && t.currentVersion == 2)
+    intercept[java.util.NoSuchElementException](t.readAsOf(3))
+    // ...and the next merge overwrites it with a real committed v3
+    assert(t.merge(odd.limit(0).select(log.columns.map(col): _*)) == 3)
+    assert(t.versions == Seq(1, 2, 3))
+    assert(collectSorted(t.readAsOf(3)) == collectSorted(t.readAsOf(2)))
+
+    // open() on the populated dir sees the same chain; on an empty dir
+    // it refuses loudly
+    assert(GraftTable.open(spark, dir).currentVersion == 3)
+    val empty = java.nio.file.Files.createTempDirectory("graft_tbl_e").toString
+    intercept[IllegalStateException](GraftTable.open(spark, empty))
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+    Lake.deleteTree(java.nio.file.Paths.get(empty))
+  }
+}
