@@ -87,6 +87,29 @@ object Dedup {
   private[graft] val DenseChoose = 2
   private[graft] val DenseRadius: Int = DenseBlockWidth.length - DenseChoose
 
+  /** d03's density auto-select (r12's open watch item, closed the d42
+    * way: ENGAGE BY MEASUREMENT, not by a proxy like corpus count). On
+    * a deterministic 10%-of-keys md5 sample ([[splitBucket]] — DuckDB
+    * replays it bit for bit), count the narrow family's candidate pairs
+    * sp over n_s sampled docs; pairs scale with rate^2, so the
+    * full-corpus pairs-per-doc estimate is sp*n/n_s^2 — an EXACT integer
+    * inequality both engines evaluate identically. Past
+    * [[D03DensePairsPerDoc]] the active family switches to the C(6,2)
+    * smaller-radius config (15 tables, 20-bit keys, guaranteed radius
+    * 4): on a hot-bucket corpus the narrow family's extra radius is
+    * spent enumerating near-identical cliques 28 times over — the dense
+    * family halves the bucket rows and cuts random collisions 16-32x
+    * while still catching true near-dups (0-3 differing bits). The
+    * threshold sits an order above the gate corpus' measured density
+    * (~2 candidate pairs/doc) and an order under a replicated-clique
+    * corpus' (>=1000s): normal corpora keep the radius-6 guarantee,
+    * pathological ones degrade gracefully to radius 4 instead of
+    * quadratically. SimHashSpec plants both and proves the flip and
+    * each side's semantics.
+    */
+  private[graft] val D03SampleBuckets = 10
+  private[graft] val D03DensePairsPerDoc = 64L
+
   /** d29's boilerplate bar: an 8-word span must appear in at least this
     * many DISTINCT documents to be scrubbed. 3 keeps the gate corpus
     * non-vacuous without degenerating into near-dup removal (d27/d13's
@@ -161,26 +184,58 @@ object Dedup {
     * small either way (an explode over 210 struct literals blew janino's
     * 64KB method limit and fell back to interpreted execution — exactly
     * the path that must stay codegen'd at scale). The ACTIVE family is
-    * picked by the one-row-broadcast corpus count in the join filter —
-    * no driver action, mirroring the oracle's `FROM sig, combos, n`.
+    * picked by a one-row-broadcast selector in the join filter — the
+    * count ladder (wideAt) first, then the MEASURED density flip to the
+    * dense C(6,2) family ([[D03DensePairsPerDoc]]) — no driver action,
+    * mirroring the oracle's `FROM sig, combos, sel2`.
     */
-  private[graft] def d03Body(s: SparkSession, d: String, wideAt: Long): DataFrame = {
+  private[graft] def d03Body(s: SparkSession, d: String, wideAt: Long): DataFrame =
+    d03Body(s, d, wideAt, D03DensePairsPerDoc)
+
+  private[graft] def d03Body(s: SparkSession, d: String, wideAt: Long,
+      densePairsPerDoc: Long): DataFrame = {
     graft.expressions.GraftFunctions.register(s)
     val sp = s
     import sp.implicits._
     val sigs = persistTracked("d03_sigs", Tables.documents(s, d)
       .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash")))
-    val sized = sigs
-      .crossJoin(broadcast(sigs.agg(count(lit(1)).as("corpus_n"))))
+    // Density measurement (see [[D03DensePairsPerDoc]]): the narrow
+    // family's candidate-pair count over the deterministic 10%-of-keys
+    // md5 sample. A plain join COUNT — map-side combinable, no distinct,
+    // ~1% of the full candidate volume — and a pure function of the
+    // corpus, so the oracle replays it bit for bit. The products run in
+    // DECIMAL(38,0) (DuckDB: HUGEINT): exact integer compare, no ANSI
+    // overflow even at sp ~ n_s^2 on a fully degenerate corpus.
+    val samp = sigs.filter(splitBucket(col("doc_id")) < D03SampleBuckets)
+    val sampBk = simhashBuckets(samp, BlockWidth, 2)
+      .select(col("doc_id"), col("tbl"), col("bkey"))
+    val sel = sigs.agg(count(lit(1)).as("corpus_n"))
+      .crossJoin(samp.agg(count(lit(1)).as("n_s")))
+      .crossJoin(
+        sampBk.toDF("a_id", "tbl", "bkey")
+          .join(sampBk.toDF("b_id", "tbl", "bkey"), Seq("tbl", "bkey"))
+          .filter(col("a_id") < col("b_id"))
+          .agg(count(lit(1)).as("sp")))
+      .select(
+        when(col("corpus_n") > wideAt, 1)
+          .when(col("sp").cast("decimal(38,0)") * col("corpus_n") >
+                lit(densePairsPerDoc) * col("n_s").cast("decimal(38,0)") * col("n_s"), 2)
+          .otherwise(0).as("active_fam"))
+      .withColumn("cut_radius",
+        when(col("active_fam") === 2, DenseRadius).otherwise(SimHashRadius))
+    // one row, but its plan contains the sample join — persist so the
+    // two consumers (combos filter, radius cut) run the measurement once
+    val selP = persistTracked("d03_sel", sel)
     val combos =
       (comboTupleRows(0, BlockWidth, 2) ++
-        comboTupleRows(1, WideBlockWidth, WideChoose))
+        comboTupleRows(1, WideBlockWidth, WideChoose) ++
+        comboTupleRows(2, DenseBlockWidth, DenseChoose))
         .toDF("fam", "tbl", "o1", "m1",
               "o2", "m2", "s2", "o3", "m3", "s3", "o4", "m4", "s4")
-    val buckets = sized
+    val buckets = sigs
+      .crossJoin(broadcast(selP))
       .crossJoin(broadcast(combos))
-      .filter((col("corpus_n") <= wideAt && col("fam") === 0) ||
-              (col("corpus_n") > wideAt && col("fam") === 1))
+      .filter(col("fam") === col("active_fam"))
       .select(col("doc_id"), col("simhash"), col("tbl"),
         expr("((((simhash >> o1) & m1) * s2 + ((simhash >> o2) & m2)) * s3" +
              " + ((simhash >> o3) & m3)) * s4 + ((simhash >> o4) & m4)")
@@ -202,8 +257,13 @@ object Dedup {
       .select(col("a_id"), col("b_id"),
               bit_count(expr("a_hash ^ b_hash")).as("hamming"))
       // filter BEFORE distinct: drops the (majority) non-matching
-      // pairs map-side instead of shuffling them through the dedup
-      .filter(col("hamming") <= SimHashRadius)
+      // pairs map-side instead of shuffling them through the dedup.
+      // The cut is the ACTIVE family's guaranteed radius (6 narrow/wide,
+      // 4 dense) so the output stays exactly "all pairs within the
+      // radius" — opportunistic beyond-radius collisions never leak.
+      .crossJoin(broadcast(selP.select("cut_radius")))
+      .filter(col("hamming") <= col("cut_radius"))
+      .select("a_id", "b_id", "hamming")
       .distinct()
       .orderBy("a_id", "b_id")
   }
@@ -1043,14 +1103,20 @@ object Dedup {
     }.mkString(",\n    ")
 
   /** d03's DuckDB twin: md5-60-bit word hashes -> 60 per-bit sign sums ->
-    * the ACTIVE family's bucket tables (both families' combos generated
-    * as one VALUES list from the same arrays the operator uses, the
-    * active one selected by the corpus count exactly like the Spark
-    * side) -> bucket self-join -> Hamming filter at the radius.
+    * the ACTIVE family's bucket tables (all three families' combos
+    * generated as one VALUES list from the same arrays the operator
+    * uses) -> bucket self-join -> Hamming filter at the active radius.
+    * Family selection mirrors the operator exactly: the count ladder
+    * first (corpus_n vs wideAt — the gate's wideAt is MaxValue, so fam 1
+    * is spec-only), then the MEASURED density flip — narrow-family
+    * candidate pairs over the 10%-of-md5-buckets sample, pairs-per-doc
+    * estimate sp*n/n_s^2 compared as an exact HUGEINT (Spark:
+    * DECIMAL(38,0)) integer inequality against [[D03DensePairsPerDoc]].
     */
   private def duckD03Sql: String = {
     val comboRows = comboValuesRows(0, BlockWidth, 2) + ",\n    " +
-      comboValuesRows(1, WideBlockWidth, WideChoose)
+      comboValuesRows(1, WideBlockWidth, WideChoose) + ",\n    " +
+      comboValuesRows(2, DenseBlockWidth, DenseChoose)
     s"""WITH w AS (
        |  SELECT doc_id, string_split_regex(text, '\\s+') AS ws FROM documents),
        |hw AS (
@@ -1067,17 +1133,41 @@ object Dedup {
        |n AS (SELECT count(*) AS corpus_n FROM documents),
        |combos(fam, tbl, o1, m1, s1, o2, m2, s2, o3, m3, s3, o4, m4, s4) AS (VALUES
        |    $comboRows),
+       |samp AS (
+       |  SELECT doc_id, simhash FROM sig
+       |  WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100
+       |        < $D03SampleBuckets),
+       |ns AS (SELECT count(*) AS n_s FROM samp),
+       |sbk AS (
+       |  SELECT doc_id, tbl,
+       |         ((((simhash >> o1) & m1) * s2 + ((simhash >> o2) & m2)) * s3
+       |           + ((simhash >> o3) & m3)) * s4 + ((simhash >> o4) & m4) AS bkey
+       |  FROM samp, combos WHERE combos.fam = 0),
+       |spc AS (
+       |  SELECT count(*) AS sp FROM sbk a JOIN sbk b
+       |    ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |sel AS (
+       |  SELECT CASE WHEN n.corpus_n > $SimHashWideAt THEN 1
+       |              WHEN CAST(spc.sp AS HUGEINT) * n.corpus_n
+       |                   > $D03DensePairsPerDoc * CAST(ns.n_s AS HUGEINT) * ns.n_s
+       |              THEN 2 ELSE 0 END AS active_fam
+       |  FROM n, ns, spc),
+       |sel2 AS (
+       |  SELECT active_fam,
+       |         CASE WHEN active_fam = 2 THEN $DenseRadius
+       |              ELSE $SimHashRadius END AS cut_radius
+       |  FROM sel),
        |buckets AS (
        |  SELECT doc_id, simhash, tbl,
        |         ((((simhash >> o1) & m1) * s2 + ((simhash >> o2) & m2)) * s3
        |           + ((simhash >> o3) & m3)) * s4 + ((simhash >> o4) & m4) AS bkey
-       |  FROM sig, combos, n
-       |  WHERE combos.fam = CASE WHEN n.corpus_n <= $SimHashWideAt THEN 0 ELSE 1 END)
+       |  FROM sig, combos, sel2
+       |  WHERE combos.fam = sel2.active_fam)
        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
        |FROM buckets a JOIN buckets b
-       |  ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-       |WHERE bit_count(xor(a.simhash, b.simhash)) <= $SimHashRadius
+       |  ON a.tbl = b.tbl AND a.bkey = b.bkey AND a.doc_id < b.doc_id, sel2
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= sel2.cut_radius
        |ORDER BY a_id, b_id""".stripMargin
   }
 

@@ -229,4 +229,78 @@ class SimHashSpec extends AnyFunSuite with SparkFixture {
     assert(Dedup.simhashBuckets(sigs, Dedup.DenseBlockWidth, Dedup.DenseChoose).count() == 15 * n)
     assert(Dedup.simhashBuckets(sigs, Dedup.BlockWidth, 2).count() == 28 * n)
   }
+
+  test("measured density flips the family to dense and the cut to radius 4") {
+    // the r12 watch item, closed the d42 way: the dense family engages
+    // by MEASUREMENT (sampled narrow-family candidate pairs), not by a
+    // corpus-count proxy. Plant a replicated-clique corpus (the
+    // hot-bucket pathology: 20 cliques x 100 identical copies) plus two
+    // borderline rewrites sitting at Hamming 5-6 from their base — the
+    // band the dense family gives up. Under the default threshold the
+    // measurement must flip to dense: output == exhaustive pairs at
+    // Hamming <= 4, the 5-6 band absent. With the threshold forced
+    // unreachable the same corpus stays narrow: the 5-6 band present,
+    // output == exhaustive pairs at Hamming <= 6. Same corpus, both
+    // regimes proven — the flip is real and each side keeps its
+    // exhaustive-recall guarantee.
+    val sp = spark
+    import sp.implicits._
+    graft.expressions.GraftFunctions.register(spark)
+    val base = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen analysts review quarterly parquet manifests before " +
+      "the cluster rebalances its shuffle partitions at dawn"
+    // precomputed offline against the md5 sign-sum construction:
+    // replacing word 0 with "copper"/"nimbus" lands at Hamming 5/6
+    val ham5 = "copper" + base.drop(3)
+    val ham6 = "nimbus" + base.drop(3)
+    val cliques = (0 until 20).flatMap { c =>
+      val text = s"clique $c " + (0 until 20).map(w => s"w${c}_$w").mkString(" ")
+      (0 until 100).map(r => (c * 100L + r + 1L, "planted", text))
+    }
+    val rows = cliques ++ Seq(
+      (9001L, "planted", base), (9002L, "planted", ham5), (9003L, "planted", ham6))
+    val dir = java.nio.file.Files.createTempDirectory("d03dense")
+    rows.toDF("doc_id", "source", "text").write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+
+    val sigs = Tables.documents(spark, dir.toString)
+      .select(col("doc_id"), expr("simhash60_md5(text)").as("simhash"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    def exhaustive(radius: Int) = (for {
+      i <- sigs.indices.iterator
+      j <- (i + 1) until sigs.length
+      h = java.lang.Long.bitCount(sigs(i)._2 ^ sigs(j)._2)
+      if h <= radius
+    } yield (sigs(i)._1, sigs(j)._1, h)).toSet
+    val exp4 = exhaustive(Dedup.DenseRadius)
+    val exp6 = exhaustive(Dedup.SimHashRadius)
+    assert((exp6 -- exp4).nonEmpty,
+      "no pairs in the 5-6 Hamming band; the radius cut is untestable")
+
+    def run(threshold: Long) =
+      Dedup.d03Body(spark, dir.toString, Dedup.SimHashWideAt, threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val dense = run(Dedup.D03DensePairsPerDoc)
+    assert(dense == exp4,
+      s"dense flip: got ${dense.size} pairs, expected exhaustive<=4 ${exp4.size}")
+    val narrow = run(Long.MaxValue)
+    assert(narrow == exp6,
+      s"forced narrow: got ${narrow.size} pairs, expected exhaustive<=6 ${exp6.size}")
+  }
+
+  test("the gate corpus stays on the narrow family under the measured threshold") {
+    // the other side of the flip: real (non-pathological) testdata's
+    // measured density sits an order under the threshold, so the gate
+    // keeps the radius-6 guarantee — its output must contain 5-6 band
+    // pairs (non-vacuously narrow) and equal the forced-narrow run.
+    graft.expressions.GraftFunctions.register(spark)
+    val gate = SparkEntry.queries("d03_simhash")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val forcedNarrow = Dedup.d03Body(spark, sfDir, Dedup.SimHashWideAt, Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gate == forcedNarrow,
+      "the gate corpus flipped to the dense family; threshold miscalibrated")
+    assert(gate.exists(_._3 > Dedup.DenseRadius),
+      "gate corpus has no 5-6 band pairs; narrowness assertion is vacuous")
+  }
 }
