@@ -641,6 +641,33 @@ object Lake {
       },
       duckCdcSqlWhere("doc_id % 2 = 0")),
 
+    // l12: GraftTable's MANIFEST-PLANNED key-range read — l09's
+    // file-stats pruning folded into the versioned-table facade. Every
+    // version lands range-partitioned + key-sorted with a per-file
+    // (key_lo, key_hi, n_rows) manifest written BEFORE the commit
+    // marker (the marker's atomicity covers data + manifest — "one API
+    // that merges, commits the manifest, and vacuums"). The gate merges
+    // the full changelog, then reads doc_id ∈ [100, 350) at the current
+    // version: planning is one interval filter on the manifest, the
+    // data scan opens only the admitted files. Oracle: the full CDC
+    // replay restricted to the same range — pruning must be invisible
+    // to the answer. GraftTableSpec pins the plan side: the executed
+    // scan's files ⊆ manifest-admitted ⊊ all files, and an empty range
+    // returns an empty frame with the table schema.
+    "l12_manifest_read" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l12", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        t.merge(cdcChangelog(t.read()))
+        t.readRange(100L, 350L)
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      duckCdcSqlWhere("TRUE", "doc_id >= 100 AND doc_id < 350")),
+
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a
     // predicate, but it must LIST the lake and OPEN every footer first:
@@ -905,9 +932,12 @@ object Lake {
     * (v1 minus superseded keys, union upsert payloads). `logWhere`
     * restricts the applied changelog — l11's time-travel oracle replays
     * only the first tick's half of the log to reconstruct the MID
-    * version.
+    * version. `v2Where` filters the merged RESULT — l12's
+    * manifest-planned range read must equal the full merge restricted
+    * to the key range.
     */
-  private[graft] def duckCdcSqlWhere(logWhere: String): String = {
+  private[graft] def duckCdcSqlWhere(logWhere: String,
+      v2Where: String = "TRUE"): String = {
     def b(id: String) =
       s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % 100"
     s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
@@ -927,7 +957,7 @@ object Lake {
        |  UNION ALL
        |  SELECT doc_id, source, text FROM log WHERE op = 'U')
        |SELECT doc_id, source, md5(text) AS fp
-       |FROM v2 ORDER BY doc_id""".stripMargin
+       |FROM v2 WHERE $v2Where ORDER BY doc_id""".stripMargin
   }
 
   private[graft] val duckCdcSql: String = duckCdcSqlWhere("TRUE")

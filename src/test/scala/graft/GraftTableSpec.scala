@@ -91,4 +91,48 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(dir))
     Lake.deleteTree(java.nio.file.Paths.get(empty))
   }
+
+  test("manifest-planned range reads prune to admitted files, per version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_m").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    t.merge(Lake.cdcChangelog(t.read()))
+
+    for (v <- Seq(0, 1)) {
+      // answer identity: the planned read equals the full read filtered
+      val ranged = t.readRangeAsOf(v, 100L, 350L)
+      assert(ranged.count() > 0, s"v$v: empty range read; spec is vacuous")
+      assert(collectSorted(ranged) ==
+        collectSorted(t.readAsOf(v)
+          .filter(col("doc_id") >= 100 && col("doc_id") < 350)),
+        s"v$v: manifest-planned range read changed the answer")
+
+      // plan identity: the executed scan opened ONLY manifest-admitted
+      // files, and the admission actually pruned (selective manifest)
+      val all = t.readAsOf(v).inputFiles.toSet
+      val admitted = spark.read.parquet(s"$dir/v$v/_manifest")
+        .filter(col("key_hi") >= 100 && col("key_lo") < 350)
+        .select("path").collect().map(_.getString(0)).toSet
+      val opened = ranged.inputFiles.toSet
+      assert(opened.subsetOf(admitted),
+        s"v$v: scan opened ${opened -- admitted} beyond the manifest admission")
+      assert(admitted.size < all.size,
+        s"v$v: manifest admitted all ${all.size} files; pruning is vacuous")
+
+      // the manifest is data-read-invisible (underscore prefix) and
+      // covers every data file exactly once
+      val manifest = spark.read.parquet(s"$dir/v$v/_manifest")
+      assert(manifest.select("path").collect().map(_.getString(0)).toSet
+        == all, s"v$v: manifest paths != data files")
+      assert(all.forall(!_.contains("_manifest")),
+        s"v$v: data read saw manifest files")
+    }
+
+    // empty admission: empty frame, table schema intact
+    val none = t.readRange(100000000L, 100000001L)
+    assert(none.columns.toSeq == t.read().columns.toSeq)
+    assert(none.count() == 0)
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
