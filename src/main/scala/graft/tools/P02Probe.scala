@@ -38,12 +38,38 @@ object P02Probe {
     // the tick must not re-read corpus TEXT (its scans are the delta
     // plus the narrow index/metadata artifacts)
     val bytesRead = new java.util.concurrent.atomic.AtomicLong
+    // SPARK_GRAFT_PROFILE=1: per-job wall + callsite, printed per leg —
+    // the tick is fixed-job-count bound at scale, so trimming starts
+    // with knowing which actions the ~10 s actually goes to
+    val profile = sys.env.get("SPARK_GRAFT_PROFILE").contains("1")
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
     s.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onTaskEnd(
             e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
           bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (profile) jobs.put(e.jobId, (e.time,
+            Option(e.properties.getProperty("callSite.short"))
+              .orElse(e.stageInfos.lastOption.map(_.name))
+              .getOrElse("?") + " [" + e.stageInfos.size + " stages]"))
+        override def onJobEnd(
+            e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          if (profile) Option(jobs.remove(e.jobId)).foreach { case (t0, cs) =>
+            jobLog.add((t0, f"  job ${e.jobId}%4d @+${0.0}%.2fs ${(e.time - t0) / 1e3}%6.2fs  $cs"
+              .replace("@+0.00s", f"@+${t0 / 1e3}%.2f")))
+          }
       })
+    def drainJobs(tag: String): Unit = if (profile) {
+      println(s"[profile] $tag jobs:")
+      val ls = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      var l = jobLog.poll(); while (l != null) { ls += l; l = jobLog.poll() }
+      val base = if (ls.isEmpty) 0L else ls.map(_._1).min
+      ls.sortBy(_._1).foreach { case (t0, s0) =>
+        println(s0.replaceAll("@\\+[0-9.]+", f"@+${(t0 - base) / 1e3}%6.2fs")) }
+    }
     def timed[A](f: => A): (Double, Long) = {
       val b0 = bytesRead.get()
       val t0 = System.nanoTime()
@@ -54,12 +80,15 @@ object P02Probe {
       Pipeline.p01Build(s, docs, "p02probe_full",
         Tables.stamp(sfDir, "documents") + s"_probe$pct").count()
     }
+    drainJobs("full_build")
     val (buildSec, buildBytes) = timed {
       Pipeline.p02Build1(s, docs.filter(!isDelta), base)
     }
+    drainJobs("base_build")
     val (tickSec, tickBytes) = timed {
       Pipeline.p02Tick(s, base, delta)
     }
+    drainJobs("tick")
     val rows = s.read.parquet(s"$base/lake").count()
     val nDocs = docs.count()
     val json =

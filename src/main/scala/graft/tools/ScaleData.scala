@@ -34,10 +34,17 @@ import org.apache.spark.sql.functions._
 object ScaleData {
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 3, "usage: ScaleData <srcDir> <dstDir> <factor>")
-    val Array(src, dst, factorS) = args
+    require(args.length == 3 || args.length == 4,
+      "usage: ScaleData <srcDir> <dstDir> <factor> [tables,csv]")
+    val (src, dst, factorS) = (args(0), args(1), args(2))
     val factor = factorS.toInt
     require(factor >= 1, "factor must be >= 1")
+    // optional table filter: a documents-only probe corpus at factor 100
+    // shouldn't pay for 600M lineitem rows it never reads
+    val only: Option[Set[String]] =
+      if (args.length == 4) Some(args(3).split(",").map(_.trim).toSet)
+      else None
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = graft.GraftSession.getOrCreate()
 
     def table(name: String): DataFrame =
@@ -46,14 +53,14 @@ object ScaleData {
     def stride(name: String, idCol: String): Long =
       table(name).agg(max(idCol)).head.getLong(0) + 1
 
-    val sCust = stride("customer", "c_custkey")
-    val sOrd = stride("orders", "o_orderkey")
-    val sPart = stride("part", "p_partkey")
-    val sSupp = stride("supplier", "s_suppkey")
-    val sEv = stride("events", "event_id")
-    val sUser = stride("events", "user_id")
-    val sDoc = stride("documents", "doc_id")
-    val sVec = stride("embeddings", "vec_id")
+    lazy val sCust = stride("customer", "c_custkey")
+    lazy val sOrd = stride("orders", "o_orderkey")
+    lazy val sPart = stride("part", "p_partkey")
+    lazy val sSupp = stride("supplier", "s_suppkey")
+    lazy val sEv = stride("events", "event_id")
+    lazy val sUser = stride("events", "user_id")
+    lazy val sDoc = stride("documents", "doc_id")
+    lazy val sVec = stride("embeddings", "vec_id")
 
     def shift(c: String, s: Long, i: Int): (String, Column) =
       c -> (col(c) + lit(i * s))
@@ -94,6 +101,7 @@ object ScaleData {
     }
 
     def replicate(name: String, bumps: Int => Seq[(String, Column)]): Unit = {
+      if (!wanted(name)) return
       val base = table(name)
       val copies = (0 until factor).map { i =>
         bumps(i).foldLeft(base) { case (df, (c, e)) => df.withColumn(c, e) }
@@ -129,7 +137,7 @@ object ScaleData {
     // near-random — verbatim copies would make every vector identical to
     // its factor-1 twins and blow the pair ops up quadratically in the
     // factor (measured: d09 went 40x at factor 10 before this).
-    val dim = table("embeddings")
+    lazy val dim = table("embeddings")
       .select(size(col("embedding"))).head.getInt(0)
     replicate("embeddings", i => {
       val emb =
@@ -145,8 +153,8 @@ object ScaleData {
         }
       Seq(shift("vec_id", sVec, i), "embedding" -> emb)
     })
-    writeOne("nation", table("nation"))
-    writeOne("region", table("region"))
+    if (wanted("nation")) writeOne("nation", table("nation"))
+    if (wanted("region")) writeOne("region", table("region"))
 
     spark.stop()
   }
