@@ -116,6 +116,26 @@ final class GraftTable private (s: SparkSession, val dir: String,
     next
   }
 
+  /** The EXACTLY-ONCE merge form for streaming writers (s19's versioned
+    * idempotence lifted into the facade): batch b lands as version
+    * `v = b + 1`, always computed from v-1. A checkpoint replay of the
+    * same batch hits the same `v` and OVERWRITES it from the same input
+    * — convergent, never duplicated — and a crash between data and
+    * marker leaves an uncommitted directory the replay finishes.
+    * Skipping ahead (v beyond current+1) is a stream-offset bug and
+    * fails loudly; so does a replay whose base v-1 was vacuumed away.
+    */
+  def mergeAs(log: DataFrame, v: Int): Int = {
+    val cur = currentVersion
+    require(v >= 1 && v <= cur + 1,
+      s"mergeAs v$v on graft table $dir: committed max is v$cur " +
+        s"(replays allowed, skips are a stream-offset bug)")
+    landVersion(s, dir, v, key,
+      Lake.cdcMergeAuto(readAsOf(v - 1), log, key = key))
+    commit(dir, v)
+    v
+  }
+
   /** Retire all but the newest `keep` committed versions (floored at 1 —
     * the current version always survives; uncommitted debris dirs are
     * not versions and are left for their writer). Marker first, bytes

@@ -768,6 +768,53 @@ object StreamQueries {
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE doc_id BETWEEN 101 AND 400 ORDER BY doc_id""".stripMargin),
 
+    // s23: streaming CDC merges THROUGH THE GraftTable FACADE — s19's
+    // raw versioned-snapshot loop replaced by the one API a user should
+    // hold: each micro-batch b lands as table version b+1 via
+    // GraftTable.mergeAs (exactly-once by construction: a checkpoint
+    // replay recomputes the SAME version from the SAME v{b} base and
+    // overwrites convergently; a crash between data and marker leaves
+    // an uncommitted dir no reader believes and the replay finishes
+    // it). Because every facade version lands range-partitioned with
+    // its l12 manifest, the stream sink keeps time travel AND
+    // manifest-planned range reads current for free — merge, commit
+    // the manifest, vacuum, one API, now at the intake. Oracle: the
+    // full CDC replay (tick composition must not matter);
+    // GraftTableSpec holds the replay-convergence and torn-version
+    // legs on mergeAs directly.
+    "s23_stream_table_merge" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Lake
+        val base = Lake.scratch("s23", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = graft.sources.Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = Lake.cdcChangelog(t.read())
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/stage"))
+        writeOneFile(log.filter(pmod(col("doc_id"), lit(2)) === 0),
+          java.nio.file.Paths.get(s"$base/stage/tick0.parquet"))
+        writeOneFile(log.filter(pmod(col("doc_id"), lit(2)) === 1),
+          java.nio.file.Paths.get(s"$base/stage/tick1.parquet"))
+        val logSchema = s.read.parquet(s"$base/stage").schema
+        val q = s.readStream.schema(logSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            t.mergeAs(batch, batchId.toInt + 1)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      graft.operators.Lake.duckCdcSql),
+
     // s22: streaming XML intake with quarantine — c04 AT THE WIRE,
     // which is where a quarantine intake actually belongs (damaged
     // records should never land in the lake at all). The line-staged

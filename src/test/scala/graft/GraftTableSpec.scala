@@ -135,4 +135,40 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
 
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("mergeAs: replay-convergent versioned merges for streaming writers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_s").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+    val even = log.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = log.filter(pmod(col("doc_id"), lit(2)) === 1)
+
+    // batch 0 -> v1, batch 1 -> v2 (the streaming foreachBatch shape)
+    assert(t.mergeAs(even, 1) == 1)
+    assert(t.mergeAs(odd, 2) == 2)
+    val v2 = collectSorted(t.readAsOf(2))
+
+    // checkpoint REPLAY of batch 0: same version, same base, same input
+    // — overwrites v1 convergently and leaves v2 untouched
+    assert(t.mergeAs(even, 1) == 1)
+    assert(t.versions == Seq(0, 1, 2))
+    assert(collectSorted(t.readAsOf(1)) ==
+      collectSorted(Lake.cdcMerge(docs, even)))
+    assert(collectSorted(t.readAsOf(2)) == v2)
+
+    // torn replay: v1's marker gone (crash between data and marker) —
+    // the version disappears from every reader until a replay finishes it
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "v1", "_GRAFT_COMMITTED"))
+    assert(t.versions == Seq(0, 2))
+    intercept[java.util.NoSuchElementException](t.readAsOf(1))
+    assert(t.mergeAs(even, 1) == 1)
+    assert(t.versions == Seq(0, 1, 2))
+
+    // a skipped offset is a stream bug, not a silent gap
+    intercept[IllegalArgumentException](t.mergeAs(odd, 9))
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
