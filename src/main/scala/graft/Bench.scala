@@ -90,6 +90,18 @@ object Bench {
     val loadStart = loadAvg
     val calib = calibrate()
     val results = ordered.map { case (name, fn) =>
+      // Per-query cache isolation (the r14 lesson: the new d40/d42
+      // entries run alphabetically just before the e-family and their
+      // cached frames + heap pressure bled into e05/e08/e09's walls —
+      // +8-18 s in the ladder vs unchanged isolation probes). Each
+      // query is timed against ITS OWN working set: leftover cached
+      // relations from earlier entries are dropped and a GC hint clears
+      // the dead heap before the first rep. Warm-model timing is
+      // preserved — rep 1 rebuilds the query's own caches, the median
+      // of 3 reports the warm steady state; disk-memoized models
+      // (AnnIndexLake, BPE merges) are untouched.
+      spark.catalog.clearCache()
+      System.gc()
       val la = loadAvg
       val reps = (1 to Reps).flatMap { _ =>
         val t0 = System.nanoTime()
