@@ -156,10 +156,26 @@ final class GraftTable private (s: SparkSession, val dir: String,
 
 object GraftTable {
 
-  /** Data files per version — the range-partition fan. A probe knob at
-    * test scale; a production writer sizes it from the snapshot bytes.
+  /** Floor on the per-version range-partition fan (keeps the manifest
+    * non-degenerate — with one file there is nothing to prune), and the
+    * per-file byte target the fan scales by above it.
     */
-  private[graft] val VersionFiles = 8
+  private[graft] val VersionFilesFloor = 8
+  private[graft] val TargetFileBytes = 128L << 20
+
+  /** Data files for one version: Catalyst's size estimate over the
+    * snapshot plan (driver-side, no job — exact for parquet-backed
+    * frames, propagated estimates through joins/unions), divided by the
+    * 128 MB file target, floored at [[VersionFilesFloor]]. A fixed fan
+    * would be 12.5 TB/file at 100 TB; a size-derived fan keeps files
+    * scan-sized at every table size. Capped only by Int.MaxValue —
+    * the range exchange itself bounds task counts via AQE.
+    */
+  private[graft] def versionFan(df: DataFrame): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val byBytes = (bytes / TargetFileBytes).min(BigInt(Int.MaxValue)).toInt
+    math.max(VersionFilesFloor, byBytes)
+  }
 
   private def markerPath(dir: String, v: Int) =
     java.nio.file.Paths.get(dir, s"v$v", "_GRAFT_COMMITTED")
@@ -183,7 +199,7 @@ object GraftTable {
     */
   private def landVersion(s: SparkSession, dir: String, v: Int,
       key: String, df: DataFrame): Unit = {
-    df.repartitionByRange(VersionFiles, col(key))
+    df.repartitionByRange(versionFan(df), col(key))
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/v$v")
     s.read.parquet(s"$dir/v$v")

@@ -136,6 +136,24 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("the version fan scales with snapshot size above the floor") {
+    // gate-scale snapshots land at the 8-file floor (a degenerate
+    // 1-file version would make the manifest unprunable); a snapshot
+    // whose Catalyst size estimate exceeds floor x 128 MB fans wider —
+    // the 100-TB property, checked on stats alone (no job runs)
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    assert(GraftTable.versionFan(docs) == GraftTable.VersionFilesFloor)
+    // a snapshot whose stats say ~2.4 GB (range: 8 bytes/row, exact
+    // Catalyst estimate) must fan to ~19 files of ~128 MB
+    val big = spark.range(300L << 20).toDF("doc_id")
+    val fan = GraftTable.versionFan(big)
+    assert(fan > GraftTable.VersionFilesFloor,
+      s"a 2.4 GB snapshot still fanned to $fan files")
+    val expect = (big.queryExecution.optimizedPlan.stats.sizeInBytes /
+      GraftTable.TargetFileBytes).toInt
+    assert(fan == math.max(GraftTable.VersionFilesFloor, expect))
+  }
+
   test("mergeAs: replay-convergent versioned merges for streaming writers") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl_s").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
