@@ -572,15 +572,7 @@ object Lake {
         // memoize it per content stamp (q46's discipline) so repeated
         // runs time the intake (parse + split), not the synthetic
         // feed's construction; the parse itself runs every time
-        val base = scratch("c04", d)
-        val key = java.security.MessageDigest.getInstance("MD5")
-          .digest(Tables.stamp(d, "orders").getBytes("UTF-8"))
-          .map("%02x".format(_)).mkString
-        val dir = s"$base/xml_$key"
-        if (!new java.io.File(dir, "_SUCCESS").exists())
-          xmlIntakeLines(s, d)
-            .write.mode(SaveMode.Overwrite).text(dir)
-        xmlQuarantineRead(s, dir)._1
+        xmlQuarantineRead(s, xmlFeedDir(s, d))._1
           .orderBy("o_orderkey")
       },
       duckXmlIntakeSql),
@@ -676,6 +668,61 @@ object Lake {
           .orderBy("doc_id")
       },
       duckCdcSqlWhere("TRUE", "doc_id >= 100 AND doc_id < 350")),
+
+    // l13: VERSION DIFF — time travel's other half: "what happened
+    // between v0 and v1", as a CDC changelog derived from the stored
+    // bytes alone (no changelog retention needed — the versions ARE the
+    // log). GraftTable.diff full-outer-joins the two immutable
+    // snapshots on the key: presence sentinels tag I/D, a null-safe
+    // compare tags U, unchanged keys never leave the join. The gate
+    // diffs v0 against one full merge and emits (op, doc_id, fp_a,
+    // fp_b). HASH-PROVEN with an algorithmically symmetric but
+    // INPUT-independent oracle: DuckDB diffs the LOGICAL replay of the
+    // same merge, so the stored table's land/commit/read machinery must
+    // round-trip every byte the diff touches. VersionDiffSpec holds the
+    // algebra: diff(v,v) = ∅, and re-applying diff(0,1) as a changelog
+    // onto v0 reproduces v1 exactly.
+    "l13_version_diff" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l13", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        t.merge(cdcChangelog(t.read()))
+        t.diff(0, 1)
+          .select(col("op"), col("doc_id"),
+                  md5(col("a_text").cast("binary")).as("fp_a"),
+                  md5(col("b_text").cast("binary")).as("fp_b"))
+          .orderBy("doc_id")
+      },
+      {
+        def b(id: String) =
+          s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % 100"
+        s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+           |log AS (
+           |  SELECT 'D' AS op, doc_id, source, text
+           |  FROM v1 WHERE ${b("doc_id")} < 8
+           |  UNION ALL
+           |  SELECT 'U', doc_id, source, text || ' (rev 2)'
+           |  FROM v1 WHERE ${b("doc_id")} >= 8 AND ${b("doc_id")} < 16
+           |  UNION ALL
+           |  SELECT 'U', doc_id + 1000000000, source, text || ' (new)'
+           |  FROM v1 WHERE ${b("doc_id")} >= 16 AND ${b("doc_id")} < 24),
+           |v2 AS (
+           |  SELECT doc_id, source, text FROM v1
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM log)
+           |  UNION ALL
+           |  SELECT doc_id, source, text FROM log WHERE op = 'U')
+           |SELECT CASE WHEN b.doc_id IS NULL THEN 'D'
+           |            WHEN a.doc_id IS NULL THEN 'I'
+           |            ELSE 'U' END AS op,
+           |       coalesce(a.doc_id, b.doc_id) AS doc_id,
+           |       md5(a.text) AS fp_a, md5(b.text) AS fp_b
+           |FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+           |WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+           |   OR a.text <> b.text OR a.source <> b.source
+           |ORDER BY doc_id""".stripMargin
+      }),
 
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a
@@ -780,6 +827,25 @@ object Lake {
                col("order.cust").as("o_custkey"),
                col("status").as("o_orderstatus")),
      raw.filter(col("_damaged").isNotNull).select(col("_damaged").as("line")))
+  }
+
+  /** The staged-on-disk form of [[xmlIntakeLines]], memoized per orders
+    * content stamp (q46's discipline) so repeated runs time the intake
+    * (parse + split), not the synthetic feed's construction. Single
+    * resolution point for the memo path — the c04 gate and every spec
+    * reading the staged feed go through here, so the key scheme can't
+    * drift between them.
+    */
+  private[graft] def xmlFeedDir(s: SparkSession, d: String): String = {
+    val base = scratch("c04", d)
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(Tables.stamp(d, "orders").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val dir = s"$base/xml_$key"
+    if (!new java.io.File(dir, "_SUCCESS").exists())
+      xmlIntakeLines(s, d)
+        .write.mode(SaveMode.Overwrite).text(dir)
+    dir
   }
 
   /** c04's staged feed: orders rendered as line-delimited XML records

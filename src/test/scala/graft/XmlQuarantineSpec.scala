@@ -17,8 +17,7 @@ class XmlQuarantineSpec extends AnyFunSuite with SparkFixture {
     val clean = SparkEntry.queries("c04_xml_quarantine")(spark, sfDir)
     val cleanRows = clean.collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
-    val base = Lake.scratch("c04", sfDir)
-    val (_, quarantine) = Lake.xmlQuarantineRead(spark, s"$base/xml")
+    val (_, quarantine) = Lake.xmlQuarantineRead(spark, Lake.xmlFeedDir(spark, sfDir))
     val qLines = quarantine.collect().map(_.getString(0)).toSeq
 
     val orders = graft.sources.Tables.orders(spark, sfDir)
