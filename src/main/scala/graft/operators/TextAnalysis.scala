@@ -354,6 +354,115 @@ object TextAnalysis {
        |    AND (n_nonws >= n_words * 2 AND n_nonws <= n_words * 12) AS keep
        |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Character-bigram array of `text` (1-based, char semantics in both
+    * engines; empty for len<2 — `sequence(1, 0)` would DESCEND in Spark,
+    * so the short-doc branch is explicit).
+    */
+  private def charBigrams(c: Column): Column =
+    when(length(c) >= 2,
+      transform(sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+
+  /** d43's trained model as three broadcastable one-row frames:
+    * (bigram -> logp) map, (context-char -> unseen-bigram backoff) map,
+    * and the reference charset size V. Laplace (add-one) smoothing:
+    * p(c2|c1) = (n12+1)/(n1+V); unseen context falls to 1/V. Every logp
+    * is rounded to 6dp AT THE MODEL — scoring then sums exact decimals,
+    * so the only libm call on the hash-compared path runs once per
+    * distinct model entry (charset^2-bounded at any corpus size), never
+    * per corpus bigram. Shared verbatim with the s24 streaming twin.
+    */
+  private[graft] def lmModel(ref: DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val vRow = ref
+      .select(explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .agg(countDistinct(col("ch")).as("v"))
+    val bcnt = ref
+      .select(explode(charBigrams(col("text"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("n12"))
+    val ccnt = bcnt
+      .groupBy(substring(col("b"), 1, 1).as("c1"))
+      .agg(sum("n12").as("n1"))
+    val bmapRow = bcnt
+      .join(ccnt, substring(col("b"), 1, 1) === col("c1"))
+      .crossJoin(broadcast(vRow))
+      .select(col("b"),
+        round(log((col("n12") + 1).cast("double") /
+                  (col("n1") + col("v")).cast("double")) + lit(1e-12), 6)
+          .as("logp"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("logp"))))
+        .as("bmap"))
+    val cmapRow = ccnt
+      .crossJoin(broadcast(vRow))
+      .select(col("c1"),
+        round(log(lit(1.0) / (col("n1") + col("v")).cast("double"))
+                + lit(1e-12), 6).as("logp0"))
+      .agg(map_from_entries(collect_list(struct(col("c1"), col("logp0"))))
+        .as("cmap"))
+    (bmapRow, cmapRow, vRow)
+  }
+
+  /** d43's scoring pass over any (doc_id, lang, text) frame: one scan,
+    * zero shuffle — the model rides in as three broadcast one-row frames
+    * and the per-doc fold is codegen'd array arithmetic. Summation is
+    * DECIMAL(38,6)-exact (the d42 discipline), so Spark's partial-agg
+    * order and DuckDB's serial order cannot produce different digits.
+    */
+  private[graft] def lmScore(docs: DataFrame, bmapRow: DataFrame,
+      cmapRow: DataFrame, vRow: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    docs
+      .crossJoin(broadcast(bmapRow))
+      .crossJoin(broadcast(cmapRow))
+      .crossJoin(broadcast(vRow))
+      .withColumn("bigs", charBigrams(col("text")))
+      .withColumn("n_big", size(col("bigs")).cast("int"))
+      .withColumn("sdec", aggregate(
+        transform(col("bigs"), b => coalesce(
+          element_at(col("bmap"), b),
+          element_at(col("cmap"), b.substr(lit(1), lit(1))),
+          round(log(lit(1.0) / col("v").cast("double")) + lit(1e-12), 6))
+          .cast(DecimalType(38, 6))),
+        lit(BigDecimal(0)).cast(DecimalType(38, 6)),
+        (acc, x) => (acc + x).cast(DecimalType(38, 6))))
+      .select(col("doc_id"), col("lang"), col("n_big"),
+        when(col("n_big") > 0,
+          round(-(col("sdec").cast("double")) / col("n_big") + lit(1e-9), 6))
+          .as("nll"))
+  }
+
+  /** d43's oracle: the identical train + score in DuckDB SQL. */
+  private[graft] val duckD43Sql: String =
+    """WITH ref AS (SELECT text FROM documents WHERE lang = 'en'),
+      |rb AS (
+      |  SELECT substr(text, CAST(i AS INT), 2) AS b
+      |  FROM ref, unnest(range(1, len(text))) AS t(i)),
+      |bc AS (SELECT b, CAST(count(*) AS BIGINT) AS n12 FROM rb GROUP BY b),
+      |cc AS (SELECT substr(b, 1, 1) AS c1, CAST(sum(n12) AS BIGINT) AS n1
+      |       FROM bc GROUP BY 1),
+      |vv AS (SELECT CAST(count(DISTINCT substr(text, CAST(i AS INT), 1)) AS BIGINT) AS v
+      |       FROM ref, unnest(range(1, len(text) + 1)) AS t(i)),
+      |bm AS (SELECT b, round(ln((n12 + 1)::DOUBLE / (n1 + v)::DOUBLE) + 1e-12, 6) AS logp
+      |       FROM bc JOIN cc ON substr(bc.b, 1, 1) = cc.c1 CROSS JOIN vv),
+      |cm AS (SELECT c1, round(ln(1.0 / (n1 + v)::DOUBLE) + 1e-12, 6) AS logp0
+      |       FROM cc CROSS JOIN vv),
+      |db AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS b
+      |       FROM documents, unnest(range(1, len(text))) AS t(i)),
+      |terms AS (
+      |  SELECT doc_id,
+      |         coalesce(bm.logp, cm.logp0,
+      |                  (SELECT round(ln(1.0 / v::DOUBLE) + 1e-12, 6) FROM vv)) AS lp
+      |  FROM db LEFT JOIN bm USING (b)
+      |          LEFT JOIN cm ON substr(db.b, 1, 1) = cm.c1),
+      |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_big,
+      |               CAST(sum(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) AS s
+      |        FROM terms GROUP BY doc_id)
+      |SELECT d.doc_id, d.lang,
+      |       coalesce(a.n_big, 0) AS n_big,
+      |       CASE WHEN a.n_big > 0 THEN round(-s / a.n_big + 1e-9, 6) END AS nll
+      |FROM documents d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Map[String, OpDef] = Map(
 
     // Language ID by stopword-hit scoring (deterministic CASE cascade;
@@ -1017,6 +1126,37 @@ object TextAnalysis {
         |       round(CAST(sum(CAST(round(a.w * b.w + 1e-12, 12) AS DECIMAL(38,12))) AS DOUBLE) + 1e-8, 4) AS cos
         |FROM w a JOIN w b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING cos >= 0.8
-        |ORDER BY doc_a, doc_b""".stripMargin)
+        |ORDER BY doc_a, doc_b""".stripMargin),
+
+    // Language-model perplexity scoring — the CCNet-style quality
+    // signal d21's rule cascade can't express: train a character-bigram
+    // Laplace LM on the high-trust slice (lang='en'), score EVERY
+    // document's avg negative log-likelihood under it. Low nll = looks
+    // like the reference corpus; a curation pass gates on nll exactly
+    // like d33 gates on deciles.
+    //
+    // SHAPE: train is one corpus scan whose groupBy is map-side
+    // combinable down to a charset^2-bounded model (a few thousand rows
+    // at ANY corpus size — broadcast by construction); score is a second
+    // scan with a per-row codegen'd fold, ZERO shuffle besides the
+    // output sort. At 100 TB both passes run at scan speed.
+    //
+    // FLOAT DISCIPLINE (the d42 rule): ln() — the one libm call whose
+    // last ulp can differ across engines — runs only at MODEL BUILD,
+    // once per distinct (bigram|context) entry, nudged + rounded to 6dp
+    // there; per-document summation is exact DECIMAL(38,6), immune to
+    // Spark-partial-agg vs DuckDB-serial ordering. Docs shorter than 2
+    // chars have no bigrams: n_big=0, nll NULL — a visible policy, not
+    // a dropped row. HASH-PROVEN: the oracle re-trains the model in SQL
+    // and must agree on every document's digits; LmPerplexitySpec pins
+    // a hand corpus with arithmetically-known probabilities and the
+    // en-vs-other separation the signal exists to provide.
+    "d43_lm_perplexity" -> OpDef.sql(
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val (bm, cm, v) = lmModel(docs.filter(col("lang") === "en"))
+        lmScore(docs, bm, cm, v).orderBy("doc_id")
+      },
+      duckD43Sql)
   )
 }
