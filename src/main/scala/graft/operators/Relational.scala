@@ -1147,6 +1147,91 @@ object Relational {
         |FROM runs
         |WINDOW w AS (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey DESC)
-        |ORDER BY o_custkey, version""".stripMargin)
+        |ORDER BY o_custkey, version""".stripMargin),
+
+    // q47: DISTINCT COUNT OVER AN ORDERED WINDOW — "how many distinct
+    // parts has this supplier ever shipped, as of each ship day" (the
+    // reference's per-owner catalog-breadth stat, and a shape Spark's
+    // window functions REFUSE outright: `count(DISTINCT) OVER (ORDER
+    // BY)` is a hard AnalysisException). The naive fix people reach
+    // for — collect_set over an expanding frame — materializes a
+    // per-row set that grows with history (quadratic bytes per
+    // supplier). The scale-safe identity: a part is new on exactly its
+    // FIRST ship day, so cum-distinct(day) = running sum of
+    // first-occurrences per day. Three map-side-combinable aggregates
+    // (first day per (supp, part); firsts per (supp, day); observed
+    // (supp, day) grid) and one windowed sum PARTITIONED BY SUPPLIER —
+    // thousands of independent, tiny windows, no global sort, frame
+    // state is one long. HASH-PROVEN with an algorithmically
+    // INDEPENDENT oracle: DuckDB executes the textbook
+    // count(DISTINCT ... ) OVER directly, so the first-occurrence
+    // identity itself is what's being checked, not a replay of it.
+    "q47_distinct_window" -> OpDef.sql(
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_partkey"),
+                  to_date(col("l_shipdate")).as("day"))
+        val firsts = li.groupBy("l_suppkey", "l_partkey")
+          .agg(min("day").as("day"))
+          .groupBy("l_suppkey", "day").agg(count(lit(1)).as("nf"))
+        val days = li.select("l_suppkey", "day").distinct()
+        days.join(firsts, Seq("l_suppkey", "day"), "left")
+          .withColumn("cum_parts",
+            sum(coalesce(col("nf"), lit(0L))).over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy("l_suppkey").orderBy("day")))
+          .select(col("l_suppkey"), col("day"),
+                  col("cum_parts").cast("long").as("cum_parts"))
+          .orderBy("l_suppkey", "day")
+      },
+      """SELECT DISTINCT l_suppkey, CAST(l_shipdate AS DATE) AS day,
+        |  CAST(count(DISTINCT l_partkey) OVER (
+        |    PARTITION BY l_suppkey ORDER BY CAST(l_shipdate AS DATE)) AS BIGINT)
+        |    AS cum_parts
+        |FROM lineitem
+        |ORDER BY l_suppkey, day""".stripMargin),
+
+    // q48: MODE + EXACT MEDIAN per group — the reference's "typical
+    // listing" stats (most common size, median price per brand).
+    // Spark's own `mode()` documents nondeterministic tie-breaks, so
+    // the mode here is the explicit two-aggregate form: per-(brand,
+    // size) counts, then ONE max_by over a (count, -size) struct —
+    // lexicographic struct comparison IS the tie policy (highest
+    // count, then smallest size), stated in the plan instead of
+    // inherited from a hash map's iteration order. Both aggregates are
+    // map-side combinable; no window, no sort until the output. Median
+    // is exact interpolated percentile(0.5) — Spark and DuckDB share
+    // the linear-interpolation definition; r4e on both sides kills the
+    // last-ulp risk.
+    "q48_mode_median" -> OpDef.sql(
+      (s, d) => {
+        val part = Tables.part(s, d)
+        val cnt = part.groupBy("p_brand", "p_size")
+          .agg(count(lit(1)).as("cnt"))
+        val mode = cnt.groupBy("p_brand")
+          .agg(expr("max_by(p_size, struct(cnt, -p_size))").as("mode_size"))
+        val med = part.groupBy("p_brand")
+          .agg(r4e(expr("percentile(p_retailprice, 0.5D)")).as("median_price"),
+               count(lit(1)).as("n_parts"))
+        mode.join(med, "p_brand")
+          .select("p_brand", "mode_size", "median_price", "n_parts")
+          .orderBy("p_brand")
+      },
+      """WITH c AS (
+        |  SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM part GROUP BY 1, 2),
+        |m AS (
+        |  SELECT p_brand, p_size AS mode_size
+        |  FROM c
+        |  QUALIFY row_number() OVER (PARTITION BY p_brand
+        |                             ORDER BY cnt DESC, p_size) = 1),
+        |q AS (
+        |  SELECT p_brand,
+        |         round(quantile_cont(p_retailprice, 0.5) + 1e-8, 4) AS median_price,
+        |         CAST(count(*) AS BIGINT) AS n_parts
+        |  FROM part GROUP BY 1)
+        |SELECT m.p_brand, mode_size, median_price, n_parts
+        |FROM m JOIN q USING (p_brand)
+        |ORDER BY p_brand""".stripMargin)
   )
 }
