@@ -136,6 +136,33 @@ final class GraftTable private (s: SparkSession, val dir: String,
     v
   }
 
+  /** Changelog BETWEEN two committed versions — time travel's other
+    * half: not "what did the table look like at v" but "what happened
+    * between vA and vB". One full-outer join on the key (both sides are
+    * plain parquet scans of immutable version directories; the join
+    * shuffles each side once on the key — linear, no driver state),
+    * presence sentinels decide I/D, and a null-safe column compare
+    * decides U; unchanged keys never leave the join. Rows carry both
+    * sides' payloads as `a_*` / `b_*` so a consumer can re-apply or
+    * audit without re-reading either version.
+    */
+  def diff(vA: Int, vB: Int): DataFrame = {
+    val cols = readAsOf(vA).columns.filterNot(_ == key).toSeq
+    def side(v: Int, tag: String) =
+      readAsOf(v).select(
+        (col(key) +: lit(true).as(s"_$tag") +:
+          cols.map(c => col(c).as(s"${tag}_$c"))): _*)
+    val changed = cols.map(c => !(col(s"a_$c") <=> col(s"b_$c")))
+      .reduce(_ || _)
+    side(vA, "a").join(side(vB, "b"), Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("_b").isNull, "D")
+          .when(col("_a").isNull, "I")
+          .otherwise("U"))
+      .filter(col("_a").isNull || col("_b").isNull || changed)
+      .drop("_a", "_b")
+  }
+
   /** Retire all but the newest `keep` committed versions (floored at 1 —
     * the current version always survives; uncommitted debris dirs are
     * not versions and are left for their writer). Marker first, bytes
