@@ -645,7 +645,44 @@ object StreamParity {
                           (4L, "web", "delta"), (9L, "web", "epsilon")))
     }
 
+    // --- s24: LM scoring at the intake = d43's score in batch ----------
+    // The model trains on a hand static corpus ("abab"-family text with
+    // known Laplace arithmetic — LmPerplexitySpec pins the numbers);
+    // stream and batch legs share lmModel/lmScore verbatim, so the nll
+    // digits must agree exactly, including the short-doc NULL policy.
+    val s24 = {
+      import graft.operators.TextAnalysis
+      val staticDocs = Seq(
+        (1L, "en", "abab"), (2L, "en", "abba"), (3L, "zh", "zzzz"))
+      val (bm, cm, v) = TextAnalysis.lmModel(
+        staticDocs.toDF("doc_id", "lang", "text").filter(col("lang") === "en"))
+      val arriving = Seq(
+        (10L, "en", "ab"), (11L, "en", "ba"), (12L, "zh", "zq"),
+        (13L, "en", "x"))
+      def leg(docs: DataFrame) = TextAnalysis.lmScore(docs, bm, cm, v)
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getString(1), r.getInt(2),
+          if (r.isNullAt(3)) Double.NaN else r.getDouble(3))
+      val in = MemoryStream[(Long, String, String)]
+      val streamed = drain(spark, "parity_s24",
+        leg(in.toDF().toDF("doc_id", "lang", "text")),
+        "append",
+        Seq(() => { in.addData(arriving.take(2)); () },
+            () => { in.addData(arriving.drop(2)); () }))
+        .map(key).toSet
+      val batch = leg(arriving.toDF("doc_id", "lang", "text"))
+        .collect().map(key).toSet
+      Result("s24_stream_lm_score", streamed.size, batch.size,
+        streamed.map(_._1) == batch.map(_._1) &&
+          streamed.map(t => (t._1, t._2, t._3)) ==
+            batch.map(t => (t._1, t._2, t._3)) &&
+          // NaN != NaN under ==; compare nll digits via bit pattern
+          streamed.map(t => (t._1, java.lang.Double.doubleToLongBits(t._4))) ==
+            batch.map(t => (t._1, java.lang.Double.doubleToLongBits(t._4))) &&
+          batch.exists(t => t._1 == 13L && t._4.isNaN))
+    }
+
     Seq(s01, s02, s03, s04, s05, s06, s07, s08, s09, s10, s11, s12, s13,
-        s14, s15, s16, s17, s18, s19)
+        s14, s15, s16, s17, s18, s19, s24)
   }
 }

@@ -866,6 +866,33 @@ object StreamQueries {
       },
       graft.operators.TextAnalysis.duckD31Sql("WHERE decile >= 8")),
 
+    // s24: streaming LM-perplexity scoring — d43 at the intake, the
+    // trained-model placement a production pipeline wants (score text
+    // against yesterday's reference LM before the bytes land in the
+    // lake). The char-bigram Laplace model trains on the STATIC corpus
+    // (s12/s16's pattern) and rides into the stream as three broadcast
+    // one-row frames (stream-static join, stateless); the per-doc score
+    // is d43's codegen'd decimal fold, unchanged — APPEND mode, zero
+    // shuffle, zero state. One scoring definition, two transports:
+    // batch d43 and this leg share lmModel/lmScore verbatim, so batch
+    // and stream nll cannot drift. Oracle: d43's SQL verbatim.
+    "s24_stream_lm_score" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.TextAnalysis
+        val statics = graft.sources.Tables.documents(s, d)
+        val (bm, cm, v) = TextAnalysis.lmModel(
+          statics.filter(col("lang") === "en"))
+        val dir = stagedDocsDir(s, d)
+        val schema = s.read.parquet(s"$d/documents.parquet").schema
+        val docs = s.readStream.schema(schema).parquet(dir)
+        drainFiles(s, "s24",
+            TextAnalysis.lmScore(
+              docs.select("doc_id", "lang", "text"), bm, cm, v),
+            d, feedBytes = dirBytes(dir))
+          .orderBy("doc_id")
+      },
+      graft.operators.TextAnalysis.duckD43Sql),
+
     "s15_stream_decontam" -> OpDef.sql(
       (s, d) => {
         import graft.operators.Dedup

@@ -101,7 +101,7 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
     assert(viaKafka == viaFiles)
   }
 
-  test("StreamParity reports stream/batch parity for all nineteen entries") {
+  test("StreamParity reports stream/batch parity for all twenty entries") {
     val results = StreamParity.run(spark)
     assert(results.map(_.op).sorted == Seq(
       "s01_stream_windows", "s02_stream_sessions", "s03_stream_dedup",
@@ -110,7 +110,8 @@ class StreamQueriesSpec extends AnyFunSuite with SparkFixture {
       "s09_stream_norm_dedup", "s10_stream_incr_dedup",
       "s11_stream_quality_filter", "s12_stream_mixture", "s13_stream_scrub",
       "s14_stream_semdedup", "s15_stream_decontam", "s16_stream_deciles",
-      "s17_stream_lake_sink", "s18_stream_bpe", "s19_stream_cdc"))
+      "s17_stream_lake_sink", "s18_stream_bpe", "s19_stream_cdc",
+      "s24_stream_lm_score"))
     results.foreach(r => assert(r.ok, s"parity failed: $r"))
   }
 
