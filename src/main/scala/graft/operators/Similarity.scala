@@ -21,6 +21,10 @@ object Similarity {
   private val NumPlanes = 8
   private[graft] val NumQueries = 5
   private[graft] val TopK = 10
+  // e13 range-search geometry: radius tau over a wider query slice than
+  // the top-k entries (range output size is data-driven, not k-driven)
+  private[graft] val RangeQueries = 50
+  private[graft] val RangeTau = 0.3
   // d09 banded-LSH geometry: NumDupBands independent sign-code tables,
   // each MaxBandBits planes wide at most; the ACTIVE width per run is
   // derived from the corpus count so bucket density stays ~TargetBucket
@@ -1638,6 +1642,84 @@ object Similarity {
     // hash oracle can check end-to-end; the production storage layout
     // packs the same values back to array<tinyint> with one
     // zip_with/collect, changing no quantized value.
+    // e13: RANGE (radius) similarity search with a PROVABLY LOSSLESS
+    // int8 cascade — the third search semantics after top-k (e01/e09)
+    // and near-dup pairs (d09/e04): "EVERYTHING within cosine >= tau of
+    // these queries, guaranteed complete". The ANN tiers (e02/e03/e11/
+    // e12) trade recall for speed under a floor; this tier is EXACT —
+    // the cheap pass cannot lose an answer, by arithmetic, not by spec:
+    //
+    //   unit-normalize x; quantize per-vector (scale sx = max|x_i|/127,
+    //   int8 code qx); the residual ex = x - sx*qx has a KNOWN norm rx,
+    //   computed exactly at quantization time. For any pair,
+    //     cos(x,y) - sx*sy*(qx.qy) = x.ey + ex.y' (Cauchy-Schwarz) so
+    //     |cos - approx| <= rx + ry + rx*ry =: eps(x,y)  — a TIGHT
+    //   per-pair bound from stored per-vector scalars (the generic
+    //   sqrt(d)*delta/2 bound is ~2x looser). Survivors of
+    //   approx + eps >= tau - 1e-6 get the exact float cosine; nothing
+    //   else is ever scored exactly. Conjunct order in the fused filter
+    //   keeps the float cosine short-circuited behind the int8 test.
+    //
+    // At gate scale both representations ride one scan; the 100-TB form
+    // stores the (qx, sx, rx) sketch as the scanned artifact (16 B + 2
+    // scalars vs 256 B — the e07/e09 storage story) and fetches float
+    // vectors only for survivors (~1% here). HASH-PROVEN against the
+    // definitional brute-force oracle: the pruned plan must produce the
+    // complete answer set, digits and all — the no-miss proof at gate
+    // scale. RangeSearchSpec additionally measures the prune rate and
+    // perturbs tau across the bound's margin.
+    "e13_range_search" -> OpDef.sql(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val sk = emb
+          .withColumn("nrm", sqrt(aggregate(
+            transform(col("embedding"), v => (v * v).cast("double")),
+            lit(0.0), (a, x) => a + x)))
+          .filter(col("nrm") > 0)
+          .withColumn("nx",
+            transform(col("embedding"), v => v.cast("double") / col("nrm")))
+          .withColumn("sx",
+            array_max(transform(col("nx"), v => abs(v))) / lit(127.0))
+          .withColumn("qx", transform(col("nx"),
+            v => floor(v / col("sx") + lit(0.5) + lit(1e-9)).cast("long")))
+          .withColumn("rx", sqrt(aggregate(
+            zip_with(col("nx"), col("qx"),
+              (n, q) => (n - col("sx") * q) * (n - col("sx") * q)),
+            lit(0.0), (a, x) => a + x)))
+          .select(col("vec_id"), col("embedding"),
+                  col("qx"), col("sx"), col("rx"))
+        val q = sk.filter(col("vec_id") < RangeQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+                  col("qx").as("qy"), col("sx").as("sy"), col("rx").as("ry"))
+        sk.join(broadcast(q), col("vec_id") =!= col("q_id"))
+          .withColumn("approx",
+            col("sx") * col("sy") * aggregate(
+              zip_with(col("qx"), col("qy"), (a, b) => a * b),
+              lit(0L), (a, x) => a + x).cast("double"))
+          .withColumn("eps",
+            col("rx") + col("ry") + col("rx") * col("ry") + lit(1e-9))
+          // int8 prescreen FIRST; the exact cosine conjunct only runs on
+          // survivors (And short-circuits left to right in the fused filter)
+          .filter(col("approx") + col("eps") >= lit(RangeTau) - lit(1e-6))
+          .withColumn("sim",
+            round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
+          .filter(col("sim") >= RangeTau)
+          .select(col("q_id"), col("vec_id").as("neighbor_id"), col("sim"))
+          .orderBy("q_id", "neighbor_id")
+      },
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+         |  FROM embeddings WHERE vec_id < $RangeQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv)
+         |               + 1e-10, 6) AS sim
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id)
+         |SELECT q_id, neighbor_id, sim FROM scored
+         |WHERE sim >= $RangeTau
+         |ORDER BY q_id, neighbor_id""".stripMargin),
+
     "e07_quantize_int8" -> OpDef.sql(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
