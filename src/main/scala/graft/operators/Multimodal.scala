@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.OpDef
 import graft.sources.Tables
@@ -94,7 +95,12 @@ final case class WavFeatures(doc_id: Long, n_channels: Option[Int],
   * iteration is bounded by the actual byte length instead.
   */
 object WavDecoder {
-  def parse(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)] = {
+
+  /** The chunk walk shared by [[parse]] and [[channel0]]: returns
+    * (channels, rate, bits, dataOff, dataLen) for a well-formed PCM
+    * file, None on any malformation.
+    */
+  private def header(bytes: Array[Byte]): Option[(Int, Int, Int, Int, Long)] = {
     def u16(p: Int): Int = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8)
     def u32(p: Int): Long =
       (bytes(p) & 0xffL) | ((bytes(p + 1) & 0xffL) << 8) |
@@ -127,14 +133,41 @@ object WavDecoder {
       blockAlign = c * b / 8
       _ <- if (blockAlign > 0 && dataOff >= 0 &&
                dataOff + dataLen <= bytes.length) Some(()) else None
-    } yield {
+    } yield (c, r, b, dataOff, dataLen)
+  }
+
+  def parse(bytes: Array[Byte]): Option[(Int, Int, Int, Long, String)] =
+    header(bytes).map { case (c, r, b, dataOff, dataLen) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(java.util.Arrays.copyOfRange(
           bytes, dataOff, dataOff + dataLen.toInt))
         .map(x => f"${x & 0xff}%02x").mkString
-      (c, r, b, dataLen / blockAlign, hex)
+      (c, r, b, dataLen / (c * b / 8), hex)
     }
-  }
+
+  /** Channel-0 PCM samples, at most `maxSamples`: 16-bit little-endian
+    * signed, or 8-bit unsigned recentred to [-128, 127] (both per the
+    * WAVE PCM spec). Other bit depths return None — a visible policy, a
+    * decoder must never guess a sample format.
+    */
+  def channel0(bytes: Array[Byte], maxSamples: Int): Option[Array[Int]] =
+    header(bytes).flatMap { case (c, _, b, dataOff, dataLen) =>
+      if (b != 8 && b != 16) None
+      else {
+        val ba = c * b / 8
+        val n = math.min(dataLen / ba, maxSamples.toLong).toInt
+        val out = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val p = dataOff + i * ba
+          out(i) =
+            if (b == 16) ((bytes(p) & 0xff) | (bytes(p + 1) << 8)).toShort.toInt
+            else (bytes(p) & 0xff) - 128
+          i += 1
+        }
+        Some(out)
+      }
+    }
 }
 
 /** Multimodal column plumbing: treat payloads as opaque `binary` columns
@@ -177,6 +210,69 @@ object Multimodal {
   private def leHex(x: org.apache.spark.sql.Column, nBytes: Int) =
     concat((0 until nBytes).map(i =>
       format_string("%02x", shiftright(x, 8 * i).bitwiseAND(lit(255)))): _*)
+
+  /** m05/m07's shared synthetic WAV feed: one RIFF payload per document,
+    * every header/data byte derived from (doc_id, md5(text)) — the same
+    * bytes the oracles reconstruct analytically in SQL. Damage classes:
+    * %13 truncated data, %19 RIFX magic, %7 LIST chunk, %11 data-first
+    * chunk order (+pad). Returns (doc_id, payload binary).
+    */
+  private[graft] def wavPayload(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+          .select(col("doc_id"),
+            expr("CAST(doc_id % 2 AS INT) + 1").as("c"),
+            expr("CAST(8 * (1 + (doc_id DIV 2) % 2) AS INT)").as("bits"),
+            expr("CAST(8000 * (1 + doc_id % 3) AS INT)").as("r"),
+            expr("CAST(10 + doc_id % 90 AS INT)").as("ns"),
+            col("text"))
+          .withColumn("ba", expr("c * bits DIV 8")) // frame = ba bytes
+          .withColumn("n", expr("ns * ba"))
+          .withColumn("dataStr", expr(
+            "substr(repeat(md5(text), CAST((n - 1) DIV 32 AS INT) + 1), 1, n)"))
+          .withColumn("listHex", // "LIST" <4> "INFO", word-aligned
+            when(col("doc_id") % 7 === 0,
+                 lit("4c495354" + "04000000" + "494e464f"))
+              .otherwise(lit("")))
+          .withColumn("dataFirst", col("doc_id") % 11 === 0)
+          .withColumn("riffSize",
+            lit(4 + 24) + when(col("doc_id") % 7 === 0, 12).otherwise(0)
+              + lit(8) + col("n")
+              + when(col("dataFirst") && col("n") % 2 === 1, 1).otherwise(0))
+          .withColumn("magicHex",
+            when(col("doc_id") % 19 === 0, lit("52494658")) // "RIFX"
+              .otherwise(lit("52494646")))                  // "RIFF"
+          .withColumn("fmtHex", concat(
+            lit("666d7420"), leHex(lit(16), 4),    // fmt , size 16
+            leHex(lit(1), 2),                      // PCM
+            leHex(col("c"), 2),                    // channels
+            leHex(col("r"), 4),                    // sample rate
+            leHex(col("r") * col("ba"), 4),        // byte rate
+            leHex(col("ba"), 2),                   // block align
+            leHex(col("bits"), 2)))                // bits per sample
+          .withColumn("dataHdrHex",
+            concat(lit("64617461"), leHex(col("n"), 4))) // data, size n
+          // chunk order: canonical fmt->data, or data->pad?->fmt on the
+          // data-first docs (the pad byte keeps fmt word-aligned when
+          // the data payload has odd length)
+          .withColumn("preHex", concat(
+            col("magicHex"), leHex(col("riffSize"), 4),
+            lit("57415645"),                       // WAVE
+            col("listHex"),
+            when(col("dataFirst"), col("dataHdrHex"))
+              .otherwise(concat(col("fmtHex"), col("dataHdrHex")))))
+          .withColumn("postHex",
+            when(col("dataFirst"),
+                 concat(when(col("n") % 2 === 1, lit("00")).otherwise(lit("")),
+                        col("fmtHex")))
+              .otherwise(lit("")))
+          .withColumn("payload", concat(
+            unhex(col("preHex")),
+            // every 13th doc: write only half the declared data bytes
+            when(col("doc_id") % 13 === 0,
+                 expr("CAST(substr(dataStr, 1, CAST(n DIV 2 AS INT)) AS BINARY)"))
+              .otherwise(col("dataStr").cast("binary")),
+            unhex(col("postHex"))))
+          .select(col("doc_id"), col("payload"))
 
   val defs: Map[String, OpDef] = Map(
 
@@ -347,61 +443,7 @@ object Multimodal {
     "m05_decode_wav" -> OpDef.sql(
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            expr("CAST(doc_id % 2 AS INT) + 1").as("c"),
-            expr("CAST(8 * (1 + (doc_id DIV 2) % 2) AS INT)").as("bits"),
-            expr("CAST(8000 * (1 + doc_id % 3) AS INT)").as("r"),
-            expr("CAST(10 + doc_id % 90 AS INT)").as("ns"),
-            col("text"))
-          .withColumn("ba", expr("c * bits DIV 8")) // frame = ba bytes
-          .withColumn("n", expr("ns * ba"))
-          .withColumn("dataStr", expr(
-            "substr(repeat(md5(text), CAST((n - 1) DIV 32 AS INT) + 1), 1, n)"))
-          .withColumn("listHex", // "LIST" <4> "INFO", word-aligned
-            when(col("doc_id") % 7 === 0,
-                 lit("4c495354" + "04000000" + "494e464f"))
-              .otherwise(lit("")))
-          .withColumn("dataFirst", col("doc_id") % 11 === 0)
-          .withColumn("riffSize",
-            lit(4 + 24) + when(col("doc_id") % 7 === 0, 12).otherwise(0)
-              + lit(8) + col("n")
-              + when(col("dataFirst") && col("n") % 2 === 1, 1).otherwise(0))
-          .withColumn("magicHex",
-            when(col("doc_id") % 19 === 0, lit("52494658")) // "RIFX"
-              .otherwise(lit("52494646")))                  // "RIFF"
-          .withColumn("fmtHex", concat(
-            lit("666d7420"), leHex(lit(16), 4),    // fmt , size 16
-            leHex(lit(1), 2),                      // PCM
-            leHex(col("c"), 2),                    // channels
-            leHex(col("r"), 4),                    // sample rate
-            leHex(col("r") * col("ba"), 4),        // byte rate
-            leHex(col("ba"), 2),                   // block align
-            leHex(col("bits"), 2)))                // bits per sample
-          .withColumn("dataHdrHex",
-            concat(lit("64617461"), leHex(col("n"), 4))) // data, size n
-          // chunk order: canonical fmt->data, or data->pad?->fmt on the
-          // data-first docs (the pad byte keeps fmt word-aligned when
-          // the data payload has odd length)
-          .withColumn("preHex", concat(
-            col("magicHex"), leHex(col("riffSize"), 4),
-            lit("57415645"),                       // WAVE
-            col("listHex"),
-            when(col("dataFirst"), col("dataHdrHex"))
-              .otherwise(concat(col("fmtHex"), col("dataHdrHex")))))
-          .withColumn("postHex",
-            when(col("dataFirst"),
-                 concat(when(col("n") % 2 === 1, lit("00")).otherwise(lit("")),
-                        col("fmtHex")))
-              .otherwise(lit("")))
-          .withColumn("payload", concat(
-            unhex(col("preHex")),
-            // every 13th doc: write only half the declared data bytes
-            when(col("doc_id") % 13 === 0,
-                 expr("CAST(substr(dataStr, 1, CAST(n DIV 2 AS INT)) AS BINARY)"))
-              .otherwise(col("dataStr").cast("binary")),
-            unhex(col("postHex"))))
-          .select(col("doc_id"), col("payload"))
+        wavPayload(s, d)
           .as[(Long, Array[Byte])]
           .mapPartitions { rows =>
             rows.map { case (id, bytes) =>
@@ -435,6 +477,81 @@ object Multimodal {
         |       ELSE md5(substr(repeat(md5(text), (n - 1) // 32 + 1),
         |                       1, n)) END AS data_md5
         |FROM q ORDER BY doc_id""".stripMargin),
+
+    // m07: framed WALSH-HADAMARD spectrum over the decoded PCM — the
+    // feature-extraction stage after m05's decode (the perceptual-hash
+    // front end: per-frame spectral coefficients are what an audio
+    // fingerprinter actually consumes). The decode (real bytes, real
+    // chunk walk) extracts channel-0 samples; framing and the 16-point
+    // WHT run IN-PLAN as codegen'd integer array arithmetic — the
+    // twiddle factors are (-1)^popcount(k AND n), so the transform is
+    // EXACT in both engines (no libm, no rounding discipline needed:
+    // the one DSP transform with zero cross-engine float risk).
+    // Undecodable payloads (m05's corrupt classes) and clips shorter
+    // than one frame contribute no rows by construction — the same
+    // visible policy the oracle replays. Scale: decode + WHT are
+    // per-row map work at scan speed; output is bounded at
+    // frames*bins = 32 rows/doc.
+    "m07_wht_spectrum" -> OpDef.sql(
+      (s, d) => {
+        import s.implicits._
+        wavPayload(s, d)
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.flatMap { case (id, bytes) =>
+              WavDecoder.channel0(bytes, maxSamples = 64)
+                .map(ss => (id, ss)).toSeq
+            }
+          }
+          .toDF("doc_id", "samples")
+          .filter(size(col("samples")) >= 16)
+          .withColumn("frame_arr", expr(
+            "transform(sequence(0, size(samples) DIV 16 - 1)," +
+              " f -> slice(samples, f * 16 + 1, 16))"))
+          .select(col("doc_id"),
+            posexplode(col("frame_arr")).as(Seq("frame", "fr")))
+          .withColumn("coefs", expr(
+            """transform(sequence(0, 7), k ->
+              |  aggregate(sequence(0, 15), 0L, (acc, n) ->
+              |    acc + CAST(element_at(fr, n + 1) AS BIGINT)
+              |        * (1 - 2 * (bit_count(k & n) % 2))))""".stripMargin))
+          .select(col("doc_id"), col("frame").cast("int").as("frame"),
+            posexplode(col("coefs")).as(Seq("k", "coef")))
+          .select(col("doc_id"), col("frame"), col("k").cast("int").as("k"),
+                  col("coef"))
+          .orderBy("doc_id", "frame", "k")
+      },
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 2 + 1 AS INT) AS c,
+        |         CAST(8 * (1 + (doc_id // 2) % 2) AS INT) AS bits,
+        |         CAST(10 + doc_id % 90 AS INT) AS ns
+        |  FROM documents
+        |  WHERE doc_id % 13 <> 0 AND doc_id % 19 <> 0),
+        |q AS (SELECT doc_id, text, c, bits, ns,
+        |             c * bits // 8 AS ba,
+        |             ns * (c * bits // 8) AS n
+        |      FROM p),
+        |ds AS (SELECT doc_id, c, bits, ns, ba,
+        |              substr(repeat(md5(text), (n - 1) // 32 + 1), 1, n) AS dataStr
+        |       FROM q),
+        |s AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |         CASE WHEN bits = 16
+        |              THEN ascii(substr(dataStr, CAST(i * ba + 1 AS INT), 1))
+        |                   + 256 * ascii(substr(dataStr, CAST(i * ba + 2 AS INT), 1))
+        |              ELSE ascii(substr(dataStr, CAST(i * ba + 1 AS INT), 1)) - 128
+        |         END AS v
+        |  FROM ds, unnest(range(0, least((ns // 16) * 16, 64))) t(i)),
+        |co AS (
+        |  SELECT doc_id, CAST(i // 16 AS INT) AS frame, CAST(k AS INT) AS k,
+        |         CAST(sum(v * (1 - 2 * (bit_count(k & (i % 16)) % 2)))
+        |              AS BIGINT) AS coef
+        |  FROM s, unnest(range(0, 8)) u(k)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, frame, k, coef FROM co
+        |ORDER BY doc_id, frame, k""".stripMargin),
+
 
     // m06: FORMAT ROUTING over a mixed binary feed — the dispatch a
     // multimodal lake needs BEFORE any decoder runs: payloads arrive
