@@ -144,6 +144,63 @@ object Relational {
     * small orders side nor AQE's runtime size check turns the join into
     * a broadcast that would sidestep the skew machinery.
     */
+  /** q45's SCD Type-2 dimension (one row per (customer, priority run)
+    * with [valid_from_us, valid_to_us) validity — NULL valid_to = the
+    * current version), shared with q50's point-in-time join. ONE window
+    * shape for all three passes: partition by customer, order (date ASC,
+    * orderkey DESC) — so "first row per date" IS the max-orderkey
+    * observation, and the grain dedup needs no second partition key (a
+    * (custkey, date) window would cost its own Exchange).
+    */
+  private[graft] def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey").desc)
+    val obs = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+              col("o_orderpriority").as("prio"))
+      .withColumn("pdate", lag(col("o_orderdate"), 1).over(byKey))
+      .filter(col("pdate").isNull || col("pdate") =!= col("o_orderdate"))
+      .withColumn("prev", lag(col("prio"), 1).over(byKey))
+      .filter(col("prev").isNull || col("prev") =!= col("prio"))
+    obs
+      .withColumn("version", row_number().over(byKey))
+      .withColumn("valid_to_us",
+        unix_micros(lead(col("o_orderdate"), 1).over(byKey)
+          .cast("timestamp")))
+      .select(col("o_custkey"), col("version"), col("prio"),
+              unix_micros(col("o_orderdate").cast("timestamp"))
+                .as("valid_from_us"),
+              col("valid_to_us"))
+  }
+
+  /** q45/q50's shared oracle CTE chain: `dim` is the SCD2 dimension. */
+  private[graft] val duckScd2Cte: String =
+    """g AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority AS prio
+      |  FROM (SELECT *, lag(o_orderdate) OVER w AS pdate FROM orders
+      |        WINDOW w AS (PARTITION BY o_custkey
+      |                     ORDER BY o_orderdate, o_orderkey DESC))
+      |  WHERE pdate IS NULL OR pdate <> o_orderdate),
+      |obs AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, prio,
+      |         lag(prio) OVER w AS prev
+      |  FROM g
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey DESC)),
+      |runs AS (
+      |  SELECT o_custkey, o_orderdate, o_orderkey, prio
+      |  FROM obs WHERE prev IS NULL OR prev <> prio),
+      |dim AS (
+      |  SELECT o_custkey,
+      |         CAST(row_number() OVER w AS INT) AS version,
+      |         prio,
+      |         epoch_us(o_orderdate) AS valid_from_us,
+      |         epoch_us(lead(o_orderdate) OVER w) AS valid_to_us
+      |  FROM runs
+      |  WINDOW w AS (PARTITION BY o_custkey
+      |               ORDER BY o_orderdate, o_orderkey DESC))""".stripMargin
+
   private[graft] def skewJoinAgg(s: SparkSession, d: String): DataFrame = {
     val f = Tables.lineitem(s, d)
       .withColumn("k",
@@ -1096,58 +1153,91 @@ object Relational {
     // population, so the build parallelizes with the dimension at any
     // scale. Timestamps hash-compare as epoch micros.
     "q45_scd2" -> OpDef.sql(
+      (s, d) => scd2Dim(s, d).orderBy("o_custkey", "version"),
+      s"""WITH $duckScd2Cte
+         |SELECT o_custkey, version, prio, valid_from_us, valid_to_us
+         |FROM dim
+         |ORDER BY o_custkey, version""".stripMargin),
+
+    // q50: POINT-IN-TIME (temporal validity) join — the other half of
+    // q45: facts joined to the dimension version that was valid WHEN
+    // the fact happened ("as the books saw it", the warehouse's
+    // time-correct join). The interval-join trap does not apply here:
+    // unlike q44's UN-keyed windows, a validity join is KEYED — the
+    // equi-join on customer bounds the fan per fact at that customer's
+    // version count, so the plan is an ordinary shuffled equi-join with
+    // a residual [valid_from, valid_to) range conjunct: linear,
+    // skew-safe under AQE, no binning or prefix sums needed. Every
+    // order lands in EXACTLY one version by the dimension's
+    // construction (half-open intervals partition each customer's
+    // timeline from the first observation on) — TemporalJoinSpec pins
+    // that cardinality instead of trusting it.
+    "q50_temporal_join" -> OpDef.sql(
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        // ONE window shape for all three passes: partition by customer,
-        // order (date ASC, orderkey DESC) — so "first row per date" IS
-        // the max-orderkey observation, and the grain dedup needs no
-        // second partition key (a (custkey, date) window would cost
-        // its own Exchange)
-        val byKey = Window.partitionBy("o_custkey")
-          .orderBy(col("o_orderdate"), col("o_orderkey").desc)
-        val obs = Tables.orders(s, d)
-          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
-                  col("o_orderpriority").as("prio"))
-          .withColumn("pdate", lag(col("o_orderdate"), 1).over(byKey))
-          .filter(col("pdate").isNull || col("pdate") =!= col("o_orderdate"))
-          .withColumn("prev", lag(col("prio"), 1).over(byKey))
-          .filter(col("prev").isNull || col("prev") =!= col("prio"))
-        val runs = byKey
-        obs
-          .withColumn("version", row_number().over(runs))
-          .withColumn("valid_to_us",
-            unix_micros(lead(col("o_orderdate"), 1).over(runs)
-              .cast("timestamp")))
-          .select(col("o_custkey"), col("version"), col("prio"),
-                  unix_micros(col("o_orderdate").cast("timestamp"))
-                    .as("valid_from_us"),
-                  col("valid_to_us"))
-          .orderBy("o_custkey", "version")
+        val dim = scd2Dim(s, d)
+        Tables.orders(s, d)
+          .select(col("o_orderkey"), col("o_custkey"),
+                  unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+          .join(dim, Seq("o_custkey"))
+          .filter(col("ts_us") >= col("valid_from_us") &&
+            (col("valid_to_us").isNull || col("ts_us") < col("valid_to_us")))
+          .select(col("o_orderkey"), col("o_custkey"), col("version"),
+                  col("prio").as("prio_at_order"))
+          .orderBy("o_orderkey")
       },
-      """WITH g AS (
-        |  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority AS prio
-        |  FROM (SELECT *, lag(o_orderdate) OVER w AS pdate FROM orders
-        |        WINDOW w AS (PARTITION BY o_custkey
-        |                     ORDER BY o_orderdate, o_orderkey DESC))
-        |  WHERE pdate IS NULL OR pdate <> o_orderdate),
-        |obs AS (
-        |  SELECT o_custkey, o_orderdate, o_orderkey, prio,
-        |         lag(prio) OVER w AS prev
-        |  FROM g
-        |  WINDOW w AS (PARTITION BY o_custkey
-        |               ORDER BY o_orderdate, o_orderkey DESC)),
-        |runs AS (
-        |  SELECT o_custkey, o_orderdate, o_orderkey, prio
-        |  FROM obs WHERE prev IS NULL OR prev <> prio)
-        |SELECT o_custkey,
-        |       CAST(row_number() OVER w AS INT) AS version,
-        |       prio,
-        |       epoch_us(o_orderdate) AS valid_from_us,
-        |       epoch_us(lead(o_orderdate) OVER w) AS valid_to_us
-        |FROM runs
-        |WINDOW w AS (PARTITION BY o_custkey
-        |             ORDER BY o_orderdate, o_orderkey DESC)
-        |ORDER BY o_custkey, version""".stripMargin),
+      s"""WITH $duckScd2Cte
+         |SELECT o.o_orderkey, o.o_custkey, d.version,
+         |       d.prio AS prio_at_order
+         |FROM orders o
+         |JOIN dim d ON o.o_custkey = d.o_custkey
+         |  AND epoch_us(o.o_orderdate) >= d.valid_from_us
+         |  AND (d.valid_to_us IS NULL OR epoch_us(o.o_orderdate) < d.valid_to_us)
+         |ORDER BY o_orderkey""".stripMargin),
+
+    // q49: equi-width HISTOGRAM per group — the profiling shape q42's
+    // scalar stats don't cover (a distribution, not a number): bucket
+    // order totals into 10 fixed-width bins per priority class via
+    // width_bucket, one map-side-combinable aggregate over one scan —
+    // the bin bounds are data-derived (global min/max — a one-row
+    // broadcast), so the histogram needs exactly two passes at any
+    // scale and shuffles only (group, bin) cardinality. Empty bins are
+    // a VISIBLE zero row (the grid comes from a sequence explode, left
+    // join fills counts), not an absent one — a plotting consumer must
+    // see the gap.
+    "q49_histogram" -> OpDef.sql(
+      (s, d) => {
+        val o = Tables.orders(s, d)
+        val bounds = o.agg(min("o_totalprice").as("lo"),
+                           max("o_totalprice").as("hi"))
+        // explicit bucket arithmetic (not width_bucket) so the oracle
+        // computes bit-identical IEEE divisions: floor((v-lo)/(hi-lo)*10)
+        val binned = o.crossJoin(broadcast(bounds))
+          .withColumn("bin",
+            least(floor((col("o_totalprice") - col("lo"))
+                          / (col("hi") - col("lo")) * 10).cast("int") + 1,
+                  lit(10)))
+          .groupBy("o_orderpriority", "bin").agg(count(lit(1)).as("n"))
+        val grid = o.select(col("o_orderpriority")).distinct()
+          .crossJoin(s.range(1, 11).select(col("id").cast("int").as("bin")))
+        grid.join(binned, Seq("o_orderpriority", "bin"), "left")
+          .select(col("o_orderpriority"), col("bin"),
+                  coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("o_orderpriority", "bin")
+      },
+      """WITH b AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |           FROM orders),
+        |binned AS (
+        |  SELECT o_orderpriority,
+        |         least(CAST(floor((o_totalprice - lo) / (hi - lo) * 10) AS INT) + 1,
+        |               10) AS bin,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM orders, b GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT DISTINCT o_orderpriority, CAST(gs AS INT) AS bin
+        |  FROM orders, unnest(range(1, 11)) t(gs))
+        |SELECT g.o_orderpriority, g.bin, coalesce(n, 0) AS n
+        |FROM grid g LEFT JOIN binned USING (o_orderpriority, bin)
+        |ORDER BY o_orderpriority, bin""".stripMargin),
 
     // q47: DISTINCT COUNT OVER AN ORDERED WINDOW — "how many distinct
     // parts has this supplier ever shipped, as of each ship day" (the
