@@ -217,6 +217,82 @@ object Multimodal {
     * %13 truncated data, %19 RIFX magic, %7 LIST chunk, %11 data-first
     * chunk order (+pad). Returns (doc_id, payload binary).
     */
+  /** m06/s25's shared oracle: the routing ladder + each format's
+    * analytic decode, replayed in SQL.
+    */
+  private[graft] val duckM06Sql: String =
+    """WITH p AS (
+      |  SELECT doc_id, text,
+      |         CAST(doc_id % 8 + 1 AS INT) AS pw,
+      |         CAST((doc_id // 8) % 8 + 1 AS INT) AS ph,
+      |         CAST(doc_id % 2 + 1 AS INT) AS c,
+      |         CAST(8000 * (1 + (doc_id // 3) % 3) AS INT) AS r,
+      |         CAST(10 + (doc_id // 3) % 90 AS INT) AS ns
+      |  FROM documents),
+      |q AS (SELECT *,
+      |        CASE WHEN doc_id % 3 = 0 THEN pw * ph * 3 ELSE ns * c END AS n
+      |      FROM p)
+      |SELECT doc_id,
+      |  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
+      |       ELSE 'unknown' END AS fmt,
+      |  CASE WHEN doc_id % 3 = 0 THEN pw END AS width,
+      |  CASE WHEN doc_id % 3 = 0 THEN ph END AS height,
+      |  CASE WHEN doc_id % 3 = 1 THEN c END AS n_channels,
+      |  CASE WHEN doc_id % 3 = 1 THEN r END AS sample_rate,
+      |  CASE WHEN doc_id % 3 <= 1
+      |       THEN md5(substr(repeat(md5(text), (n - 1) // 32 + 1), 1, n))
+      |       END AS content_md5
+      |FROM q ORDER BY doc_id""".stripMargin
+
+  /** m06/s25's shared MIXED-format feed: one payload per document,
+    * format chosen by doc_id ladder — PPM (%3==0, m04's valid form),
+    * canonical 8-bit WAV (%3==1), junk md5 bytes whose head can never
+    * collide with either magic (%3==2). Every byte derives from
+    * (doc_id, md5(text)) so the oracles reconstruct it analytically.
+    */
+  private[graft] def mixedPayload(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .withColumn("pw", expr("CAST(doc_id % 8 AS INT) + 1"))
+      .withColumn("ph", expr("CAST((doc_id DIV 8) % 8 AS INT) + 1"))
+      .withColumn("pn", expr("pw * ph * 3"))
+      .withColumn("c", expr("CAST(doc_id % 2 AS INT) + 1"))
+      .withColumn("r", expr("CAST(8000 * (1 + (doc_id DIV 3) % 3) AS INT)"))
+      .withColumn("ns", expr("CAST(10 + (doc_id DIV 3) % 90 AS INT)"))
+      .withColumn("wn", expr("ns * c")) // 8-bit: blockAlign == c
+      .withColumn("n", when(col("doc_id") % 3 === 0, col("pn"))
+        .otherwise(col("wn")))
+      .withColumn("body", expr(
+        "substr(repeat(md5(text), CAST((n - 1) DIV 32 AS INT) + 1), 1, n)"))
+      .withColumn("payload",
+        when(col("doc_id") % 3 === 0,
+          concat(lit("P6\n"), col("pw").cast("string"), lit(" "),
+            col("ph").cast("string"), lit("\n255\n"), col("body"))
+            .cast("binary"))
+        .when(col("doc_id") % 3 === 1,
+          concat(
+            unhex(concat(
+              lit("52494646"), leHex(lit(4 + 24 + 8) + col("wn"), 4),
+              lit("57415645"),
+              lit("666d7420"), leHex(lit(16), 4),
+              leHex(lit(1), 2), leHex(col("c"), 2), leHex(col("r"), 4),
+              leHex(col("r") * col("c"), 4), leHex(col("c"), 2),
+              leHex(lit(8), 2),
+              lit("64617461"), leHex(col("wn"), 4))),
+            col("body").cast("binary")))
+        .otherwise(md5(col("text")).cast("binary")))
+      .select(col("doc_id"), col("payload"))
+
+  /** m06's routing pass over any (doc_id, payload) frame — per-row
+    * stateless map work, so s25 runs it UNCHANGED on a binary stream.
+    */
+  private[graft] def routeAll(s: SparkSession, payloads: DataFrame): DataFrame = {
+    import s.implicits._
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.map { case (id, bytes) => route(id, bytes) })
+      .toDF()
+  }
+
   private[graft] def wavPayload(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
           .select(col("doc_id"),
@@ -568,67 +644,7 @@ object Multimodal {
     // The oracle replays the routing rule and each format's expected
     // decode analytically — m04/m05's oracle idiom composed.
     "m06_format_route" -> OpDef.sql(
-      (s, d) => {
-        import s.implicits._
-        Tables.documents(s, d)
-          .select(col("doc_id"), col("text"))
-          // PPM leg (doc_id % 3 == 0): m04's valid-form synthesis
-          .withColumn("pw", expr("CAST(doc_id % 8 AS INT) + 1"))
-          .withColumn("ph", expr("CAST((doc_id DIV 8) % 8 AS INT) + 1"))
-          .withColumn("pn", expr("pw * ph * 3"))
-          // WAV leg (doc_id % 3 == 1): canonical RIFF, PCM 8-bit
-          .withColumn("c", expr("CAST(doc_id % 2 AS INT) + 1"))
-          .withColumn("r", expr("CAST(8000 * (1 + (doc_id DIV 3) % 3) AS INT)"))
-          .withColumn("ns", expr("CAST(10 + (doc_id DIV 3) % 90 AS INT)"))
-          .withColumn("wn", expr("ns * c")) // 8-bit: blockAlign == c
-          .withColumn("n", when(col("doc_id") % 3 === 0, col("pn"))
-            .otherwise(col("wn")))
-          .withColumn("body", expr(
-            "substr(repeat(md5(text), CAST((n - 1) DIV 32 AS INT) + 1), 1, n)"))
-          .withColumn("payload",
-            when(col("doc_id") % 3 === 0,
-              concat(lit("P6\n"), col("pw").cast("string"), lit(" "),
-                col("ph").cast("string"), lit("\n255\n"), col("body"))
-                .cast("binary"))
-            .when(col("doc_id") % 3 === 1,
-              concat(
-                unhex(concat(
-                  lit("52494646"), leHex(lit(4 + 24 + 8) + col("wn"), 4),
-                  lit("57415645"),
-                  lit("666d7420"), leHex(lit(16), 4),
-                  leHex(lit(1), 2), leHex(col("c"), 2), leHex(col("r"), 4),
-                  leHex(col("r") * col("c"), 4), leHex(col("c"), 2),
-                  leHex(lit(8), 2),
-                  lit("64617461"), leHex(col("wn"), 4))),
-                col("body").cast("binary")))
-            .otherwise(md5(col("text")).cast("binary")))
-          .select(col("doc_id"), col("payload"))
-          .as[(Long, Array[Byte])]
-          .mapPartitions(rows => rows.map { case (id, bytes) => route(id, bytes) })
-          .toDF()
-          .orderBy("doc_id")
-      },
-      """WITH p AS (
-        |  SELECT doc_id, text,
-        |         CAST(doc_id % 8 + 1 AS INT) AS pw,
-        |         CAST((doc_id // 8) % 8 + 1 AS INT) AS ph,
-        |         CAST(doc_id % 2 + 1 AS INT) AS c,
-        |         CAST(8000 * (1 + (doc_id // 3) % 3) AS INT) AS r,
-        |         CAST(10 + (doc_id // 3) % 90 AS INT) AS ns
-        |  FROM documents),
-        |q AS (SELECT *,
-        |        CASE WHEN doc_id % 3 = 0 THEN pw * ph * 3 ELSE ns * c END AS n
-        |      FROM p)
-        |SELECT doc_id,
-        |  CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'wav'
-        |       ELSE 'unknown' END AS fmt,
-        |  CASE WHEN doc_id % 3 = 0 THEN pw END AS width,
-        |  CASE WHEN doc_id % 3 = 0 THEN ph END AS height,
-        |  CASE WHEN doc_id % 3 = 1 THEN c END AS n_channels,
-        |  CASE WHEN doc_id % 3 = 1 THEN r END AS sample_rate,
-        |  CASE WHEN doc_id % 3 <= 1
-        |       THEN md5(substr(repeat(md5(text), (n - 1) // 32 + 1), 1, n))
-        |       END AS content_md5
-        |FROM q ORDER BY doc_id""".stripMargin)
+      (s, d) => routeAll(s, mixedPayload(s, d)).orderBy("doc_id"),
+      duckM06Sql)
   )
 }

@@ -893,6 +893,36 @@ object StreamQueries {
       },
       graft.operators.TextAnalysis.duckD43Sql),
 
+    // s25: streaming FORMAT ROUTING — m06 at the wire, completing the
+    // multimodal story's intake placement: payloads arrive as one
+    // opaque binary column and the router sniffs + decodes (the real
+    // m04/m05 decoders) per row BEFORE anything lands in the lake, so
+    // the unknown/broken tier can quarantine at ingest. The routing
+    // pass is m06's verbatim (routeAll — per-row, stateless), so batch
+    // and stream dispatch cannot drift: APPEND mode, zero shuffle,
+    // zero state. The binary feed is the m06 payload frame staged once
+    // per documents content stamp (xmlFeedDir's memo discipline) as
+    // parquet — binary columns ride the file stream source as-is.
+    // Oracle: m06's verbatim.
+    "s25_stream_format_route" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.{Lake, Multimodal}
+        val base = Lake.scratch("s25", d)
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(graft.sources.Tables.stamp(d, "documents").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val dir = s"$base/mixed_$key"
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          Multimodal.mixedPayload(s, d)
+            .write.mode("overwrite").parquet(dir)
+        val schema = s.read.parquet(dir).schema
+        val payloads = s.readStream.schema(schema).parquet(dir)
+        drainFiles(s, "s25", Multimodal.routeAll(s, payloads),
+            d, feedBytes = dirBytes(dir))
+          .orderBy("doc_id")
+      },
+      graft.operators.Multimodal.duckM06Sql),
+
     "s15_stream_decontam" -> OpDef.sql(
       (s, d) => {
         import graft.operators.Dedup
