@@ -923,6 +923,50 @@ object StreamQueries {
       },
       graft.operators.Multimodal.duckM06Sql),
 
+    // s26: streaming POINT-IN-TIME enrichment — q50 at the wire: facts
+    // arrive as a stream and join the STATIC SCD2 dimension version
+    // that was valid at each fact's timestamp (the production shape for
+    // late-arriving facts: "enrich with what the books said THEN, not
+    // now"). Stream-static equi-join on the customer key + the residual
+    // validity conjunct — stateless append, no watermark, no state
+    // store; the dimension rides as a static frame (yesterday's q45
+    // build in production). Join semantics are q50's verbatim, oracle
+    // likewise — batch and stream enrichment cannot drift.
+    "s26_stream_temporal_join" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.{Lake, Relational}
+        val dim = Relational.scd2Dim(s, d)
+        val base = Lake.scratch("s26", d)
+        val key = java.security.MessageDigest.getInstance("MD5")
+          .digest(graft.sources.Tables.stamp(d, "orders").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val dir = s"$base/orders_$key"
+        if (!new java.io.File(dir, "_SUCCESS").exists())
+          graft.sources.Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_custkey"),
+              unix_micros(col("o_orderdate").cast("timestamp")).as("ts_us"))
+            .write.mode("overwrite").parquet(dir)
+        val schema = s.read.parquet(dir).schema
+        val facts = s.readStream.schema(schema).parquet(dir)
+        drainFiles(s, "s26",
+            facts.join(dim, Seq("o_custkey"))
+              .filter(col("ts_us") >= col("valid_from_us") &&
+                (col("valid_to_us").isNull ||
+                  col("ts_us") < col("valid_to_us")))
+              .select(col("o_orderkey"), col("o_custkey"), col("version"),
+                      col("prio").as("prio_at_order")),
+            d, feedBytes = dirBytes(dir))
+          .orderBy("o_orderkey")
+      },
+      s"""WITH ${graft.operators.Relational.duckScd2Cte}
+         |SELECT o.o_orderkey, o.o_custkey, d.version,
+         |       d.prio AS prio_at_order
+         |FROM orders o
+         |JOIN dim d ON o.o_custkey = d.o_custkey
+         |  AND epoch_us(o.o_orderdate) >= d.valid_from_us
+         |  AND (d.valid_to_us IS NULL OR epoch_us(o.o_orderdate) < d.valid_to_us)
+         |ORDER BY o_orderkey""".stripMargin),
+
     "s15_stream_decontam" -> OpDef.sql(
       (s, d) => {
         import graft.operators.Dedup
