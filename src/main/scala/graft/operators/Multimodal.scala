@@ -34,7 +34,21 @@ final case class RoutedFeatures(doc_id: Long, fmt: String,
   * intake batch.
   */
 object PpmDecoder {
-  def parse(bytes: Array[Byte]): Option[(Int, Int, Int, String)] = {
+
+  /** Like [[parse]] but returns the raw pixel bytes (m08's resize input)
+    * instead of their digest.
+    */
+  def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Byte])] =
+    parseWith(bytes) { (w, h, mx, px) => (w, h, mx, px) }
+
+  def parse(bytes: Array[Byte]): Option[(Int, Int, Int, String)] =
+    parseWith(bytes) { (w, h, mx, px) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      (w, h, mx, md.digest(px).map(b => f"${b & 0xff}%02x").mkString)
+    }
+
+  private def parseWith[A](bytes: Array[Byte])(
+      f: (Int, Int, Int, Array[Byte]) => A): Option[A] = {
     var p = 0
     def peek: Int = if (p < bytes.length) bytes(p) & 0xff else -1
     def skipWsAndComments(): Unit = {
@@ -67,14 +81,17 @@ object PpmDecoder {
       // bounds it by the actual payload length
       n = w.toLong * h * 3
       _ <- { p += 1; if (bytes.length - p >= n) Some(()) else None }
-    } yield {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(java.util.Arrays.copyOfRange(bytes, p, p + n.toInt))
-        .map(b => f"${b & 0xff}%02x").mkString
-      (w, h, mx, hex)
-    }
+    } yield f(w, h, mx,
+      java.util.Arrays.copyOfRange(bytes, p, p + n.toInt))
   }
 }
+
+/** m08 output row: real decode -> resample -> digest (nulls = decode
+  * failure, mirroring m04's visible policy).
+  */
+final case class ResizedFeatures(doc_id: Long, out_w: Option[Int],
+                                 out_h: Option[Int],
+                                 resized_md5: Option[String])
 
 /** m05 output row: REAL RIFF/WAVE parse results (nulls = parse failure). */
 final case class WavFeatures(doc_id: Long, n_channels: Option[Int],
@@ -217,6 +234,55 @@ object Multimodal {
     * %13 truncated data, %19 RIFX magic, %7 LIST chunk, %11 data-first
     * chunk order (+pad). Returns (doc_id, payload binary).
     */
+  /** m04/m08's shared PPM feed: one P6 payload per document (w, h from
+    * doc_id mods, pixel bytes from md5(text) repeated; %17 docs carry a
+    * truncated "P6" magic, %5 docs an inline comment the header parser
+    * must skip).
+    */
+  private[graft] def ppmPayload(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        expr("CAST(doc_id % 8 AS INT) + 1").as("w"),
+        expr("CAST((doc_id DIV 8) % 8 AS INT) + 1").as("h"),
+        col("text"))
+      .withColumn("n", expr("w * h * 3"))
+      .withColumn("pixels", expr(
+        "substr(repeat(md5(text), CAST((n - 1) DIV 32 AS INT) + 1), 1, n)"))
+      .withColumn("payload",
+        when(col("doc_id") % 17 === 0, lit("P6"))
+          .otherwise(concat(
+            lit("P6\n"),
+            when(col("doc_id") % 5 === 0, lit("# synthetic\n")).otherwise(lit("")),
+            col("w").cast("string"), lit(" "), col("h").cast("string"),
+            lit("\n255\n"), col("pixels")))
+          .cast("binary"))
+      .select(col("doc_id"), col("payload"))
+
+  /** m08's kernel: nearest-neighbor half-size resample of an RGB pixel
+    * buffer — out(x2, y2) = in(2*x2, 2*y2), ceil-half output dims so a
+    * 1-pixel axis survives. Real byte shuffling on the decoded image,
+    * not metadata arithmetic.
+    */
+  private[graft] def resizeHalf(w: Int, h: Int,
+      px: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val w2 = (w + 1) / 2
+    val h2 = (h + 1) / 2
+    val out = new Array[Byte](w2 * h2 * 3)
+    var y2 = 0
+    while (y2 < h2) {
+      var x2 = 0
+      while (x2 < w2) {
+        val src = ((2 * y2) * w + 2 * x2) * 3
+        val dst = (y2 * w2 + x2) * 3
+        out(dst) = px(src); out(dst + 1) = px(src + 1)
+        out(dst + 2) = px(src + 2)
+        x2 += 1
+      }
+      y2 += 1
+    }
+    (w2, h2, out)
+  }
+
   /** m06/s25's shared oracle: the routing ladder + each format's
     * analytic decode, replayed in SQL.
     */
@@ -454,23 +520,7 @@ object Multimodal {
     "m04_decode_ppm" -> OpDef.sql(
       (s, d) => {
         import s.implicits._
-        Tables.documents(s, d)
-          .select(col("doc_id"),
-            expr("CAST(doc_id % 8 AS INT) + 1").as("w"),
-            expr("CAST((doc_id DIV 8) % 8 AS INT) + 1").as("h"),
-            col("text"))
-          .withColumn("n", expr("w * h * 3"))
-          .withColumn("pixels", expr(
-            "substr(repeat(md5(text), CAST((n - 1) DIV 32 AS INT) + 1), 1, n)"))
-          .withColumn("payload",
-            when(col("doc_id") % 17 === 0, lit("P6"))
-              .otherwise(concat(
-                lit("P6\n"),
-                when(col("doc_id") % 5 === 0, lit("# synthetic\n")).otherwise(lit("")),
-                col("w").cast("string"), lit(" "), col("h").cast("string"),
-                lit("\n255\n"), col("pixels")))
-              .cast("binary"))
-          .select(col("doc_id"), col("payload"))
+        ppmPayload(s, d)
           .as[(Long, Array[Byte])]
           .mapPartitions { rows =>
             rows.map { case (id, bytes) =>
@@ -645,6 +695,65 @@ object Multimodal {
     // decode analytically — m04/m05's oracle idiom composed.
     "m06_format_route" -> OpDef.sql(
       (s, d) => routeAll(s, mixedPayload(s, d)).orderBy("doc_id"),
-      duckM06Sql)
+      duckM06Sql),
+
+    // m08: REAL IMAGE RESIZE — the transform stage the multimodal brief
+    // names (decode / feature-extract / RESIZE / frame-sample), on the
+    // real decoder's output instead of a stub: decode P6 (PpmDecoder,
+    // actual bytes), nearest-neighbor half-size resample (a genuine
+    // pixel shuffle — out(x,y) = in(2x, 2y), ceil-half dims so 1-pixel
+    // axes survive), digest the resampled buffer. Per-row map work at
+    // scan speed; output is one row per payload, nulls on decode
+    // failure (m04's visible policy). HASH-PROVEN: the oracle
+    // reconstructs the pixel string analytically and replays the
+    // resample as substring arithmetic over the (y2, x2) grid — the
+    // JVM byte shuffle and the SQL index math must agree on every
+    // pixel of every image.
+    "m08_ppm_resize" -> OpDef.sql(
+      (s, d) => {
+        import s.implicits._
+        ppmPayload(s, d)
+          .as[(Long, Array[Byte])]
+          .mapPartitions { rows =>
+            rows.map { case (id, bytes) =>
+              PpmDecoder.decode(bytes) match {
+                case Some((w, h, _, px)) =>
+                  val (w2, h2, out) = resizeHalf(w, h, px)
+                  val md = java.security.MessageDigest.getInstance("MD5")
+                  ResizedFeatures(id, Some(w2), Some(h2),
+                    Some(md.digest(out).map(b => f"${b & 0xff}%02x").mkString))
+                case None => ResizedFeatures(id, None, None, None)
+              }
+            }
+          }
+          .toDF()
+          .orderBy("doc_id")
+      },
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |         CAST(doc_id % 8 + 1 AS INT) AS w,
+        |         CAST((doc_id // 8) % 8 + 1 AS INT) AS h
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, w, h, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2,
+        |         substr(repeat(md5(text), (w * h * 3 - 1) // 32 + 1),
+        |                1, w * h * 3) AS pixels
+        |  FROM p WHERE doc_id % 17 <> 0),
+        |px AS (
+        |  SELECT doc_id, y2, x2,
+        |         substr(pixels, CAST(((2 * y2) * w + 2 * x2) * 3 + 1 AS INT),
+        |                3) AS pc
+        |  FROM q, unnest(range(0, h2)) ty(y2), unnest(range(0, w2)) tx(x2)),
+        |r AS (
+        |  SELECT doc_id, md5(string_agg(pc, '' ORDER BY y2, x2)) AS rmd5
+        |  FROM px GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+        |            ELSE CAST((d.doc_id % 8 + 1 + 1) // 2 AS INT) END AS out_w,
+        |       CASE WHEN d.doc_id % 17 = 0 THEN NULL
+        |            ELSE CAST(((d.doc_id // 8) % 8 + 1 + 1) // 2 AS INT) END AS out_h,
+        |       r.rmd5 AS resized_md5
+        |FROM documents d LEFT JOIN r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)
   )
 }
