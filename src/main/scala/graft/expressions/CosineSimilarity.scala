@@ -193,6 +193,19 @@ object GraftFunctions {
       name, exprs => SpanHitStarts(exprs(0), n, sorted), "built-in")
   }
 
+  /** Register d43/s24's LM scorer bound to a trained model's arrays:
+    * `name(text)` -> BIGINT exact NLL sum in integer micros — see
+    * [[LmNllMicros]]. Caller passes PRE-SORTED parallel key/value
+    * arrays (sorting here would break key↔value alignment).
+    */
+  def registerLmNllMicros(spark: SparkSession, name: String,
+      bigramKeys: Array[Long], bigramMicros: Array[Long],
+      ctxKeys: Array[Long], ctxMicros: Array[Long],
+      dfltMicros: Long): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => LmNllMicros(exprs(0), bigramKeys, bigramMicros,
+        ctxKeys, ctxMicros, dfltMicros), "built-in")
+
   /** Register a hyperplane sign-code function bound to a plane matrix. */
   def registerSignCode(spark: SparkSession, name: String,
       planes: Array[Array[Double]]): Unit =

@@ -210,6 +210,37 @@ object HashKernels {
     ArrayData.toArrayData(java.util.Arrays.copyOf(tmp, cnt))
   }
 
+  /** d43's per-document LM score as ONE kernel call: sum over `text`'s
+    * char bigrams of the model's 6dp-rounded log-prob, in EXACT integer
+    * micros (the long sum carries the same digits as the oracle's
+    * DECIMAL(38,6) sum — no float order sensitivity by construction).
+    * Model lookup is two-tier binary search over sorted key arrays
+    * riding the closure (bigram key = c1<<16 | c2 over UTF-16 units;
+    * context key = c1), falling to the unseen-context default. The
+    * transform/aggregate HOF chain this replaces ran interpreted per
+    * CHARACTER (the SpanHitStarts trap again) and measured 274 s at
+    * sf10; this is one codegen'd call per row.
+    */
+  def lmNllMicros(text: UTF8String, bigramKeys: Array[Long],
+      bigramMicros: Array[Long], ctxKeys: Array[Long],
+      ctxMicros: Array[Long], dfltMicros: Long): Long = {
+    val s = text.toString
+    var sum = 0L
+    var i = 0
+    val n = s.length - 1
+    while (i < n) {
+      val key = (s.charAt(i).toLong << 16) | s.charAt(i + 1)
+      val b = java.util.Arrays.binarySearch(bigramKeys, key)
+      sum += (if (b >= 0) bigramMicros(b)
+        else {
+          val c = java.util.Arrays.binarySearch(ctxKeys, s.charAt(i).toLong)
+          if (c >= 0) ctxMicros(c) else dfltMicros
+        })
+      i += 1
+    }
+    sum
+  }
+
   /** 60-bit SimHash of `text`'s word multiset with the md5-60-bit word
     * hash (first 15 hex chars of md5(word) as a long — the same
     * construction as [[md5ShingleHashes]]): bit i of the code is set iff
@@ -521,6 +552,41 @@ case class CountInSortedLongs(child: Expression, sorted: Array[Long])
   }
 
   override protected def withNewChildInternal(newChild: Expression): CountInSortedLongs =
+    copy(child = newChild)
+}
+
+/** d43/s24's per-document LM score: exact integer-micros NLL sum over
+  * the text's char bigrams, model arrays riding the closure (see
+  * [[HashKernels.lmNllMicros]]). One codegen'd call per row where the
+  * HOF fold ran interpreted per character. Keys are UTF-16-unit pairs —
+  * identical to code points for BMP text (the corpus is ASCII; the
+  * oracle's substr is code-point, so supplementary-plane text would be
+  * the one divergence, and it would fail LOUDLY at the hash gate).
+  */
+case class LmNllMicros(child: Expression, bigramKeys: Array[Long],
+    bigramMicros: Array[Long], ctxKeys: Array[Long],
+    ctxMicros: Array[Long], dfltMicros: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "lm_nll_micros"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.strings(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.lmNllMicros(input.asInstanceOf[UTF8String],
+      bigramKeys, bigramMicros, ctxKeys, ctxMicros, dfltMicros)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bk = ctx.addReferenceObj("bk", bigramKeys, "long[]")
+    val bv = ctx.addReferenceObj("bv", bigramMicros, "long[]")
+    val ck = ctx.addReferenceObj("ck", ctxKeys, "long[]")
+    val cv = ctx.addReferenceObj("cv", ctxMicros, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashKernels.lmNllMicros($c, $bk, $bv, $ck, $cv, ${dfltMicros}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LmNllMicros =
     copy(child = newChild)
 }
 

@@ -1672,7 +1672,16 @@ object Similarity {
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-        val sk = emb
+        // The sketch is MATERIALIZED (persistTracked), for two reasons
+        // that are the same reason at 100 TB: (1) higher-order array
+        // functions (transform/aggregate/zip_with) evaluate interpreted,
+        // outside whole-stage codegen — left as expressions they collapse
+        // into the join projection and re-run PER PAIR (the first ladder
+        // run measured exactly that: minutes at sf1); (2) in production
+        // the sketch IS the stored artifact — built once at ingest,
+        // scanned instead of the float vectors. The per-pair math below
+        // is all codegen: one native cosine_sim + two multiplies.
+        val sk = graft.Caching.persistTracked(s"e13_sk_$d", emb
           .withColumn("nrm", sqrt(aggregate(
             transform(col("embedding"), v => (v * v).cast("double")),
             lit(0.0), (a, x) => a + x)))
@@ -1683,22 +1692,31 @@ object Similarity {
             array_max(transform(col("nx"), v => abs(v))) / lit(127.0))
           .withColumn("qx", transform(col("nx"),
             v => floor(v / col("sx") + lit(0.5) + lit(1e-9)).cast("long")))
+          // dequantized sketch vector dx = sx*qx and its stored norm/
+          // residual: approx(x, y) = dx.dy = cosine_sim(dx, dy)*|dx|*|dy|
+          // — the dot rides the NATIVE cosine expression, scalars undo
+          // its normalization
+          .withColumn("dx", transform(col("qx"),
+            q => (col("sx") * q).cast("float")))
+          .withColumn("dn", sqrt(aggregate(
+            transform(col("dx"), v => (v * v).cast("double")),
+            lit(0.0), (a, x) => a + x)))
           .withColumn("rx", sqrt(aggregate(
             zip_with(col("nx"), col("qx"),
               (n, q) => (n - col("sx") * q) * (n - col("sx") * q)),
             lit(0.0), (a, x) => a + x)))
           .select(col("vec_id"), col("embedding"),
-                  col("qx"), col("sx"), col("rx"))
+                  col("dx"), col("dn"), col("rx")))
         val q = sk.filter(col("vec_id") < RangeQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-                  col("qx").as("qy"), col("sx").as("sy"), col("rx").as("ry"))
+                  col("dx").as("dy"), col("dn").as("dm"), col("rx").as("ry"))
         sk.join(broadcast(q), col("vec_id") =!= col("q_id"))
           .withColumn("approx",
-            col("sx") * col("sy") * aggregate(
-              zip_with(col("qx"), col("qy"), (a, b) => a * b),
-              lit(0L), (a, x) => a + x).cast("double"))
+            expr("cosine_sim(dx, dy)") * col("dn") * col("dm"))
+          // slack 2e-6 covers the float32 cast of dx (per-vector norm
+          // error <= sqrt(d)*2^-24 ~ 5e-7 per side) plus double rounding
           .withColumn("eps",
-            col("rx") + col("ry") + col("rx") * col("ry") + lit(1e-9))
+            col("rx") + col("ry") + col("rx") * col("ry") + lit(2e-6))
           // int8 prescreen FIRST; the exact cosine conjunct only runs on
           // survivors (And short-circuits left to right in the fused filter)
           .filter(col("approx") + col("eps") >= lit(RangeTau) - lit(1e-6))

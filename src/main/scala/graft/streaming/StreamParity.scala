@@ -654,12 +654,12 @@ object StreamParity {
       import graft.operators.TextAnalysis
       val staticDocs = Seq(
         (1L, "en", "abab"), (2L, "en", "abba"), (3L, "zh", "zzzz"))
-      val (bm, cm, v) = TextAnalysis.lmModel(
+      val m = TextAnalysis.lmModel(
         staticDocs.toDF("doc_id", "lang", "text").filter(col("lang") === "en"))
       val arriving = Seq(
         (10L, "en", "ab"), (11L, "en", "ba"), (12L, "zh", "zq"),
         (13L, "en", "x"))
-      def leg(docs: DataFrame) = TextAnalysis.lmScore(docs, bm, cm, v)
+      def leg(docs: DataFrame) = TextAnalysis.lmScore(spark, docs, m)
       def key(r: org.apache.spark.sql.Row) =
         (r.getLong(0), r.getString(1), r.getInt(2),
           if (r.isNullAt(3)) Double.NaN else r.getDouble(3))

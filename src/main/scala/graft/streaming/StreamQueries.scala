@@ -870,24 +870,24 @@ object StreamQueries {
     // trained-model placement a production pipeline wants (score text
     // against yesterday's reference LM before the bytes land in the
     // lake). The char-bigram Laplace model trains on the STATIC corpus
-    // (s12/s16's pattern) and rides into the stream as three broadcast
-    // one-row frames (stream-static join, stateless); the per-doc score
-    // is d43's codegen'd decimal fold, unchanged — APPEND mode, zero
-    // shuffle, zero state. One scoring definition, two transports:
+    // (s12/s16's pattern) and rides the closure as sorted long arrays
+    // (d29's list-in-closure discipline); the per-doc score is d43's
+    // one-kernel-call-per-row exact micro-sum, unchanged — APPEND mode,
+    // zero shuffle, zero state. One scoring definition, two transports:
     // batch d43 and this leg share lmModel/lmScore verbatim, so batch
     // and stream nll cannot drift. Oracle: d43's SQL verbatim.
     "s24_stream_lm_score" -> OpDef.sql(
       (s, d) => {
         import graft.operators.TextAnalysis
         val statics = graft.sources.Tables.documents(s, d)
-        val (bm, cm, v) = TextAnalysis.lmModel(
-          statics.filter(col("lang") === "en"))
+        val m = TextAnalysis.lmModelMemo(
+          graft.sources.Tables.stamp(d, "documents"))(
+          TextAnalysis.lmModel(statics.filter(col("lang") === "en")))
         val dir = stagedDocsDir(s, d)
         val schema = s.read.parquet(s"$d/documents.parquet").schema
         val docs = s.readStream.schema(schema).parquet(dir)
         drainFiles(s, "s24",
-            TextAnalysis.lmScore(
-              docs.select("doc_id", "lang", "text"), bm, cm, v),
+            TextAnalysis.lmScore(s, docs.select("doc_id", "lang", "text"), m),
             d, feedBytes = dirBytes(dir))
           .orderBy("doc_id")
       },

@@ -17,7 +17,7 @@ class LmPerplexitySpec extends AnyFunSuite with SparkFixture {
     // ref text "abab": bigrams ab, ba, ab -> n(ab)=2, n(ba)=1
     // contexts: a -> n1=2, b -> n1=1; charset V = {a, b} = 2
     val ref = Seq((0L, "en", "abab")).toDF("doc_id", "lang", "text")
-    val (bm, cm, v) = TextAnalysis.lmModel(ref)
+    val m = TextAnalysis.lmModel(ref)
     // score "ab": one bigram, logp(ab) = ln((2+1)/(2+2)) = ln(0.75)
     // score "ba": logp(ba) = ln((1+1)/(1+2)) = ln(2/3)
     // score "bb": unseen bigram, seen context b -> ln(1/(1+2))
@@ -26,7 +26,7 @@ class LmPerplexitySpec extends AnyFunSuite with SparkFixture {
       (1L, "en", "ab"), (2L, "en", "ba"), (3L, "en", "bb"),
       (4L, "en", "ca"), (5L, "en", "x"), (6L, "en", "")
     ).toDF("doc_id", "lang", "text")
-    val out = TextAnalysis.lmScore(docs, bm, cm, v)
+    val out = TextAnalysis.lmScore(spark, docs, m)
       .orderBy("doc_id")
       .select("doc_id", "n_big", "nll")
       .collect()
