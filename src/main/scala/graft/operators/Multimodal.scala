@@ -258,6 +258,32 @@ object Multimodal {
           .cast("binary"))
       .select(col("doc_id"), col("payload"))
 
+  /** m07's kernel: 16-point Walsh-Hadamard coefficients (bins 0-7) of
+    * every full non-overlapping frame of `samples` — integer-exact,
+    * twiddle (-1)^popcount(k AND n). Returns (frame, k, coef) rows.
+    */
+  private[graft] def whtFrames(samples: Array[Int]): Seq[(Int, Int, Long)] = {
+    val nf = samples.length / 16
+    val out = new scala.collection.mutable.ArrayBuffer[(Int, Int, Long)](nf * 8)
+    var f = 0
+    while (f < nf) {
+      var k = 0
+      while (k < 8) {
+        var acc = 0L
+        var n = 0
+        while (n < 16) {
+          acc += samples(f * 16 + n).toLong *
+            (1 - 2 * (java.lang.Integer.bitCount(k & n) & 1))
+          n += 1
+        }
+        out += ((f, k, acc))
+        k += 1
+      }
+      f += 1
+    }
+    out.toSeq
+  }
+
   /** m08's kernel: nearest-neighbor half-size resample of an RGB pixel
     * buffer — out(x2, y2) = in(2*x2, 2*y2), ceil-half output dims so a
     * 1-pixel axis survives. Real byte shuffling on the decoded image,
@@ -609,14 +635,17 @@ object Multimodal {
     // front end: per-frame spectral coefficients are what an audio
     // fingerprinter actually consumes). The decode (real bytes, real
     // chunk walk) extracts channel-0 samples; framing and the 16-point
-    // WHT run IN-PLAN as codegen'd integer array arithmetic — the
-    // twiddle factors are (-1)^popcount(k AND n), so the transform is
-    // EXACT in both engines (no libm, no rounding discipline needed:
-    // the one DSP transform with zero cross-engine float risk).
+    // WHT run in the SAME flatMap — integer arithmetic with twiddles
+    // (-1)^popcount(k AND n), so the transform is EXACT in both engines
+    // (no libm, no rounding discipline needed: the one DSP transform
+    // with zero cross-engine float risk). The first in-plan form
+    // computed the WHT through transform/aggregate higher-order
+    // functions — interpreted per (frame, bin, sample): 968 CPU-seconds
+    // at sf10 for what is 256M integer multiply-adds; fused into the
+    // decoder pass it is plain JVM arithmetic at scan speed.
     // Undecodable payloads (m05's corrupt classes) and clips shorter
     // than one frame contribute no rows by construction — the same
-    // visible policy the oracle replays. Scale: decode + WHT are
-    // per-row map work at scan speed; output is bounded at
+    // visible policy the oracle replays. Output is bounded at
     // frames*bins = 32 rows/doc.
     "m07_wht_spectrum" -> OpDef.sql(
       (s, d) => {
@@ -626,25 +655,11 @@ object Multimodal {
           .mapPartitions { rows =>
             rows.flatMap { case (id, bytes) =>
               WavDecoder.channel0(bytes, maxSamples = 64)
-                .map(ss => (id, ss)).toSeq
+                .toSeq.flatMap(ss => whtFrames(ss).map {
+                  case (f, k, c) => (id, f, k, c) })
             }
           }
-          .toDF("doc_id", "samples")
-          .filter(size(col("samples")) >= 16)
-          .withColumn("frame_arr", expr(
-            "transform(sequence(0, size(samples) DIV 16 - 1)," +
-              " f -> slice(samples, f * 16 + 1, 16))"))
-          .select(col("doc_id"),
-            posexplode(col("frame_arr")).as(Seq("frame", "fr")))
-          .withColumn("coefs", expr(
-            """transform(sequence(0, 7), k ->
-              |  aggregate(sequence(0, 15), 0L, (acc, n) ->
-              |    acc + CAST(element_at(fr, n + 1) AS BIGINT)
-              |        * (1 - 2 * (bit_count(k & n) % 2))))""".stripMargin))
-          .select(col("doc_id"), col("frame").cast("int").as("frame"),
-            posexplode(col("coefs")).as(Seq("k", "coef")))
-          .select(col("doc_id"), col("frame"), col("k").cast("int").as("k"),
-                  col("coef"))
+          .toDF("doc_id", "frame", "k", "coef")
           .orderBy("doc_id", "frame", "k")
       },
       """WITH p AS (

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.WavDecoder
+import graft.operators.{Multimodal, WavDecoder}
 
 /** m07_wht_spectrum's decoder leg: channel-0 sample extraction on
   * hand-built WAV bytes (including the signed-16-bit and 8-bit-recentre
@@ -47,24 +47,16 @@ class WhtSpectrumSpec extends AnyFunSuite with SparkFixture {
     assert(WavDecoder.channel0(w24, 64).isEmpty)
   }
 
-  test("WHT identities on the gate transform") {
-    val s = spark
-    import s.implicits._
-    import org.apache.spark.sql.functions._
+  test("WHT identities on the gate kernel") {
     // impulse at n=0 -> every coefficient 1; constant 3 -> only k=0 (=48)
     val impulse = Array(1) ++ Array.fill(15)(0)
     val const = Array.fill(16)(3)
-    val df = Seq((1L, impulse.toSeq), (2L, const.toSeq))
-      .toDF("doc_id", "fr")
-    val out = df.withColumn("coefs", expr(
-        """transform(sequence(0, 7), k ->
-          |  aggregate(sequence(0, 15), 0L, (acc, n) ->
-          |    acc + CAST(element_at(fr, n + 1) AS BIGINT)
-          |        * (1 - 2 * (bit_count(k & n) % 2))))""".stripMargin))
-      .select(col("doc_id"), col("coefs"))
-      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
-    assert(out(1L) == Seq.fill(8)(1L))
-    assert(out(2L) == 48L +: Seq.fill(7)(0L))
+    assert(Multimodal.whtFrames(impulse).map(_._3) == Seq.fill(8)(1L))
+    assert(Multimodal.whtFrames(const).map(_._3) == 48L +: Seq.fill(7)(0L))
+    // two frames emit independent spectra; a 17-sample clip has one
+    assert(Multimodal.whtFrames(impulse ++ const).map(t => (t._1, t._2))
+      == (for (f <- 0 to 1; k <- 0 to 7) yield (f, k)))
+    assert(Multimodal.whtFrames(Array.fill(17)(1)).map(_._1).distinct == Seq(0))
   }
 
   test("gate entry emits only full frames of decodable docs") {
