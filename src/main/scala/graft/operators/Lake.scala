@@ -724,6 +724,86 @@ object Lake {
            |ORDER BY doc_id""".stripMargin
       }),
 
+    // l14: SCHEMA EVOLUTION inside the versioned-table facade — the one
+    // lake lifecycle event l03 proves possible on ad-hoc lakes
+    // (mergeSchema reads) that GraftTable didn't own until r15: a merge
+    // whose changelog carries a NEW column ("rev") extends the table —
+    // old rows read as typed nulls (the version's stored schema
+    // backfills what old files lack), readAsOf(0) keeps the OLD schema
+    // verbatim, diff(0,1) compares over the union column set instead of
+    // throwing, and a changelog MISSING a current column still fails
+    // loudly (additions evolve; silent drops don't). The gate reads the
+    // evolved current version; the oracle replays generation semantics
+    // (upserts define rev, survivors are NULL there). GraftTableSpec's
+    // evolution leg holds the old-reader/new-reader matrix and the diff
+    // asymmetry.
+    "l14_schema_evolve" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l14", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = cdcChangelog(t.read())
+          .withColumn("rev", pmod(col("doc_id"), lit(97L)).cast("int"))
+        t.merge(log)
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"), col("rev"))
+          .orderBy("doc_id")
+      },
+      {
+        def b(id: String) =
+          s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % 100"
+        s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+           |fulllog AS (
+           |  SELECT 'D' AS op, doc_id, source, text
+           |  FROM v1 WHERE ${b("doc_id")} < 8
+           |  UNION ALL
+           |  SELECT 'U', doc_id, source, text || ' (rev 2)'
+           |  FROM v1 WHERE ${b("doc_id")} >= 8 AND ${b("doc_id")} < 16
+           |  UNION ALL
+           |  SELECT 'U', doc_id + 1000000000, source, text || ' (new)'
+           |  FROM v1 WHERE ${b("doc_id")} >= 16 AND ${b("doc_id")} < 24),
+           |log AS (SELECT *, CAST(doc_id % 97 AS INT) AS rev FROM fulllog),
+           |v2 AS (
+           |  SELECT doc_id, source, text, CAST(NULL AS INT) AS rev FROM v1
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM log)
+           |  UNION ALL
+           |  SELECT doc_id, source, text, rev FROM log WHERE op = 'U')
+           |SELECT doc_id, source, md5(text) AS fp, rev
+           |FROM v2 ORDER BY doc_id""".stripMargin
+      }),
+
+    // l15: PARTITION-SCOPED MERGE inside the facade — l08's
+    // touched-slice rewrite composed with versioning (the r14 verdict's
+    // missing trickle-tick cost model): GraftTable.mergeScoped rewrites
+    // ONLY the files whose manifest key ranges the changelog touches;
+    // untouched files carry forward in the new version's manifest as
+    // the SAME bytes — cost ∝ touched-files + changelog, never
+    // snapshot. The gate applies a key-LOCAL changelog (keys below
+    // max/8 — by construction it admits a strict subset of the 8+
+    // range-partitioned files) and reads the merged current version;
+    // the oracle replays the same restricted merge logically, so the
+    // carried-forward old files and the rewritten new ones must
+    // compose into exactly the full answer. GraftTableSpec's scoped leg
+    // proves untouched-file byte-identity, manifest/file agreement,
+    // scoped==full content, and reference-aware vacuum.
+    "l15_scoped_merge" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l15", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val cut = docs.agg(max("doc_id")).head.getLong(0) / 8
+        t.mergeScoped(cdcChangelog(t.read())
+          .filter(col("doc_id") < lit(cut)))
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      duckCdcSqlWhere("doc_id < (SELECT max(doc_id) // 8 FROM v1)")),
+
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a
     // predicate, but it must LIST the lake and OPEN every footer first:

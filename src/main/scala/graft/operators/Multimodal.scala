@@ -677,10 +677,17 @@ object Multimodal {
         |              substr(repeat(md5(text), (n - 1) // 32 + 1), 1, n) AS dataStr
         |       FROM q),
         |s AS (
+        |  -- 16-bit samples decode SIGNED, matching WavDecoder.channel0's
+        |  -- short semantics: hi >= 128 wraps negative. The synthetic
+        |  -- feed's data bytes are md5 hex ASCII (< 0x80) so the branch
+        |  -- never fires there, but a feed with real high bytes must not
+        |  -- silently diverge from the kernel.
         |  SELECT doc_id, CAST(i AS INT) AS i,
         |         CASE WHEN bits = 16
         |              THEN ascii(substr(dataStr, CAST(i * ba + 1 AS INT), 1))
         |                   + 256 * ascii(substr(dataStr, CAST(i * ba + 2 AS INT), 1))
+        |                   - CASE WHEN ascii(substr(dataStr, CAST(i * ba + 2 AS INT), 1)) >= 128
+        |                          THEN 65536 ELSE 0 END
         |              ELSE ascii(substr(dataStr, CAST(i * ba + 1 AS INT), 1)) - 128
         |         END AS v
         |  FROM ds, unnest(range(0, least((ns // 16) * 16, 64))) t(i)),

@@ -1210,12 +1210,17 @@ object Relational {
         val bounds = o.agg(min("o_totalprice").as("lo"),
                            max("o_totalprice").as("hi"))
         // explicit bucket arithmetic (not width_bucket) so the oracle
-        // computes bit-identical IEEE divisions: floor((v-lo)/(hi-lo)*10)
+        // computes bit-identical IEEE divisions: floor((v-lo)/(hi-lo)*10).
+        // Degenerate range (every value equal → hi = lo) guards to bin 1
+        // in BOTH engines: the raw formula would yield NaN here — Spark
+        // silently dropping rows, DuckDB erroring on the INT cast.
         val binned = o.crossJoin(broadcast(bounds))
           .withColumn("bin",
-            least(floor((col("o_totalprice") - col("lo"))
-                          / (col("hi") - col("lo")) * 10).cast("int") + 1,
-                  lit(10)))
+            when(col("hi") === col("lo"), lit(1))
+              .otherwise(
+                least(floor((col("o_totalprice") - col("lo"))
+                              / (col("hi") - col("lo")) * 10).cast("int") + 1,
+                      lit(10))))
           .groupBy("o_orderpriority", "bin").agg(count(lit(1)).as("n"))
         val grid = o.select(col("o_orderpriority")).distinct()
           .crossJoin(s.range(1, 11).select(col("id").cast("int").as("bin")))
@@ -1228,8 +1233,9 @@ object Relational {
         |           FROM orders),
         |binned AS (
         |  SELECT o_orderpriority,
-        |         least(CAST(floor((o_totalprice - lo) / (hi - lo) * 10) AS INT) + 1,
-        |               10) AS bin,
+        |         CASE WHEN hi = lo THEN 1
+        |              ELSE least(CAST(floor((o_totalprice - lo) / (hi - lo) * 10) AS INT) + 1,
+        |                         10) END AS bin,
         |         CAST(count(*) AS BIGINT) AS n
         |  FROM orders, b GROUP BY 1, 2),
         |grid AS (

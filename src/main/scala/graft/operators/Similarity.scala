@@ -224,11 +224,15 @@ object Similarity {
     * Shared by d09/e06's pair builder and e02's multiprobe ANN.
     */
   private[graft] def bandedCodes(s: SparkSession, emb: DataFrame,
-      target: Long = TargetBucket): DataFrame = {
+      target: Long = TargetBucket, countOver: DataFrame = null): DataFrame = {
     // one-row broadcast: every row learns the corpus count, and the
-    // width ladder is plain integer CASE arithmetic on it
+    // width ladder is plain integer CASE arithmetic on it. `countOver`
+    // (default: emb itself) is the frame whose COUNT drives the width
+    // ladder — a query-side caller codes its handful of vectors at the
+    // CORPUS's width, or its buckets would never collide with the index
     val sized = emb
-      .crossJoin(broadcast(emb.agg(count(lit(1)).as("corpus_n"))))
+      .crossJoin(broadcast(Option(countOver).getOrElse(emb)
+        .agg(count(lit(1)).as("corpus_n"))))
       .withColumn("bits", expr(bandBitsCase("corpus_n", target)))
     val bandStructs = (0 until NumDupBands).map { t =>
       val fn = bandCodeFn(s, t)
@@ -758,22 +762,23 @@ object Similarity {
     * the corpus.
     */
   private[graft] def pqSearch(s: SparkSession, m: PqModel,
-      codes: DataFrame, emb: DataFrame, queries: DataFrame): DataFrame =
-    pqRefine(pqShortlist(s, m, codes, queries), emb, queries)
+      codes: DataFrame, emb: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame =
+    pqRefine(pqShortlist(s, m, codes, queries), emb, queries, k)
 
   /** The exact-cosine refine stage shared by e11 and e12: re-rank only
     * the shortlist's vectors (point fetches against the id-keyed lake,
     * never a second corpus scan), emitted in e01's output shape.
     */
   private[graft] def pqRefine(shortlist: DataFrame, emb: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, k: Int = TopK): DataFrame = {
     val cand = shortlist.select("q_id", "vec_id")
     emb.join(broadcast(cand), "vec_id")
       .join(broadcast(queries), "q_id")
       .withColumn("sim",
         round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
       .groupBy("q_id")
-      .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
+      .agg(expr(s"topk_by(sim, vec_id, $k)").as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
               col("col.id").as("neighbor_id"), col("col.score").as("sim"))
@@ -892,7 +897,7 @@ object Similarity {
   }
 
   private[graft] def e03Search(s: SparkSession, postings: DataFrame,
-      centroids: DataFrame, queries: DataFrame): DataFrame = {
+      centroids: DataFrame, queries: DataFrame, k: Int = TopK): DataFrame = {
     GraftFunctions.register(s)
     val probes = e03ProbeCells(queries, centroids)
     postings
@@ -902,7 +907,7 @@ object Similarity {
       // merge the (at most 2) copies of a doubly-posted candidate
       .groupBy("q_id", "vec_id").agg(max("sim").as("sim"))
       .groupBy("q_id")
-      .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
+      .agg(expr(s"topk_by(sim, vec_id, $k)").as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
               col("col.id").as("neighbor_id"), col("col.score").as("sim"))
@@ -951,13 +956,87 @@ object Similarity {
     * int8 lake ([[graft.sources.AnnIndexLake]]).
     */
   private[graft] def knnInt8Search(s: SparkSession, deq: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, k: Int = TopK): DataFrame = {
     GraftFunctions.register(s)
     deq.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("sim",
         round(expr("cosine_sim(dvec, q_vec)") + lit(1e-10), 6))
       .groupBy("q_id")
-      .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
+      .agg(expr(s"topk_by(sim, vec_id, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+              col("col.id").as("neighbor_id"), col("col.score").as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** e01's brute-force search over an ARBITRARY query frame (q_id,
+    * q_vec) — the exact-answer baseline every approximate tier is
+    * measured against, and [[graft.sources.AnnIndexLake.search]]'s
+    * "brute" tier. e01's plan skeleton verbatim: broadcast queries,
+    * codegen'd cosine, map-side bounded TopKBy heaps — only k rows per
+    * (query, map task) ever shuffle, where a window-rank formulation
+    * would shuffle the entire scored corpus per query at 100 TB. Query
+    * ids share the corpus id space: a query whose id equals a corpus
+    * vector's excludes that vector (self-match exclusion — the gate
+    * semantics; disjoint hand ids exclude nothing).
+    */
+  private[graft] def knnBruteSearch(s: SparkSession, emb: DataFrame,
+      queries: DataFrame, k: Int = TopK): DataFrame = {
+    GraftFunctions.register(s)
+    emb.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
+      .groupBy("q_id")
+      .agg(expr(s"topk_by(sim, vec_id, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+              col("col.id").as("neighbor_id"), col("col.score").as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
+  /** e02's banded + density-laddered + Hamming-≤2 multiprobe LSH search
+    * over an ARBITRARY query frame — the gate entry's plan with one
+    * generalization: query codes come from the SAME sign-code family at
+    * the CORPUS-count-laddered width (bandedCodes' countOver), so a
+    * query vector that never lives in the corpus still probes the
+    * index's buckets. For queries that ARE corpus rows the codes are
+    * bit-identical to the corpus's own (same planes, same width, same
+    * masking), so the gate's results are reproduced exactly
+    * (AnnSearchApiSpec asserts it).
+    */
+  private[graft] def e02LshSearch(s: SparkSession, emb: DataFrame,
+      queries: DataFrame, k: Int = TopK): DataFrame = {
+    GraftFunctions.register(s)
+    val bands = bandedCodes(s, emb, E02TargetBucket)
+    val qCodes = bandedCodes(s,
+      queries.select(col("q_id").as("vec_id"), col("q_vec").as("embedding")),
+      E02TargetBucket, countOver = emb)
+    // flip indices (i, j) over 1-based bit positions with 0 = "no
+    // flip": (0,0) is the home bucket, (i,0) single flips, (i,j<i)
+    // double flips — 1 + bits + C(bits,2) probes per (query, band)
+    val probes = qCodes
+      .select(col("vec_id").as("q_id"), col("band"), col("bcode"),
+              col("bits"))
+      .withColumn("i", explode(sequence(lit(0), col("bits"))))
+      .withColumn("j", explode(sequence(lit(0), col("i"))))
+      .filter(col("j") < col("i") || (col("i") === 0 && col("j") === 0))
+      .withColumn("pcode", expr(
+        """bcode
+          | ^ (CASE WHEN i > 0 THEN shiftleft(1, i - 1) ELSE 0 END)
+          | ^ (CASE WHEN j > 0 THEN shiftleft(1, j - 1) ELSE 0 END)"""
+          .stripMargin))
+      .select(col("q_id"), col("band"), col("pcode").as("bcode"))
+    bands.join(broadcast(probes), Seq("band", "bcode"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id").distinct()
+      .join(emb, "vec_id")
+      .join(broadcast(queries), "q_id")
+      .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
+      // same scale argument as e01: map-side bounded heaps, only k
+      // rows per (query, task) shuffle — never a window over the
+      // whole candidate set
+      .groupBy("q_id")
+      .agg(expr(s"topk_by(sim, vec_id, $k)").as("top"))
       .select(col("q_id"), posexplode(col("top")))
       .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
               col("col.id").as("neighbor_id"), col("col.score").as("sim"))
@@ -1005,19 +1084,10 @@ object Similarity {
     // scored corpus per query at 100 TB.
     "e01_knn_brute" -> OpDef.sql(
       (s, d) => {
-        GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-        val queries = emb.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        Tables.embeddings(s, d)
-          .join(broadcast(queries), col("vec_id") =!= col("q_id"))
-          .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
-          .groupBy("q_id")
-          .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
-          .select(col("q_id"), posexplode(col("top")))
-          .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
-                  col("col.id").as("neighbor_id"), col("col.score").as("sim"))
-          .orderBy("q_id", "rk")
+        knnBruteSearch(s, emb,
+          emb.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
       },
       s"""WITH q AS (
          |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
@@ -1408,41 +1478,10 @@ object Similarity {
     // stays hash-proven; AnnRecallSpec floors its recall next to e03's.
     "e02_ann_lsh" -> OpDef.sql(
       (s, d) => {
-        GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-        val bands = bandedCodes(s, emb, E02TargetBucket)
-        // flip indices (i, j) over 1-based bit positions with 0 = "no
-        // flip": (0,0) is the home bucket, (i,0) single flips, (i,j<i)
-        // double flips — 1 + bits + C(bits,2) probes per (query, band)
-        val probes = bands.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("band"), col("bcode"),
-                  col("bits"))
-          .withColumn("i", explode(sequence(lit(0), col("bits"))))
-          .withColumn("j", explode(sequence(lit(0), col("i"))))
-          .filter(col("j") < col("i") || (col("i") === 0 && col("j") === 0))
-          .withColumn("pcode", expr(
-            """bcode
-              | ^ (CASE WHEN i > 0 THEN shiftleft(1, i - 1) ELSE 0 END)
-              | ^ (CASE WHEN j > 0 THEN shiftleft(1, j - 1) ELSE 0 END)"""
-              .stripMargin))
-          .select(col("q_id"), col("band"), col("pcode").as("bcode"))
-        val qVecs = emb.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        bands.join(broadcast(probes), Seq("band", "bcode"))
-          .filter(col("vec_id") =!= col("q_id"))
-          .select("q_id", "vec_id").distinct()
-          .join(emb, "vec_id")
-          .join(broadcast(qVecs), "q_id")
-          .withColumn("sim", round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
-          // same scale argument as e01: map-side bounded heaps, only k
-          // rows per (query, task) shuffle — never a window over the
-          // whole candidate set
-          .groupBy("q_id")
-          .agg(expr(s"topk_by(sim, vec_id, $TopK)").as("top"))
-          .select(col("q_id"), posexplode(col("top")))
-          .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
-                  col("col.id").as("neighbor_id"), col("col.score").as("sim"))
-          .orderBy("q_id", "rk")
+        e02LshSearch(s, emb,
+          emb.filter(col("vec_id") < NumQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
       }, {
         val codeList = (0 until NumDupBands)
           .map(t => signCodeSql("embedding::DOUBLE[]", bandPlanes(t)))

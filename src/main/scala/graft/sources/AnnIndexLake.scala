@@ -138,19 +138,8 @@ object AnnIndexLake {
     * production topology e08/e10 already run: training is a corpus-build
     * step, search is a read.
     */
-  def ensureE03Index(s: SparkSession, d: String, emb: DataFrame): String = {
-    import java.nio.file.{Files, Paths}
-    val dir = graft.operators.Lake.scratch("e03idx", d)
-    val stamp = Tables.stamp(d, "embeddings")
-    val marker = Paths.get(dir, "_graft_stamp")
-    val current = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8") == stamp
-    if (!current) {
-      writeE03Index(s, emb, dir)
-      Files.write(marker, stamp.getBytes("UTF-8"))
-    }
-    dir
-  }
+  def ensureE03Index(s: SparkSession, d: String, emb: DataFrame): String =
+    ensureStamped("e03idx", d)(dir => writeE03Index(s, emb, dir))
 
   /** IVF search over the persisted index: centroids and postings read
     * from the lake (postings re-joined to their embeddings by id — the
@@ -158,12 +147,12 @@ object AnnIndexLake {
     * the gate's, ZERO Lloyd jobs.
     */
   def e03SearchFromIndex(s: SparkSession, dir: String, emb: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, k: Int = Similarity.TopK): DataFrame = {
     val centroids = s.read.parquet(s"$dir/centroids")
     val postings = s.read.parquet(s"$dir/postings")
       .join(emb.select("vec_id", "embedding"), "vec_id")
       .select("vec_id", "embedding", "cell")
-    Similarity.e03Search(s, postings, centroids, queries)
+    Similarity.e03Search(s, postings, centroids, queries, k)
   }
 
   // ---- int8 vector lake ----------------------------------------------
@@ -239,9 +228,41 @@ object AnnIndexLake {
     * shortlist from the float lake — zero training jobs.
     */
   def pqSearchFromIndex(s: SparkSession, dir: String, emb: DataFrame,
-      queries: DataFrame): DataFrame =
+      queries: DataFrame, k: Int = Similarity.TopK): DataFrame =
     Similarity.pqSearch(s, readPqModel(s, dir),
-      s.read.parquet(s"$dir/codes"), emb, queries)
+      s.read.parquet(s"$dir/codes"), emb, queries, k)
+
+  /** An index dir under the [[graft.operators.Lake.scratch]] root,
+    * (re)built by `build` at most once per corpus CONTENT stamp — the
+    * `_graft_stamp` marker commits only AFTER the build, so a crash
+    * mid-write rebuilds. The e03/e08 train-once discipline, factored.
+    */
+  private def ensureStamped(tag: String, d: String)
+      (build: String => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = graft.operators.Lake.scratch(tag, d)
+    val stamp = Tables.stamp(d, "embeddings")
+    val marker = Paths.get(dir, "_graft_stamp")
+    val current = Files.exists(marker) &&
+      new String(Files.readAllBytes(marker), "UTF-8") == stamp
+    if (!current) {
+      build(dir)
+      Files.write(marker, stamp.getBytes("UTF-8"))
+    }
+    dir
+  }
+
+  /** Train-once entry point for the e11 PQ index (codebooks + code
+    * table), per corpus content stamp.
+    */
+  def ensurePqIndex(s: SparkSession, d: String, emb: DataFrame): String =
+    ensureStamped("e11idx", d)(dir => { writePqIndex(s, emb, dir); () })
+
+  /** Write-once entry point for the e07/e09 int8 vector lake (scales +
+    * packed codes), per corpus content stamp.
+    */
+  def ensureInt8Lake(s: SparkSession, d: String, emb: DataFrame): String =
+    ensureStamped("int8lake", d)(dir => writeInt8Lake(s, emb, dir))
 
   /** e12's IVFPQ search, COMPOSED from the two persisted artifacts the
     * family already maintains: the e03 coarse index (centroids + cell
@@ -252,17 +273,9 @@ object AnnIndexLake {
     * Zero training jobs when both indexes are current.
     */
   def ivfPqSearch(s: SparkSession, d: String, emb: DataFrame,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame, k: Int = Similarity.TopK): DataFrame = {
     val e03Dir = ensureE03Index(s, d, emb)
-    val pqDir = graft.operators.Lake.scratch("e11idx", d)
-    val marker = java.nio.file.Paths.get(pqDir, "_graft_stamp")
-    val stamp = Tables.stamp(d, "embeddings")
-    val current = java.nio.file.Files.exists(marker) &&
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == stamp
-    if (!current) {
-      writePqIndex(s, emb, pqDir)
-      java.nio.file.Files.write(marker, stamp.getBytes("UTF-8"))
-    }
+    val pqDir = ensurePqIndex(s, d, emb)
     val m = readPqModel(s, pqDir)
     val cellCodes = s.read.parquet(s"$e03Dir/postings")
       .select("vec_id", "cell")
@@ -270,6 +283,63 @@ object AnnIndexLake {
     Similarity.pqRefine(
       Similarity.ivfPqShortlist(s, m, cellCodes,
         s.read.parquet(s"$e03Dir/centroids"), queries),
-      emb, queries)
+      emb, queries, k)
+  }
+
+  // ---- the unified search facade --------------------------------------
+
+  /** The tier table, for error messages and the spec's sweep. */
+  val SearchTiers: Seq[String] =
+    Seq("brute", "lsh", "ivf", "int8", "pq", "ivfpq")
+
+  /** ONE user-facing entry point over the whole ANN family — the five
+    * approximate tiers plus the exact baseline stop being gate-shaped
+    * (`vec_id < NumQueries`) and take the caller's OWN query frame:
+    *
+    *   AnnIndexLake.search(s, d, queries, "ivfpq", k = 20)
+    *
+    * `queries` carries (q_id: long, q_vec: array<float> — the corpus
+    * embedding element type). Output is e01's shape: (q_id, rk,
+    * neighbor_id, sim), rk 1..k by descending rounded cosine with
+    * neighbor-id tie-break. Query ids share the corpus id space: a
+    * query whose id equals a corpus vector's excludes that one vector
+    * (self-match exclusion — what the gate entries rely on); disjoint
+    * ids (e.g. negatives) exclude nothing.
+    *
+    * Tier guide (measured at sf10 — bench/BENCH_ann_tiers_r14.json):
+    * "brute" exact, reads the whole corpus per query batch; "lsh"
+    * data-oblivious (no training — the only tier needing zero build
+    * artifacts beyond the in-plan codes), recall ~0.84; "ivf" trained
+    * coarse cells, recall ~0.9; "int8" exact-shape scan over the
+    * 4x-compressed lake; "pq" 16x-compressed ADC scan + exact refine,
+    * recall ~1.0 at gate scale but reads EVERY code row — right for
+    * tiny corpora or when no coarse quantizer is trainable; "ivfpq"
+    * the production default — PQ's compression under IVF's pruning
+    * (reads ~NProbe/NumCells of the code table), recall ~0.94.
+    *
+    * Index artifacts build lazily, at most once per corpus content
+    * stamp (the train-once discipline); every later call is a pure
+    * probe with zero training jobs.
+    */
+  def search(s: SparkSession, d: String, queries: DataFrame,
+      tier: String, k: Int = Similarity.TopK): DataFrame = {
+    val emb = Tables.embeddings(s, d).select("vec_id", "embedding")
+    val q = queries.select(col("q_id").cast("long").as("q_id"),
+      col("q_vec"))
+    tier match {
+      case "brute" => Similarity.knnBruteSearch(s, emb, q, k)
+      case "lsh" => Similarity.e02LshSearch(s, emb, q, k)
+      case "ivf" =>
+        e03SearchFromIndex(s, ensureE03Index(s, d, emb), emb, q, k)
+      case "int8" =>
+        Similarity.knnInt8Search(s,
+          readInt8Dequantized(s, ensureInt8Lake(s, d, emb)), q, k)
+      case "pq" =>
+        pqSearchFromIndex(s, ensurePqIndex(s, d, emb), emb, q, k)
+      case "ivfpq" => ivfPqSearch(s, d, emb, q, k)
+      case other => throw new IllegalArgumentException(
+        s"unknown ANN tier '$other' — expected one of " +
+          SearchTiers.mkString("[", ", ", "]"))
+    }
   }
 }

@@ -189,4 +189,158 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
 
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
+
+  test("schema evolution: additive merge, old/new reader matrix, diff asymmetry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_ev").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+      .withColumn("rev", pmod(col("doc_id"), lit(97L)).cast("int"))
+    t.merge(log)
+
+    // old reader: time travel returns the pre-evolution schema VERBATIM
+    assert(t.readAsOf(0).columns.toSeq == Seq("doc_id", "source", "text"))
+    assert(t.schemaAsOf(0).fieldNames.toSeq == Seq("doc_id", "source", "text"))
+    // new reader: the union schema — upserts define rev, survivors null
+    assert(t.read().columns.toSeq == Seq("doc_id", "source", "text", "rev"))
+    val v1 = t.read()
+    assert(v1.join(log.select("doc_id"), Seq("doc_id"), "left_anti")
+      .filter(col("rev").isNotNull).count() == 0,
+      "null backfill leaked values into untouched rows")
+    val ups = v1.join(log.filter(col("op") === "U").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    assert(ups.count() > 0 && ups.filter(col("rev").isNull ||
+      col("rev") =!= pmod(col("doc_id"), lit(97L)).cast("int")).count() == 0,
+      "upserts did not carry the evolved column")
+
+    // diff across the evolution compares the UNION column set: the
+    // pre-evolution side of the new column reads as typed null...
+    val d = t.diff(0, 1)
+    assert(d.columns.contains("a_rev") && d.columns.contains("b_rev"))
+    assert(d.filter(col("a_rev").isNotNull).count() == 0)
+    // ...and re-applying diff(0,1) onto v0 reproduces v1 row-for-row
+    val rebuilt = t.readAsOf(0)
+      .withColumn("rev", lit(null).cast("int"))
+      .join(d.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(d.filter(col("op").isin("I", "U"))
+        .select(col("doc_id"), col("b_source").as("source"),
+                col("b_text").as("text"), col("b_rev").as("rev")))
+    assert(collectSorted(rebuilt) == collectSorted(v1),
+      "re-applied diff(0,1) did not reproduce v1")
+
+    // additions evolve; silent drops fail loudly by column name
+    val bad = intercept[IllegalArgumentException](t.merge(log.drop("text")))
+    assert(bad.getMessage.contains("text"),
+      s"missing-column failure unhelpful: ${bad.getMessage}")
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("scoped merge: untouched bytes carry forward, manifest agrees, " +
+       "vacuum is reference-aware") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_sc").toString
+    val dirF = java.nio.file.Files.createTempDirectory("graft_tbl_sf").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val tFull = GraftTable.create(spark, dirF, docs)
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 8
+    val log = Lake.cdcChangelog(t.read()).filter(col("doc_id") < cut)
+
+    val v0State = fileState(s"$dir/v0")
+    t.mergeScoped(log)
+    tFull.merge(log)
+
+    // content identity with the full-merge twin
+    assert(collectSorted(t.read()) == collectSorted(tFull.read()))
+
+    // untouched files carry forward as the SAME paths and bytes; the
+    // rewritten slice is a strict subset
+    assert(fileState(s"$dir/v0") == v0State,
+      "scoped merge touched v0 bytes")
+    val m0 = t.manifest(0).select("path").collect().map(_.getString(0)).toSet
+    val m1 = t.manifest(1).select("path").collect().map(_.getString(0)).toSet
+    val carried = m1.intersect(m0)
+    assert(carried.nonEmpty, "scoped merge carried nothing; spec is vacuous")
+    assert(carried.size < m0.size, "scoped merge rewrote nothing; spec is vacuous")
+    assert((m1 -- m0).forall(_.contains("/v1/")),
+      "rewritten files landed outside the new version directory")
+
+    // manifest/file agreement: stats recomputed from the actual files
+    // equal the committed manifest rows
+    val recomputed = spark.read.parquet(m1.toSeq: _*)
+      .groupBy(input_file_name().as("path"))
+      .agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
+           count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val committed = t.manifest(1)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(recomputed == committed, "manifest rows disagree with file stats")
+
+    // manifest-planned range reads still work across mixed-vintage files
+    assert(collectSorted(t.readRange(0L, cut)) ==
+      collectSorted(t.read().filter(col("doc_id") >= 0 && col("doc_id") < cut)))
+
+    // reference-aware vacuum: v0 retires, but the files v1 still
+    // references survive byte-identical; everything else in v0 goes
+    assert(t.vacuum(keep = 1) == Seq(0))
+    def local(p: String) = java.nio.file.Paths.get(java.net.URI.create(p))
+    assert(carried.forall(p => java.nio.file.Files.exists(local(p))),
+      "vacuum deleted files a retained manifest references")
+    assert((m0 -- carried).forall(p => !java.nio.file.Files.exists(local(p))),
+      "vacuum kept unreferenced files")
+    assert(collectSorted(t.read()) == collectSorted(tFull.read()),
+      "post-vacuum scoped version lost rows")
+    val gone = intercept[java.util.NoSuchElementException](t.readAsOf(0))
+    assert(gone.getMessage.contains("vacuum"))
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+    Lake.deleteTree(java.nio.file.Paths.get(dirF))
+  }
+
+  test("mergeAs replay refuses to tear a scoped successor") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_rt").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+    val even = log.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 8
+    t.mergeAs(even, 1) // full v1 (the streaming shape)
+    t.mergeScoped(log.filter(pmod(col("doc_id"), lit(2)) === 1 &&
+      col("doc_id") < cut)) // scoped v2 carries v1 files forward
+    assert(t.manifest(2).filter(col("path").contains("/v1/")).count() > 0,
+      "scoped v2 references nothing under v1; guard spec is vacuous")
+
+    // a checkpoint replay of batch 0 would overwrite v1's files out from
+    // under v2's manifest — refused loudly, naming the scoped holder
+    val torn = intercept[IllegalStateException](t.mergeAs(even, 1))
+    assert(torn.getMessage.contains("scoped") && torn.getMessage.contains("v2"),
+      s"replay-tear failure unhelpful: ${torn.getMessage}")
+    // v2 is untorn and still reads
+    assert(t.read().count() > 0)
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("reader-vs-vacuum race: pre-vacuum plans fail loudly, never partial") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_rv").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    t.merge(Lake.cdcChangelog(t.read()))
+
+    // a frame planned BEFORE the vacuum holds resolved paths…
+    val planned = t.readAsOf(0)
+    assert(planned.count() > 0)
+    t.vacuum(keep = 1)
+    // …and acting on it after the vacuum fails LOUDLY mid-scan (the
+    // single-writer contract: stale plans error, they never return
+    // silent partial data)
+    intercept[Exception](planned.count())
+    // a read planned AFTER the marker drop fails by name instead
+    val e = intercept[java.util.NoSuchElementException](t.readAsOf(0))
+    assert(e.getMessage.contains("vacuum"))
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
 }
