@@ -1278,6 +1278,14 @@ object Relational {
                 .partitionBy("l_suppkey").orderBy("day")))
           .select(col("l_suppkey"), col("day"),
                   col("cum_parts").cast("long").as("cum_parts"))
+          // COST NOTE (r14 ladder): this trailing global sort of the
+          // full (supplier x day) output is the entry's dominant wall
+          // (20 of 21 s at sf10, ~4x its sf1 time) — it is the GATE's
+          // determinism contract, not the operator. The three
+          // aggregates are combinable and the window is per-supplier;
+          // a consumer that doesn't need a globally sorted dump skips
+          // the orderBy and pays none of it. Don't "optimize" the
+          // operator for this line.
           .orderBy("l_suppkey", "day")
       },
       """SELECT DISTINCT l_suppkey, CAST(l_shipdate AS DATE) AS day,

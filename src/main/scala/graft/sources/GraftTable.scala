@@ -181,6 +181,35 @@ final class GraftTable private (s: SparkSession, val dir: String,
     next
   }
 
+  /** The files of version `n` whose key ranges the changelog touches —
+    * the scoped merge's admission, and [[mergeAuto]]'s dispatch signal.
+    * One interval-overlap join of the manifest against the (broadcast,
+    * trickle-sized) distinct log keys; only touched paths reach the
+    * driver.
+    */
+  private def touchedPaths(n: Int, log: DataFrame): Seq[String] =
+    manifest(n)
+      .join(broadcast(log.select(col(key)).distinct()),
+        col(key) >= col("key_lo") && col(key) <= col("key_hi"), "left_semi")
+      .select("path").collect().map(_.getString(0)).toSeq
+
+  /** Dispatch between the two merge cost models by measured touch
+    * fraction (the cdcMergeAuto discipline one level up): a changelog
+    * touching under half the base's files merges SCOPED (rewrite cost ∝
+    * touched), anything wider merges FULL (a mostly-rewritten version
+    * may as well be self-contained — replay-overwritable, whole-dir
+    * vacuum, and one range exchange lays the whole snapshot back out
+    * with tight per-file spans). The admission scan that decides is the
+    * same one the scoped path would run anyway.
+    */
+  def mergeAuto(log: DataFrame): Int = {
+    val n = currentVersion
+    val touched = touchedPaths(n, log)
+    val total = manifest(n).count()
+    if (touched.size * 2 >= total) merge(log)
+    else mergeScopedOn(n, touched, log)
+  }
+
   /** The trickle-tick merge: rewrite ONLY the files whose key ranges the
     * changelog touches (l08's partition-scoped rewrite, re-expressed
     * over the manifest so it composes with versioning):
@@ -205,13 +234,13 @@ final class GraftTable private (s: SparkSession, val dir: String,
     */
   def mergeScoped(log: DataFrame): Int = {
     val n = currentVersion
+    mergeScopedOn(n, touchedPaths(n, log), log)
+  }
+
+  private def mergeScopedOn(n: Int, touched: Seq[String],
+      log: DataFrame): Int = {
     val next = n + 1
     val base = manifest(n)
-    val logKeys = log.select(col(key)).distinct()
-    val touched = base
-      .join(broadcast(logKeys),
-        col(key) >= col("key_lo") && col(key) <= col("key_hi"), "left_semi")
-      .select("path").collect().map(_.getString(0)).toSeq
     val baseSchema = schemaAsOf(n)
     val touchedRows =
       if (touched.isEmpty)

@@ -299,6 +299,33 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(dirF))
   }
 
+  test("mergeAuto dispatches by measured touch fraction") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_au").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 8
+
+    // a key-local trickle (touches < half the files) merges SCOPED:
+    // the new manifest carries old paths forward
+    t.mergeAuto(log.filter(col("doc_id") < cut))
+    val m1 = t.manifest(1).select("path").collect().map(_.getString(0))
+    assert(m1.exists(_.contains("/v0/")),
+      "trickle tick did not take the scoped path")
+    assert(collectSorted(t.readAsOf(1)) ==
+      collectSorted(Lake.cdcMerge(docs, log.filter(col("doc_id") < cut))))
+
+    // the full md5-bucket changelog touches hash-spread keys in every
+    // file — a wide tick merges FULL: the new version is self-contained
+    // (re-applying the first tick's D/U rows is idempotent by payload)
+    t.mergeAuto(log)
+    val m2 = t.manifest(2).select("path").collect().map(_.getString(0))
+    assert(m2.forall(_.contains("/v2/")),
+      "wide tick did not take the full self-contained path")
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("mergeAs replay refuses to tear a scoped successor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl_rt").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
