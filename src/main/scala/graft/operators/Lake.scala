@@ -804,6 +804,40 @@ object Lake {
       },
       duckCdcSqlWhere("doc_id < (SELECT max(doc_id) // 8 FROM v1)")),
 
+    // l16: COMPACTION inside the facade (Delta OPTIMIZE / l01 owned by
+    // GraftTable) — the operation that completes the scoped-merge cost
+    // model: a chain of trickle ticks leaves the live manifest a
+    // patchwork of small per-tick files and old-version survivors;
+    // compact() lands the whole file list as one fresh self-contained
+    // version (size-derived fan, range-partitioned + key-sorted, zero
+    // cross-version references). The gate drives the WHOLE lifecycle:
+    // three key-sliced scoped ticks (disjoint slices composing to the
+    // full changelog — each tick carries forward what it didn't touch),
+    // one compact, then vacuum(keep=1) — which only leaves a readable
+    // table if the compacted version truly owns every byte it needs.
+    // Oracle: the one-shot full CDC replay; tick slicing, carry-forward,
+    // compaction, and retention must all be invisible to the answer.
+    "l16_compact" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l16", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = cdcChangelog(t.read())
+        val cut = docs.agg(max("doc_id")).head.getLong(0) / 3
+        t.mergeScoped(log.filter(col("doc_id") < cut))
+        t.mergeScoped(log.filter(col("doc_id") >= cut &&
+                                 col("doc_id") < 2 * cut))
+        t.mergeScoped(log.filter(col("doc_id") >= 2 * cut))
+        t.compact()
+        t.vacuum(keep = 1)
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      duckCdcSql),
+
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a
     // predicate, but it must LIST the lake and OPEN every footer first:

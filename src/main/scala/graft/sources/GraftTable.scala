@@ -262,6 +262,30 @@ final class GraftTable private (s: SparkSession, val dir: String,
     next
   }
 
+  /** Rewrite the CURRENT snapshot as one fresh SELF-CONTAINED version —
+    * l01's lake compaction (Delta OPTIMIZE) owned by the facade. After a
+    * chain of scoped trickle ticks the live manifest is a patchwork:
+    * small per-tick rewrite files interleaved with old-version
+    * survivors, file count growing with tick count and range spans
+    * overlapping (each tick's files overlay the ranges they rewrote).
+    * compact() reads the manifest's file list ONCE and lands it as
+    * version n+1 at the size-derived fan, range-partitioned + key-sorted
+    * — content no-op (hash-identical to readAsOf(n)), layout reset:
+    * scan-sized files, disjoint tight key spans (manifest pruning
+    * selective again), zero references into older versions (vacuum can
+    * drop the whole history; mergeAs replays are legal again). Cost is
+    * one full read + write — the operation you SCHEDULE (off-peak,
+    * every N ticks), which is exactly why the per-tick path doesn't pay
+    * it. Returns the new version number.
+    */
+  def compact(): Int = {
+    val n = currentVersion
+    val next = n + 1
+    landVersion(s, dir, next, key, readAsOf(n))
+    commit(dir, next)
+    next
+  }
+
   /** The EXACTLY-ONCE merge form for streaming writers (s19's versioned
     * idempotence lifted into the facade): batch b lands as version
     * `v = b + 1`, always computed from v-1, always FULL (self-contained

@@ -326,6 +326,43 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("compact resets a scoped patchwork into one self-contained version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_cp").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 3
+    t.mergeScoped(log.filter(col("doc_id") < cut))
+    t.mergeScoped(log.filter(col("doc_id") >= cut && col("doc_id") < 2 * cut))
+    t.mergeScoped(log.filter(col("doc_id") >= 2 * cut))
+
+    // the scoped chain left a cross-version patchwork
+    val before = t.manifest(3).select("path").collect().map(_.getString(0))
+    assert(before.exists(!_.contains("/v3/")),
+      "no cross-version references after 3 scoped ticks; spec is vacuous")
+    val content = collectSorted(t.read())
+
+    // compact: content no-op, layout reset, zero references
+    assert(t.compact() == 4)
+    assert(collectSorted(t.readAsOf(4)) == content,
+      "compaction changed the answer")
+    val m4 = t.manifest(4).select("path").collect().map(_.getString(0))
+    assert(m4.forall(_.contains("/v4/")),
+      "compacted version still references older files")
+    assert(m4.length <= before.length,
+      s"compaction grew the file count ${before.length} -> ${m4.length}")
+
+    // with no references left, vacuum drops the WHOLE history
+    assert(t.vacuum(keep = 1) == Seq(0, 1, 2, 3))
+    for (v <- 0 to 3)
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(dir, s"v$v")),
+        s"v$v directory survived vacuum after compaction")
+    assert(collectSorted(t.read()) == content)
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("mergeAs replay refuses to tear a scoped successor") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl_rt").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
