@@ -1262,6 +1262,12 @@ object Relational {
     // INDEPENDENT oracle: DuckDB executes the textbook
     // count(DISTINCT ... ) OVER directly, so the first-occurrence
     // identity itself is what's being checked, not a replay of it.
+    // COST NOTE (r14 sf10 ladder): the entry's wall is dominated by the
+    // gate's deterministic `orderBy(l_suppkey, day)` — a global sort of
+    // the full (supplier x day) OUTPUT required by the oracle's
+    // hash-compare, not by the operator. Don't "optimize" the three
+    // combinable aggregates chasing that number; the per-supplier
+    // windows themselves are already shuffle-minimal.
     "q47_distinct_window" -> OpDef.sql(
       (s, d) => {
         val li = Tables.lineitem(s, d)

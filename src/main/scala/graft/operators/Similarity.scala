@@ -25,6 +25,12 @@ object Similarity {
   // the top-k entries (range output size is data-driven, not k-driven)
   private[graft] val RangeQueries = 50
   private[graft] val RangeTau = 0.3
+
+  // e14's attribute filter: labels 2..4 of the uniform 0..9 — ~30%
+  // selectivity, enough survivors that every query still fills k while
+  // the filtered-out majority would poison a post-filtered top-k.
+  private[graft] val FilterLabelLo = 2
+  private[graft] val FilterLabelHi = 4
   // d09 banded-LSH geometry: NumDupBands independent sign-code tables,
   // each MaxBandBits planes wide at most; the ACTIVE width per run is
   // derived from the corpus count so bucket density stays ~TargetBucket
@@ -994,6 +1000,119 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** The e13/e14 int8 cascade sketch over (vec_id, embedding, ...):
+    * per-vector int8 code dequantized back to float (`dx`), its norm
+    * (`dn`), and the EXACT residual norm (`rx`) that makes the
+    * per-pair bound |cos(x,y) - dx.dy| <= rx + ry + rx*ry
+    * (Cauchy-Schwarz on the quantization residuals — e13's derivation,
+    * see the e13 gate comment). Extra input columns (label, any
+    * attribute a filtered search prunes on) ride along.
+    *
+    * Callers MATERIALIZE this (persistTracked / a lake table), for two
+    * reasons that are the same reason at 100 TB: (1) the higher-order
+    * array functions here (transform/aggregate/zip_with) evaluate
+    * interpreted, outside whole-stage codegen — left as expressions
+    * they collapse into the downstream join projection and re-run PER
+    * PAIR (the first e13 ladder run measured exactly that: minutes at
+    * sf1); (2) in production the sketch IS the stored artifact — built
+    * once at ingest, scanned instead of the float vectors (16 B + 2
+    * scalars vs 256 B). Everything per-pair downstream is codegen: one
+    * native cosine_sim + two multiplies.
+    */
+  private[graft] def int8CascadeSketch(emb: DataFrame): DataFrame =
+    emb
+      .withColumn("nrm", sqrt(aggregate(
+        transform(col("embedding"), v => (v * v).cast("double")),
+        lit(0.0), (a, x) => a + x)))
+      .filter(col("nrm") > 0)
+      .withColumn("nx",
+        transform(col("embedding"), v => v.cast("double") / col("nrm")))
+      .withColumn("sx",
+        array_max(transform(col("nx"), v => abs(v))) / lit(127.0))
+      .withColumn("qx", transform(col("nx"),
+        v => floor(v / col("sx") + lit(0.5) + lit(1e-9)).cast("long")))
+      // dequantized sketch vector dx = sx*qx and its stored norm/
+      // residual: approx(x, y) = dx.dy = cosine_sim(dx, dy)*|dx|*|dy|
+      // — the dot rides the NATIVE cosine expression, scalars undo
+      // its normalization
+      .withColumn("dx", transform(col("qx"),
+        q => (col("sx") * q).cast("float")))
+      .withColumn("dn", sqrt(aggregate(
+        transform(col("dx"), v => (v * v).cast("double")),
+        lit(0.0), (a, x) => a + x)))
+      .withColumn("rx", sqrt(aggregate(
+        zip_with(col("nx"), col("qx"),
+          (n, q) => (n - col("sx") * q) * (n - col("sx") * q)),
+        lit(0.0), (a, x) => a + x)))
+      .drop("nrm", "nx", "sx", "qx")
+
+  /** An ARBITRARY query frame (q_id, q_vec) carried through
+    * [[int8CascadeSketch]] and renamed to the cascade's query-side
+    * column names. Broadcast by every consumer, so the interpreted
+    * sketch math runs once per query row, never per pair.
+    */
+  private[graft] def cascadeQuerySketch(queries: DataFrame): DataFrame =
+    int8CascadeSketch(queries.select(
+        col("q_id").cast("long").as("vec_id"), col("q_vec").as("embedding")))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+              col("dx").as("dy"), col("dn").as("dm"), col("rx").as("ry"))
+
+  /** EXACT top-k search through the lossless int8 cascade — e14's plan,
+    * and [[graft.sources.AnnIndexLake.searchWhere]]'s kernel. Guaranteed
+    * to return exactly [[knnBruteSearch]]'s answer over `sk`'s rows (the
+    * e14 oracle hash-match is the proof), while scoring the float
+    * vectors only for bound-admitted survivors:
+    *
+    *  1. int8 pass: approx = dx.dy with its per-pair error bound eps
+    *     (tight, from stored residual norms — see [[int8CascadeSketch]]);
+    *  2. per-query threshold: thr = k-th largest LOWER bound
+    *     (approx - eps), via the same map-side-combining TopKBy heap the
+    *     exact pass uses — k rows per (query, map task) shuffle, never
+    *     the scored corpus. thr <= the k-th largest true cosine, because
+    *     each lower bound is <= its own true cosine and k-th-largest is
+    *     monotone under pointwise domination;
+    *  3. survivors: UPPER bound >= thr - 2e-6. Any true top-k member x
+    *     has ub(x) >= cos(x) >= k-th true cosine >= thr, so nothing is
+    *     ever lost; the 2e-6 slack additionally covers candidates that
+    *     TIE with the k-th answer only after the gate's 6dp rounding
+    *     (one rounding quantum + binary-decimal error) — those must
+    *     survive for the deterministic id tie-break to see them;
+    *  4. exact float cosine + TopKBy on survivors only.
+    *
+    * Queries with fewer than k admitted candidates get thr = -2
+    * (below any possible lower bound): everything they admit is scored.
+    * The threshold pass re-reads `sk` (callers persist it) but Catalyst
+    * prunes it to the sketch columns — the float vectors are read by
+    * the survivor pass alone, which is the 100-TB point: the 16 B
+    * sketch is the scanned artifact, the 256 B vector a point-fetch.
+    */
+  private[graft] def cascadeKnnSearch(s: SparkSession, sk: DataFrame,
+      qsk: DataFrame, k: Int = TopK): DataFrame = {
+    GraftFunctions.register(s)
+    val pairs = sk.join(broadcast(qsk), col("vec_id") =!= col("q_id"))
+      .withColumn("approx",
+        expr("cosine_sim(dx, dy)") * col("dn") * col("dm"))
+      .withColumn("eps",
+        col("rx") + col("ry") + col("rx") * col("ry") + lit(2e-6))
+    val thr = pairs
+      .groupBy("q_id")
+      .agg(expr(s"topk_by(approx - eps, vec_id, $k)").as("top"))
+      .select(col("q_id"),
+        when(size(col("top")) < k, lit(-2.0))
+          .otherwise(element_at(col("top"), k).getField("score"))
+          .as("thr"))
+    pairs.join(broadcast(thr), "q_id")
+      .filter(col("approx") + col("eps") >= col("thr") - lit(2e-6))
+      .withColumn("sim",
+        round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
+      .groupBy("q_id")
+      .agg(expr(s"topk_by(sim, vec_id, $k)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("rk"),
+              col("col.id").as("neighbor_id"), col("col.score").as("sim"))
+      .orderBy("q_id", "rk")
+  }
+
   /** e02's banded + density-laddered + Hamming-≤2 multiprobe LSH search
     * over an ARBITRARY query frame — the gate entry's plan with one
     * generalization: query codes come from the SAME sign-code family at
@@ -1681,6 +1800,11 @@ object Similarity {
     // hash oracle can check end-to-end; the production storage layout
     // packs the same values back to array<tinyint> with one
     // zip_with/collect, changing no quantized value.
+    // e13/e14's shared artifact is built by int8CascadeSketch (below the
+    // defs map); both entries persistTracked it under one key per
+    // corpus, so the gate pays the build once and the production lake
+    // stores it once.
+    //
     // e13: RANGE (radius) similarity search with a PROVABLY LOSSLESS
     // int8 cascade — the third search semantics after top-k (e01/e09)
     // and near-dup pairs (d09/e04): "EVERYTHING within cosine >= tau of
@@ -1711,41 +1835,8 @@ object Similarity {
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-        // The sketch is MATERIALIZED (persistTracked), for two reasons
-        // that are the same reason at 100 TB: (1) higher-order array
-        // functions (transform/aggregate/zip_with) evaluate interpreted,
-        // outside whole-stage codegen — left as expressions they collapse
-        // into the join projection and re-run PER PAIR (the first ladder
-        // run measured exactly that: minutes at sf1); (2) in production
-        // the sketch IS the stored artifact — built once at ingest,
-        // scanned instead of the float vectors. The per-pair math below
-        // is all codegen: one native cosine_sim + two multiplies.
-        val sk = graft.Caching.persistTracked(s"e13_sk_$d", emb
-          .withColumn("nrm", sqrt(aggregate(
-            transform(col("embedding"), v => (v * v).cast("double")),
-            lit(0.0), (a, x) => a + x)))
-          .filter(col("nrm") > 0)
-          .withColumn("nx",
-            transform(col("embedding"), v => v.cast("double") / col("nrm")))
-          .withColumn("sx",
-            array_max(transform(col("nx"), v => abs(v))) / lit(127.0))
-          .withColumn("qx", transform(col("nx"),
-            v => floor(v / col("sx") + lit(0.5) + lit(1e-9)).cast("long")))
-          // dequantized sketch vector dx = sx*qx and its stored norm/
-          // residual: approx(x, y) = dx.dy = cosine_sim(dx, dy)*|dx|*|dy|
-          // — the dot rides the NATIVE cosine expression, scalars undo
-          // its normalization
-          .withColumn("dx", transform(col("qx"),
-            q => (col("sx") * q).cast("float")))
-          .withColumn("dn", sqrt(aggregate(
-            transform(col("dx"), v => (v * v).cast("double")),
-            lit(0.0), (a, x) => a + x)))
-          .withColumn("rx", sqrt(aggregate(
-            zip_with(col("nx"), col("qx"),
-              (n, q) => (n - col("sx") * q) * (n - col("sx") * q)),
-            lit(0.0), (a, x) => a + x)))
-          .select(col("vec_id"), col("embedding"),
-                  col("dx"), col("dn"), col("rx")))
+        val sk = graft.Caching.persistTracked(s"cascade_sk_$d",
+          int8CascadeSketch(emb))
         val q = sk.filter(col("vec_id") < RangeQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
                   col("dx").as("dy"), col("dn").as("dm"), col("rx").as("ry"))
@@ -1776,6 +1867,54 @@ object Similarity {
          |SELECT q_id, neighbor_id, sim FROM scored
          |WHERE sim >= $RangeTau
          |ORDER BY q_id, neighbor_id""".stripMargin),
+
+    // e14: FILTERED EXACT top-k — "the k nearest neighbors AMONG the
+    // vectors satisfying an attribute predicate", the search shape
+    // every production vector store grew (Milvus/Qdrant/Vespa filtered
+    // search) and the one an ANN index alone answers WRONG: post-
+    // filtering a top-k' retrieves k' unfiltered neighbors and keeps
+    // the survivors — too few when the filter is selective, and no k'
+    // short of the corpus guarantees k. The sound plan is
+    // PRE-filtering: prune the corpus side FIRST (at the lake the
+    // predicate prunes the 16 B/row sketch scan — at gate scale it
+    // filters the shared cached sketch), then run an EXACT cascade
+    // top-k over survivors: int8 bounds pick a per-query threshold
+    // (k-th largest lower bound via the map-side TopKBy heap), upper
+    // bounds admit, float cosines score admitted rows only
+    // (cascadeKnnSearch's scaladoc carries the no-loss proof).
+    // Queries are NOT filtered — asking "nearest label-2..4 vectors"
+    // from any vector is the point. HASH-PROVEN against the
+    // definitional filtered brute force in DuckDB: exactness under the
+    // filter, digits and all, including rounded-tie ordering.
+    "e14_filtered_knn" -> OpDef.sql(
+      (s, d) => {
+        GraftFunctions.register(s)
+        val emb = Tables.embeddings(s, d)
+        val sk = graft.Caching.persistTracked(s"cascade_sk_$d",
+          int8CascadeSketch(emb))
+        val qsk = sk.filter(col("vec_id") < RangeQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+                  col("dx").as("dy"), col("dn").as("dm"), col("rx").as("ry"))
+        cascadeKnnSearch(s,
+          sk.filter(col("label").between(FilterLabelLo, FilterLabelHi)),
+          qsk, TopK)
+      },
+      s"""WITH q AS (
+         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+         |  FROM embeddings WHERE vec_id < $RangeQueries),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS neighbor_id,
+         |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec)
+         |               + 1e-10, 6) AS sim
+         |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+         |  WHERE e.label BETWEEN $FilterLabelLo AND $FilterLabelHi)
+         |SELECT q_id,
+         |       CAST(row_number() OVER (PARTITION BY q_id
+         |         ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
+         |       neighbor_id, sim
+         |FROM scored
+         |QUALIFY rk <= $TopK
+         |ORDER BY q_id, rk""".stripMargin),
 
     "e07_quantize_int8" -> OpDef.sql(
       (s, d) => {

@@ -288,9 +288,13 @@ object AnnIndexLake {
 
   // ---- the unified search facade --------------------------------------
 
-  /** The tier table, for error messages and the spec's sweep. */
+  /** The tier table, for error messages and the spec's sweep. "exact"
+    * is the int8-cascade exact tier — brute force's answer (provably,
+    * not approximately) while float-scoring only bound-admitted
+    * survivors; it is also the kernel [[searchWhere]] filters.
+    */
   val SearchTiers: Seq[String] =
-    Seq("brute", "lsh", "ivf", "int8", "pq", "ivfpq")
+    Seq("brute", "exact", "lsh", "ivf", "int8", "pq", "ivfpq")
 
   /** ONE user-facing entry point over the whole ANN family — the five
     * approximate tiers plus the exact baseline stop being gate-shaped
@@ -328,6 +332,11 @@ object AnnIndexLake {
       col("q_vec"))
     tier match {
       case "brute" => Similarity.knnBruteSearch(s, emb, q, k)
+      case "exact" =>
+        Similarity.cascadeKnnSearch(s,
+          graft.Caching.persistTracked(s"cascade_sk_$d",
+            Similarity.int8CascadeSketch(Tables.embeddings(s, d))),
+          Similarity.cascadeQuerySketch(q), k)
       case "lsh" => Similarity.e02LshSearch(s, emb, q, k)
       case "ivf" =>
         e03SearchFromIndex(s, ensureE03Index(s, d, emb), emb, q, k)
@@ -341,5 +350,31 @@ object AnnIndexLake {
         s"unknown ANN tier '$other' — expected one of " +
           SearchTiers.mkString("[", ", ", "]"))
     }
+  }
+
+  /** FILTERED exact top-k — [[search]]'s missing axis, and the search
+    * shape every production vector store grew: "the k nearest
+    * neighbors among the vectors WHERE <predicate>". The predicate
+    * ranges over the corpus columns (label, vec_id — any attribute the
+    * embeddings table carries) and prunes the CORPUS side BEFORE
+    * ranking (pre-filtering — the only plan that guarantees k
+    * survivors; post-filtering an approximate top-k' cannot). Ranking
+    * is the e14 cascade: exact by arithmetic, float-scoring only
+    * bound-admitted rows, so the filtered scan reads the 16 B sketch,
+    * not the 256 B vectors (int8CascadeSketch's scaladoc). Returns
+    * e01's shape; fewer than k rows for a query mean the predicate
+    * admits fewer than k vectors, not recall loss. AnnSearchApiSpec proves verdict
+    * identity with a filtered brute force across predicates and hand
+    * queries.
+    */
+  def searchWhere(s: SparkSession, d: String, queries: DataFrame,
+      predicate: org.apache.spark.sql.Column,
+      k: Int = Similarity.TopK): DataFrame = {
+    val sk = graft.Caching.persistTracked(s"cascade_sk_$d",
+      Similarity.int8CascadeSketch(Tables.embeddings(s, d)))
+    val q = queries.select(col("q_id").cast("long").as("q_id"),
+      col("q_vec"))
+    Similarity.cascadeKnnSearch(s, sk.filter(predicate),
+      Similarity.cascadeQuerySketch(q), k)
   }
 }

@@ -300,9 +300,41 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * single-writer streams land full versions and never hit this).
     */
   def mergeAs(log: DataFrame, v: Int): Int = {
+    requireReplayable("mergeAs", v)
+    landVersion(s, dir, v, key,
+      Lake.cdcMergeAuto(alignForMerge(readAsOf(v - 1), log), log, key = key))
+    commit(dir, v)
+    v
+  }
+
+  /** The exactly-once SCOPED merge for streaming writers — [[mergeAs]]'s
+    * replay discipline on [[mergeScoped]]'s cost model, so a trickle
+    * tick at the wire pays touched-files + changelog instead of a full
+    * snapshot rewrite. Convergence does not need a self-contained
+    * version: a replay of batch b recomputes the SAME touched set from
+    * v-1's immutable manifest (the interval join is deterministic), the
+    * same merged rows, and the same carried-forward references, then
+    * overwrites v{b+1} wholesale — so crash-anywhere + replay lands the
+    * identical version (GraftTableSpec pins content identity AND
+    * carried-reference identity). The same two loud refusals as
+    * [[mergeAs]] apply: version skips (a stream-offset bug) and replays
+    * that would tear a LATER scoped version still referencing v's files.
+    */
+  def mergeScopedAs(log: DataFrame, v: Int): Int = {
+    requireReplayable("mergeScopedAs", v)
+    mergeScopedOn(v - 1, touchedPaths(v - 1, log), log)
+  }
+
+  /** The exactly-once preconditions shared by [[mergeAs]] and
+    * [[mergeScopedAs]]: target version is current+1 (the normal tick) or
+    * a replay of a committed one that NO later scoped version still
+    * references (overwriting it would tear that successor's carried
+    * file references; single-writer streams never hit this).
+    */
+  private def requireReplayable(what: String, v: Int): Unit = {
     val cur = currentVersion
     require(v >= 1 && v <= cur + 1,
-      s"mergeAs v$v on graft table $dir: committed max is v$cur " +
+      s"$what v$v on graft table $dir: committed max is v$cur " +
         s"(replays allowed, skips are a stream-offset bug)")
     if (v <= cur) {
       val marker = s"/v$v/"
@@ -311,14 +343,10 @@ final class GraftTable private (s: SparkSession, val dir: String,
           .count() > 0)
       if (holders.nonEmpty)
         throw new IllegalStateException(
-          s"mergeAs replay of v$v on graft table $dir would tear scoped " +
+          s"$what replay of v$v on graft table $dir would tear scoped " +
             s"version(s) ${holders.mkString("v", ", v", "")} that still " +
             "reference its files")
     }
-    landVersion(s, dir, v, key,
-      Lake.cdcMergeAuto(alignForMerge(readAsOf(v - 1), log), log, key = key))
-    commit(dir, v)
-    v
   }
 
   /** Changelog BETWEEN two committed versions — time travel's other

@@ -815,6 +815,62 @@ object StreamQueries {
       },
       graft.operators.Lake.duckCdcSql),
 
+    // s27: streaming SCOPED merges through the facade — s23's
+    // exactly-once loop on l15's cost model, which is the combination a
+    // real intake runs: trickle ticks at the wire must pay
+    // touched-files + changelog, not a full snapshot rewrite per
+    // micro-batch (at 100 TB the full-rewrite form is a non-starter at
+    // any tick rate). Each micro-batch b lands as version b+1 via
+    // GraftTable.mergeScopedAs: admission is the base manifest
+    // interval-joined against the batch's broadcast keys, untouched
+    // manifest rows carry forward verbatim, and a checkpoint replay
+    // recomputes the SAME touched set from the immutable v{b} manifest
+    // — convergent without being self-contained (GraftTableSpec pins
+    // it). The gate's ticks are three disjoint key slices of the full
+    // changelog (l16's slicing, now arriving as a stream), so each
+    // tick rewrites only its slice's files AND the final state must be
+    // byte-for-byte the full CDC replay: tick order, carry-forward,
+    // and versioning all invisible to the answer. The file source
+    // feeds ticks in arrival order, but disjoint-key slices commute —
+    // the property that lets a keyed intake shard its changelog
+    // without coordination.
+    "s27_stream_scoped_merge" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Lake
+        val base = Lake.scratch("s27", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = graft.sources.Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = Lake.cdcChangelog(t.read())
+        val cut = docs.agg(max("doc_id")).head.getLong(0) / 3
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/stage"))
+        writeOneFile(log.filter(col("doc_id") < cut),
+          java.nio.file.Paths.get(s"$base/stage/tick0.parquet"))
+        writeOneFile(log.filter(col("doc_id") >= cut &&
+                                col("doc_id") < 2 * cut),
+          java.nio.file.Paths.get(s"$base/stage/tick1.parquet"))
+        writeOneFile(log.filter(col("doc_id") >= 2 * cut),
+          java.nio.file.Paths.get(s"$base/stage/tick2.parquet"))
+        val logSchema = s.read.parquet(s"$base/stage").schema
+        val q = s.readStream.schema(logSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            t.mergeScopedAs(batch, batchId.toInt + 1)
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      graft.operators.Lake.duckCdcSql),
+
     // s22: streaming XML intake with quarantine — c04 AT THE WIRE,
     // which is where a quarantine intake actually belongs (damaged
     // records should never land in the lake at all). The line-staged

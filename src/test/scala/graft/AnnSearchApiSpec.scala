@@ -29,8 +29,11 @@ class AnnSearchApiSpec extends AnyFunSuite with SparkFixture {
     val emb = Tables.embeddings(spark, sfDir)
     val gateQ = emb.filter(col("vec_id") < Similarity.NumQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    // "exact" maps to e01 too: the cascade's contract is brute force's
+    // answer exactly (the no-loss proof), through a different plan
     val gateOf = Map(
-      "brute" -> "e01_knn_brute", "lsh" -> "e02_ann_lsh",
+      "brute" -> "e01_knn_brute", "exact" -> "e01_knn_brute",
+      "lsh" -> "e02_ann_lsh",
       "ivf" -> "e03_ann_ivf", "int8" -> "e09_knn_int8",
       "pq" -> "e11_pq_search", "ivfpq" -> "e12_ivfpq_search")
     assert(gateOf.keySet == AnnIndexLake.SearchTiers.toSet)
@@ -76,5 +79,44 @@ class AnnSearchApiSpec extends AnyFunSuite with SparkFixture {
     val bad = intercept[IllegalArgumentException](
       AnnIndexLake.search(spark, sfDir, hand, "hnsw"))
     assert(bad.getMessage.contains("ivfpq"))
+  }
+
+  test("searchWhere: filtered exact top-k is the filtered brute force") {
+    val emb = Tables.embeddings(spark, sfDir)
+    // gate queries + disjoint hand ids in one frame: self-exclusion for
+    // the former, none for the latter — both must match brute force
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .unionByName(emb.filter(col("vec_id").isin(17L, 23L))
+        .select((col("vec_id") + lit(1000000L)).as("q_id"),
+                col("embedding").as("q_vec")))
+    val predicates = Seq(
+      "gate band" -> col("label").between(Similarity.FilterLabelLo,
+                                          Similarity.FilterLabelHi),
+      "one label" -> (col("label") === 7),
+      "id stripe" -> (pmod(col("vec_id"), lit(3L)) === 1),
+      // admits fewer than k vectors: per-query results must shrink to
+      // the admitted count, never pad or recall-lose
+      "tiny" -> (col("label") === 3 && col("vec_id") < lit(40L)))
+    for ((name, pred) <- predicates) {
+      val api = rows(AnnIndexLake.searchWhere(spark, sfDir, queries, pred))
+      val brute = rows(Similarity.knnBruteSearch(spark,
+        emb.filter(pred), queries))
+      assert(api == brute, s"searchWhere('$name') diverges from the " +
+        "filtered brute force")
+    }
+    // the "tiny" predicate really exercised the under-k path
+    val admitted = emb.filter(col("label") === 3 && col("vec_id") < 40L)
+      .count()
+    assert(admitted > 0 && admitted < Similarity.TopK,
+      s"tiny predicate admits $admitted — under-k leg is vacuous")
+
+    // on the gate's query set and predicate, the API reproduces e14
+    val gateQ = emb.filter(col("vec_id") < Similarity.RangeQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    assert(rows(AnnIndexLake.searchWhere(spark, sfDir, gateQ,
+        col("label").between(Similarity.FilterLabelLo,
+                             Similarity.FilterLabelHi))) ==
+      rows(SparkEntry.queries("e14_filtered_knn")(spark, sfDir)))
   }
 }

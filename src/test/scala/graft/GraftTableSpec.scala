@@ -387,6 +387,63 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("mergeScopedAs: exactly-once scoped ticks for streaming writers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_ss").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 3
+    val tick0 = log.filter(col("doc_id") < cut)
+    val tick1 = log.filter(col("doc_id") >= cut && col("doc_id") < 2 * cut)
+
+    assert(t.mergeScopedAs(tick0, 1) == 1)
+    assert(t.manifest(1).filter(col("path").contains("/v0/")).count() > 0,
+      "tick 0 carried no v0 files; the scoped leg is vacuous")
+    assert(t.mergeScopedAs(tick1, 2) == 2)
+    assert(t.manifest(2).filter(col("path").contains("/v1/")).count() > 0,
+      "tick 1 carried no v1 files; the tear leg below is vacuous")
+    val content = collectSorted(t.readAsOf(2))
+    // carried = the references into EARLIER versions; v2's own files
+    // get a fresh write-job uuid in their names on every (re)write, so
+    // only the carried set is name-stable — and it is what a tear
+    // would tear
+    def carriedRefs(): Seq[String] = t.manifest(2).select("path")
+      .collect().map(_.getString(0)).filterNot(_.contains("/v2/"))
+      .sorted.toSeq
+    val carried = carriedRefs()
+    assert(carried.nonEmpty, "v2 carried nothing; replay leg is vacuous")
+    val priorFiles = (fileState(s"$dir/v0"), fileState(s"$dir/v1"))
+
+    // checkpoint replay of the LATEST batch (the only replay a correct
+    // stream issues): recomputed from v1's immutable manifest — same
+    // touched set, same content, same carried references, earlier
+    // versions' bytes untouched. Convergent without self-containment.
+    assert(t.mergeScopedAs(tick1, 2) == 2)
+    assert(t.versions == Seq(0, 1, 2))
+    assert(collectSorted(t.readAsOf(2)) == content)
+    assert(carriedRefs() == carried)
+    assert((fileState(s"$dir/v0"), fileState(s"$dir/v1")) == priorFiles,
+      "a scoped replay touched earlier versions' bytes")
+
+    // torn replay: crash between data and marker — the version is
+    // invisible until a replay finishes it, then reads identically
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(dir, "v2", "_GRAFT_COMMITTED"))
+    assert(t.versions == Seq(0, 1))
+    assert(t.mergeScopedAs(tick1, 2) == 2)
+    assert(collectSorted(t.readAsOf(2)) == content)
+
+    // a skipped offset is a stream bug, not a silent gap
+    intercept[IllegalArgumentException](t.mergeScopedAs(tick1, 9))
+    // replaying an older version whose files a scoped successor still
+    // references would tear that successor — refused, naming the holder
+    val torn = intercept[IllegalStateException](t.mergeScopedAs(tick0, 1))
+    assert(torn.getMessage.contains("v2"),
+      s"replay-tear failure unhelpful: ${torn.getMessage}")
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("reader-vs-vacuum race: pre-vacuum plans fail loudly, never partial") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl_rv").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
