@@ -31,6 +31,28 @@ object Similarity {
   // the filtered-out majority would poison a post-filtered top-k.
   private[graft] val FilterLabelLo = 2
   private[graft] val FilterLabelHi = 4
+
+  /** e14's oracle: the definitional filtered brute force. Shared with
+    * s28 (the same search streamed at the wire) — batch and stream
+    * answers are held to one truth.
+    */
+  private[graft] val e14Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+       |  FROM embeddings WHERE vec_id < $RangeQueries),
+       |scored AS (
+       |  SELECT q.q_id, e.vec_id AS neighbor_id,
+       |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec)
+       |               + 1e-10, 6) AS sim
+       |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
+       |  WHERE e.label BETWEEN $FilterLabelLo AND $FilterLabelHi)
+       |SELECT q_id,
+       |       CAST(row_number() OVER (PARTITION BY q_id
+       |         ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
+       |       neighbor_id, sim
+       |FROM scored
+       |QUALIFY rk <= $TopK
+       |ORDER BY q_id, rk""".stripMargin
   // d09 banded-LSH geometry: NumDupBands independent sign-code tables,
   // each MaxBandBits planes wide at most; the ACTIVE width per run is
   // derived from the corpus count so bucket density stays ~TargetBucket
@@ -1899,22 +1921,7 @@ object Similarity {
           sk.filter(col("label").between(FilterLabelLo, FilterLabelHi)),
           qsk, TopK)
       },
-      s"""WITH q AS (
-         |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
-         |  FROM embeddings WHERE vec_id < $RangeQueries),
-         |scored AS (
-         |  SELECT q.q_id, e.vec_id AS neighbor_id,
-         |         round(list_cosine_similarity(e.embedding::DOUBLE[], q.q_vec)
-         |               + 1e-10, 6) AS sim
-         |  FROM embeddings e JOIN q ON e.vec_id <> q.q_id
-         |  WHERE e.label BETWEEN $FilterLabelLo AND $FilterLabelHi)
-         |SELECT q_id,
-         |       CAST(row_number() OVER (PARTITION BY q_id
-         |         ORDER BY sim DESC, neighbor_id) AS INT) AS rk,
-         |       neighbor_id, sim
-         |FROM scored
-         |QUALIFY rk <= $TopK
-         |ORDER BY q_id, rk""".stripMargin),
+      e14Sql),
 
     "e07_quantize_int8" -> OpDef.sql(
       (s, d) => {

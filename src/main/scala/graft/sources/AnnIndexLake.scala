@@ -125,6 +125,29 @@ object AnnIndexLake {
       .write.mode("overwrite").parquet(s"$dir/postings")
   }
 
+  /** INCREMENTAL index maintenance: assign `newEmb` under the index's
+    * FROZEN coarse quantizer and append their postings — the production
+    * insert path (you do not retrain the quantizer per intake tick; you
+    * retrain on a schedule, which is [[writeE03Index]] again). Cost ∝
+    * new vectors: one broadcast-centroid assignment pass, zero Lloyd
+    * jobs, zero reads of existing postings. Appended files land
+    * cell-partitioned + sorted like the originals, so probe pruning is
+    * unchanged. The contract (AnnIndexLakeSpec): the grown index's
+    * postings and probe results are IDENTICAL to assigning the whole
+    * corpus under the same centroids in one pass — an append is
+    * invisible to search, recall drift comes only from the quantizer
+    * aging (a measured, scheduled concern, not a correctness one).
+    */
+  def appendToE03Index(s: SparkSession, dir: String,
+      newEmb: DataFrame): Unit = {
+    val centroids = graft.Caching.persistTracked(s"e03_append_$dir",
+      s.read.parquet(s"$dir/centroids"))
+    Similarity.e03Postings(newEmb, centroids)
+      .select("vec_id", "cell")
+      .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
+      .write.mode("append").parquet(s"$dir/postings")
+  }
+
   /** Train-once entry point for the e03 gate: the index for corpus `d`
     * is written at most once per corpus CONTENT stamp (a `_graft_stamp`
     * marker, committed only AFTER the index lands, so a crash mid-write

@@ -871,6 +871,53 @@ object StreamQueries {
       },
       graft.operators.Lake.duckCdcSql),
 
+    // s28: VECTOR SEARCH AT THE WIRE — e14's filtered exact top-k with
+    // the queries arriving as a stream (the production topology of a
+    // retrieval service: the corpus sketch is a static artifact, query
+    // batches flow). Each micro-batch runs the SAME cascade kernel the
+    // batch gate runs (per-query thresholds are batch-local — queries
+    // are independent, so batch composition cannot change any answer)
+    // and appends its results to a sink; the drained sink must be
+    // byte-identical to the batch answer, held to e14's DuckDB oracle.
+    // The cascade's aggregations (threshold heap, top-k heap) are why
+    // this is foreachBatch and not a stream transform: they are
+    // per-batch finite aggregates over a static side, not unbounded
+    // stream state.
+    "s28_stream_knn" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.{Lake, Similarity}
+        val base = Lake.scratch("s28", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val emb = graft.sources.Tables.embeddings(s, d)
+        val sk = graft.Caching.persistTracked(s"cascade_sk_$d",
+          Similarity.int8CascadeSketch(emb))
+        val cand = sk.filter(col("label").between(
+          Similarity.FilterLabelLo, Similarity.FilterLabelHi))
+        val queries = emb.filter(col("vec_id") < Similarity.RangeQueries)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/stage"))
+        writeOneFile(queries.filter(pmod(col("q_id"), lit(2)) === 0),
+          java.nio.file.Paths.get(s"$base/stage/tick0.parquet"))
+        writeOneFile(queries.filter(pmod(col("q_id"), lit(2)) === 1),
+          java.nio.file.Paths.get(s"$base/stage/tick1.parquet"))
+        val schema = s.read.parquet(s"$base/stage").schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            Similarity.cascadeKnnSearch(s, cand,
+                Similarity.cascadeQuerySketch(batch))
+              .write.mode("append").parquet(s"$base/out")
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$base/out").orderBy("q_id", "rk")
+      },
+      graft.operators.Similarity.e14Sql),
+
     // s22: streaming XML intake with quarantine — c04 AT THE WIRE,
     // which is where a quarantine intake actually belongs (damaged
     // records should never land in the lake at all). The line-staged

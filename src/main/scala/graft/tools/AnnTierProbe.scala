@@ -23,17 +23,34 @@ object AnnTierProbe {
     val reps = if (args.length > 2) args(2).toInt else 2
     val s = GraftSession.getOrCreate()
 
-    // bytes a 64-dim vector costs in each tier's search representation
+    // bytes a 64-dim vector costs in each tier's search representation.
+    // exact_cascade is AnnIndexLake.search's "exact" tier (r15): brute
+    // force's answer by arithmetic (recall must print 1.000), scanning
+    // the int8 sketch (64 B codes + norm/residual scalars) and
+    // float-scoring only bound-admitted survivors — the row that shows
+    // what exactness costs WITHOUT a full float scan.
     val tiers = Seq(
       ("e01_knn_brute", "brute_f32", 256),
+      ("exact_cascade", "int8_cascade_exact", 80),
       ("e02_ann_lsh", "lsh_f32", 256), // + band codes (8 x 8B)
       ("e03_ann_ivf", "ivf_f32", 256), // + cell id (4B)
       ("e09_knn_int8", "int8", 64),    // + scale (4B)
       ("e11_pq_search", "pq16_adc_rerank", 16),
       ("e12_ivfpq_search", "ivfpq16_rerank", 20)) // 16B codes + cell id
 
+    def run(name: String): org.apache.spark.sql.DataFrame =
+      if (name == "exact_cascade") {
+        import org.apache.spark.sql.functions.col
+        val emb = graft.sources.Tables.embeddings(s, sfDir)
+        graft.sources.AnnIndexLake.search(s, sfDir,
+          emb.filter(col("vec_id") < graft.operators.Similarity.NumQueries)
+            .select(col("vec_id").as("q_id"),
+                    col("embedding").as("q_vec")),
+          "exact")
+      } else SparkEntry.queries(name)(s, sfDir)
+
     def topByQuery(name: String): Map[Long, Seq[Long]] =
-      SparkEntry.queries(name)(s, sfDir).collect()
+      run(name).collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
         .groupBy(_._1).map { case (q, rows) =>
           q -> rows.sortBy(_._2).map(_._3).toSeq }

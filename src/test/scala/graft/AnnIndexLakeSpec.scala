@@ -111,6 +111,42 @@ class AnnIndexLakeSpec extends AnyFunSuite with SparkFixture {
       "sentinel: the Lloyd signature moved; update this assert")
   }
 
+  test("e03 append: frozen-quantizer inserts are invisible to search") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = tmpDir("e03app")
+    AnnIndexLake.writeE03Index(spark, emb.filter(col("vec_id") >= 100), dir)
+    AnnIndexLake.appendToE03Index(spark, dir,
+      emb.filter(col("vec_id") < 100))
+
+    // grown postings == one-pass assignment of the WHOLE corpus under
+    // the same frozen centroids — the append is pure insertion
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    val grown = spark.read.parquet(s"$dir/postings")
+      .collect().map(_.toSeq).toSet
+    val onePass = Similarity.e03Postings(emb, centroids)
+      .select("vec_id", "cell").collect().map(_.toSeq).toSet
+    assert(grown == onePass, "append diverged from one-pass assignment")
+
+    // and probing the grown index answers exactly like the one-pass one
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val fromGrown = AnnIndexLake.e03SearchFromIndex(spark, dir, emb, queries)
+      .collect().map(_.toSeq).toSeq
+    assert(fromGrown.nonEmpty)
+    assert(fromGrown ==
+      Similarity.e03Search(spark, Similarity.e03Postings(emb, centroids),
+        centroids, queries).collect().map(_.toSeq).toSeq,
+      "search over the grown index diverged")
+
+    // the insert path never retrains: its assignment plan must not
+    // carry the Lloyd mean aggregate (the structural no-Lloyd assert)
+    val appendPlan = Similarity.e03Postings(
+        emb.filter(col("vec_id") < 100), centroids)
+      .queryExecution.optimizedPlan.toString
+    assert(!appendPlan.contains("collect_list"),
+      "append plan contains the Lloyd mean aggregate (retraining)")
+  }
+
   test("e03 gate trains once per corpus stamp; repeat runs are pure index reads") {
     val emb = Tables.embeddings(spark, sfDir)
     // first ensure call may write; once the stamp marker matches, a
