@@ -29,4 +29,20 @@ object Caching {
     if (old != null) old.unpersist(blocking = false)
     df.persist()
   }
+
+  /** The WARM variant for artifacts whose content is a pure function of
+    * their key (e.g. the e13/e14 cascade sketch per corpus dir): a
+    * repeat call returns the ALREADY-TRACKED frame instead of replacing
+    * it, so a long-lived session (a search service answering query
+    * batches, the tier probe's reps) pays the build once. A
+    * `clearCache()` between calls only drops the cached blocks — the
+    * returned frame recomputes lazily on next use, it never goes stale.
+    * Use [[persistTracked]] when the frame's content can CHANGE for the
+    * same key (per-run staging); use this when it cannot.
+    */
+  def persistTrackedReuse(name: String, df: => DataFrame): DataFrame = {
+    val existing = tracked.get(name)
+    if (existing != null) existing
+    else persistTracked(name, df)
+  }
 }

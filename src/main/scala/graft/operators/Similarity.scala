@@ -1857,7 +1857,7 @@ object Similarity {
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-        val sk = graft.Caching.persistTracked(s"cascade_sk_$d",
+        val sk = graft.Caching.persistTrackedReuse(s"cascade_sk_$d",
           int8CascadeSketch(emb))
         val q = sk.filter(col("vec_id") < RangeQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
@@ -1912,7 +1912,7 @@ object Similarity {
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-        val sk = graft.Caching.persistTracked(s"cascade_sk_$d",
+        val sk = graft.Caching.persistTrackedReuse(s"cascade_sk_$d",
           int8CascadeSketch(emb))
         val qsk = sk.filter(col("vec_id") < RangeQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),

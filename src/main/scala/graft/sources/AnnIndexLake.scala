@@ -357,7 +357,7 @@ object AnnIndexLake {
       case "brute" => Similarity.knnBruteSearch(s, emb, q, k)
       case "exact" =>
         Similarity.cascadeKnnSearch(s,
-          graft.Caching.persistTracked(s"cascade_sk_$d",
+          graft.Caching.persistTrackedReuse(s"cascade_sk_$d",
             Similarity.int8CascadeSketch(Tables.embeddings(s, d))),
           Similarity.cascadeQuerySketch(q), k)
       case "lsh" => Similarity.e02LshSearch(s, emb, q, k)
@@ -393,7 +393,7 @@ object AnnIndexLake {
   def searchWhere(s: SparkSession, d: String, queries: DataFrame,
       predicate: org.apache.spark.sql.Column,
       k: Int = Similarity.TopK): DataFrame = {
-    val sk = graft.Caching.persistTracked(s"cascade_sk_$d",
+    val sk = graft.Caching.persistTrackedReuse(s"cascade_sk_$d",
       Similarity.int8CascadeSketch(Tables.embeddings(s, d)))
     val q = queries.select(col("q_id").cast("long").as("q_id"),
       col("q_vec"))

@@ -889,7 +889,7 @@ object StreamQueries {
         val base = Lake.scratch("s28", d)
         deleteTree(java.nio.file.Paths.get(base))
         val emb = graft.sources.Tables.embeddings(s, d)
-        val sk = graft.Caching.persistTracked(s"cascade_sk_$d",
+        val sk = graft.Caching.persistTrackedReuse(s"cascade_sk_$d",
           Similarity.int8CascadeSketch(emb))
         val cand = sk.filter(col("label").between(
           Similarity.FilterLabelLo, Similarity.FilterLabelHi))
