@@ -325,6 +325,27 @@ final class GraftTable private (s: SparkSession, val dir: String,
     mergeScopedOn(v - 1, touchedPaths(v - 1, log), log)
   }
 
+  /** [[mergeAuto]]'s dispatch under [[mergeAs]]'s exactly-once replay
+    * discipline — the streaming writer that takes trickle ticks AND the
+    * occasional wide backfill through one call. Replay-convergent in
+    * both arms: the touch fraction is measured against the immutable
+    * v-1 manifest, so a replay of batch b re-takes the SAME arm and
+    * recomputes the same version (full: self-contained overwrite;
+    * scoped: same touched set, same carried references).
+    */
+  def mergeAutoAs(log: DataFrame, v: Int): Int = {
+    requireReplayable("mergeAutoAs", v)
+    val touched = touchedPaths(v - 1, log)
+    val total = manifest(v - 1).count()
+    if (touched.size * 2 >= total) {
+      landVersion(s, dir, v, key,
+        Lake.cdcMergeAuto(alignForMerge(readAsOf(v - 1), log), log,
+          key = key))
+      commit(dir, v)
+      v
+    } else mergeScopedOn(v - 1, touched, log)
+  }
+
   /** The exactly-once preconditions shared by [[mergeAs]] and
     * [[mergeScopedAs]]: target version is current+1 (the normal tick) or
     * a replay of a committed one that NO later scoped version still

@@ -444,6 +444,39 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("mergeAutoAs: one streaming call takes trickle ticks and backfills") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_as").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 8
+
+    // trickle tick -> the scoped arm: v1 carries v0 files forward
+    assert(t.mergeAutoAs(log.filter(col("doc_id") < cut), 1) == 1)
+    assert(t.manifest(1).filter(col("path").contains("/v0/")).count() > 0,
+      "trickle tick took the full arm")
+    // wide backfill -> the full arm: v2 is self-contained
+    assert(t.mergeAutoAs(log.filter(col("doc_id") >= cut), 2) == 2)
+    assert(t.manifest(2).filter(!col("path").contains("/v2/")).count() == 0,
+      "wide tick took the scoped arm")
+    val content = collectSorted(t.readAsOf(2))
+    // the whole table is the full CDC merge, arms invisible
+    assert(content == collectSorted(Lake.cdcMerge(docs, log)))
+
+    // replay of the latest batch re-measures against the same immutable
+    // v1 manifest, re-takes the full arm, converges
+    assert(t.mergeAutoAs(log.filter(col("doc_id") >= cut), 2) == 2)
+    assert(t.versions == Seq(0, 1, 2))
+    assert(collectSorted(t.readAsOf(2)) == content)
+
+    // skips stay loud, naming the caller
+    val skip = intercept[IllegalArgumentException](
+      t.mergeAutoAs(log, 9))
+    assert(skip.getMessage.contains("mergeAutoAs"))
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("reader-vs-vacuum race: pre-vacuum plans fail loudly, never partial") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl_rv").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
