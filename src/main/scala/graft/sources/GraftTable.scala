@@ -370,6 +370,36 @@ final class GraftTable private (s: SparkSession, val dir: String,
     }
   }
 
+  /** The table's audit surface (Delta's DESCRIBE HISTORY): one row per
+    * committed version — commit time (the marker's payload), file/row/
+    * byte totals from the manifest, how many files are carried
+    * references into EARLIER versions (0 = self-contained; >0 = a
+    * scoped tick's patchwork), and the column count of the stored
+    * schema (watch additive evolution land). Reads only metadata: the
+    * markers and the per-version manifests (each a one-file parquet),
+    * never data files; version count is retention-bounded, so the
+    * per-version loop is model-sized by construction.
+    */
+  def history(): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    versions.map { v =>
+      val committedAt = new String(java.nio.file.Files.readAllBytes(
+        markerPath(dir, v)), "UTF-8").trim
+      val m = manifest(v).agg(
+        count(lit(1)).as("files"), sum("n_rows").as("rows")).head()
+      val rows = if (m.isNullAt(1)) 0L else m.getLong(1) // empty version
+      val carried = manifest(v)
+        .filter(!col("path").contains(s"/v$v/")).count()
+      val bytes = manifest(v).select("path").collect().map { r =>
+        java.nio.file.Files.size(toLocalPath(r.getString(0)))
+      }.sum
+      (v, committedAt, m.getLong(0), rows, bytes, carried,
+        schemaAsOf(v).fields.length)
+    }.toDF("version", "committed_at", "n_files", "n_rows", "bytes",
+      "carried_files", "n_columns")
+  }
+
   /** Changelog BETWEEN two committed versions — time travel's other
     * half: not "what did the table look like at v" but "what happened
     * between vA and vB". One full-outer join on the key (both sides are

@@ -477,6 +477,36 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("history reports the version audit trail from metadata alone") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_h").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+    val cut = docs.agg(max("doc_id")).head().getLong(0) / 8
+    t.mergeScoped(log.filter(col("doc_id") < cut)) // v1: scoped patchwork
+    t.merge(log.filter(col("doc_id") >= cut)       // v2: full, +1 column
+      .withColumn("rev", lit(1)))
+
+    val h = t.history().orderBy("version").collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    // v0/v2 self-contained; v1 carries earlier versions' files
+    assert(h(0).getLong(5) == 0 && h(2).getLong(5) == 0,
+      "full versions must not carry references")
+    assert(h(1).getLong(5) > 0, "the scoped version shows no carry")
+    // row totals match the readers, per version
+    assert(h(0).getLong(3) == t.readAsOf(0).count())
+    assert(h(2).getLong(3) == t.readAsOf(2).count())
+    // the evolved column is visible as schema width
+    assert(h(2).getInt(6) == h(0).getInt(6) + 1)
+    // commit stamps parse as instants; byte totals are real
+    h.foreach { r =>
+      java.time.Instant.parse(r.getString(1))
+      assert(r.getLong(4) > 0)
+    }
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("reader-vs-vacuum race: pre-vacuum plans fail loudly, never partial") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl_rv").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
