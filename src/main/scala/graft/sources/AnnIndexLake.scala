@@ -90,6 +90,20 @@ object AnnIndexLake {
   def readE08Assignments(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/assignments")
 
+  /** Insert path for the e08 index: assign `newEmb` under the FROZEN
+    * persisted two-level model and append — the [[appendToE03Index]]
+    * discipline (cost ∝ new vectors, zero Lloyd jobs; appended rows are
+    * bit-identical to a one-pass assignment under the same model,
+    * spec-proven, so dedup/probe jobs cannot tell an append happened).
+    */
+  def appendToE08Index(s: SparkSession, dir: String,
+      newEmb: DataFrame): Unit =
+    Similarity.e08AssignWith(s, readE08Model(s, dir), newEmb)
+      .select("vec_id", "cell", "cell2")
+      .repartition(col("cell"))
+      .sortWithinPartitions("cell", "cell2", "vec_id")
+      .write.mode("append").parquet(s"$dir/assignments")
+
   /** e08's dedup verdicts FROM the persisted index: the posting table
     * joined back to its embeddings (the lake keeps ids, not vector
     * copies), then the same in-cell pair stage the gate runs — zero
@@ -195,6 +209,31 @@ object AnnIndexLake {
       .write.mode("overwrite").parquet(s"$dir/vectors")
   }
 
+  /** Insert path for the int8 lake: quantize `newEmb` under the FROZEN
+    * per-dimension scales and append. A frozen scale cannot represent a
+    * new value beyond it, so out-of-scale components CLAMP to ±127 —
+    * loud refusal is the wrong trade here (one outlier dimension would
+    * block a whole intake batch) and silent wraparound the worst (ANSI
+    * tinyint cast would throw anyway); the clamp bounds the per-value
+    * reconstruction error at |v| - mx, it is pinned by spec, and like
+    * quantizer aging everywhere else in this lake the scheduled fix is
+    * a re-quantize ([[writeInt8Lake]] again). In-scale appends are
+    * bit-identical to one-pass quantization under the same scales.
+    */
+  def appendToInt8Lake(s: SparkSession, dir: String,
+      newEmb: DataFrame): Unit = {
+    val scales = s.read.parquet(s"$dir/scales")
+    newEmb.select(col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(scales), "pos")
+      .withColumn("q", least(greatest(
+        Similarity.quantInt8(col("v"), col("mx")), lit(-127)), lit(127)))
+      .groupBy("vec_id")
+      .agg(expr("transform(array_sort(collect_list(named_struct(" +
+                "'p', pos, 'v', q))), x -> CAST(x.v AS tinyint))").as("qvec"))
+      .write.mode("append").parquet(s"$dir/vectors")
+  }
+
   /** The dequantized corpus (vec_id, dvec) reconstructed from the lake —
     * same arithmetic as the inline path, so [[Similarity.knnInt8Search]]
     * over it returns the e09 gate result exactly.
@@ -233,6 +272,18 @@ object AnnIndexLake {
       .write.mode("overwrite").parquet(s"$dir/codes")
     m
   }
+
+  /** Insert path for the PQ index: encode `newEmb` under the FROZEN
+    * persisted sub-codebooks and append to the code table — appended
+    * codes are bit-identical to a one-pass encode under the same model
+    * (spec-proven), so ADC search cannot tell an append happened;
+    * recall drift is codebook aging, fixed on a schedule by retraining
+    * ([[writePqIndex]] again).
+    */
+  def appendToPqIndex(s: SparkSession, dir: String,
+      newEmb: DataFrame): Unit =
+    Similarity.pqEncode(s, readPqModel(s, dir), newEmb)
+      .write.mode("append").parquet(s"$dir/codes")
 
   /** The persisted PQ model, collected back (M*K rows — metadata). */
   def readPqModel(s: SparkSession, dir: String): Similarity.PqModel = {

@@ -147,6 +147,70 @@ class AnnIndexLakeSpec extends AnyFunSuite with SparkFixture {
       "append plan contains the Lloyd mean aggregate (retraining)")
   }
 
+  test("e08/pq/int8 indexes take frozen-model appends invisible to probes") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val old = emb.filter(col("vec_id") >= 100)
+    val neu = emb.filter(col("vec_id") < 100)
+
+    // e08: grown assignments == one-pass assignment under the read-back
+    // (parquet round-tripped) model
+    val d8 = tmpDir("e08app")
+    AnnIndexLake.writeE08Index(spark, old, d8)
+    AnnIndexLake.appendToE08Index(spark, d8, neu)
+    assert(AnnIndexLake.readE08Assignments(spark, d8)
+        .collect().map(_.toSeq).toSet ==
+      Similarity.e08AssignWith(spark,
+          AnnIndexLake.readE08Model(spark, d8), emb)
+        .select("vec_id", "cell", "cell2")
+        .collect().map(_.toSeq).toSet,
+      "e08 append diverged from one-pass assignment")
+
+    // pq: grown code table == one-pass encode under the same codebooks
+    val dp = tmpDir("pqapp")
+    AnnIndexLake.writePqIndex(spark, old, dp)
+    AnnIndexLake.appendToPqIndex(spark, dp, neu)
+    assert(spark.read.parquet(s"$dp/codes")
+        .collect().map(_.toSeq).toSet ==
+      Similarity.pqEncode(spark, AnnIndexLake.readPqModel(spark, dp), emb)
+        .collect().map(_.toSeq).toSet,
+      "pq append diverged from one-pass encode")
+
+    // int8: appended rows round-trip within the frozen quantization
+    // step; values beyond a frozen scale clamp to it exactly
+    val di = tmpDir("i8app")
+    AnnIndexLake.writeInt8Lake(spark, old, di)
+    AnnIndexLake.appendToInt8Lake(spark, di, neu)
+    val boosted = old.limit(1).select(lit(999999L).as("vec_id"),
+      expr("transform(embedding, x -> CAST(x * 3.0 AS float))")
+        .as("embedding"))
+    AnnIndexLake.appendToInt8Lake(spark, di, boosted)
+    val scales = spark.read.parquet(s"$di/scales").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val deq = AnnIndexLake.readInt8Dequantized(spark, di)
+    assert(deq.count() == emb.count() + 1)
+    val got = deq.filter(col("vec_id") < 100 || col("vec_id") === 999999L)
+      .select(col("vec_id"), posexplode(col("dvec")).as(Seq("pos", "d")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(2))
+      .toMap
+    val want = neu.select("vec_id", "embedding").unionByName(boosted)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getFloat(2))
+    var clamped = 0
+    want.foreach { case ((id, pos), v) =>
+      val mx = scales(pos)
+      val d = got((id, pos))
+      if (math.abs(v) <= mx)
+        assert(math.abs(d - v) <= mx / 127 + 1e-6,
+          s"in-scale value $v at ($id, $pos) dequantized to $d")
+      else {
+        assert(math.abs(d - math.signum(v) * mx) <= 1e-6,
+          s"out-of-scale value $v at ($id, $pos) should clamp to ±$mx, got $d")
+        clamped += 1
+      }
+    }
+    assert(clamped > 0, "no out-of-scale value exercised the clamp leg")
+  }
+
   test("e03 gate trains once per corpus stamp; repeat runs are pure index reads") {
     val emb = Tables.embeddings(spark, sfDir)
     // first ensure call may write; once the stamp marker matches, a
