@@ -1037,9 +1037,15 @@ object Similarity {
     * they collapse into the downstream join projection and re-run PER
     * PAIR (the first e13 ladder run measured exactly that: minutes at
     * sf1); (2) in production the sketch IS the stored artifact — built
-    * once at ingest, scanned instead of the float vectors (16 B + 2
-    * scalars vs 256 B). Everything per-pair downstream is codegen: one
-    * native cosine_sim + two multiplies.
+    * once at ingest, scanned instead of the float vectors. Sizes at
+    * this corpus's dim=64: the int8 codes are 64 B + 2 scalars ≈ 80 B/
+    * row packed (AnnTierProbe's figure) vs the 256 B float vector; the
+    * materialized `dx` column here is array<float> — 256 B, the same
+    * as the embedding — so the GATE artifact trades no storage, only
+    * IO shape (the scan can exclude `embedding`); the ~80 B packed
+    * tinyint layout is the production form (store qx+sx, dequantize in
+    * the scan projection). Everything per-pair downstream is codegen:
+    * one native cosine_sim + two multiplies.
     */
   private[graft] def int8CascadeSketch(emb: DataFrame): DataFrame =
     emb
@@ -1105,8 +1111,10 @@ object Similarity {
     * (below any possible lower bound): everything they admit is scored.
     * The threshold pass re-reads `sk` (callers persist it) but Catalyst
     * prunes it to the sketch columns — the float vectors are read by
-    * the survivor pass alone, which is the 100-TB point: the 16 B
-    * sketch is the scanned artifact, the 256 B vector a point-fetch.
+    * the survivor pass alone, which is the 100-TB point: the sketch
+    * (~80 B/row packed int8 in production; array<float> dx in the gate
+    * artifact — see [[int8CascadeSketch]]) is the scanned artifact,
+    * the 256 B vector a point-fetch.
     */
   private[graft] def cascadeKnnSearch(s: SparkSession, sk: DataFrame,
       qsk: DataFrame, k: Int = TopK): DataFrame = {
@@ -1846,8 +1854,10 @@ object Similarity {
     //   keeps the float cosine short-circuited behind the int8 test.
     //
     // At gate scale both representations ride one scan; the 100-TB form
-    // stores the (qx, sx, rx) sketch as the scanned artifact (16 B + 2
-    // scalars vs 256 B — the e07/e09 storage story) and fetches float
+    // stores the (qx, sx, rx) sketch as the scanned artifact (64 B of
+    // int8 codes + 2 scalars ≈ 80 B/row packed at dim=64, vs the 256 B
+    // float vector — the e07/e09 storage story; the gate artifact keeps
+    // dx as array<float>, trading IO shape not bytes) and fetches float
     // vectors only for survivors (~1% here). HASH-PROVEN against the
     // definitional brute-force oracle: the pruned plan must produce the
     // complete answer set, digits and all — the no-miss proof at gate

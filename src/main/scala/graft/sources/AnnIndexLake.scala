@@ -434,8 +434,9 @@ object AnnIndexLake {
     * ranking (pre-filtering — the only plan that guarantees k
     * survivors; post-filtering an approximate top-k' cannot). Ranking
     * is the e14 cascade: exact by arithmetic, float-scoring only
-    * bound-admitted rows, so the filtered scan reads the 16 B sketch,
-    * not the 256 B vectors (int8CascadeSketch's scaladoc). Returns
+    * bound-admitted rows, so the filtered scan reads the sketch (~80 B/
+    * row packed int8 in production; array<float> dx in the gate
+    * artifact), not the float vectors (int8CascadeSketch's scaladoc). Returns
     * e01's shape; fewer than k rows for a query mean the predicate
     * admits fewer than k vectors, not recall loss. AnnSearchApiSpec proves verdict
     * identity with a filtered brute force across predicates and hand

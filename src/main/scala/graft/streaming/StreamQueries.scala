@@ -877,7 +877,12 @@ object StreamQueries {
     // batches flow). Each micro-batch runs the SAME cascade kernel the
     // batch gate runs (per-query thresholds are batch-local — queries
     // are independent, so batch composition cannot change any answer)
-    // and appends its results to a sink; the drained sink must be
+    // and lands its results under a batchId-DETERMINISTIC sink path
+    // with Overwrite (s19's versioned-idempotence discipline at the
+    // sink: a checkpoint replay of batch b after a crash between the
+    // write and the offset commit overwrites b's own directory with
+    // the same rows — convergent, never duplicated; a blind append
+    // sink would be at-least-once). The drained sink must be
     // byte-identical to the batch answer, held to e14's DuckDB oracle.
     // The cascade's aggregations (threshold heap, top-k heap) are why
     // this is foreachBatch and not a stream transform: they are
@@ -906,15 +911,18 @@ object StreamQueries {
           .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
           .writeStream
           .option("checkpointLocation", s"$base/ckpt")
-          .foreachBatch { (batch: DataFrame, _: Long) =>
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
             Similarity.cascadeKnnSearch(s, cand,
                 Similarity.cascadeQuerySketch(batch))
-              .write.mode("append").parquet(s"$base/out")
+              .write.mode("overwrite").parquet(s"$base/out/batch=$batchId")
             ()
           }
           .start()
         try q.processAllAvailable() finally q.stop()
-        s.read.parquet(s"$base/out").orderBy("q_id", "rk")
+        // the batch partition column is sink bookkeeping, not an answer
+        s.read.parquet(s"$base/out")
+          .select("q_id", "rk", "neighbor_id", "sim")
+          .orderBy("q_id", "rk")
       },
       graft.operators.Similarity.e14Sql),
 

@@ -38,14 +38,19 @@ object ScopedTickProbe {
               concat(col("text"), lit(" (tick)")).as("text"))
     val logRows = log.count()
 
+    // DATA bytes/files only: the _manifest parquet is metadata, not
+    // tick write cost — counting it would inflate the scoped side
+    // (whose data writes are tiny) far more than the full side.
     def dirBytesFiles(p: java.nio.file.Path): (Long, Long) = {
       var bytes = 0L; var files = 0L
-      java.nio.file.Files.walk(p).forEach { f =>
+      val walk = java.nio.file.Files.walk(p)
+      try walk.forEach { f =>
         if (java.nio.file.Files.isRegularFile(f) &&
-            f.getFileName.toString.endsWith(".parquet")) {
+            f.getFileName.toString.endsWith(".parquet") &&
+            !f.toString.contains("_manifest")) {
           bytes += java.nio.file.Files.size(f); files += 1
         }
-      }
+      } finally walk.close()
       (bytes, files)
     }
 
