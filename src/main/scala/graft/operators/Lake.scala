@@ -838,6 +838,33 @@ object Lake {
       },
       duckCdcSql),
 
+    // l17: Z-ORDER COMPACTION inside the facade — l02's Morton layout as
+    // a GraftTable version (Delta's OPTIMIZE ZORDER BY). compact()
+    // defaults to key-range clustering (tight primary-key manifest
+    // spans); compact(zorderBy = Seq(a, b)) lands the same
+    // self-contained version Morton-clustered on two columns instead,
+    // and the manifest records per-file <col>_lo/_hi spans for both —
+    // readRangeOn plans a secondary-column range from the manifest
+    // alone, opening only span-admitted files (GraftTableSpec measures
+    // the two-key pruning and the NULL-span widen rule for files a
+    // later tick writes unprofiled). The gate drives create → z-compact
+    // → vacuum and reads the survivor back in full: like l01/l02/l16,
+    // clustering + retention must be a pure layout change, bit-exact on
+    // content against the source-table oracle.
+    "l17_zorder_compact" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l17", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl",
+          l02Cols(s, d), key = "l_orderkey")
+        t.compact(zorderBy = Seq("l_partkey", "l_suppkey"))
+        t.vacuum(keep = 1)
+        t.read().orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        |       l_quantity, l_extendedprice, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a
     // predicate, but it must LIST the lake and OPEN every footer first:

@@ -252,16 +252,25 @@ object Similarity {
     * Shared by d09/e06's pair builder and e02's multiprobe ANN.
     */
   private[graft] def bandedCodes(s: SparkSession, emb: DataFrame,
-      target: Long = TargetBucket, countOver: DataFrame = null): DataFrame = {
+      target: Long = TargetBucket, countOver: DataFrame = null,
+      fixedBits: Option[Int] = None): DataFrame = {
     // one-row broadcast: every row learns the corpus count, and the
     // width ladder is plain integer CASE arithmetic on it. `countOver`
     // (default: emb itself) is the frame whose COUNT drives the width
     // ladder — a query-side caller codes its handful of vectors at the
-    // CORPUS's width, or its buckets would never collide with the index
-    val sized = emb
-      .crossJoin(broadcast(Option(countOver).getOrElse(emb)
-        .agg(count(lit(1)).as("corpus_n"))))
-      .withColumn("bits", expr(bandBitsCase("corpus_n", target)))
+    // CORPUS's width, or its buckets would never collide with the index.
+    // `fixedBits` bypasses the ladder entirely: the persisted LSH index
+    // freezes its build-time width into its meta table, and appends/
+    // probes must code at THAT width even after the corpus has grown
+    // past the next ladder rung (width migration = a scheduled index
+    // rebuild, like every other quantizer in the lake).
+    val sized = fixedBits match {
+      case Some(b) => emb.withColumn("bits", lit(b))
+      case None => emb
+        .crossJoin(broadcast(Option(countOver).getOrElse(emb)
+          .agg(count(lit(1)).as("corpus_n"))))
+        .withColumn("bits", expr(bandBitsCase("corpus_n", target)))
+    }
     val bandStructs = (0 until NumDupBands).map { t =>
       val fn = bandCodeFn(s, t)
       struct(lit(t).as("band"),
@@ -1109,15 +1118,21 @@ object Similarity {
     *
     * Queries with fewer than k admitted candidates get thr = -2
     * (below any possible lower bound): everything they admit is scored.
-    * The threshold pass re-reads `sk` (callers persist it) but Catalyst
-    * prunes it to the sketch columns — the float vectors are read by
-    * the survivor pass alone, which is the 100-TB point: the sketch
-    * (~80 B/row packed int8 in production; array<float> dx in the gate
-    * artifact — see [[int8CascadeSketch]]) is the scanned artifact,
-    * the 256 B vector a point-fetch.
+    *
+    * THE IO SPLIT (the 100-TB point): `sk` is the SKETCH ONLY — in
+    * production the persisted [[graft.sources.AnnIndexLake]] cascade
+    * artifact, which physically lacks the embedding column — and the
+    * float vectors live in `emb` (vec_id, embedding), the embeddings
+    * lake. Both sketch passes scan the narrow artifact; only the
+    * bound-admitted survivors (~k x slack per query) join `emb` by id
+    * for their exact float score. The survivor side shrinks to
+    * query-batch size at runtime, so AQE converts that fetch join to a
+    * broadcast from its shuffle stats — the static estimate (derived
+    * from the corpus-sized pair frame) could not know that, which is
+    * precisely the runtime-re-plan case AQE exists for.
     */
   private[graft] def cascadeKnnSearch(s: SparkSession, sk: DataFrame,
-      qsk: DataFrame, k: Int = TopK): DataFrame = {
+      qsk: DataFrame, emb: DataFrame, k: Int = TopK): DataFrame = {
     GraftFunctions.register(s)
     val pairs = sk.join(broadcast(qsk), col("vec_id") =!= col("q_id"))
       .withColumn("approx",
@@ -1133,6 +1148,8 @@ object Similarity {
           .as("thr"))
     pairs.join(broadcast(thr), "q_id")
       .filter(col("approx") + col("eps") >= col("thr") - lit(2e-6))
+      .select("q_id", "vec_id", "q_vec")
+      .join(emb.select("vec_id", "embedding"), "vec_id") // the point fetch
       .withColumn("sim",
         round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
       .groupBy("q_id")
@@ -1160,6 +1177,21 @@ object Similarity {
     val qCodes = bandedCodes(s,
       queries.select(col("q_id").as("vec_id"), col("q_vec").as("embedding")),
       E02TargetBucket, countOver = emb)
+    lshProbeStage(s, bands, qCodes, emb, queries, k)
+  }
+
+  /** e02's probe stage over an ARBITRARY banded code table (vec_id,
+    * band, bcode): multiprobe flip set per (query, band), bucket join,
+    * exact cosine re-rank with the map-side TopKBy heap. Factored so
+    * the SAME plan runs over in-plan corpus codes (the e02 gate) or the
+    * persisted [[graft.sources.AnnIndexLake]] LSH code table — where
+    * the corpus side is a parquet scan and only the query handful is
+    * sign-coded per call.
+    */
+  private[graft] def lshProbeStage(s: SparkSession, bands: DataFrame,
+      qCodes: DataFrame, emb: DataFrame, queries: DataFrame,
+      k: Int = TopK): DataFrame = {
+    GraftFunctions.register(s)
     // flip indices (i, j) over 1-based bit positions with 0 = "no
     // flip": (0,0) is the home bucket, (i,0) single flips, (i,j<i)
     // double flips — 1 + bits + C(bits,2) probes per (query, band)
@@ -1867,11 +1899,13 @@ object Similarity {
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-        val sk = graft.Caching.persistTrackedReuse(s"cascade_sk_$d",
-          int8CascadeSketch(emb))
-        val q = sk.filter(col("vec_id") < RangeQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-                  col("dx").as("dy"), col("dn").as("dm"), col("rx").as("ry"))
+        // the PERSISTED sketch artifact — physically embedding-free
+        // (AnnIndexLake.writeCascadeSketch); float vectors enter only
+        // at the survivor point-fetch below
+        val sk = graft.sources.AnnIndexLake.cascadeSketch(s, d)
+        val q = cascadeQuerySketch(
+          emb.filter(col("vec_id") < RangeQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
         sk.join(broadcast(q), col("vec_id") =!= col("q_id"))
           .withColumn("approx",
             expr("cosine_sim(dx, dy)") * col("dn") * col("dm"))
@@ -1879,9 +1913,12 @@ object Similarity {
           // error <= sqrt(d)*2^-24 ~ 5e-7 per side) plus double rounding
           .withColumn("eps",
             col("rx") + col("ry") + col("rx") * col("ry") + lit(2e-6))
-          // int8 prescreen FIRST; the exact cosine conjunct only runs on
-          // survivors (And short-circuits left to right in the fused filter)
+          // int8 prescreen over the sketch scan; only survivors fetch
+          // their float vector (by id, AQE-broadcast) and pay the exact
+          // cosine
           .filter(col("approx") + col("eps") >= lit(RangeTau) - lit(1e-6))
+          .select("q_id", "vec_id", "q_vec")
+          .join(emb.select("vec_id", "embedding"), "vec_id")
           .withColumn("sim",
             round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
           .filter(col("sim") >= RangeTau)
@@ -1922,14 +1959,15 @@ object Similarity {
       (s, d) => {
         GraftFunctions.register(s)
         val emb = Tables.embeddings(s, d)
-        val sk = graft.Caching.persistTrackedReuse(s"cascade_sk_$d",
-          int8CascadeSketch(emb))
-        val qsk = sk.filter(col("vec_id") < RangeQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
-                  col("dx").as("dy"), col("dn").as("dm"), col("rx").as("ry"))
+        // predicate prunes the persisted embedding-free sketch scan;
+        // survivors point-fetch their floats (cascadeKnnSearch's doc)
+        val sk = graft.sources.AnnIndexLake.cascadeSketch(s, d)
+        val qsk = cascadeQuerySketch(
+          emb.filter(col("vec_id") < RangeQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
         cascadeKnnSearch(s,
           sk.filter(col("label").between(FilterLabelLo, FilterLabelHi)),
-          qsk, TopK)
+          qsk, emb, TopK)
       },
       e14Sql),
 

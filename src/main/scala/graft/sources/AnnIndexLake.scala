@@ -45,6 +45,56 @@ import graft.operators.Similarity.E08Model
   */
 object AnnIndexLake {
 
+  /** Exactly-once batch append for the index insert paths. The bare
+    * `appendTo*` forms are BLIND appends — correct for a single clean
+    * application, but a retried/replayed intake batch would duplicate
+    * rows (and a duplicated posting can surface the same neighbor
+    * twice, displacing a legitimate one). Passing a `batchId` routes
+    * through here instead:
+    *
+    *  1. a committed `_graft_append_<batchId>` marker short-circuits —
+    *     the batch already landed (replay = no-op);
+    *  2. debris from a crashed earlier attempt (files carrying this
+    *     batch's name prefix, no marker) is deleted first;
+    *  3. the batch stages under an underscore dir (invisible to parquet
+    *     readers), its files rename into the table under the
+    *     `bt<batchId>_` prefix, and the marker commits LAST —
+    *     crash-anywhere + replay converges on exactly one copy.
+    *
+    * Renames are per-file FileSystem ops (metadata-cheap on HDFS-likes;
+    * a copy on bare object stores — the usual committer trade).
+    */
+  private def appendBatch(s: SparkSession, table: String, batchId: String,
+      df: DataFrame): Unit = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    require(batchId.matches("[A-Za-z0-9_-]+"),
+      s"batchId '$batchId' must be filename-safe")
+    val dirP = new HPath(table)
+    val fs = dirP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new HPath(s"$table/_graft_append_$batchId")
+    if (fs.exists(marker)) return
+    val prefix = s"bt${batchId}_"
+    if (fs.exists(dirP))
+      fs.listStatus(dirP).filter(_.getPath.getName.startsWith(prefix))
+        .foreach(st => fs.delete(st.getPath, false))
+    val tmp = new HPath(s"$table/_graft_stage_$batchId")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.listStatus(tmp).filter(_.getPath.getName.endsWith(".parquet"))
+      .foreach(st => fs.rename(st.getPath,
+        new HPath(dirP, prefix + st.getPath.getName)))
+    fs.delete(tmp, true)
+    fs.create(marker, true).close()
+  }
+
+  /** Insert-path landing dispatch: `batchId == null` is the documented
+    * BLIND append (at-least-once under retries — callers own delivery);
+    * a batchId routes through [[appendBatch]]'s exactly-once protocol.
+    */
+  private def landAppend(s: SparkSession, table: String, batchId: String,
+      rows: DataFrame): Unit =
+    if (batchId == null) rows.write.mode("append").parquet(table)
+    else appendBatch(s, table, batchId, rows)
+
   // ---- e08 trained-quantizer index ----------------------------------
 
   /** Train e08's two-level quantizer on `emb`, persist model + posting
@@ -96,13 +146,13 @@ object AnnIndexLake {
     * bit-identical to a one-pass assignment under the same model,
     * spec-proven, so dedup/probe jobs cannot tell an append happened).
     */
-  def appendToE08Index(s: SparkSession, dir: String,
-      newEmb: DataFrame): Unit =
-    Similarity.e08AssignWith(s, readE08Model(s, dir), newEmb)
-      .select("vec_id", "cell", "cell2")
-      .repartition(col("cell"))
-      .sortWithinPartitions("cell", "cell2", "vec_id")
-      .write.mode("append").parquet(s"$dir/assignments")
+  def appendToE08Index(s: SparkSession, dir: String, newEmb: DataFrame,
+      batchId: String = null): Unit =
+    landAppend(s, s"$dir/assignments", batchId,
+      Similarity.e08AssignWith(s, readE08Model(s, dir), newEmb)
+        .select("vec_id", "cell", "cell2")
+        .repartition(col("cell"))
+        .sortWithinPartitions("cell", "cell2", "vec_id"))
 
   /** e08's dedup verdicts FROM the persisted index: the posting table
     * joined back to its embeddings (the lake keeps ids, not vector
@@ -152,14 +202,14 @@ object AnnIndexLake {
     * invisible to search, recall drift comes only from the quantizer
     * aging (a measured, scheduled concern, not a correctness one).
     */
-  def appendToE03Index(s: SparkSession, dir: String,
-      newEmb: DataFrame): Unit = {
+  def appendToE03Index(s: SparkSession, dir: String, newEmb: DataFrame,
+      batchId: String = null): Unit = {
     val centroids = graft.Caching.persistTracked(s"e03_append_$dir",
       s.read.parquet(s"$dir/centroids"))
-    Similarity.e03Postings(newEmb, centroids)
-      .select("vec_id", "cell")
-      .repartition(col("cell")).sortWithinPartitions("cell", "vec_id")
-      .write.mode("append").parquet(s"$dir/postings")
+    landAppend(s, s"$dir/postings", batchId,
+      Similarity.e03Postings(newEmb, centroids)
+        .select("vec_id", "cell")
+        .repartition(col("cell")).sortWithinPartitions("cell", "vec_id"))
   }
 
   /** Train-once entry point for the e03 gate: the index for corpus `d`
@@ -176,7 +226,7 @@ object AnnIndexLake {
     * step, search is a read.
     */
   def ensureE03Index(s: SparkSession, d: String, emb: DataFrame): String =
-    ensureStamped("e03idx", d)(dir => writeE03Index(s, emb, dir))
+    ensureStamped(s, "e03idx", d)(dir => writeE03Index(s, emb, dir))
 
   /** IVF search over the persisted index: centroids and postings read
     * from the lake (postings re-joined to their embeddings by id — the
@@ -220,18 +270,18 @@ object AnnIndexLake {
     * a re-quantize ([[writeInt8Lake]] again). In-scale appends are
     * bit-identical to one-pass quantization under the same scales.
     */
-  def appendToInt8Lake(s: SparkSession, dir: String,
-      newEmb: DataFrame): Unit = {
+  def appendToInt8Lake(s: SparkSession, dir: String, newEmb: DataFrame,
+      batchId: String = null): Unit = {
     val scales = s.read.parquet(s"$dir/scales")
-    newEmb.select(col("vec_id"),
-        posexplode(col("embedding")).as(Seq("pos", "v")))
-      .join(broadcast(scales), "pos")
-      .withColumn("q", least(greatest(
-        Similarity.quantInt8(col("v"), col("mx")), lit(-127)), lit(127)))
-      .groupBy("vec_id")
-      .agg(expr("transform(array_sort(collect_list(named_struct(" +
-                "'p', pos, 'v', q))), x -> CAST(x.v AS tinyint))").as("qvec"))
-      .write.mode("append").parquet(s"$dir/vectors")
+    landAppend(s, s"$dir/vectors", batchId,
+      newEmb.select(col("vec_id"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .join(broadcast(scales), "pos")
+        .withColumn("q", least(greatest(
+          Similarity.quantInt8(col("v"), col("mx")), lit(-127)), lit(127)))
+        .groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(named_struct(" +
+                  "'p', pos, 'v', q))), x -> CAST(x.v AS tinyint))").as("qvec")))
   }
 
   /** The dequantized corpus (vec_id, dvec) reconstructed from the lake —
@@ -280,10 +330,10 @@ object AnnIndexLake {
     * recall drift is codebook aging, fixed on a schedule by retraining
     * ([[writePqIndex]] again).
     */
-  def appendToPqIndex(s: SparkSession, dir: String,
-      newEmb: DataFrame): Unit =
-    Similarity.pqEncode(s, readPqModel(s, dir), newEmb)
-      .write.mode("append").parquet(s"$dir/codes")
+  def appendToPqIndex(s: SparkSession, dir: String, newEmb: DataFrame,
+      batchId: String = null): Unit =
+    landAppend(s, s"$dir/codes", batchId,
+      Similarity.pqEncode(s, readPqModel(s, dir), newEmb))
 
   /** The persisted PQ model, collected back (M*K rows — metadata). */
   def readPqModel(s: SparkSession, dir: String): Similarity.PqModel = {
@@ -310,18 +360,31 @@ object AnnIndexLake {
     * (re)built by `build` at most once per corpus CONTENT stamp — the
     * `_graft_stamp` marker commits only AFTER the build, so a crash
     * mid-write rebuilds. The e03/e08 train-once discipline, factored.
+    * Marker IO routes through the Hadoop FileSystem resolved from the
+    * index dir's own URI (the GraftTable discipline), so pointing the
+    * scratch root at a durable lake scheme needs no code change.
     */
-  private def ensureStamped(tag: String, d: String)
+  private def ensureStamped(s: SparkSession, tag: String, d: String)
       (build: String => Unit): String = {
-    import java.nio.file.{Files, Paths}
+    import org.apache.hadoop.fs.{Path => HPath}
     val dir = graft.operators.Lake.scratch(tag, d)
     val stamp = Tables.stamp(d, "embeddings")
-    val marker = Paths.get(dir, "_graft_stamp")
-    val current = Files.exists(marker) &&
-      new String(Files.readAllBytes(marker), "UTF-8") == stamp
+    val marker = new HPath(s"$dir/_graft_stamp")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val current = fs.exists(marker) && {
+      val in = fs.open(marker)
+      try {
+        val out = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        new String(out.toByteArray, "UTF-8") == stamp
+      } finally in.close()
+    }
     if (!current) {
       build(dir)
-      Files.write(marker, stamp.getBytes("UTF-8"))
+      val out = fs.create(marker, true)
+      try out.write(stamp.getBytes("UTF-8")) finally out.close()
     }
     dir
   }
@@ -330,13 +393,143 @@ object AnnIndexLake {
     * table), per corpus content stamp.
     */
   def ensurePqIndex(s: SparkSession, d: String, emb: DataFrame): String =
-    ensureStamped("e11idx", d)(dir => { writePqIndex(s, emb, dir); () })
+    ensureStamped(s, "e11idx", d)(dir => { writePqIndex(s, emb, dir); () })
+
+  // ---- e02 LSH index ---------------------------------------------------
+
+  /** Persist e02's banded sign-code table:
+    *  - `meta`  (bits, corpus_n) — one row: the band width the ladder
+    *    picked at build time, FROZEN (appends and probes code at this
+    *    width even after the corpus outgrows the next rung — width
+    *    migration is a scheduled rebuild, like every quantizer here)
+    *  - `codes` (vec_id, band, bcode) — NumDupBands rows per vector,
+    *    band-partitioned + bcode-sorted so a probe's bucket join reads
+    *    contiguous min/max-prunable slices
+    * The planes are data-oblivious (a fixed deterministic family), so
+    * unlike e03/e08/e11 there is no trained model to round-trip: the
+    * artifact IS the derivation's output, and reuse skips exactly the
+    * corpus-sized sign-coding pass.
+    */
+  def writeLshIndex(s: SparkSession, emb: DataFrame, dir: String): Unit = {
+    val sp = s
+    import sp.implicits._
+    val n = emb.count()
+    val bits = Similarity.bandBits(n, Similarity.E02TargetBucket)
+    Seq((bits, n)).toDF("bits", "corpus_n")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    Similarity.bandedCodes(s, emb, fixedBits = Some(bits))
+      .select("vec_id", "band", "bcode")
+      .repartition(col("band")).sortWithinPartitions("band", "bcode")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** The frozen band width the index was built at. */
+  def readLshBits(s: SparkSession, dir: String): Int =
+    s.read.parquet(s"$dir/meta").select("bits").head().getInt(0)
+
+  /** Insert path for the LSH index: code `newEmb` at the FROZEN width
+    * and append. The code of a vector is a pure function of (vector,
+    * plane family, width), so appended rows are bit-identical to a
+    * one-pass build at the same width — appends are invisible to
+    * search by construction (spec-pinned); what ages is the WIDTH
+    * (bucket density drifts up as the corpus grows), fixed by a
+    * scheduled [[writeLshIndex]] rebuild.
+    */
+  def appendToLshIndex(s: SparkSession, dir: String, newEmb: DataFrame,
+      batchId: String = null): Unit =
+    landAppend(s, s"$dir/codes", batchId,
+      Similarity.bandedCodes(s, newEmb,
+          fixedBits = Some(readLshBits(s, dir)))
+        .select("vec_id", "band", "bcode")
+        .repartition(col("band")).sortWithinPartitions("band", "bcode"))
+
+  /** Build-once entry point for the LSH code table, per corpus content
+    * stamp — the last tier to gain the train-once/probe-many
+    * discipline.
+    */
+  def ensureLshIndex(s: SparkSession, d: String, emb: DataFrame): String =
+    ensureStamped(s, "e02idx", d)(dir => writeLshIndex(s, emb, dir))
+
+  /** e02's multiprobe search FROM the persisted code table: the corpus
+    * side is a parquet scan of `codes` (zero corpus-sized sign-coding
+    * jobs — only the query handful is coded, at the frozen width);
+    * probe stage and exact re-rank identical to the gate's
+    * ([[Similarity.lshProbeStage]]), so results reproduce the inline
+    * search exactly (spec-asserted).
+    */
+  def e02LshSearchFromIndex(s: SparkSession, dir: String, emb: DataFrame,
+      queries: DataFrame, k: Int = Similarity.TopK): DataFrame = {
+    val bits = readLshBits(s, dir)
+    val qCodes = Similarity.bandedCodes(s,
+      queries.select(col("q_id").as("vec_id"), col("q_vec").as("embedding")),
+      fixedBits = Some(bits))
+    Similarity.lshProbeStage(s, s.read.parquet(s"$dir/codes"),
+      qCodes, emb, queries, k)
+  }
+
+  // ---- e13/e14 cascade sketch artifact --------------------------------
+
+  /** Persist the e13/e14 int8 cascade sketch as a lake artifact:
+    * (vec_id, label, dx, dn, rx) — every corpus column EXCEPT the float
+    * embedding. This realizes the cascade's IO story: the stored table
+    * the exact tiers SCAN physically lacks the 256 B vector column (no
+    * reader of this artifact can pay for it, pruned or not); float
+    * vectors are point-fetched from the embeddings lake for bound
+    * survivors only ([[graft.operators.Similarity.cascadeKnnSearch]]).
+    * vec_id-range layout keeps the survivor id-join's fetch side
+    * min/max-prunable.
+    */
+  def writeCascadeSketch(s: SparkSession, emb: DataFrame,
+      dir: String): Unit =
+    Similarity.int8CascadeSketch(emb).drop("embedding")
+      .repartitionByRange(8, col("vec_id"))
+      .sortWithinPartitions("vec_id")
+      .write.mode("overwrite").parquet(s"$dir/sketch")
+
+  /** Insert path for the cascade sketch: sketch `newEmb` and append.
+    * The sketch is a PER-ROW pure function (no trained model at all —
+    * per-vector scale, code, residual norm), so an appended row is
+    * bit-identical to the row a full rebuild would produce, and the
+    * exactness proof is untouched: appends are invisible to search by
+    * construction, with no quantizer-aging caveat (spec-pinned in
+    * AnnIndexLakeSpec).
+    */
+  def appendToCascadeSketch(s: SparkSession, dir: String,
+      newEmb: DataFrame, batchId: String = null): Unit =
+    landAppend(s, s"$dir/sketch", batchId,
+      Similarity.int8CascadeSketch(newEmb).drop("embedding")
+        .sortWithinPartitions("vec_id"))
+
+  /** The persisted sketch table (no embedding column — by layout). */
+  def readCascadeSketch(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/sketch")
+
+  /** Build-once entry point for the cascade sketch, per corpus content
+    * stamp.
+    */
+  def ensureCascadeSketch(s: SparkSession, d: String,
+      emb: DataFrame): String =
+    ensureStamped(s, "cascadesk", d)(dir => writeCascadeSketch(s, emb, dir))
+
+  /** The warm cascade sketch for corpus `d`: artifact ensured per
+    * content stamp, read back, and memoized PER STAMP — a corpus whose
+    * content changes mid-session gets a fresh key, so a long-lived
+    * search service can never answer from a stale cached sketch while
+    * "brute" reads fresh data (the r15 tier-contract hazard).
+    */
+  private[graft] def cascadeSketch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val dir = ensureCascadeSketch(s, d, emb)
+    graft.Caching.persistTrackedReuse(
+      s"cascade_sk_${Tables.stamp(d, "embeddings")}",
+      readCascadeSketch(s, dir))
+  }
 
   /** Write-once entry point for the e07/e09 int8 vector lake (scales +
     * packed codes), per corpus content stamp.
     */
   def ensureInt8Lake(s: SparkSession, d: String, emb: DataFrame): String =
-    ensureStamped("int8lake", d)(dir => writeInt8Lake(s, emb, dir))
+    ensureStamped(s, "int8lake", d)(dir => writeInt8Lake(s, emb, dir))
 
   /** e12's IVFPQ search, COMPOSED from the two persisted artifacts the
     * family already maintains: the e03 coarse index (centroids + cell
@@ -386,8 +579,9 @@ object AnnIndexLake {
     *
     * Tier guide (measured at sf10 — bench/BENCH_ann_tiers_r14.json):
     * "brute" exact, reads the whole corpus per query batch; "lsh"
-    * data-oblivious (no training — the only tier needing zero build
-    * artifacts beyond the in-plan codes), recall ~0.84; "ivf" trained
+    * data-oblivious (no TRAINING — the planes are a fixed family; the
+    * code table itself is a persisted artifact like every other tier,
+    * probed without re-coding the corpus), recall ~0.84; "ivf" trained
     * coarse cells, recall ~0.9; "int8" exact-shape scan over the
     * 4x-compressed lake; "pq" 16x-compressed ADC scan + exact refine,
     * recall ~1.0 at gate scale but reads EVERY code row — right for
@@ -407,11 +601,10 @@ object AnnIndexLake {
     tier match {
       case "brute" => Similarity.knnBruteSearch(s, emb, q, k)
       case "exact" =>
-        Similarity.cascadeKnnSearch(s,
-          graft.Caching.persistTrackedReuse(s"cascade_sk_$d",
-            Similarity.int8CascadeSketch(Tables.embeddings(s, d))),
-          Similarity.cascadeQuerySketch(q), k)
-      case "lsh" => Similarity.e02LshSearch(s, emb, q, k)
+        Similarity.cascadeKnnSearch(s, cascadeSketch(s, d),
+          Similarity.cascadeQuerySketch(q), emb, k)
+      case "lsh" =>
+        e02LshSearchFromIndex(s, ensureLshIndex(s, d, emb), emb, q, k)
       case "ivf" =>
         e03SearchFromIndex(s, ensureE03Index(s, d, emb), emb, q, k)
       case "int8" =>
@@ -445,11 +638,10 @@ object AnnIndexLake {
   def searchWhere(s: SparkSession, d: String, queries: DataFrame,
       predicate: org.apache.spark.sql.Column,
       k: Int = Similarity.TopK): DataFrame = {
-    val sk = graft.Caching.persistTrackedReuse(s"cascade_sk_$d",
-      Similarity.int8CascadeSketch(Tables.embeddings(s, d)))
     val q = queries.select(col("q_id").cast("long").as("q_id"),
       col("q_vec"))
-    Similarity.cascadeKnnSearch(s, sk.filter(predicate),
-      Similarity.cascadeQuerySketch(q), k)
+    Similarity.cascadeKnnSearch(s, cascadeSketch(s, d).filter(predicate),
+      Similarity.cascadeQuerySketch(q),
+      Tables.embeddings(s, d).select("vec_id", "embedding"), k)
   }
 }

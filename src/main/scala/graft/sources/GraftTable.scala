@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -17,15 +18,24 @@ import graft.operators.Lake
   * schema evolution as a merge-time capability.
   *
   * Layout: `dir/v{N}/` holds the version's NEW parquet files, its
-  * `_manifest/` (one (path, key_lo, key_hi, n_rows) row per live data
-  * file — paths may point into OLDER version directories after a scoped
-  * merge), its `_graft_schema.json` (the version's schema — what makes
-  * a mixed-vintage file set read with null backfill, and time travel
-  * return the OLD schema verbatim after an evolution), and
-  * `_GRAFT_COMMITTED`, written AFTER everything else — readers only
-  * believe marked versions, so a writer crash mid-version leaves an
-  * invisible (and overwritable) directory, never a torn read. Every
-  * read plans from the manifest: the file list IS the version.
+  * `_manifest/` (one (path, key_lo, key_hi, n_rows, n_bytes) row per
+  * live data file — paths may point into OLDER version directories after
+  * a scoped merge; a z-order [[compact]] adds per-file `<col>_lo/_hi`
+  * spans for its clustering keys), its `_graft_schema.json` (the
+  * version's schema — what makes a mixed-vintage file set read with null
+  * backfill, and time travel return the OLD schema verbatim after an
+  * evolution), and `_GRAFT_COMMITTED`, written AFTER everything else —
+  * readers only believe marked versions, so a writer crash mid-version
+  * leaves an invisible (and overwritable) directory, never a torn read.
+  * Every read plans from the manifest: the file list IS the version.
+  *
+  * ALL metadata IO (version listing, markers, schema files, the vacuum
+  * sweep) routes through the Hadoop `FileSystem` resolved from the
+  * table's own URI — `dir` may live on any configured scheme (HDFS, an
+  * object store through its Hadoop connector, `file:`), the same
+  * resolution Spark's parquet scans use. Nothing on the metadata path
+  * touches `java.io.File`/`java.nio` (GraftTableFsSpec drives the whole
+  * lifecycle over a non-`file:` scheme to pin that).
   *
   * Two merge cost models, one table:
   *  - [[merge]] (full): the new version stores the full snapshot,
@@ -53,6 +63,18 @@ import graft.operators.Lake
   * FIRST, so any read planned after the marker drop fails by name
   * ("removed by retention") instead. GraftTableSpec pins both.
   *
+  * CONCURRENT WRITERS: the commit marker is created with an ATOMIC
+  * create-exclusive, so two writers racing the same version number
+  * cannot both commit — exactly one wins, the loser fails loudly at its
+  * commit (never a silently interleaved version; the replay forms drop
+  * the old marker first, making the version invisible for the rewrite's
+  * duration, then re-commit exclusively). The loser's in-flight DATA
+  * writes may still have overwritten the winner's bytes before it
+  * failed — full multi-writer isolation needs staged writes behind an
+  * atomic rename, which is the single-writer assumption this table
+  * keeps; the guard's job is to make a violated assumption LOUD
+  * (GraftTableSpec's interleaved-writer leg pins it).
+  *
   * Scale: reads are plain parquet scans with full pushdown; planning is
   * one manifest scan (metadata-sized — the l09 argument: at 10M files
   * the per-footer planning IO is what a 100-TB reader pays, and the
@@ -65,14 +87,19 @@ final class GraftTable private (s: SparkSession, val dir: String,
 
   import GraftTable._
 
+  private def fs: FileSystem = fsOf(s, dir)
+
   /** Committed versions, ascending (uncommitted dirs are invisible). */
-  def versions: Seq[Int] =
-    Option(new java.io.File(dir).listFiles()).map(_.toSeq)
-      .getOrElse(Seq.empty)
-      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
-      .map(_.getName.drop(1).toInt)
-      .filter(v => committed(dir, v))
+  def versions: Seq[Int] = {
+    val f = fs
+    val root = new HPath(dir)
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(_.getPath.getName.drop(1).toInt)
+      .filter(v => f.exists(markerPath(dir, v)))
       .sorted
+  }
 
   def currentVersion: Int = versions.lastOption.getOrElse(
     throw new IllegalStateException(s"graft table $dir has no committed versions"))
@@ -103,12 +130,13 @@ final class GraftTable private (s: SparkSession, val dir: String,
     */
   def schemaAsOf(v: Int): StructType = {
     validate(v)
-    DataType.fromJson(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(dir, s"v$v", SchemaFile)))
+    DataType.fromJson(readFsString(fs, new HPath(s"$dir/v$v/$SchemaFile")))
       .asInstanceOf[StructType]
   }
 
-  /** Version v's live-file manifest (path, key_lo, key_hi, n_rows). */
+  /** Version v's live-file manifest (path, key_lo, key_hi, n_rows,
+    * n_bytes, plus `<col>_lo/_hi` spans for a z-order compact's keys).
+    */
   def manifest(v: Int): DataFrame = {
     validate(v)
     s.read.parquet(s"$dir/v$v/_manifest")
@@ -150,6 +178,33 @@ final class GraftTable private (s: SparkSession, val dir: String,
   def readRange(lo: Long, hi: Long): DataFrame =
     readRangeAsOf(currentVersion, lo, hi)
 
+  /** Manifest-planned range read `[lo, hi)` on a SECONDARY column whose
+    * per-file spans a z-order [[compact]] recorded (`<c>_lo/_hi` manifest
+    * columns): files whose span misses the range are never opened; files
+    * with a NULL span (written after the z-compact by a later tick, so
+    * unprofiled on `c`) are always admitted — a missing stat must widen
+    * the read, never lose rows. Loud if the current manifest carries no
+    * span for `c` (the table was never z-compacted on it).
+    */
+  def readRangeOn(c: String, lo: Long, hi: Long): DataFrame = {
+    if (c == key) return readRange(lo, hi)
+    val v = currentVersion
+    val m = manifest(v)
+    require(m.columns.contains(s"${c}_lo"),
+      s"graft table $dir has no manifest span for '$c' — compact with " +
+        s"zorderBy = Seq(..., \"$c\", ...) to record one")
+    val schema = schemaAsOf(v)
+    val admitted = m
+      .filter(col(s"${c}_lo").isNull ||
+        (col(s"${c}_hi") >= lo && col(s"${c}_lo") < hi))
+      .select("path").collect().map(_.getString(0)).toSeq
+    val src =
+      if (admitted.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
+      else s.read.schema(schema).parquet(admitted: _*)
+    src.filter(col(c) >= lo && col(c) < hi)
+  }
+
   /** Schema-align a merge: columns the changelog ADDS extend the base
     * with typed null backfill (the l03 mergeSchema semantics owned by
     * the facade); columns the changelog MISSES fail loudly — an upsert
@@ -177,7 +232,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     val next = n + 1
     landVersion(s, dir, next, key,
       Lake.cdcMergeAuto(alignForMerge(readAsOf(n), log), log, key = key))
-    commit(dir, next)
+    commit(s, dir, next)
     next
   }
 
@@ -254,11 +309,15 @@ final class GraftTable private (s: SparkSession, val dir: String,
     import sp.implicits._
     val carried = base.join(
       touched.toDF("path"), Seq("path"), "left_anti")
-    carried.unionByName(fileStats(s, vdir, key, merged.schema))
+    // allowMissingColumns: a z-order compact's manifest carries extra
+    // span columns — files this tick rewrites get NULL there (unknown
+    // span, readers must admit), carried rows keep theirs
+    carried.unionByName(fileStats(s, vdir, key, merged.schema),
+        allowMissingColumns = true)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
-    writeSchema(dir, next, merged.schema)
-    commit(dir, next)
+    writeSchema(s, dir, next, merged.schema)
+    commit(s, dir, next)
     next
   }
 
@@ -269,20 +328,44 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * survivors, file count growing with tick count and range spans
     * overlapping (each tick's files overlay the ranges they rewrote).
     * compact() reads the manifest's file list ONCE and lands it as
-    * version n+1 at the size-derived fan, range-partitioned + key-sorted
-    * — content no-op (hash-identical to readAsOf(n)), layout reset:
-    * scan-sized files, disjoint tight key spans (manifest pruning
-    * selective again), zero references into older versions (vacuum can
-    * drop the whole history; mergeAs replays are legal again). Cost is
-    * one full read + write — the operation you SCHEDULE (off-peak,
-    * every N ticks), which is exactly why the per-tick path doesn't pay
-    * it. Returns the new version number.
+    * version n+1 at the size-derived fan — content no-op (hash-identical
+    * to readAsOf(n)), layout reset: scan-sized files, zero references
+    * into older versions (vacuum can drop the whole history; mergeAs
+    * replays are legal again). Cost is one full read + write — the
+    * operation you SCHEDULE (off-peak, every N ticks), which is exactly
+    * why the per-tick path doesn't pay it. Returns the new version.
+    *
+    * Layout choice (Delta OPTIMIZE vs OPTIMIZE ZORDER BY, owned here):
+    *  - `zorderBy = Nil` (default): range-partitioned + sorted on the
+    *    table key — disjoint tight key spans, manifest pruning on the
+    *    key maximally selective.
+    *  - `zorderBy = Seq(a, b)`: Morton-clustered on TWO columns (l02's
+    *    interleave under the facade) — every file covers a bounded
+    *    rectangle of the (a, b) space, so per-file min/max prunes point
+    *    or range predicates on EITHER column, and the manifest records
+    *    the per-file `<col>_lo/_hi` spans ([[readRangeOn]] plans from
+    *    them). The trade: the PRIMARY key's spans widen (files are
+    *    z-contiguous, not key-contiguous) — z-order when the two
+    *    secondary filter columns are hotter than key ranges.
     */
-  def compact(): Int = {
+  def compact(zorderBy: Seq[String] = Nil): Int = {
     val n = currentVersion
     val next = n + 1
-    landVersion(s, dir, next, key, readAsOf(n))
-    commit(dir, next)
+    val snap = readAsOf(n)
+    if (zorderBy.isEmpty)
+      landVersion(s, dir, next, key, snap)
+    else {
+      require(zorderBy.size == 2,
+        s"compact(zorderBy) interleaves exactly two columns, got " +
+          s"${zorderBy.mkString("[", ", ", "]")}")
+      val vdir = s"$dir/v$next"
+      writeFilesZ(s, vdir, zorderBy, snap)
+      fileStats(s, vdir, key, snap.schema, statCols = zorderBy)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
+      writeSchema(s, dir, next, snap.schema)
+    }
+    commit(s, dir, next)
     next
   }
 
@@ -301,9 +384,10 @@ final class GraftTable private (s: SparkSession, val dir: String,
     */
   def mergeAs(log: DataFrame, v: Int): Int = {
     requireReplayable("mergeAs", v)
+    uncommit(s, dir, v) // replay: invisible for the rewrite's duration
     landVersion(s, dir, v, key,
       Lake.cdcMergeAuto(alignForMerge(readAsOf(v - 1), log), log, key = key))
-    commit(dir, v)
+    commit(s, dir, v)
     v
   }
 
@@ -322,6 +406,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     */
   def mergeScopedAs(log: DataFrame, v: Int): Int = {
     requireReplayable("mergeScopedAs", v)
+    uncommit(s, dir, v)
     mergeScopedOn(v - 1, touchedPaths(v - 1, log), log)
   }
 
@@ -335,13 +420,14 @@ final class GraftTable private (s: SparkSession, val dir: String,
     */
   def mergeAutoAs(log: DataFrame, v: Int): Int = {
     requireReplayable("mergeAutoAs", v)
+    uncommit(s, dir, v)
     val touched = touchedPaths(v - 1, log)
     val total = manifest(v - 1).count()
     if (touched.size * 2 >= total) {
       landVersion(s, dir, v, key,
         Lake.cdcMergeAuto(alignForMerge(readAsOf(v - 1), log), log,
           key = key))
-      commit(dir, v)
+      commit(s, dir, v)
       v
     } else mergeScopedOn(v - 1, touched, log)
   }
@@ -372,29 +458,30 @@ final class GraftTable private (s: SparkSession, val dir: String,
 
   /** The table's audit surface (Delta's DESCRIBE HISTORY): one row per
     * committed version — commit time (the marker's payload), file/row/
-    * byte totals from the manifest, how many files are carried
-    * references into EARLIER versions (0 = self-contained; >0 = a
-    * scoped tick's patchwork), and the column count of the stored
-    * schema (watch additive evolution land). Reads only metadata: the
-    * markers and the per-version manifests (each a one-file parquet),
-    * never data files; version count is retention-bounded, so the
-    * per-version loop is model-sized by construction.
+    * byte totals and the carried-reference count (0 = self-contained;
+    * >0 = a scoped tick's patchwork), all from ONE aggregate over the
+    * version's manifest (n_bytes is a manifest column recorded at write
+    * time, so history performs ZERO per-file size calls — at 10M files
+    * a stat-per-file loop would be the planning-IO bug l09 exists to
+    * avoid), plus the column count of the stored schema (watch additive
+    * evolution land). Reads only metadata: the markers and the
+    * per-version manifests (each a one-file parquet), never data files;
+    * version count is retention-bounded, so the per-version loop is
+    * model-sized by construction.
     */
   def history(): DataFrame = {
     val sp = s
     import sp.implicits._
+    val f = fs
     versions.map { v =>
-      val committedAt = new String(java.nio.file.Files.readAllBytes(
-        markerPath(dir, v)), "UTF-8").trim
+      val committedAt = readFsString(f, markerPath(dir, v)).trim
       val m = manifest(v).agg(
-        count(lit(1)).as("files"), sum("n_rows").as("rows")).head()
-      val rows = if (m.isNullAt(1)) 0L else m.getLong(1) // empty version
-      val carried = manifest(v)
-        .filter(!col("path").contains(s"/v$v/")).count()
-      val bytes = manifest(v).select("path").collect().map { r =>
-        java.nio.file.Files.size(toLocalPath(r.getString(0)))
-      }.sum
-      (v, committedAt, m.getLong(0), rows, bytes, carried,
+        count(lit(1)).as("files"), sum("n_rows").as("rows"),
+        sum("n_bytes").as("bytes"),
+        sum(when(!col("path").contains(s"/v$v/"), 1L).otherwise(0L))
+          .as("carried")).head()
+      def long(i: Int) = if (m.isNullAt(i)) 0L else m.getLong(i) // empty version
+      (v, committedAt, m.getLong(0), long(1), long(2), long(3),
         schemaAsOf(v).fields.length)
     }.toDF("version", "committed_at", "n_files", "n_rows", "bytes",
       "carried_files", "n_columns")
@@ -456,30 +543,35 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * Returns the retired version numbers.
     */
   def vacuum(keep: Int): Seq[Int] = {
+    val f = fs
+    def qual(p: String) = f.makeQualified(new HPath(p)).toString
     val vs = versions
     val doomed = vs.dropRight(math.max(1, keep))
     if (doomed.isEmpty) return doomed
     val retained = vs.drop(doomed.length)
-    val referenced: Set[java.nio.file.Path] = retained
+    val referenced: Set[String] = retained
       .flatMap(v => manifest(v).select("path").collect().map(_.getString(0)))
-      .map(toLocalPath).toSet
+      .map(qual).toSet
     doomed.foreach { v =>
-      java.nio.file.Files.deleteIfExists(markerPath(dir, v))
-      val vdir = java.nio.file.Paths.get(dir, s"v$v")
-      Lake.deleteTree(vdir.resolve("_manifest"))
-      java.nio.file.Files.deleteIfExists(vdir.resolve(SchemaFile))
-      import scala.jdk.CollectionConverters._
-      val leftovers = java.nio.file.Files.walk(vdir).iterator().asScala
-        .toSeq.reverse
-      leftovers.foreach { p =>
-        if (java.nio.file.Files.isRegularFile(p) && !referenced(p))
-          java.nio.file.Files.deleteIfExists(p)
-        else if (java.nio.file.Files.isDirectory(p)) {
-          val children = java.nio.file.Files.list(p)
-          val empty = try !children.iterator().hasNext finally children.close()
-          if (empty) java.nio.file.Files.deleteIfExists(p)
-        }
+      f.delete(markerPath(dir, v), false)
+      val vdir = new HPath(s"$dir/v$v")
+      f.delete(new HPath(vdir, "_manifest"), true)
+      f.delete(new HPath(vdir, SchemaFile), false)
+      // recursive listStatus rather than listFiles: the latter eagerly
+      // materializes LocatedFileStatus (permissions and block locations
+      // — local-FS implementations resolve those through java.io and
+      // reject foreign schemes), and a metadata sweep needs neither
+      var kept = false
+      def sweep(p: HPath): Unit = f.listStatus(p).foreach { st =>
+        if (st.isDirectory) sweep(st.getPath)
+        else if (referenced(qual(st.getPath.toString))) kept = true
+        else f.delete(st.getPath, false)
       }
+      sweep(vdir)
+      // nothing referenced survives → the whole directory goes (matches
+      // the pre-scoped whole-dir retirement); otherwise the remaining
+      // files ARE the retained manifests' references, dirs stay for them
+      if (!kept) f.delete(vdir, true)
     }
     doomed
   }
@@ -488,6 +580,13 @@ final class GraftTable private (s: SparkSession, val dir: String,
 object GraftTable {
 
   private val SchemaFile = "_graft_schema.json"
+
+  /** Test seam for the concurrent-writer spec: invoked immediately
+    * before the commit marker's create-exclusive, so a spec can
+    * interleave a second writer into the race window deterministically.
+    * A no-op in production.
+    */
+  private[graft] var onBeforeCommit: (String, Int) => Unit = (_, _) => ()
 
   /** Floor on the per-version range-partition fan (keeps the manifest
     * non-degenerate — with one file there is nothing to prune), and the
@@ -512,22 +611,61 @@ object GraftTable {
     math.max(VersionFilesFloor, byBytes)
   }
 
-  private def markerPath(dir: String, v: Int) =
-    java.nio.file.Paths.get(dir, s"v$v", "_GRAFT_COMMITTED")
-
-  private def committed(dir: String, v: Int): Boolean =
-    java.nio.file.Files.exists(markerPath(dir, v))
-
-  private def commit(dir: String, v: Int): Unit =
-    java.nio.file.Files.write(markerPath(dir, v),
-      java.time.Instant.now().toString.getBytes("UTF-8"))
-
-  /** A manifest `path` (the `file:` URI input_file_name emits) as a
-    * local filesystem path, for vacuum's reference checks.
+  /** The Hadoop FileSystem serving `p` — resolved from the path's own
+    * scheme against the session's Hadoop configuration, exactly as
+    * Spark's file sources resolve it. Every metadata operation (markers,
+    * schema files, version listing, the vacuum sweep) goes through this,
+    * so the table runs unchanged on any configured lake URI.
     */
-  private def toLocalPath(p: String): java.nio.file.Path =
-    if (p.startsWith("file:")) java.nio.file.Paths.get(java.net.URI.create(p))
-    else java.nio.file.Paths.get(p)
+  private def fsOf(s: SparkSession, p: String): FileSystem =
+    new HPath(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def readFsString(fs: FileSystem, p: HPath): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, "UTF-8")
+    } finally in.close()
+  }
+
+  private def writeFsString(fs: FileSystem, p: HPath, body: String,
+      overwrite: Boolean): Unit = {
+    val out = fs.create(p, overwrite)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def markerPath(dir: String, v: Int): HPath =
+    new HPath(s"$dir/v$v/_GRAFT_COMMITTED")
+
+  /** Commit version v: the marker is created CREATE-EXCLUSIVE, so of
+    * two writers racing the same version number exactly one commits —
+    * the loser fails loudly here instead of silently interleaving (the
+    * class comment's concurrent-writer contract).
+    */
+  private def commit(s: SparkSession, dir: String, v: Int): Unit = {
+    onBeforeCommit(dir, v)
+    try writeFsString(fsOf(s, dir), markerPath(dir, v),
+      java.time.Instant.now().toString, overwrite = false)
+    catch {
+      // RawLocalFileSystem raises FileAlreadyExistsException; other
+      // connectors may surface the exclusive-create loss as a plain
+      // IOException — the exists() guard keeps genuine IO failures loud
+      // under their own type
+      case e: java.io.IOException
+          if fsOf(s, dir).exists(markerPath(dir, v)) =>
+        throw new IllegalStateException(
+          s"concurrent writer detected on graft table $dir: v$v was " +
+            "committed by another writer during this write (single-" +
+            "writer contract violated); this writer's version is " +
+            "abandoned", e)
+    }
+  }
+
+  private def uncommit(s: SparkSession, dir: String, v: Int): Unit =
+    fsOf(s, dir).delete(markerPath(dir, v), false)
 
   /** All fields read-nullable — what a parquet scan yields anyway, and
     * what lets an explicit-schema read backfill evolved columns.
@@ -545,22 +683,63 @@ object GraftTable {
       .sortWithinPartitions(key)
       .write.mode(SaveMode.Overwrite).parquet(vdir)
 
-  /** Per-file (path, key_lo, key_hi, n_rows) stats for the files under
-    * `vdir`, derived in one `input_file_name()`-grouped scan. The
-    * explicit schema keeps an EMPTY version (a tick that deleted every
-    * touched row and inserted none) readable — zero files, zero rows.
+  /** Write one version's data files MORTON-CLUSTERED on two columns —
+    * l02's interleave under the facade: each key normalized to an 8-bit
+    * bucket by integer DIV over its own max (rank-like for roughly
+    * uniform keys; what balances the interleave when the dims' widths
+    * differ), bits interleaved ([[Lake.zValue]]), range-partitioned on
+    * the z-value and sorted within — every file a bounded rectangle of
+    * the 2-D key space.
+    */
+  private def writeFilesZ(s: SparkSession, vdir: String,
+      zCols: Seq[String], df: DataFrame): Unit = {
+    val Seq(a, b) = zCols
+    val stats = df.agg(max(col(a)).cast("long").as("__graft_amx"),
+                       max(col(b)).cast("long").as("__graft_bmx"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("__graft_ab",
+        expr(s"CAST($a * 256 DIV (__graft_amx + 1) AS BIGINT)"))
+      .withColumn("__graft_bb",
+        expr(s"CAST($b * 256 DIV (__graft_bmx + 1) AS BIGINT)"))
+      .withColumn("__graft_z",
+        Lake.zValue(col("__graft_ab"), col("__graft_bb"), 8))
+      .repartitionByRange(versionFan(df), col("__graft_z"))
+      .sortWithinPartitions("__graft_z")
+      .drop("__graft_ab", "__graft_bb", "__graft_z",
+            "__graft_amx", "__graft_bmx")
+      .write.mode(SaveMode.Overwrite).parquet(vdir)
+  }
+
+  /** Per-file (path, key_lo, key_hi, n_rows, n_bytes) stats for the
+    * files under `vdir`, derived in one scan grouped on the file-source
+    * `_metadata` column (which also carries the file size — recorded
+    * here at write time so [[GraftTable.history]] and any byte
+    * accounting read the manifest, never stat files). `statCols` adds
+    * per-file `<col>_lo/_hi` spans for a z-order compact's clustering
+    * keys. The explicit schema keeps an EMPTY version (a tick that
+    * deleted every touched row and inserted none) readable — zero
+    * files, zero rows.
     */
   private def fileStats(s: SparkSession, vdir: String, key: String,
-      schema: StructType): DataFrame =
+      schema: StructType, statCols: Seq[String] = Nil): DataFrame = {
+    val extraNames = statCols.filterNot(_ == key)
+      .flatMap(c => Seq(s"${c}_lo", s"${c}_hi"))
+    val extra = statCols.filterNot(_ == key).flatMap(c =>
+      Seq(min(col(c)).as(s"${c}_lo"), max(col(c)).as(s"${c}_hi")))
+    val aggs = Seq(min(key).as("key_lo"), max(key).as("key_hi"),
+      count(lit(1)).as("n_rows")) ++ extra
     s.read.schema(nullable(schema)).parquet(vdir)
-      .groupBy(input_file_name().as("path"))
-      .agg(min(key).as("key_lo"), max(key).as("key_hi"),
-           count(lit(1)).as("n_rows"))
+      .groupBy(col("_metadata.file_path").as("path"),
+               col("_metadata.file_size").as("n_bytes"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((Seq("path", "key_lo", "key_hi", "n_rows", "n_bytes") ++
+        extraNames).map(col): _*)
+  }
 
-  private def writeSchema(dir: String, v: Int, schema: StructType): Unit =
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(dir, s"v$v", SchemaFile),
-      nullable(schema).json)
+  private def writeSchema(s: SparkSession, dir: String, v: Int,
+      schema: StructType): Unit =
+    writeFsString(fsOf(s, dir), new HPath(s"$dir/v$v/$SchemaFile"),
+      nullable(schema).json, overwrite = true)
 
   /** Land one FULL version: data files, manifest, schema — all before
     * the caller's commit marker, so a crash anywhere leaves an
@@ -576,14 +755,14 @@ object GraftTable {
     fileStats(s, vdir, key, df.schema)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
-    writeSchema(dir, v, df.schema)
+    writeSchema(s, dir, v, df.schema)
   }
 
   /** Create a table at `dir` with `df` as committed version 0. */
   def create(s: SparkSession, dir: String, df: DataFrame,
       key: String = "doc_id"): GraftTable = {
     landVersion(s, dir, 0, key, df)
-    commit(dir, 0)
+    commit(s, dir, 0)
     new GraftTable(s, dir, key)
   }
 

@@ -69,49 +69,46 @@ object Tables {
     * the tail, so a regenerated file of identical byte length still
     * changes the stamp — mtime granularity can't fool it), over the
     * sorted file list when the table is a directory. Missing tables fail
-    * with a clear error instead of a raw NoSuchFileException.
+    * with a clear error instead of a raw FileNotFoundException. IO
+    * routes through the Hadoop FileSystem resolved from the table's own
+    * URI (the GraftTable discipline — `dir` may be any configured lake
+    * scheme); FSDataInputStream.readFully owns the short-read loop a
+    * positional read otherwise needs, and an unstable stamp would mean
+    * spurious retrains / mismatched memo keys.
     */
   def stamp(dir: String, name: String): String = {
-    import java.nio.file.{Files, Path, Paths}
-    val root = Paths.get(dir, s"$name.parquet")
-    if (!Files.exists(root))
+    import org.apache.hadoop.fs.{FileStatus, Path => HPath}
+    val root = new HPath(s"$dir/$name.parquet")
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root))
       throw new IllegalArgumentException(
         s"table $name not found under $dir (expected $root)")
     val md = java.security.MessageDigest.getInstance("MD5")
-    def digestFile(p: Path): Unit = {
-      val size = Files.size(p)
-      md.update(p.getFileName.toString.getBytes("UTF-8"))
+    def digestFile(st: FileStatus): Unit = {
+      val size = st.getLen
+      md.update(st.getPath.getName.getBytes("UTF-8"))
       md.update(java.nio.ByteBuffer.allocate(8).putLong(size).array())
-      val ch = java.nio.channels.FileChannel.open(p)
-      // loop to fill: a single positional read may legally return short,
-      // and a short read would digest fewer bytes — an UNSTABLE stamp for
-      // identical files, i.e. spurious retrains / mismatched memo keys
-      def readFully(buf: java.nio.ByteBuffer, pos: Long): Unit = {
-        var off = pos
-        var n = 0
-        while (buf.hasRemaining && n >= 0) {
-          n = ch.read(buf, off)
-          if (n > 0) off += n
-        }
-      }
+      val in = fs.open(st.getPath)
       try {
-        val head = java.nio.ByteBuffer.allocate(65536)
-        readFully(head, 0L); head.flip(); md.update(head)
+        val head = new Array[Byte](math.min(size, 65536L).toInt)
+        in.readFully(0L, head); md.update(head)
         if (size > 65536L) {
-          val tail = java.nio.ByteBuffer.allocate(65536)
-          readFully(tail, math.max(65536L, size - 65536L)); tail.flip()
-          md.update(tail)
+          val pos = math.max(65536L, size - 65536L)
+          val tail = new Array[Byte]((size - pos).toInt)
+          in.readFully(pos, tail); md.update(tail)
         }
-      } finally ch.close()
+      } finally in.close()
     }
-    if (Files.isDirectory(root)) {
-      import scala.jdk.CollectionConverters._
-      Files.list(root).iterator().asScala.toSeq
-        .filter(p => Files.isRegularFile(p))
-        .filterNot(_.getFileName.toString.startsWith("_"))
-        .sortBy(_.getFileName.toString)
+    val rootStatus = fs.getFileStatus(root)
+    if (rootStatus.isDirectory)
+      fs.listStatus(root).toSeq
+        .filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_"))
+        .sortBy(_.getPath.getName)
         .foreach(digestFile)
-    } else digestFile(root)
+    else digestFile(rootStatus)
     s"$dir|$name|" + md.digest().map("%02x".format(_)).mkString
   }
 }

@@ -894,10 +894,12 @@ object StreamQueries {
         val base = Lake.scratch("s28", d)
         deleteTree(java.nio.file.Paths.get(base))
         val emb = graft.sources.Tables.embeddings(s, d)
-        val sk = graft.Caching.persistTrackedReuse(s"cascade_sk_$d",
-          Similarity.int8CascadeSketch(emb))
-        val cand = sk.filter(col("label").between(
-          Similarity.FilterLabelLo, Similarity.FilterLabelHi))
+        // the static side IS the persisted embedding-free sketch
+        // artifact — exactly a retrieval service's topology: the sketch
+        // is built at ingest, query batches flow, survivors point-fetch
+        val cand = graft.sources.AnnIndexLake.cascadeSketch(s, d)
+          .filter(col("label").between(
+            Similarity.FilterLabelLo, Similarity.FilterLabelHi))
         val queries = emb.filter(col("vec_id") < Similarity.RangeQueries)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
         java.nio.file.Files.createDirectories(
@@ -913,7 +915,8 @@ object StreamQueries {
           .option("checkpointLocation", s"$base/ckpt")
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             Similarity.cascadeKnnSearch(s, cand,
-                Similarity.cascadeQuerySketch(batch))
+                Similarity.cascadeQuerySketch(batch),
+                emb.select("vec_id", "embedding"))
               .write.mode("overwrite").parquet(s"$base/out/batch=$batchId")
             ()
           }

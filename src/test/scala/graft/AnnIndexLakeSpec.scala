@@ -306,4 +306,151 @@ class AnnIndexLakeSpec extends AnyFunSuite with SparkFixture {
     assert(overLake == inMem, "lake-backed e11 diverged from in-memory")
     assert(overLake.nonEmpty)
   }
+
+  test("LSH index: probe-only reuse, frozen-width appends invisible") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val queries = emb.filter(col("vec_id") < Similarity.NumQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+
+    // append invisibility: build on part, append the rest at the FROZEN
+    // width — grown code table == one-pass build over the whole corpus
+    val dir = tmpDir("lshidx")
+    AnnIndexLake.writeLshIndex(spark, emb.filter(col("vec_id") >= 100), dir)
+    val bits = AnnIndexLake.readLshBits(spark, dir)
+    AnnIndexLake.appendToLshIndex(spark, dir, emb.filter(col("vec_id") < 100))
+    val grown = spark.read.parquet(s"$dir/codes")
+      .collect().map(_.toSeq).toSet
+    val onePass = Similarity.bandedCodes(spark, emb, fixedBits = Some(bits))
+      .select("vec_id", "band", "bcode").collect().map(_.toSeq).toSet
+    assert(grown == onePass, "LSH append diverged from a one-pass build")
+
+    // search over the grown index == the inline gate search, row for row
+    // (the partial build froze the same ladder width the full corpus
+    // picks here, so the comparison is exact; assert that premise too)
+    assert(bits == Similarity.bandBits(emb.count(),
+      Similarity.E02TargetBucket), "width rung moved; comparison vacuous")
+    val fromIndex = AnnIndexLake.e02LshSearchFromIndex(spark, dir,
+        emb.select("vec_id", "embedding"), queries)
+      .collect().map(_.toSeq).toSeq
+    val inline = Similarity.e02LshSearch(spark,
+        emb.select("vec_id", "embedding"), queries)
+      .collect().map(_.toSeq).toSeq
+    assert(fromIndex.nonEmpty && fromIndex == inline,
+      "index-backed LSH search diverged from the inline gate plan")
+
+    // probe-only reuse: the index-backed plan scans the code table and
+    // sign-codes ONLY the query handful — strictly fewer sign-code
+    // expressions than the inline plan, which codes the corpus too
+    def signCodes(df: org.apache.spark.sql.DataFrame): Int =
+      """sign_code\(""".r.findAllIn(
+        df.queryExecution.optimizedPlan.toString).length
+    val idxPlan = AnnIndexLake.e02LshSearchFromIndex(spark, dir,
+      emb.select("vec_id", "embedding"), queries)
+    assert(idxPlan.inputFiles.exists(_.contains("/codes/")),
+      "index-backed search never scans the persisted code table")
+    assert(signCodes(idxPlan) < signCodes(Similarity.e02LshSearch(spark,
+        emb.select("vec_id", "embedding"), queries)),
+      "index-backed search still derives corpus codes in-plan")
+
+    // ensure: the stamped build writes once; a second call leaves every
+    // code file untouched (pure probe reuse)
+    val d2 = AnnIndexLake.ensureLshIndex(spark, sfDir, emb)
+    def state(p: String) = new java.io.File(s"$p/codes").listFiles()
+      .map(f => f.getName -> (f.length, f.lastModified)).toMap
+    val before = state(d2)
+    assert(AnnIndexLake.ensureLshIndex(spark, sfDir, emb) == d2)
+    assert(state(d2) == before, "repeat ensure rewrote the code table")
+  }
+
+  test("batch-stamped appends are exactly-once under replay and crash debris") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = tmpDir("e03b")
+    AnnIndexLake.writeE03Index(spark, emb.filter(col("vec_id") >= 100), dir)
+    val b1 = emb.filter(col("vec_id") < 50)
+    val b2 = emb.filter(col("vec_id") >= 50 && col("vec_id") < 100)
+
+    def postings(): Seq[Seq[Any]] = spark.read.parquet(s"$dir/postings")
+      .collect().map(_.toSeq.toVector: Seq[Any]).sortBy(_.toString).toSeq
+
+    AnnIndexLake.appendToE03Index(spark, dir, b1, batchId = "b1")
+    val once = postings()
+    // replay of the same batch id is a no-op — no duplicated postings
+    AnnIndexLake.appendToE03Index(spark, dir, b1, batchId = "b1")
+    assert(postings() == once, "batch replay duplicated postings")
+
+    // crash debris: a bt-prefixed file from a failed earlier attempt
+    // (no marker) is replaced, not compounded — and junk bytes never
+    // reach readers because the replay deletes before landing
+    val debris = java.nio.file.Paths.get(s"$dir/postings/btb2_part-bogus.parquet")
+    java.nio.file.Files.write(debris, Array[Byte](1, 2, 3))
+    AnnIndexLake.appendToE03Index(spark, dir, b2, batchId = "b2")
+    assert(!java.nio.file.Files.exists(debris),
+      "crashed-attempt debris survived the batch replay")
+
+    // the converged table equals a one-pass assignment of everything
+    // under the same frozen centroids — batching is invisible
+    val centroids = spark.read.parquet(s"$dir/centroids")
+    assert(postings().toSet == Similarity.e03Postings(emb, centroids)
+      .select("vec_id", "cell").collect()
+      .map(_.toSeq.toVector: Seq[Any]).toSet,
+      "batched appends diverge from one-pass assignment")
+
+    // the BLIND form (no batchId) is honestly at-least-once: a retry
+    // really does duplicate — the contract the batchId form exists for
+    val dir2 = tmpDir("e03blind")
+    AnnIndexLake.writeE03Index(spark, emb.filter(col("vec_id") >= 100), dir2)
+    AnnIndexLake.appendToE03Index(spark, dir2, b1)
+    val n1 = spark.read.parquet(s"$dir2/postings").count()
+    AnnIndexLake.appendToE03Index(spark, dir2, b1)
+    assert(spark.read.parquet(s"$dir2/postings").count() > n1,
+      "blind append deduplicated? the at-least-once contract moved")
+
+    // the cascade sketch's batch form converges the same way
+    val dir3 = tmpDir("cascb")
+    AnnIndexLake.writeCascadeSketch(spark, emb.filter(col("vec_id") >= 100), dir3)
+    AnnIndexLake.appendToCascadeSketch(spark, dir3, b1, batchId = "t1")
+    AnnIndexLake.appendToCascadeSketch(spark, dir3, b1, batchId = "t1")
+    AnnIndexLake.appendToCascadeSketch(spark, dir3, b2, batchId = "t2")
+    assert(AnnIndexLake.readCascadeSketch(spark, dir3)
+      .collect().map(_.toString).sorted.toSeq ==
+      Similarity.int8CascadeSketch(emb).drop("embedding")
+        .collect().map(_.toString).sorted.toSeq,
+      "batched sketch appends diverge from a one-pass build")
+  }
+
+  test("cascade sketch artifact: embedding-free on disk, appends invisible") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = tmpDir("cascsk")
+    AnnIndexLake.writeCascadeSketch(spark, emb.filter(col("vec_id") >= 100), dir)
+    AnnIndexLake.appendToCascadeSketch(spark, dir,
+      emb.filter(col("vec_id") < 100))
+
+    // the STORED artifact physically lacks the float vector column —
+    // the cascade's IO claim is a property of the file, not of pruning
+    val grown = AnnIndexLake.readCascadeSketch(spark, dir)
+    assert(!grown.columns.contains("embedding"),
+      "the sketch artifact stores the embedding column")
+    assert(grown.columns.toSet == Set("vec_id", "label", "dx", "dn", "rx"))
+
+    // append invisibility is exact here — the sketch is a per-row pure
+    // function (no trained model): grown == a one-pass rebuild, row set
+    // equality over every column
+    val onePass = Similarity.int8CascadeSketch(emb).drop("embedding")
+    assert(grown.collect().map(_.toString).sorted.toSeq ==
+      onePass.collect().map(_.toString).sorted.toSeq,
+      "appended sketch rows diverge from a one-pass rebuild")
+
+    // and a search THROUGH the grown artifact is still exactly brute
+    // force (the no-loss proof composes with appends)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val viaArtifact = Similarity.cascadeKnnSearch(spark, grown,
+        Similarity.cascadeQuerySketch(queries),
+        emb.select("vec_id", "embedding"))
+      .collect().map(_.toString).toSeq
+    val brute = Similarity.knnBruteSearch(spark,
+        emb.select("vec_id", "embedding"), queries)
+      .collect().map(_.toString).toSeq
+    assert(viaArtifact == brute, "grown-artifact cascade lost exactness")
+  }
 }

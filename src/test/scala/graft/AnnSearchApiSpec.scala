@@ -119,4 +119,35 @@ class AnnSearchApiSpec extends AnyFunSuite with SparkFixture {
                              Similarity.FilterLabelHi))) ==
       rows(SparkEntry.queries("e14_filtered_knn")(spark, sfDir)))
   }
+
+  test("exact tiers scan the persisted sketch; its ReadSchema has no embedding") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val dir = AnnIndexLake.ensureCascadeSketch(spark, sfDir, emb)
+
+    // the artifact physically lacks the embedding column: no scan of it
+    // can read one, whatever the plan does
+    assert(!AnnIndexLake.readCascadeSketch(spark, dir)
+      .columns.contains("embedding"))
+
+    // plan shape, asserted on the uncached artifact-backed kernel: the
+    // sketch FileScan's ReadSchema excludes embedding, and the float
+    // column enters ONLY through the embeddings-side fetch scan
+    val q = emb.filter(col("vec_id").isin(17L, 23L))
+      .select((col("vec_id") + lit(1000000L)).as("q_id"),
+              col("embedding").as("q_vec"))
+    val res = Similarity.cascadeKnnSearch(spark,
+      AnnIndexLake.readCascadeSketch(spark, dir)
+        .filter(col("label") >= 0),
+      Similarity.cascadeQuerySketch(q),
+      emb.select("vec_id", "embedding"), k = 3)
+    val scans = res.queryExecution.executedPlan.toString.split("\\n")
+      .filter(_.contains("FileScan"))
+    val sketchScans = scans.filter(_.contains(dir.replace("file:", "")))
+    assert(sketchScans.nonEmpty, "the plan never scans the sketch artifact")
+    assert(sketchScans.forall(!_.contains("embedding")),
+      "a sketch scan reads the embedding column")
+    // the answer is still exactly brute force over the filtered corpus
+    assert(rows(res) == rows(Similarity.knnBruteSearch(spark,
+      emb.select("vec_id", "embedding"), q, k = 3)))
+  }
 }

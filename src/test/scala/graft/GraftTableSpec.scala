@@ -16,6 +16,13 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
   private def collectSorted(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.orderBy("doc_id").collect().map(_.toString).toSeq
 
+  /** One canonical spelling for file-path strings: `inputFiles` emits
+    * `file:///x` while the manifest's `_metadata.file_path` emits
+    * `file:/x` — Hadoop Path normalizes both to the latter.
+    */
+  private def norm(p: String): String =
+    new org.apache.hadoop.fs.Path(p).toString
+
   private def fileState(dir: String): Map[String, (Long, String)] = {
     val base = java.nio.file.Paths.get(dir)
     val out = scala.collection.mutable.Map[String, (Long, String)]()
@@ -109,11 +116,11 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
 
       // plan identity: the executed scan opened ONLY manifest-admitted
       // files, and the admission actually pruned (selective manifest)
-      val all = t.readAsOf(v).inputFiles.toSet
+      val all = t.readAsOf(v).inputFiles.map(norm).toSet
       val admitted = spark.read.parquet(s"$dir/v$v/_manifest")
         .filter(col("key_hi") >= 100 && col("key_lo") < 350)
-        .select("path").collect().map(_.getString(0)).toSet
-      val opened = ranged.inputFiles.toSet
+        .select("path").collect().map(r => norm(r.getString(0))).toSet
+      val opened = ranged.inputFiles.map(norm).toSet
       assert(opened.subsetOf(admitted),
         s"v$v: scan opened ${opened -- admitted} beyond the manifest admission")
       assert(admitted.size < all.size,
@@ -122,7 +129,8 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
       // the manifest is data-read-invisible (underscore prefix) and
       // covers every data file exactly once
       val manifest = spark.read.parquet(s"$dir/v$v/_manifest")
-      assert(manifest.select("path").collect().map(_.getString(0)).toSet
+      assert(manifest.select("path").collect()
+        .map(r => norm(r.getString(0))).toSet
         == all, s"v$v: manifest paths != data files")
       assert(all.forall(!_.contains("_manifest")),
         s"v$v: data read saw manifest files")
@@ -266,16 +274,19 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
       "rewritten files landed outside the new version directory")
 
     // manifest/file agreement: stats recomputed from the actual files
-    // equal the committed manifest rows
+    // (including the write-time n_bytes column) equal the committed
+    // manifest rows
     val recomputed = spark.read.parquet(m1.toSeq: _*)
-      .groupBy(input_file_name().as("path"))
+      .groupBy(col("_metadata.file_path").as("path"),
+               col("_metadata.file_size").as("bytes"))
       .agg(min("doc_id").as("lo"), max("doc_id").as("hi"),
            count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      .collect().map(r => norm(r.getString(0)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(1))).toMap
     val committed = t.manifest(1)
-      .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      .select("path", "key_lo", "key_hi", "n_rows", "n_bytes")
+      .collect().map(r => norm(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
     assert(recomputed == committed, "manifest rows disagree with file stats")
 
     // manifest-planned range reads still work across mixed-vintage files
@@ -503,6 +514,124 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
       java.time.Instant.parse(r.getString(1))
       assert(r.getLong(4) > 0)
     }
+    // the byte totals are the manifest's write-time n_bytes sums
+    // (history is metadata-only: zero per-file size calls), and the
+    // manifest column in turn equals the files' true on-disk sizes
+    for (v <- 0 to 2) {
+      val mSum = t.manifest(v).agg(sum("n_bytes")).head().getLong(0)
+      assert(h(v).getLong(4) == mSum,
+        s"v$v: history bytes != manifest n_bytes sum")
+      val diskSum = t.manifest(v).select("path").collect().map { r =>
+        java.nio.file.Files.size(
+          java.nio.file.Paths.get(java.net.URI.create(r.getString(0))))
+      }.sum
+      assert(mSum == diskSum, s"v$v: manifest n_bytes != on-disk sizes")
+    }
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("two writers racing one version: exactly one commits, loser fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_cw").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+    val even = log.filter(pmod(col("doc_id"), lit(2)) === 0)
+    val odd = log.filter(pmod(col("doc_id"), lit(2)) === 1)
+
+    // writer B lands its own v1 inside A's commit window (the
+    // onBeforeCommit seam = the instant after A wrote data+manifest+
+    // schema, before its marker): B's create-exclusive wins, A's loses
+    val tB = GraftTable.open(spark, dir)
+    @volatile var fired = false
+    GraftTable.onBeforeCommit = (d, v) =>
+      if (!fired && v == 1 && d == dir) { fired = true; tB.merge(odd); () }
+    val loser =
+      try intercept[IllegalStateException](t.merge(even))
+      finally GraftTable.onBeforeCommit = (_, _) => ()
+
+    assert(loser.getMessage.contains("concurrent writer"),
+      s"racing-writer failure unhelpful: ${loser.getMessage}")
+    // exactly one v1 exists — the winner's, complete and readable
+    assert(t.versions == Seq(0, 1))
+    assert(collectSorted(t.read()) == collectSorted(Lake.cdcMerge(docs, odd)))
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
+  test("compact(zorderBy) Morton-clusters; the manifest prunes BOTH keys") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_z").toString
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+              "l_quantity")
+    val t = GraftTable.create(spark, dir, li, key = "l_orderkey")
+    // (l_orderkey, l_linenumber) repeats in the synthetic lineitem, so
+    // a column sort is not total — compare fully-sorted row strings
+    val content = li.collect().map(_.toString).sorted.toSeq
+
+    assert(t.compact(zorderBy = Seq("l_partkey", "l_suppkey")) == 1)
+
+    // content no-op, self-contained
+    assert(t.readAsOf(1).collect().map(_.toString).sorted.toSeq == content,
+      "z-order compaction changed the answer")
+    val m = t.manifest(1)
+    assert(m.filter(!col("path").contains("/v1/")).count() == 0)
+
+    // the manifest records per-file spans for BOTH clustering keys, and
+    // a point probe on EITHER admits a strict subset of the files —
+    // ZOrderSpec's measurement at the manifest level (the date-sorted
+    // counterexample there shows a single-column layout admits ~all)
+    val total = m.count()
+    assert(total >= GraftTable.VersionFilesFloor)
+    // probe the 25th percentile, not the median: the median sits at the
+    // top z-bit's split boundary, where every file legitimately straddles
+    val mid = li.agg(expr("percentile(l_partkey, 0.25)").cast("long"),
+                     expr("percentile(l_suppkey, 0.25)").cast("long")).head()
+    def admits(c: String, v: Long): Long =
+      m.filter(col(s"${c}_lo") <= v && col(s"${c}_hi") >= v).count()
+    val (aP, aS) = (admits("l_partkey", mid.getLong(0)),
+                    admits("l_suppkey", mid.getLong(1)))
+    assert(aP < total, s"partkey probe admits all $total files")
+    assert(aS < total, s"suppkey probe admits all $total files")
+
+    // readRangeOn plans from those spans: answer identity + the scan
+    // opened only span-admitted files
+    val pMid = mid.getLong(0)
+    val ranged = t.readRangeOn("l_partkey", pMid, pMid + 8)
+    assert(ranged.count() > 0, "empty secondary range; spec is vacuous")
+    assert(ranged.collect().map(_.toString).sorted.toSeq ==
+      t.read().filter(col("l_partkey") >= pMid && col("l_partkey") < pMid + 8)
+        .collect().map(_.toString).sorted.toSeq)
+    val admitted = m.filter(col("l_partkey_lo").isNull ||
+        (col("l_partkey_hi") >= pMid && col("l_partkey_lo") < pMid + 8))
+      .select("path").collect().map(r => norm(r.getString(0))).toSet
+    assert(ranged.inputFiles.map(norm).toSet.subsetOf(admitted))
+    assert(admitted.size < total, "secondary-range admission is vacuous")
+
+    // a later scoped tick writes files with NULL spans (unprofiled on
+    // the z keys) — readRangeOn must still admit them, never lose rows
+    val mx = li.agg(max("l_orderkey")).head().getLong(0)
+    // a complete-key-group U tick (l_orderkey repeats per line number,
+    // so the tick must carry every row of each touched key)
+    val tick = t.read().filter(col("l_orderkey") < mx / 64)
+      .withColumn("l_quantity", col("l_quantity") + 1)
+      .select(lit("U").as("op"), col("l_orderkey"), col("l_linenumber"),
+              col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    t.mergeScoped(tick)
+    val m2 = t.manifest(2)
+    assert(m2.filter(col("l_partkey_lo").isNull).count() > 0,
+      "scoped tick left no NULL-span files; the widen leg is vacuous")
+    val expect = t.read()
+      .filter(col("l_partkey") >= pMid && col("l_partkey") < pMid + 8)
+      .collect().map(_.toString).sorted.toSeq
+    assert(t.readRangeOn("l_partkey", pMid, pMid + 8)
+      .collect().map(_.toString).sorted.toSeq == expect,
+      "NULL-span files were not admitted; rows lost")
+
+    // asking for a span the table never recorded is loud
+    val e = intercept[IllegalArgumentException](
+      t.readRangeOn("l_quantity", 0L, 10L))
+    assert(e.getMessage.contains("zorderBy"))
 
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
