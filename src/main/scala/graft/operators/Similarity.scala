@@ -1085,14 +1085,26 @@ object Similarity {
 
   /** An ARBITRARY query frame (q_id, q_vec) carried through
     * [[int8CascadeSketch]] and renamed to the cascade's query-side
-    * column names. Broadcast by every consumer, so the interpreted
-    * sketch math runs once per query row, never per pair.
+    * column names — MATERIALIZED to literal rows before return. The
+    * sketch builds five projections whose interpreted lambdas
+    * self-reference (dx/dn/rx each inline nx/sx/qx); left as lineage
+    * inside a consumer's join plan, that expression tree costs the
+    * OPTIMIZER/codegen a constant ~5 s per execution (measured at any
+    * corpus size — the per-plan twin of the per-pair trap
+    * [[int8CascadeSketch]]'s doc describes). Query batches are small
+    * by contract (every consumer broadcasts this frame), so one
+    * driver-side collect truncates the lineage for the cost of the
+    * rows themselves.
     */
-  private[graft] def cascadeQuerySketch(queries: DataFrame): DataFrame =
-    int8CascadeSketch(queries.select(
+  private[graft] def cascadeQuerySketch(queries: DataFrame): DataFrame = {
+    val skq = int8CascadeSketch(queries.select(
         col("q_id").cast("long").as("vec_id"), col("q_vec").as("embedding")))
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
               col("dx").as("dy"), col("dn").as("dm"), col("rx").as("ry"))
+    import scala.jdk.CollectionConverters._
+    queries.sparkSession.createDataFrame(
+      skq.collect().toSeq.asJava, skq.schema)
+  }
 
   /** EXACT top-k search through the lossless int8 cascade — e14's plan,
     * and [[graft.sources.AnnIndexLake.searchWhere]]'s kernel. Guaranteed
