@@ -124,6 +124,63 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
+  /** l18/s29's shared oracle: the deterministic changelog landed as two
+    * parity-split merges, each step's changes derived by full-outer
+    * join, updates emitting both images — the CDF's DuckDB twin.
+    */
+  private[graft] val duckChangeFeedSql: String = {
+    def b(id: String) =
+      s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % 100"
+    s"""WITH v0 AS (SELECT doc_id, source, text FROM documents),
+       |log AS (
+       |  SELECT 'D' AS op, doc_id, source, text
+       |  FROM v0 WHERE ${b("doc_id")} < 8
+       |  UNION ALL
+       |  SELECT 'U', doc_id, source, text || ' (rev 2)'
+       |  FROM v0 WHERE ${b("doc_id")} >= 8 AND ${b("doc_id")} < 16
+       |  UNION ALL
+       |  SELECT 'U', doc_id + 1000000000, source, text || ' (new)'
+       |  FROM v0 WHERE ${b("doc_id")} >= 16 AND ${b("doc_id")} < 24),
+       |e AS (SELECT * FROM log WHERE doc_id % 2 = 0),
+       |o AS (SELECT * FROM log WHERE doc_id % 2 = 1),
+       |v1 AS (
+       |  SELECT doc_id, source, text FROM v0
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM e)
+       |  UNION ALL SELECT doc_id, source, text FROM e WHERE op = 'U'),
+       |v2 AS (
+       |  SELECT doc_id, source, text FROM v1
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM o)
+       |  UNION ALL SELECT doc_id, source, text FROM o WHERE op = 'U'),
+       |d1 AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         a.text AS a_text, b.text AS b_text
+       |  FROM v0 a FULL OUTER JOIN v1 b ON a.doc_id = b.doc_id
+       |  WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+       |     OR a.text <> b.text OR a.source <> b.source),
+       |d2 AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |         a.text AS a_text, b.text AS b_text
+       |  FROM v1 a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+       |  WHERE a.doc_id IS NULL OR b.doc_id IS NULL
+       |     OR a.text <> b.text OR a.source <> b.source),
+       |cf AS (
+       |  SELECT 1 AS v, 'insert' AS ct, b_id AS doc_id, b_text AS text
+       |  FROM d1 WHERE a_id IS NULL
+       |  UNION ALL SELECT 1, 'delete', a_id, a_text FROM d1 WHERE b_id IS NULL
+       |  UNION ALL SELECT 1, 'update_preimage', a_id, a_text
+       |  FROM d1 WHERE a_id IS NOT NULL AND b_id IS NOT NULL
+       |  UNION ALL SELECT 1, 'update_postimage', b_id, b_text
+       |  FROM d1 WHERE a_id IS NOT NULL AND b_id IS NOT NULL
+       |  UNION ALL SELECT 2, 'insert', b_id, b_text FROM d2 WHERE a_id IS NULL
+       |  UNION ALL SELECT 2, 'delete', a_id, a_text FROM d2 WHERE b_id IS NULL
+       |  UNION ALL SELECT 2, 'update_preimage', a_id, a_text
+       |  FROM d2 WHERE a_id IS NOT NULL AND b_id IS NOT NULL
+       |  UNION ALL SELECT 2, 'update_postimage', b_id, b_text
+       |  FROM d2 WHERE a_id IS NOT NULL AND b_id IS NOT NULL)
+       |SELECT v, ct, doc_id, md5(text) AS fp FROM cf
+       |ORDER BY v, ct, doc_id""".stripMargin
+  }
+
   def defs: Map[String, OpDef] = Map(
     // Small-files compaction + partition-pruned layout, end to end: write
     // the arrival debris, compact it to a month-partitioned lake (one
@@ -864,6 +921,38 @@ object Lake {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
         |       l_quantity, l_extendedprice, l_shipdate
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // l18: CHANGE DATA FEED over the version chain (Delta's
+    // table_changes) — the consumer side of the versioned lake: a CDC
+    // subscriber that polls changes(lastSeen, current) gets exactly the
+    // ticks it missed, as typed rows (insert / delete / update_preimage
+    // / update_postimage + _commit_version), derived purely from the
+    // stored versions (diff per step — the versions ARE the log, no
+    // retention of a separate changelog). The gate lands the full
+    // deterministic changelog as TWO parity-split merges and reads
+    // changes(0, 2): every step boundary, both update images, and the
+    // cross-step composition are all under the hash. Scale: each step
+    // is one full-outer join of two immutable snapshots (churn-sized
+    // output, unchanged keys never leave the join), and the step loop
+    // is retention-bounded. GraftTableSpec adds the evolution leg
+    // (union schema across steps) and the loud vacuumed-end refusal.
+    "l18_change_feed" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l18", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = cdcChangelog(t.read())
+        t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0))
+        t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1))
+        t.changes(0, 2)
+          .select(col("_commit_version").cast("int").as("v"),
+                  col("_change_type").as("ct"), col("doc_id"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("v", "ct", "doc_id")
+      },
+      duckChangeFeedSql),
+
 
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a

@@ -529,6 +529,45 @@ final class GraftTable private (s: SparkSession, val dir: String,
       .drop("_graft_in_a", "_graft_in_b")
   }
 
+  /** The CHANGE DATA FEED over the version chain (Delta's
+    * `table_changes` shape): one row per changed key per version STEP
+    * in (vA, vB] — the table's columns plus `_change_type` ('insert' |
+    * 'delete' | 'update_preimage' | 'update_postimage'; updates emit
+    * BOTH images, Delta-faithful, so a consumer can re-apply or audit
+    * without reading any snapshot) and `_commit_version` (the step's
+    * landing version). Derived purely from stored bytes — [[diff]] per
+    * step, each one full-outer join of two immutable snapshots; the
+    * versions ARE the log, no changelog retention needed, and a CDC
+    * consumer that polls `changes(lastSeen, currentVersion)` gets
+    * exactly the ticks it missed. Schema evolution composes: steps are
+    * unioned over the CHAIN's column set, pre-evolution steps reading
+    * typed nulls in later columns. Step count is retention-bounded
+    * (the version chain is), so the per-step loop is metadata-sized;
+    * each step's cost is the diff's — linear in the two snapshots,
+    * churn-sized output.
+    */
+  def changes(vA: Int, vB: Int): DataFrame = {
+    validate(vA); validate(vB) // loud on vacuumed ends; the chain
+    // between them is gap-free by construction (vacuum retires
+    // oldest-first, so any retained pair brackets retained versions)
+    require(vA < vB,
+      s"changes($vA, $vB) on graft table $dir: need vA < vB")
+    (vA until vB).map { v =>
+      val d = diff(v, v + 1)
+      val names = d.columns.filter(_.startsWith("a_")).map(_.drop(2))
+      def image(tag: String, ops: Seq[String], ct: String) =
+        d.filter(col("op").isin(ops: _*))
+          .select((col(key) +:
+            names.map(c => col(s"${tag}_$c").as(c)).toSeq) :+
+            lit(ct).as("_change_type") :+
+            lit(v + 1).as("_commit_version"): _*)
+      image("b", Seq("I"), "insert")
+        .unionByName(image("a", Seq("D"), "delete"))
+        .unionByName(image("a", Seq("U"), "update_preimage"))
+        .unionByName(image("b", Seq("U"), "update_postimage"))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Retire all but the newest `keep` committed versions (floored at 1 —
     * the current version always survives; uncommitted debris dirs are
     * not versions and are left for their writer). Marker first, bytes

@@ -929,6 +929,53 @@ object StreamQueries {
       },
       graft.operators.Similarity.e14Sql),
 
+    // s29: the CHANGE-FEED SUBSCRIBER at the wire — l18's consumer
+    // side in its production topology: an intake stream lands each
+    // micro-batch as a table version (s23's exactly-once mergeAs), and
+    // the downstream CDC subscriber consumes EXACTLY that step's feed
+    // slice (changes(v-1, v)) inside the same batch, writing to a
+    // batchId-deterministic sink (replay overwrites its own slice —
+    // both the producer AND the consumer converge under checkpoint
+    // replay). The drained feed must equal the batch-derived CDF,
+    // hash-held to l18's oracle: step boundaries, both update images,
+    // and cross-step composition all survive the wire.
+    "s29_stream_change_feed" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Lake
+        val base = Lake.scratch("s29", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = graft.sources.Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = Lake.cdcChangelog(t.read())
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/stage"))
+        writeOneFile(log.filter(pmod(col("doc_id"), lit(2)) === 0),
+          java.nio.file.Paths.get(s"$base/stage/tick0.parquet"))
+        writeOneFile(log.filter(pmod(col("doc_id"), lit(2)) === 1),
+          java.nio.file.Paths.get(s"$base/stage/tick1.parquet"))
+        val logSchema = s.read.parquet(s"$base/stage").schema
+        val q = s.readStream.schema(logSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            val v = t.mergeAs(batch, batchId.toInt + 1)
+            t.changes(v - 1, v)
+              .select(col("_commit_version").cast("int").as("v"),
+                      col("_change_type").as("ct"), col("doc_id"),
+                      md5(col("text").cast("binary")).as("fp"))
+              .write.mode("overwrite").parquet(s"$base/feed/batch=$batchId")
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$base/feed")
+          .select("v", "ct", "doc_id", "fp")
+          .orderBy("v", "ct", "doc_id")
+      },
+      graft.operators.Lake.duckChangeFeedSql),
+
     // s22: streaming XML intake with quarantine — c04 AT THE WIRE,
     // which is where a quarantine intake actually belongs (damaged
     // records should never land in the lake at all). The line-staged

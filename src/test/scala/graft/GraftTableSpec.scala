@@ -636,6 +636,49 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("changes: the CDF composes steps, survives evolution, refuses vacuumed ends") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_cf").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0))
+    // the second step EVOLVES the schema — the feed must union columns
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1)
+      .withColumn("rev", lit(7)))
+
+    val cf = t.changes(0, 2)
+    assert(Set("_change_type", "_commit_version").subsetOf(cf.columns.toSet))
+    assert(cf.columns.contains("rev"), "evolved column missing from the feed")
+
+    // per-step rows agree with diff(): I->insert, D->delete, U->both images
+    for (v <- 0 to 1) {
+      val d = t.diff(v, v + 1)
+      val byOp = d.groupBy("op").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      val step = cf.filter(col("_commit_version") === v + 1)
+      val byCt = step.groupBy("_change_type").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap.withDefaultValue(0L)
+      assert(byCt("insert") == byOp("I") && byCt("delete") == byOp("D") &&
+             byCt("update_preimage") == byOp("U") &&
+             byCt("update_postimage") == byOp("U"),
+        s"step $v: CDF counts $byCt diverge from diff ops $byOp")
+    }
+    // step-1 rows (pre-evolution) read the evolved column as null;
+    // step-2 postimages carry it
+    assert(cf.filter(col("_commit_version") === 1 &&
+      col("rev").isNotNull).count() == 0)
+    assert(cf.filter(col("_commit_version") === 2 &&
+      col("_change_type") === "update_postimage" &&
+      col("rev").isNull).count() == 0)
+
+    // a vacuumed end fails loudly by name
+    t.vacuum(keep = 1)
+    val gone = intercept[java.util.NoSuchElementException](t.changes(0, 2))
+    assert(gone.getMessage.contains("vacuum"))
+
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("reader-vs-vacuum race: pre-vacuum plans fail loudly, never partial") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl_rv").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
