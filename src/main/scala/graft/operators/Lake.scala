@@ -953,6 +953,98 @@ object Lake {
       },
       duckChangeFeedSql),
 
+    // l19: the format("graft") CONNECTOR, read side — GraftTable as a
+    // registered Spark data source (stable V1 relation API; see
+    // GraftSource's scaladoc for why not DSv2), so the versioned lake
+    // plugs into every format-string surface (SQL views, PySpark)
+    // without the Scala facade. The gate drives the two things the
+    // connector ADDS over a parquet read: time travel by option
+    // (versionAsOf=0 across a later delete-merge — the connector must
+    // resolve the pre-merge manifest) and planning-time FILE PRUNING
+    // (the pushed key-range filter is evaluated against the manifest;
+    // only span-admitted files reach the data scan — at 10M files the
+    // admission is one metadata scan, and GraftSourceSpec pins that the
+    // file list actually narrows, plus the all-filters-unhandled
+    // correctness stance). Oracle: the same range on the source table —
+    // registration, admission, and time travel must all be invisible.
+    "l19_connector_read" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l19", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl",
+          l02Cols(s, d), key = "l_orderkey")
+        t.merge(l02Cols(s, d).filter(col("l_orderkey") < 500)
+          .withColumn("op", lit("D")))
+        s.read.format("graft")
+          .option("key", "l_orderkey").option("versionAsOf", "0")
+          .load(s"$base/tbl")
+          .filter(col("l_orderkey") >= 200 && col("l_orderkey") < 900)
+          .select("l_orderkey", "l_linenumber", "l_quantity",
+                  "l_extendedprice")
+          .orderBy("l_orderkey", "l_linenumber")
+      },
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey >= 200 AND l_orderkey < 900
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // l20: the connector's WRITE side — DataFrameWriter modes mapped to
+    // lake semantics: the first write CREATES version 0, Append is a
+    // KEYED UPSERT (every row an 'U' through GraftTable.merge — schema
+    // additions evolve, silent column drops fail loudly), Overwrite
+    // lands a fresh self-contained version (GraftSourceSpec drives
+    // those plus ErrorIfExists/Ignore). The gate lands documents, then
+    // appends the changelog's upsert payloads (revisions + fresh ids)
+    // through the writer, and reads the merged current version back
+    // through the reader. Oracle: the CDC replay restricted to U ops —
+    // deletes are NOT expressible through a writer append, so the D
+    // keys must survive verbatim.
+    "l20_connector_write" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l20", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        docs.write.format("graft").mode(SaveMode.ErrorIfExists)
+          .save(s"$base/tbl")
+        cdcChangelog(docs).filter(col("op") === "U").drop("op")
+          .write.format("graft").mode(SaveMode.Append).save(s"$base/tbl")
+        s.read.format("graft").load(s"$base/tbl")
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      duckCdcSqlWhere("op = 'U'")),
+
+    // l21: RESTORE — rollback as a new version (Delta RESTORE), and the
+    // reason it's cheap: the restored version's manifest is the target
+    // version's VERBATIM (same paths, same spans, same schema), so the
+    // "undo the bad merge" moves ZERO data bytes at any table size —
+    // one manifest copy + a schema file + the marker (GraftSourceSpec
+    // pins the version directory holds nothing else, and that history
+    // reports every file as a carried reference). The gate composes it
+    // with retention: create → merge the full changelog → restore(0) →
+    // vacuum(keep=2), which retires v0 itself — the restore's carried
+    // references must keep v0's data files alive through the
+    // reference-aware sweep while v0's own metadata goes. Oracle: the
+    // original table — a rollback that moves no bytes must still be
+    // bit-exact.
+    "l21_restore" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l21", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        t.merge(cdcChangelog(t.read()))
+        t.restore(0)
+        t.vacuum(keep = 2)
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      """SELECT doc_id, source, md5(text) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
 
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a

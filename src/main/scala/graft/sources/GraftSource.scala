@@ -1,0 +1,221 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode,
+  SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft")` / `df.write.format("graft")` — the
+  * [[GraftTable]] facade as a registered Spark data source, so the
+  * versioned lake table plugs into every Spark surface that takes a
+  * format string (SQL temp views, `CREATE TABLE ... USING graft`,
+  * PySpark, JDBC gateways) instead of requiring the Scala API.
+  *
+  * Built DELIBERATELY on the stable public source contract
+  * (`RelationProvider` / `PrunedFilteredScan` /
+  * `CreatableRelationProvider`, the API JDBC ships on) rather than the
+  * DSv2 connector SPI: a DSv2 `PartitionReader` would have to re-own the
+  * parquet decode path (Spark's vectorized parquet reader is an internal
+  * `execution` class), while the V1 relation hands Spark a plan fragment
+  * this source builds from PUBLIC API only — the manifest-admitted file
+  * list read through `spark.read.parquet`. Everything below the
+  * admission keeps Spark's native strengths: vectorized scan, row-group
+  * stat skipping, column pruning, whole-stage codegen.
+  *
+  * What the source adds over a plain parquet read:
+  *  - PLANNING-TIME FILE PRUNING: pushed-down filters on the table key
+  *    (and on any column a z-order [[GraftTable.compact]] recorded
+  *    manifest spans for) are evaluated against the version's manifest —
+  *    one metadata-sized scan — and only span-admitted files reach the
+  *    data scan. At 100 TB / 10M files this is the Delta/Iceberg move:
+  *    planning IO proportional to the MANIFEST, data IO proportional to
+  *    selectivity, and no per-footer listing of the lake. NULL spans
+  *    (files a later trickle tick wrote unprofiled) always admit — a
+  *    missing stat widens the read, never loses rows.
+  *  - TIME TRAVEL via options: `versionAsOf` (a committed version
+  *    number) or `timestampAsOf` (ISO-8601; resolves to the newest
+  *    version committed at or before it — the marker payloads ARE the
+  *    commit log). Omitted → current version.
+  *  - WRITES with lake semantics: `Append` is a KEYED UPSERT (every row
+  *    an 'U' op through [[GraftTable.merge]] — schema ADDITIONS evolve,
+  *    silent column drops fail loudly), `Overwrite` lands the frame as a
+  *    fresh self-contained version ([[GraftTable.replace]] — the old
+  *    versions stay time-travelable until vacuum), `ErrorIfExists` /
+  *    `Ignore` behave per their contract. Deletes are not expressible
+  *    through `DataFrameWriter` — use the facade's changelog merges.
+  *
+  * Correctness stance: ALL pushed filters are declared unhandled, so
+  * Spark re-applies every predicate above the scan — the source's
+  * pruning and partial filter translation can only ever NARROW IO,
+  * never change semantics. (The translated filters are also applied to
+  * the inner parquet frame, so row-group stat skipping still engages.)
+  *
+  * Options: `key` (the table's merge key, default "doc_id") —
+  * must match the key the table was created with; `versionAsOf`;
+  * `timestampAsOf` (reads only).
+  */
+final class GraftSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "graft source requires a path: spark.read.format(\"graft\").load(dir)"))
+
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val spark = ctx.sparkSession
+    val dir = pathOf(parameters)
+    val key = parameters.getOrElse("key", "doc_id")
+    val t = GraftTable.open(spark, dir, key)
+    require(!(parameters.contains("versionAsOf") &&
+              parameters.contains("timestampAsOf")),
+      s"graft source at $dir: versionAsOf and timestampAsOf are exclusive")
+    val version = parameters.get("versionAsOf").map(_.trim.toInt)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        t.versionAt(java.time.Instant.parse(ts.trim))))
+      .getOrElse(t.currentVersion)
+    GraftRelation(spark, t, version, key)
+  }
+
+  override def createRelation(ctx: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val spark = ctx.sparkSession
+    val dir = pathOf(parameters)
+    val key = parameters.getOrElse("key", "doc_id")
+    val existing =
+      try Some(GraftTable.open(spark, dir, key))
+      catch { case _: IllegalStateException => None }
+    existing match {
+      case None => GraftTable.create(spark, dir, data, key)
+      case Some(t) => mode match {
+        case SaveMode.Overwrite => t.replace(data)
+        case SaveMode.Append => t.merge(data.withColumn("op", lit("U")))
+        case SaveMode.ErrorIfExists => throw new IllegalStateException(
+          s"graft table $dir already exists (mode ErrorIfExists); use " +
+            "append for an upsert or overwrite for a fresh full version")
+        case SaveMode.Ignore => ()
+      }
+    }
+    createRelation(ctx, parameters)
+  }
+}
+
+object GraftSource {
+  /** Test seam: invoked after every manifest admission with
+    * (table dir, admitted file count, total file count) — lets a spec
+    * pin that a selective pushed filter really narrowed the file list.
+    * A no-op in production.
+    */
+  private[graft] var onPrune: (String, Int, Int) => Unit = (_, _, _) => ()
+}
+
+/** One graft table version as a Spark relation. `buildScan` receives the
+  * columns and conjunctive filters Catalyst pushed down; file admission
+  * happens here (manifest spans), everything else is delegated to the
+  * parquet scan those files back.
+  */
+private[graft] final case class GraftRelation(spark: SparkSession,
+    table: GraftTable, version: Int, key: String)
+    extends BaseRelation with PrunedFilteredScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override val schema: StructType = table.schemaAsOf(version)
+
+  /** Everything is unhandled: Spark re-applies every filter above the
+    * scan, so this source's pruning is IO-only (see class doc).
+    */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val m = table.manifest(version)
+    val spanPred = filters.flatMap(manifestPred(m.columns.toSet, _))
+      .reduceOption(_ && _)
+    val all = m.select("path")
+    val admitted = spanPred.fold(all)(p => m.filter(p).select("path"))
+      .collect().map(_.getString(0)).toIndexedSeq
+    if (spanPred.isDefined)
+      GraftSource.onPrune(table.dir, admitted.size, m.count().toInt)
+    val base =
+      if (admitted.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(admitted: _*)
+    // re-apply what translates so parquet row-group stats still skip
+    // (unhandledFilters above keeps Spark's own re-check regardless)
+    val filtered = filters.flatMap(dataPred).foldLeft(base)(_ filter _)
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+
+  /** The manifest span columns backing data column `c`: the table key's
+    * spans are `key_lo/key_hi`; a z-order compact records `<c>_lo/_hi`
+    * for its clustering columns. None → `c` carries no spans, filters on
+    * it cannot prune files.
+    */
+  private def spanPrefix(manifestCols: Set[String], c: String): Option[String] =
+    if (c == key) Some("key")
+    else if (manifestCols.contains(s"${c}_lo")) Some(c)
+    else None
+
+  /** File-admission predicate for one pushed filter, over the manifest's
+    * span columns — or None when the filter can't prune. Soundness: the
+    * admission must be a SUPERSET of the files holding matching rows, so
+    * every translation only uses interval overlap, a NULL span always
+    * admits, and under And a missing side just widens (all contexts here
+    * are monotone — Not is never translated).
+    */
+  private def manifestPred(mc: Set[String], f: Filter): Option[Column] = {
+    def span(c: String)(pred: String => Column): Option[Column] =
+      spanPrefix(mc, c).map(p => col(s"${p}_lo").isNull || pred(p))
+    f match {
+      case EqualTo(c, v) =>
+        span(c)(p => col(s"${p}_hi") >= lit(v) && col(s"${p}_lo") <= lit(v))
+      case EqualNullSafe(c, v) if v != null =>
+        span(c)(p => col(s"${p}_hi") >= lit(v) && col(s"${p}_lo") <= lit(v))
+      case GreaterThan(c, v) => span(c)(p => col(s"${p}_hi") > lit(v))
+      case GreaterThanOrEqual(c, v) => span(c)(p => col(s"${p}_hi") >= lit(v))
+      case LessThan(c, v) => span(c)(p => col(s"${p}_lo") < lit(v))
+      case LessThanOrEqual(c, v) => span(c)(p => col(s"${p}_lo") <= lit(v))
+      case In(c, vs) if vs.nonEmpty && !vs.contains(null) =>
+        span(c)(p => vs.map(v =>
+          col(s"${p}_hi") >= lit(v) && col(s"${p}_lo") <= lit(v))
+          .reduce(_ || _))
+      case And(l, r) =>
+        (manifestPred(mc, l), manifestPred(mc, r)) match {
+          case (Some(a), Some(b)) => Some(a && b)
+          case (a, b) => a.orElse(b) // one side still prunes soundly
+        }
+      case Or(l, r) => // both sides must prune or neither
+        for (a <- manifestPred(mc, l); b <- manifestPred(mc, r)) yield a || b
+      case _ => None
+    }
+  }
+
+  /** Exact Column translation of a pushed filter for the inner parquet
+    * frame (row-group stat skipping) — all-or-nothing per node, so the
+    * result under Or/Not is always the filter's precise semantics.
+    */
+  private def dataPred(f: Filter): Option[Column] = f match {
+    case EqualTo(c, v) => Some(col(c) === lit(v))
+    case EqualNullSafe(c, v) => Some(col(c) <=> lit(v))
+    case GreaterThan(c, v) => Some(col(c) > lit(v))
+    case GreaterThanOrEqual(c, v) => Some(col(c) >= lit(v))
+    case LessThan(c, v) => Some(col(c) < lit(v))
+    case LessThanOrEqual(c, v) => Some(col(c) <= lit(v))
+    case In(c, vs) => Some(col(c).isin(vs.toIndexedSeq: _*))
+    case IsNull(c) => Some(col(c).isNull)
+    case IsNotNull(c) => Some(col(c).isNotNull)
+    case StringStartsWith(c, v) => Some(col(c).startsWith(v))
+    case StringEndsWith(c, v) => Some(col(c).endsWith(v))
+    case StringContains(c, v) => Some(col(c).contains(v))
+    case And(l, r) => for (a <- dataPred(l); b <- dataPred(r)) yield a && b
+    case Or(l, r) => for (a <- dataPred(l); b <- dataPred(r)) yield a || b
+    case Not(ch) => dataPred(ch).map(!_)
+    case _ => None
+  }
+}

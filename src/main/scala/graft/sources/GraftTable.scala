@@ -456,6 +456,60 @@ final class GraftTable private (s: SparkSession, val dir: String,
     }
   }
 
+  /** Land `df` as a fresh SELF-CONTAINED version — the whole-table
+    * REPLACE (the connector's `SaveMode.Overwrite`): version n+1 IS the
+    * frame, range-partitioned + key-sorted like any full merge, with no
+    * reference to what it replaced. The old versions stay committed —
+    * time travel and [[diff]]/[[changes]] across the replacement keep
+    * working until [[vacuum]] retires them; a replace is a version
+    * event, not an erasure.
+    */
+  def replace(df: DataFrame): Int = {
+    val next = currentVersion + 1
+    landVersion(s, dir, next, key, df)
+    commit(s, dir, next)
+    next
+  }
+
+  /** ROLLBACK as a new version (Delta RESTORE): version n+1's manifest
+    * is version v's VERBATIM — same paths, same spans, same schema —
+    * so the restore is METADATA-ONLY: one manifest copy + a schema file
+    * + the marker, ZERO data bytes read or written at any table size
+    * (the 100-TB "undo the bad merge" needs to cost megabytes, not a
+    * snapshot rewrite). The restored version references the old files
+    * exactly like a scoped tick does, so the reference-aware [[vacuum]]
+    * keeps them alive as long as the restore is retained, and the
+    * history stays intact — what happened (including the rolled-back
+    * versions) remains auditable via [[changes]] until retention drops
+    * it. Restoring a vacuumed version fails loudly ([[validate]]).
+    */
+  def restore(v: Int): Int = {
+    validate(v)
+    val next = currentVersion + 1
+    manifest(v).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/v$next/_manifest")
+    writeSchema(s, dir, next, schemaAsOf(v))
+    commit(s, dir, next)
+    next
+  }
+
+  /** The newest version committed at or before `ts` — `timestampAsOf`'s
+    * resolution. The commit markers' payloads (written at commit time)
+    * ARE the commit log, so this is one metadata pass over the retained
+    * chain; ties at identical commit instants resolve to the higher
+    * version (the one whose state `ts` observes). Loud when `ts`
+    * precedes the oldest retained commit.
+    */
+  def versionAt(ts: java.time.Instant): Int = {
+    val f = fs
+    val ok = versions.filter(v => !java.time.Instant
+      .parse(readFsString(f, markerPath(dir, v)).trim).isAfter(ts))
+    if (ok.isEmpty) throw new java.util.NoSuchElementException(
+      s"graft table $dir has no version committed at or before $ts " +
+        "(earlier versions may have been vacuumed)")
+    ok.max
+  }
+
   /** The table's audit surface (Delta's DESCRIBE HISTORY): one row per
     * committed version — commit time (the marker's payload), file/row/
     * byte totals and the carried-reference count (0 = self-contained;

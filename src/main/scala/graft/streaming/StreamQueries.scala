@@ -976,6 +976,65 @@ object StreamQueries {
       },
       graft.operators.Lake.duckChangeFeedSql),
 
+    // s30: STREAMING INDEX MAINTENANCE — the ANN family's intake side
+    // at the wire, completing the production loop s28 opened (s28:
+    // queries flow, corpus static; s30: CORPUS flows). The cascade
+    // sketch artifact is built at ingest time from the resident half
+    // of the corpus; the other half ARRIVES as a stream, and each
+    // micro-batch lands through appendToCascadeSketch's exactly-once
+    // batchId protocol (stage → prefix-rename → marker last — a
+    // checkpoint replay of batch b after a crash anywhere re-lands the
+    // same files and converges; the AnnIndexLakeSpec family pins the
+    // idempotence and the bit-identity of appended rows to a one-pass
+    // build, which holds with NO quantizer-aging caveat because the
+    // sketch is a per-row pure function). After the drain, the grown
+    // index serves e14's filtered exact top-k VERBATIM — held to the
+    // same definitional filtered-brute-force DuckDB oracle, so intake
+    // batching, the append protocol, and the artifact split must all
+    // be invisible to search. Cost ∝ arriving batch per tick (sketch
+    // rows only), search cost unchanged — the 100-TB intake story:
+    // vectors stream in, no rebuild ever.
+    "s30_stream_index_append" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.{Lake, Similarity}
+        val base = Lake.scratch("s30", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val emb = graft.sources.Tables.embeddings(s, d)
+        // ingest-time build from the resident half
+        graft.sources.AnnIndexLake.writeCascadeSketch(s,
+          emb.filter(pmod(col("vec_id"), lit(2)) === 0), s"$base/idx")
+        // the other half arrives as two ticks
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/stage"))
+        writeOneFile(emb.filter(pmod(col("vec_id"), lit(4)) === 1),
+          java.nio.file.Paths.get(s"$base/stage/tick0.parquet"))
+        writeOneFile(emb.filter(pmod(col("vec_id"), lit(4)) === 3),
+          java.nio.file.Paths.get(s"$base/stage/tick1.parquet"))
+        val schema = s.read.parquet(s"$base/stage").schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.sources.AnnIndexLake.appendToCascadeSketch(s,
+              s"$base/idx", batch, batchId = s"b$batchId")
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        // e14's search over the grown artifact — oracle verbatim
+        val sk = graft.sources.AnnIndexLake.readCascadeSketch(s,
+          s"$base/idx")
+        val qsk = Similarity.cascadeQuerySketch(
+          emb.filter(col("vec_id") < Similarity.RangeQueries)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")))
+        Similarity.cascadeKnnSearch(s,
+          sk.filter(col("label").between(
+            Similarity.FilterLabelLo, Similarity.FilterLabelHi)),
+          qsk, emb)
+      },
+      graft.operators.Similarity.e14Sql),
+
     // s22: streaming XML intake with quarantine — c04 AT THE WIRE,
     // which is where a quarantine intake actually belongs (damaged
     // records should never land in the lake at all). The line-staged

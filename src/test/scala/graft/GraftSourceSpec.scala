@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Lake
+import graft.sources.{GraftSource, GraftTable, Tables}
+
+/** The `format("graft")` connector (l19/l20) and metadata-only restore
+  * (l21) — the contract pieces the gate hashes can't carry: the pushed
+  * key filter must actually NARROW the admitted file list (not just
+  * return correct rows), time travel options must resolve like the
+  * facade, write modes must map to the documented lake semantics, and a
+  * restore must move ZERO data bytes while surviving vacuum through the
+  * reference-aware sweep.
+  */
+class GraftSourceSpec extends AnyFunSuite with SparkFixture {
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  private def collectSorted(df: DataFrame): Seq[String] =
+    df.orderBy("doc_id").collect().map(_.toString).toSeq
+
+  private def docs: DataFrame =
+    Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+
+  test("read parity, pushed-filter file pruning, projection, time travel") {
+    val dir = tmp("src_read")
+    val t = GraftTable.create(spark, s"$dir/tbl", docs)
+    t.merge(Lake.cdcChangelog(t.read()))
+
+    def load(opts: (String, String)*): DataFrame = {
+      val r = spark.read.format("graft")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      r.load(s"$dir/tbl")
+    }
+
+    // current version == facade read, verbatim
+    assert(collectSorted(load()) == collectSorted(t.read()))
+    // versionAsOf == facade time travel (pre-merge snapshot)
+    assert(collectSorted(load("versionAsOf" -> "0")) ==
+      collectSorted(t.readAsOf(0)))
+    // timestampAsOf resolves via the commit markers: v0's own commit
+    // instant must read v0 (merge committed strictly later — creation
+    // and merge each land multi-second Spark jobs between markers)
+    val t0 = t.history().filter(col("version") === 0)
+      .select("committed_at").head().getString(0)
+    assert(collectSorted(load("timestampAsOf" -> t0)) ==
+      collectSorted(t.readAsOf(0)))
+    intercept[java.util.NoSuchElementException] {
+      t.versionAt(java.time.Instant.parse(t0).minusSeconds(3600))
+    }
+    intercept[IllegalArgumentException] {
+      load("versionAsOf" -> "0", "timestampAsOf" -> t0).collect()
+    }
+
+    // a selective key range must prune files at the manifest, and the
+    // answer must equal the unpruned filter
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    var pruned = (-1, -1)
+    GraftSource.onPrune = (_, a, n) => pruned = (a, n)
+    try {
+      val narrow = load().filter(col("doc_id") >= 0 &&
+        col("doc_id") < mx / 8).select("doc_id", "source")
+      val expected = t.read().filter(col("doc_id") >= 0 &&
+        col("doc_id") < mx / 8).select("doc_id", "source")
+      assert(collectSorted(narrow) == collectSorted(expected))
+      val (admitted, total) = pruned
+      assert(total >= GraftTable.VersionFilesFloor,
+        s"version fan unexpectedly small: $total")
+      assert(admitted > 0 && admitted < total,
+        s"pushed key range did not prune: $admitted of $total files")
+
+      // an impossible range admits nothing and returns empty with schema
+      pruned = (-1, -1)
+      val none = load().filter(col("doc_id") > mx + 2000000000L)
+      assert(none.count() == 0 && pruned._1 == 0)
+      assert(none.schema.fieldNames.toSeq == Seq("doc_id", "source", "text"))
+    } finally GraftSource.onPrune = (_, _, _) => ()
+
+    // filters the manifest can't serve (non-span column) stay correct
+    val bySource = load().filter(col("source") === "web")
+    assert(collectSorted(bySource) ==
+      collectSorted(t.read().filter(col("source") === "web")))
+  }
+
+  test("write modes: create, append=upsert, overwrite=replace, guards") {
+    val dir = tmp("src_write")
+    val path = s"$dir/tbl"
+
+    // first write (any mode) creates version 0
+    docs.write.format("graft").mode(SaveMode.Overwrite).save(path)
+    val t = GraftTable.open(spark, path)
+    assert(t.versions == Seq(0))
+    assert(collectSorted(t.read()) == collectSorted(docs))
+
+    // append is a keyed upsert: revised + fresh rows, deletes untouched
+    val ups = Lake.cdcChangelog(docs).filter(col("op") === "U").drop("op")
+    ups.write.format("graft").mode(SaveMode.Append).save(path)
+    assert(t.versions == Seq(0, 1))
+    assert(collectSorted(t.read()) ==
+      collectSorted(Lake.cdcMerge(docs, ups.withColumn("op", lit("U")))))
+
+    // overwrite on an existing table lands a fresh full version; old
+    // versions stay time-travelable
+    val fresh = docs.filter(col("doc_id") % 3 === 0)
+    fresh.write.format("graft").mode(SaveMode.Overwrite).save(path)
+    assert(t.versions == Seq(0, 1, 2))
+    assert(collectSorted(t.read()) == collectSorted(fresh))
+    assert(collectSorted(t.readAsOf(0)) == collectSorted(docs))
+
+    // ErrorIfExists is loud; Ignore is a no-op
+    intercept[IllegalStateException] {
+      docs.write.format("graft").mode(SaveMode.ErrorIfExists).save(path)
+    }
+    docs.write.format("graft").mode(SaveMode.Ignore).save(path)
+    assert(t.versions == Seq(0, 1, 2))
+
+    // an upsert missing a current column fails loudly (the facade's
+    // no-silent-drops contract surfaces through the connector)
+    intercept[IllegalArgumentException] {
+      ups.drop("source").write.format("graft")
+        .mode(SaveMode.Append).save(path)
+    }
+  }
+
+  test("SQL surface: CREATE TABLE USING graft, query via spark.sql") {
+    val dir = tmp("src_sql")
+    val t = GraftTable.create(spark, s"$dir/tbl", docs)
+    t.merge(Lake.cdcChangelog(t.read()))
+    spark.sql(s"CREATE TABLE graft_sql_tbl USING graft " +
+      s"OPTIONS (path '$dir/tbl', key 'doc_id')")
+    try {
+      val viaSql = spark.sql(
+        "SELECT doc_id, source FROM graft_sql_tbl WHERE doc_id < 100")
+      assert(collectSorted(viaSql) == collectSorted(
+        t.read().filter(col("doc_id") < 100).select("doc_id", "source")))
+    } finally spark.sql("DROP TABLE graft_sql_tbl")
+  }
+
+  test("restore is metadata-only, auditable, and vacuum-safe") {
+    val dir = tmp("src_restore")
+    val t = GraftTable.create(spark, s"$dir/tbl", docs)
+    t.merge(Lake.cdcChangelog(t.read()))
+
+    val v2 = t.restore(0)
+    assert(v2 == 2)
+    // content: the rollback IS version 0
+    assert(collectSorted(t.read()) == collectSorted(t.readAsOf(0)))
+    // metadata-only: the restore version directory holds no data files
+    val v2files = new java.io.File(s"$dir/tbl/v2").listFiles()
+      .map(_.getName).filterNot(_.startsWith(".")) // hadoop .crc sidecars
+    assert(v2files.toSet == Set("_manifest", "_graft_schema.json",
+      "_GRAFT_COMMITTED"), s"restore wrote data: ${v2files.mkString(",")}")
+    // every manifest row is a carried reference (history agrees)
+    val h = t.history().filter(col("version") === 2).head()
+    assert(h.getLong(h.fieldIndex("n_files")) ==
+      h.getLong(h.fieldIndex("carried_files")))
+    // the rolled-back state stays auditable: the v1->v2 feed undoes v0->v1
+    val fwd = t.changes(0, 1).filter(col("_change_type") === "insert").count()
+    val undo = t.changes(1, 2).filter(col("_change_type") === "delete").count()
+    assert(fwd == undo && fwd > 0)
+
+    // vacuum(keep=2) retires v0, but v2 still references its files:
+    // the reference-aware sweep must keep them and the table must read
+    assert(t.vacuum(keep = 2) == Seq(0))
+    assert(collectSorted(t.read()) == collectSorted(docs))
+    intercept[java.util.NoSuchElementException] { t.restore(0) }
+
+    // restore composes with later merges and compaction
+    t.merge(Lake.cdcChangelog(t.read()))
+    t.compact()
+    t.vacuum(keep = 1)
+    assert(collectSorted(t.read()) ==
+      collectSorted(Lake.cdcMerge(docs, Lake.cdcChangelog(docs))))
+  }
+}
