@@ -1045,6 +1045,41 @@ object Lake {
       """SELECT doc_id, source, md5(text) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // l22: row-level DML — Delta's `DELETE FROM ... WHERE` and
+    // `UPDATE ... SET ... WHERE` on the facade. Both derive a keyed
+    // changelog from the predicate scan (matches → 'D', or 'U' with
+    // the SET projection applied against the OLD row) and land it
+    // through mergeScoped, so the WRITE cost is touched-files +
+    // matches — a selective delete/update at 100 TB rewrites the
+    // files holding matches, never the snapshot (the read is one
+    // predicate scan with plain parquet pushdown). The gate deletes a
+    // key slice, then rewrites a column on a source slice, and reads
+    // the result; oracle replays both statements logically. The spec
+    // adds the loud guards (key rewrite, unknown column), the
+    // old-row-semantics swap, and the carried-forward scoped-ness.
+    "l22_dml" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l22", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        t.delete(pmod(col("doc_id"), lit(10)) === 3)
+        t.update(col("source") === "src1",
+          Map("text" -> concat(col("text"), lit(" [redacted]"))))
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents
+        |            WHERE doc_id % 10 <> 3),
+        |v2 AS (SELECT doc_id, source,
+        |              CASE WHEN source = 'src1'
+        |                   THEN text || ' [redacted]' ELSE text END AS text
+        |       FROM v1)
+        |SELECT doc_id, source, md5(text) AS fp
+        |FROM v2 ORDER BY doc_id""".stripMargin),
+
 
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileAlreadyExistsException, FileSystem, Path => HPath}
-import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DataType, StructType}
 import graft.operators.Lake
@@ -454,6 +454,49 @@ final class GraftTable private (s: SparkSession, val dir: String,
             s"version(s) ${holders.mkString("v", ", v", "")} that still " +
             "reference its files")
     }
+  }
+
+  /** Predicate DELETE (Delta's `DELETE FROM t WHERE cond`) as one new
+    * version: the matching rows become a 'D' changelog and land through
+    * [[mergeScoped]], so the write cost is touched-files + matches —
+    * untouched files carry forward verbatim (at 100 TB a selective
+    * delete rewrites the files holding matches, never the snapshot).
+    * The read cost is one predicate scan of the current snapshot (plain
+    * parquet pushdown; a key-range `cond` additionally prunes at the
+    * row-group level). Rows are identified BY KEY — the table's merge
+    * contract (one live row per key, what every upsert path maintains).
+    * Returns the new version; time travel still reads the pre-delete
+    * state until vacuum.
+    */
+  def delete(cond: Column): Int = {
+    val base = read()
+    mergeScoped(base.filter(cond)
+      .select(lit("D").as("op") +: base.columns.map(col): _*))
+  }
+
+  /** Predicate UPDATE (Delta's `UPDATE t SET ... WHERE cond`): matching
+    * rows re-land as 'U' upserts with the `set` expressions applied
+    * (each evaluated against the OLD row, so swaps like
+    * `Map(a -> col("b"), b -> col("a"))` behave SQL-UPDATE-correctly).
+    * Same cost model and by-key row identity as [[delete]]. The table
+    * key cannot be rewritten (an update that moves a row's identity is
+    * a delete + insert — do it as a changelog merge); unknown columns
+    * fail loudly. Returns the new version.
+    */
+  def update(cond: Column, set: Map[String, Column]): Int = {
+    val base = read()
+    val unknown = set.keySet.filterNot(base.columns.contains)
+    require(unknown.isEmpty,
+      s"update on graft table $dir sets unknown column(s) " +
+        s"${unknown.mkString("[", ", ", "]")}")
+    require(!set.contains(key),
+      s"update on graft table $dir cannot rewrite the table key '$key' " +
+        "(a row's identity is its key — express a key move as a " +
+        "changelog merge with a 'D' and an 'U')")
+    val cols = base.columns.map(c =>
+      set.getOrElse(c, col(c)).as(c)) // old-row semantics: all exprs
+    // evaluate against the pre-update row, applied in one projection
+    mergeScoped(base.filter(cond).select(lit("U").as("op") +: cols: _*))
   }
 
   /** Land `df` as a fresh SELF-CONTAINED version — the whole-table

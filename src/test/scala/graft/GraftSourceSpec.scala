@@ -139,6 +139,46 @@ class GraftSourceSpec extends AnyFunSuite with SparkFixture {
     } finally spark.sql("DROP TABLE graft_sql_tbl")
   }
 
+  test("DML: delete/update semantics, old-row swap, scoped cost, guards") {
+    val dir = tmp("src_dml")
+    val t = GraftTable.create(spark, s"$dir/tbl", docs)
+
+    t.delete(col("doc_id") % 7 === 2)
+    assert(collectSorted(t.read()) ==
+      collectSorted(docs.filter(!(col("doc_id") % 7 === 2))))
+
+    // update evaluates every SET expression against the OLD row: a
+    // swap must actually swap, not chain
+    val dir2 = tmp("src_dml_swap")
+    val two = spark.range(2).select(col("id").as("doc_id"),
+      lit("a").as("x"), lit("b").as("y"))
+    val ts = GraftTable.open(spark,
+      { two.write.format("graft").save(s"$dir2/tbl"); s"$dir2/tbl" })
+    ts.update(lit(true), Map("x" -> col("y"), "y" -> col("x")))
+    val r = ts.read().orderBy("doc_id").collect()
+    assert(r.forall(row => row.getString(1) == "b" && row.getString(2) == "a"))
+
+    // a selective update is SCOPED: untouched files carry forward
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val v = t.update(col("doc_id") < mx / 8,
+      Map("text" -> concat(col("text"), lit("!"))))
+    val h = t.history().filter(col("version") === v).head()
+    assert(h.getLong(h.fieldIndex("carried_files")) > 0,
+      "selective update rewrote every file — not scoped")
+    assert(collectSorted(t.read()) == collectSorted(
+      docs.filter(!(col("doc_id") % 7 === 2))
+        .withColumn("text", when(col("doc_id") < mx / 8,
+          concat(col("text"), lit("!"))).otherwise(col("text")))))
+
+    // loud guards: key rewrite and unknown column
+    intercept[IllegalArgumentException] {
+      t.update(lit(true), Map("doc_id" -> (col("doc_id") + 1)))
+    }
+    intercept[IllegalArgumentException] {
+      t.update(lit(true), Map("nope" -> lit(1)))
+    }
+  }
+
   test("restore is metadata-only, auditable, and vacuum-safe") {
     val dir = tmp("src_restore")
     val t = GraftTable.create(spark, s"$dir/tbl", docs)
