@@ -1080,6 +1080,49 @@ object Lake {
         |SELECT doc_id, source, md5(text) AS fp
         |FROM v2 ORDER BY doc_id""".stripMargin),
 
+    // l23: OPTIMISTIC CONCURRENT MERGE — the multi-writer commit loop
+    // (Delta's OCC over a create-exclusive marker instead of a log
+    // entry). Two REAL threads race mergeConcurrent with the parity
+    // halves of the changelog: each attempt stages data/manifest/
+    // schema under its own token (racers never share a path — the
+    // single-writer forms' corrupt-the-winner hazard is structurally
+    // gone), the marker binds the winning token, and the loser
+    // RECOMPUTES against the winner's version and retries at the next
+    // number. Key-disjoint changelogs commute, so whichever serial
+    // order the race produces, the final table is the full CDC replay
+    // — which is exactly what the oracle demands (the gate also
+    // asserts the chain grew by exactly two committed versions).
+    // Non-determinism lives in the ORDER, never the answer.
+    "l23_concurrent_merge" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l23", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = cdcChangelog(t.read())
+          .persist() // both threads read it; compute the split once
+        log.count()
+        try {
+          val fails = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+          val ths = Seq(0, 1).map { par =>
+            val th = new Thread(() =>
+              try t.mergeConcurrent(
+                log.filter(pmod(col("doc_id"), lit(2)) === par))
+              catch { case e: Throwable => fails.add(e) })
+            th.start(); th
+          }
+          ths.foreach(_.join())
+          if (!fails.isEmpty) throw fails.peek()
+          require(t.versions == Seq(0, 1, 2),
+            s"expected both writers committed: ${t.versions}")
+        } finally log.unpersist()
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      duckCdcSql),
+
 
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a

@@ -68,12 +68,14 @@ import graft.operators.Lake
   * cannot both commit — exactly one wins, the loser fails loudly at its
   * commit (never a silently interleaved version; the replay forms drop
   * the old marker first, making the version invisible for the rewrite's
-  * duration, then re-commit exclusively). The loser's in-flight DATA
-  * writes may still have overwritten the winner's bytes before it
-  * failed — full multi-writer isolation needs staged writes behind an
-  * atomic rename, which is the single-writer assumption this table
-  * keeps; the guard's job is to make a violated assumption LOUD
-  * (GraftTableSpec's interleaved-writer leg pins it).
+  * duration, then re-commit exclusively). Under the SINGLE-WRITER
+  * forms the loser's in-flight DATA writes may still have overwritten
+  * the winner's bytes before it failed — their guard's job is to make
+  * a violated assumption LOUD (GraftTableSpec's interleaved-writer leg
+  * pins it). Writers that genuinely race use [[mergeConcurrent]]:
+  * per-attempt token-staged data/manifest/schema (racers never share a
+  * path), the marker binds the winning token, losers recompute against
+  * the advanced chain and retry — full OCC, serialized commits.
   *
   * Scale: reads are plain parquet scans with full pushdown; planning is
   * one manifest scan (metadata-sized — the l09 argument: at 10M files
@@ -125,12 +127,28 @@ final class GraftTable private (s: SparkSession, val dir: String,
     }
   }
 
+  /** The committed marker's metadata binding for version v: a marker
+    * written by [[mergeConcurrent]] carries the winning writer's token
+    * on its second line, naming THAT writer's staged manifest/schema —
+    * what makes the create-exclusive marker the single atomic commit
+    * point under racing writers (each stages under its own token;
+    * the marker decides whose metadata IS the version). Single-writer
+    * paths write no token and resolve to the fixed names.
+    */
+  private def metaSuffix(v: Int): String =
+    readFsString(fs, markerPath(dir, v)).linesIterator.toSeq
+      .drop(1).headOption.map(t => s"_${t.trim}").getOrElse("")
+
   /** Version v's schema, verbatim as committed (survives later
     * evolutions — time travel's schema half).
     */
   def schemaAsOf(v: Int): StructType = {
     validate(v)
-    DataType.fromJson(readFsString(fs, new HPath(s"$dir/v$v/$SchemaFile")))
+    val sf = metaSuffix(v) match {
+      case "" => SchemaFile
+      case t  => s"_graft_schema$t.json"
+    }
+    DataType.fromJson(readFsString(fs, new HPath(s"$dir/v$v/$sf")))
       .asInstanceOf[StructType]
   }
 
@@ -139,7 +157,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     */
   def manifest(v: Int): DataFrame = {
     validate(v)
-    s.read.parquet(s"$dir/v$v/_manifest")
+    s.read.parquet(s"$dir/v$v/_manifest${metaSuffix(v)}")
   }
 
   /** Time travel: read the snapshot exactly as committed at version `v`
@@ -432,6 +450,80 @@ final class GraftTable private (s: SparkSession, val dir: String,
     } else mergeScopedOn(v - 1, touched, log)
   }
 
+  /** OPTIMISTIC CONCURRENT MERGE — the multi-writer form, for
+    * INDEPENDENT writers that share no coordinator (two ingest services
+    * upserting disjoint key spaces, a backfill racing live intake). The
+    * single-writer merges stage data INSIDE the target version
+    * directory, so a losing racer can corrupt the winner's bytes before
+    * its commit fails (the class-comment caveat); this form closes
+    * that: every attempt stages its data, manifest, and schema under
+    * its OWN random token (`v{n+1}/d_<token>/`, `_manifest_<token>`,
+    * `_graft_schema_<token>.json` — racers never share a path), and
+    * the create-exclusive commit marker carries the winning token,
+    * atomically binding THAT writer's metadata as the version
+    * ([[metaSuffix]] — readers resolve through the marker). The loser
+    * deletes its stage, re-reads the now-advanced current version,
+    * RECOMPUTES the merge against it, and retries at the next number —
+    * so a successful return means this changelog was applied on top of
+    * the version chain exactly once, serialized after the racer's
+    * (Delta's OCC commit loop over a marker file instead of a log
+    * entry). Wasted work under contention is the recomputed merge —
+    * the OCC trade; writers that CAN serialize should (the
+    * single-writer forms skip the stage/rebase machinery).
+    *
+    * Failure posture: a writer that crashes after staging leaves
+    * token'd debris in a committed version's directory — unreferenced
+    * by any manifest, invisible to every reader, and swept when that
+    * version is eventually vacuumed (retention-bounded, the Delta
+    * VACUUM discipline). On stores whose create-exclusive is a checked
+    * create (local FS), the winner re-reads the marker and yields if
+    * another token landed — the race decides exactly one winner.
+    * Retries are capped; exhaustion throws with the last race loss as
+    * cause, never a silent partial commit.
+    */
+  def mergeConcurrent(log: DataFrame, maxAttempts: Int = 8): Int = {
+    val f = fs
+    var attempt = 0
+    var lastLoss: Throwable = null
+    while (attempt < maxAttempts) {
+      val n = currentVersion
+      val next = n + 1
+      val token = "t" + java.util.UUID.randomUUID().toString
+        .replace("-", "").take(12)
+      val vdir = s"$dir/v$next"
+      val dataDir = s"$vdir/d_$token"
+      def cleanup(): Unit = {
+        f.delete(new HPath(dataDir), true)
+        f.delete(new HPath(s"$vdir/_manifest_$token"), true)
+        f.delete(new HPath(s"$vdir/_graft_schema_$token.json"), false)
+      }
+      val merged =
+        Lake.cdcMergeAuto(alignForMerge(readAsOf(n), log), log, key = key)
+      writeFiles(s, dataDir, key, merged)
+      fileStats(s, dataDir, key, merged.schema)
+        .coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest_$token")
+      writeFsString(f, new HPath(s"$vdir/_graft_schema_$token.json"),
+        nullable(merged.schema).json, overwrite = true)
+      try {
+        commit(s, dir, next, token)
+        // on stores where create-exclusive is a checked create, two
+        // racers can both pass it — the marker's final content decides
+        if (metaSuffix(next) == s"_$token") return next
+        lastLoss = new IllegalStateException(
+          s"lost the v$next marker race on graft table $dir")
+        cleanup()
+      } catch {
+        case e: IllegalStateException => lastLoss = e; cleanup()
+      }
+      attempt += 1
+    }
+    throw new IllegalStateException(
+      s"mergeConcurrent on graft table $dir gave up after $maxAttempts " +
+        "lost commit races (heavy contention — serialize these writers " +
+        "or raise maxAttempts)", lastLoss)
+  }
+
   /** The exactly-once preconditions shared by [[mergeAs]] and
     * [[mergeScopedAs]]: target version is current+1 (the normal tick) or
     * a replay of a committed one that NO later scoped version still
@@ -546,7 +638,8 @@ final class GraftTable private (s: SparkSession, val dir: String,
   def versionAt(ts: java.time.Instant): Int = {
     val f = fs
     val ok = versions.filter(v => !java.time.Instant
-      .parse(readFsString(f, markerPath(dir, v)).trim).isAfter(ts))
+      .parse(readFsString(f, markerPath(dir, v)).linesIterator.next().trim)
+      .isAfter(ts))
     if (ok.isEmpty) throw new java.util.NoSuchElementException(
       s"graft table $dir has no version committed at or before $ts " +
         "(earlier versions may have been vacuumed)")
@@ -571,7 +664,8 @@ final class GraftTable private (s: SparkSession, val dir: String,
     import sp.implicits._
     val f = fs
     versions.map { v =>
-      val committedAt = readFsString(f, markerPath(dir, v)).trim
+      val committedAt =
+        readFsString(f, markerPath(dir, v)).linesIterator.next().trim
       val m = manifest(v).agg(
         count(lit(1)).as("files"), sum("n_rows").as("rows"),
         sum("n_bytes").as("bytes"),
@@ -781,10 +875,13 @@ object GraftTable {
     * the loser fails loudly here instead of silently interleaving (the
     * class comment's concurrent-writer contract).
     */
-  private def commit(s: SparkSession, dir: String, v: Int): Unit = {
+  private def commit(s: SparkSession, dir: String, v: Int,
+      token: String = null): Unit = {
     onBeforeCommit(dir, v)
+    val payload = java.time.Instant.now().toString +
+      Option(token).map("\n" + _).getOrElse("")
     try writeFsString(fsOf(s, dir), markerPath(dir, v),
-      java.time.Instant.now().toString, overwrite = false)
+      payload, overwrite = false)
     catch {
       // RawLocalFileSystem raises FileAlreadyExistsException; other
       // connectors may surface the exclusive-create loss as a plain

@@ -179,6 +179,70 @@ class GraftSourceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("mergeConcurrent: deterministic race, rebase, token metadata, vacuum") {
+    val dir = tmp("src_occ")
+    val t = GraftTable.create(spark, s"$dir/tbl", docs)
+    val log = Lake.cdcChangelog(t.read())
+    val evens = log.filter(col("doc_id") % 2 === 0)
+    val odds = log.filter(col("doc_id") % 2 === 1)
+
+    // writer B completes INSIDE writer A's commit window (the seam
+    // fires right before A's create-exclusive): A must lose v1, rebase
+    // onto B's result, and land v2 — both changelogs applied
+    var fired = false
+    GraftTable.onBeforeCommit = (_, v) =>
+      if (v == 1 && !fired) { fired = true; t.mergeConcurrent(odds) }
+    try assert(t.mergeConcurrent(evens) == 2)
+    finally GraftTable.onBeforeCommit = (_, _) => ()
+    assert(t.versions == Seq(0, 1, 2))
+    assert(collectSorted(t.read()) ==
+      collectSorted(Lake.cdcMerge(Lake.cdcMerge(docs, odds), evens)))
+
+    // token'd metadata resolves through the marker for every reader:
+    // time travel, diff, changes, history
+    assert(collectSorted(t.readAsOf(1)) ==
+      collectSorted(Lake.cdcMerge(docs, odds)))
+    assert(t.diff(1, 2).count() > 0)
+    assert(t.changes(0, 2).count() > 0)
+    val h = t.history().orderBy("version").collect()
+    assert(h.length == 3 && h.forall(_.getLong(2) > 0)) // n_files
+    // the loser's staged debris was cleaned up: v1 and v2 hold exactly
+    // one token'd data dir + manifest + schema each
+    Seq(1, 2).foreach { v =>
+      val names = new java.io.File(s"$dir/tbl/v$v").listFiles()
+        .map(_.getName).filterNot(_.startsWith("."))
+      assert(names.count(_.startsWith("d_t")) == 1, names.mkString(","))
+      assert(names.count(_.startsWith("_manifest_t")) == 1)
+    }
+
+    // DML and single-writer merges compose on top of OCC versions
+    t.delete(col("doc_id") % 5 === 0)
+    assert(t.currentVersion == 3)
+
+    // vacuum retires OCC versions cleanly (token'd manifests/schemas
+    // swept with them; the retained patchwork still reads)
+    val expected = collectSorted(t.read())
+    t.compact()
+    t.vacuum(keep = 1)
+    assert(collectSorted(t.read()) == expected)
+
+    // retry exhaustion is loud, with the race loss as cause
+    var inSeam = false
+    GraftTable.onBeforeCommit = (_, _) =>
+      if (!inSeam) { // a rival steals EVERY version this writer tries
+        inSeam = true
+        try t.merge(Lake.cdcChangelog(t.read())) finally inSeam = false
+      }
+    try {
+      val e = intercept[IllegalStateException] {
+        // fresh plan: `evens` was planned over v0's files, which the
+        // vacuum above retired (reading it now fails loudly by design)
+        t.mergeConcurrent(Lake.cdcChangelog(t.read()), maxAttempts = 2)
+      }
+      assert(e.getMessage.contains("gave up after 2"))
+    } finally GraftTable.onBeforeCommit = (_, _) => ()
+  }
+
   test("restore is metadata-only, auditable, and vacuum-safe") {
     val dir = tmp("src_restore")
     val t = GraftTable.create(spark, s"$dir/tbl", docs)
