@@ -1123,6 +1123,35 @@ object Lake {
       },
       duckCdcSql),
 
+    // l24: the CHANGE DATA FEED through the connector — Delta's CDF
+    // read shape verbatim (`readChangeFeed` + startingVersion/
+    // endingVersion options), so a CDC subscriber needs only the
+    // format string, no Scala facade. Same derivation as l18
+    // underneath (diff per step over stored versions — churn-sized,
+    // no changelog retention); the gate re-lands l18's two
+    // parity-split merges and drains the whole feed through
+    // spark.read options, held to l18's oracle verbatim — the
+    // connector surface must be invisible to the feed.
+    "l24_connector_cdf" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l24", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = cdcChangelog(t.read())
+        t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0))
+        t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1))
+        s.read.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "0").option("endingVersion", "2")
+          .load(s"$base/tbl")
+          .select(col("_commit_version").cast("int").as("v"),
+                  col("_change_type").as("ct"), col("doc_id"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("v", "ct", "doc_id")
+      },
+      duckChangeFeedSql),
+
 
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a

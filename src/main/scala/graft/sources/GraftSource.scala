@@ -74,11 +74,28 @@ final class GraftSource extends RelationProvider
     require(!(parameters.contains("versionAsOf") &&
               parameters.contains("timestampAsOf")),
       s"graft source at $dir: versionAsOf and timestampAsOf are exclusive")
-    val version = parameters.get("versionAsOf").map(_.trim.toInt)
+    val pinned = parameters.get("versionAsOf").map(_.trim.toInt)
       .orElse(parameters.get("timestampAsOf").map(ts =>
         t.versionAt(java.time.Instant.parse(ts.trim))))
-      .getOrElse(t.currentVersion)
-    GraftRelation(spark, t, version, key)
+    if (parameters.get("readChangeFeed").exists(_.trim.toBoolean)) {
+      // Delta's CDF read shape: table_changes between two versions.
+      // endingVersion defaults to current; the churn-sized feed needs
+      // no manifest pruning (each step's diff is already output ∝
+      // changed keys, never snapshot).
+      require(pinned.isEmpty,
+        s"graft source at $dir: readChangeFeed takes startingVersion/" +
+          "endingVersion, not versionAsOf/timestampAsOf")
+      val from = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          s"graft source at $dir: readChangeFeed requires " +
+            "startingVersion (the feed is (startingVersion, " +
+            "endingVersion])")).trim.toInt
+      val to = parameters.get("endingVersion").map(_.trim.toInt)
+        .getOrElse(t.currentVersion)
+      GraftChangeFeedRelation(spark, t, from, to)
+    } else
+      GraftRelation(spark, t, pinned.getOrElse(t.currentVersion), key,
+        pinnedRead = pinned.isDefined)
   }
 
   override def createRelation(ctx: SQLContext, mode: SaveMode,
@@ -119,12 +136,31 @@ object GraftSource {
   * parquet scan those files back.
   */
 private[graft] final case class GraftRelation(spark: SparkSession,
-    table: GraftTable, version: Int, key: String)
-    extends BaseRelation with PrunedFilteredScan {
+    table: GraftTable, version: Int, key: String,
+    pinnedRead: Boolean = false)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def sqlContext: SQLContext = spark.sqlContext
 
   override val schema: StructType = table.schemaAsOf(version)
+
+  /** SQL DML through the catalog: `INSERT INTO` is the keyed upsert,
+    * `INSERT OVERWRITE` the whole-table replace — the same mapping the
+    * writer modes use. Writes target the TABLE and refuse loudly only
+    * through an EXPLICITLY pinned relation (versionAsOf/timestampAsOf —
+    * inserting "into history" would silently fork it); an unpinned
+    * relation the catalog cached before a later write is still a valid
+    * write handle (the version field is its READ snapshot — standard
+    * catalog-cache semantics; REFRESH TABLE re-reads).
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    require(!pinnedRead,
+      s"INSERT into graft table ${table.dir} through a time-travel " +
+        s"relation (pinned at v$version) — writes go to the current " +
+        "table, read it without versionAsOf/timestampAsOf")
+    if (overwrite) table.replace(data)
+    else table.merge(data.withColumn("op", lit("U")))
+  }
 
   /** Everything is unhandled: Spark re-applies every filter above the
     * scan, so this source's pruning is IO-only (see class doc).
@@ -218,4 +254,26 @@ private[graft] final case class GraftRelation(spark: SparkSession,
     case Not(ch) => dataPred(ch).map(!_)
     case _ => None
   }
+}
+
+/** The change data feed through the connector — Delta's CDF read shape
+  * (`readChangeFeed` + `startingVersion`/`endingVersion` options) over
+  * [[GraftTable.changes]]: one row per changed key per version step in
+  * (from, to], typed `_change_type` with both update images, derived
+  * purely from the stored versions. No pruning machinery: each step's
+  * diff is already churn-sized (unchanged keys never leave its join),
+  * so the relation is a plain scan of a frame that was never
+  * snapshot-sized to begin with.
+  */
+private[graft] final case class GraftChangeFeedRelation(
+    spark: SparkSession, table: GraftTable, from: Int, to: Int)
+    extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  private def feed: DataFrame = table.changes(from, to)
+
+  override val schema: StructType = feed.schema
+
+  override def buildScan(): RDD[Row] = feed.rdd
 }

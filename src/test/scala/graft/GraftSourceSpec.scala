@@ -179,6 +179,67 @@ class GraftSourceSpec extends AnyFunSuite with SparkFixture {
     }
   }
 
+  test("CDF options, SQL INSERT INTO/OVERWRITE, CTAS, time-travel guard") {
+    val dir = tmp("src_sqldml")
+    val t = GraftTable.create(spark, s"$dir/tbl", docs)
+    t.merge(Lake.cdcChangelog(t.read()))
+
+    // readChangeFeed == the facade's changes(), row for row
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .load(s"$dir/tbl")
+    assert(feed.collect().map(_.toString).sorted.toSeq ==
+      t.changes(0, 1).collect().map(_.toString).sorted.toSeq)
+    intercept[IllegalArgumentException] { // startingVersion is required
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .load(s"$dir/tbl")
+    }
+
+    spark.sql(s"CREATE TABLE g_dml USING graft " +
+      s"OPTIONS (path '$dir/tbl', key 'doc_id')")
+    try {
+      // INSERT INTO = keyed upsert (fresh keys grow the table)
+      val before = t.read().count()
+      val adds = spark.sql(
+        "SELECT count(*) FROM g_dml WHERE doc_id < 50").head().getLong(0)
+      assert(adds > 0)
+      spark.sql("INSERT INTO g_dml SELECT doc_id + 5000000 AS doc_id, " +
+        "source, text FROM g_dml WHERE doc_id < 50")
+      assert(t.read().count() == before + adds)
+
+      // INSERT OVERWRITE = whole-table replace, history preserved
+      // (refresh first: the catalog caches the pre-insert relation, and
+      // the SELECT source should read the current version)
+      spark.catalog.refreshTable("g_dml")
+      spark.sql("INSERT OVERWRITE g_dml SELECT * FROM g_dml " +
+        "WHERE doc_id < 100")
+      assert(t.read().count() ==
+        t.readAsOf(t.currentVersion - 1)
+          .filter(col("doc_id") < 100).count())
+
+      // CTAS lands a new graft table
+      spark.catalog.refreshTable("g_dml")
+      spark.sql(s"CREATE TABLE g_ctas USING graft " +
+        s"OPTIONS (path '$dir/ctas', key 'doc_id') " +
+        "AS SELECT doc_id, source FROM g_dml")
+      try {
+        val made = GraftTable.open(spark, s"$dir/ctas")
+        assert(collectSorted(made.read()) ==
+          collectSorted(t.read().select("doc_id", "source")))
+      } finally spark.sql("DROP TABLE g_ctas")
+
+      // writes through a time-travel relation refuse loudly
+      spark.sql(s"CREATE TABLE g_past USING graft OPTIONS " +
+        s"(path '$dir/tbl', key 'doc_id', versionAsOf '0')")
+      try {
+        val e = intercept[Exception] {
+          spark.sql("INSERT INTO g_past SELECT * FROM g_dml LIMIT 1")
+        }
+        assert(e.getMessage.contains("time-travel"))
+      } finally spark.sql("DROP TABLE g_past")
+    } finally spark.sql("DROP TABLE g_dml")
+  }
+
   test("mergeConcurrent: deterministic race, rebase, token metadata, vacuum") {
     val dir = tmp("src_occ")
     val t = GraftTable.create(spark, s"$dir/tbl", docs)
