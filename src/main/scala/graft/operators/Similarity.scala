@@ -32,6 +32,13 @@ object Similarity {
   private[graft] val FilterLabelLo = 2
   private[graft] val FilterLabelHi = 4
 
+  // e15 hybrid retrieval: query-by-example over both modalities (the
+  // doc_id/vec_id spaces are 1:1 in this corpus), per-leg shortlists of
+  // 20, RRF's canonical k=60 damping.
+  private[graft] val HybridQueries = 8
+  private[graft] val HybridLegK = 20
+  private[graft] val RrfK = 60
+
   /** e14's oracle: the definitional filtered brute force. Shared with
     * s28 (the same search streamed at the wire) — batch and stream
     * answers are held to one truth.
@@ -1017,6 +1024,84 @@ object Similarity {
     * vector's excludes that vector (self-match exclusion — the gate
     * semantics; disjoint hand ids exclude nothing).
     */
+  /** e15's HYBRID retrieval kernel: query-by-example fusion of a
+    * lexical BM25 leg (d32's scoring, the query doc's own terms as the
+    * query) and a dense embedding-cosine leg (e01's kernel), combined
+    * by RECIPROCAL RANK FUSION — `sum(1 / (60 + rank))` over each leg's
+    * top-[[HybridLegK]] list, the standard score-free fusion (leg
+    * scores are incommensurable; ranks are not). Retrieval structure:
+    *  - lexical candidates come from the inverted term join (cost ∝
+    *    postings of the query's terms, never corpus²); per-term BM25
+    *    contributions are rounded to 8dp and summed as DECIMAL — exact
+    *    and associative, so Spark's partial-agg tree and DuckDB's
+    *    serial scan rank identically (the d42 determinism discipline);
+    *  - the dense leg broadcasts the query block and heaps top-k
+    *    map-side (topk_by — no global sort);
+    *  - fusion is a full-outer join of two shortlist tables (leg-k
+    *    sized, not corpus sized) — a doc missing from one leg simply
+    *    contributes nothing there, the textbook RRF contract.
+    * Ties everywhere break by doc_id; rrf itself is rank arithmetic
+    * (exact in doubles), so the fused order is engine-independent.
+    */
+  private[graft] def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    // lexical leg — d32's BM25 statistics
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val qterms = tf
+      .filter(col("doc_id") < HybridQueries && length(col("term")) >= 4)
+      .select(col("doc_id").as("q_id"), col("term")).distinct()
+    val lex = tf.join(broadcast(qterms), "term")
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfT, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      .withColumn("norm",
+        lit(0.25) + lit(0.75) * (col("dl").cast("double") / col("avgdl")))
+      .withColumn("ts",
+        round(col("idf") * ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * col("norm"))) + lit(1e-9), 8)
+          .cast("decimal(20,8)"))
+      .groupBy("q_id", "doc_id").agg(sum("ts").as("score"))
+    val lexRank = lex
+      .withColumn("lex_rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("score"), col("doc_id"))))
+      .filter(col("lex_rk") <= HybridLegK)
+      .select("q_id", "doc_id", "lex_rk")
+    // dense leg — e01's kernel, shortlist width HybridLegK
+    val qv = emb.filter(col("vec_id") < HybridQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val vecRank = emb.join(broadcast(qv), col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        round(expr("cosine_sim(embedding, q_vec)") + lit(1e-10), 6))
+      .groupBy("q_id")
+      .agg(expr(s"topk_by(sim, vec_id, $HybridLegK)").as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).cast("int").as("vec_rk"),
+              col("col.id").as("doc_id"))
+    // reciprocal rank fusion over the two shortlists
+    val fused = lexRank
+      .join(vecRank, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rk")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(RrfK) + col("vec_rk")), lit(0.0)))
+    fused
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("q_id").orderBy(desc("rrf"), col("doc_id"))))
+      .filter(col("rk") <= TopK)
+      .select(col("q_id"), col("rk").cast("int").as("rk"), col("doc_id"),
+              round(col("rrf"), 6).as("rrf"))
+      .orderBy("q_id", "rk")
+  }
+
   private[graft] def knnBruteSearch(s: SparkSession, emb: DataFrame,
       queries: DataFrame, k: Int = TopK): DataFrame = {
     GraftFunctions.register(s)
@@ -1275,6 +1360,73 @@ object Similarity {
     // heaps that merge), so only k rows per (query, map task) ever
     // shuffle — a window-rank formulation would shuffle the entire
     // scored corpus per query at 100 TB.
+    // e15: HYBRID SEARCH — BM25 lexical + embedding-cosine legs fused
+    // by reciprocal rank fusion (the retrieval stack a RAG corpus
+    // actually runs: lexical recall for rare exact terms, dense recall
+    // for paraphrase, RRF because the two scores are incommensurable).
+    // Query-by-example over both modalities (doc_id/vec_id are 1:1 in
+    // this corpus). The whole plan is shortlist-shaped: inverted term
+    // join for lexical candidates (∝ postings, never corpus²), a
+    // broadcast+heap dense leg, and a full-outer join of two leg-k
+    // tables for the fusion. Hash-proven end to end — both legs' rank
+    // orders AND the fused order survive the engine boundary (decimal
+    // term sums + 6dp sims + doc_id tiebreaks everywhere).
+    "e15_hybrid_search" -> OpDef.sql(
+      (s, d) => hybridSearch(s, d),
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+         |        FROM documents)
+         |  WHERE length(term) > 0 GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                 avg(dl) AS avgdl FROM dl),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf
+         |      WHERE doc_id < $HybridQueries AND length(term) >= 4),
+         |lex AS (
+         |  SELECT q.q_id, tf.doc_id,
+         |         sum(round(((n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+         |               ((tf.tf * 2.2) / (tf.tf + 1.2 *
+         |                 (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl))))
+         |               + 1e-9, 8)::DECIMAL(20,8)) AS score
+         |  FROM tf JOIN q USING (term) JOIN dft USING (term)
+         |       JOIN dl ON tf.doc_id = dl.doc_id, stats
+         |  WHERE tf.doc_id <> q.q_id
+         |  GROUP BY q.q_id, tf.doc_id),
+         |lexr AS (
+         |  SELECT q_id, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY score DESC, doc_id) AS INT) AS lex_rk
+         |  FROM lex QUALIFY lex_rk <= $HybridLegK),
+         |qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+         |       FROM embeddings WHERE vec_id < $HybridQueries),
+         |vecs AS (
+         |  SELECT qv.q_id, e.vec_id AS doc_id,
+         |         round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |               qv.q_vec) + 1e-10, 6) AS sim
+         |  FROM embeddings e JOIN qv ON e.vec_id <> qv.q_id),
+         |vecr AS (
+         |  SELECT q_id, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY sim DESC, doc_id) AS INT) AS vec_rk
+         |  FROM vecs QUALIFY vec_rk <= $HybridLegK),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         coalesce(1.0::DOUBLE / ($RrfK + l.lex_rk), 0.0) +
+         |         coalesce(1.0::DOUBLE / ($RrfK + v.vec_rk), 0.0) AS rrf
+         |  FROM lexr l FULL OUTER JOIN vecr v
+         |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+         |SELECT q_id,
+         |       CAST(row_number() OVER (PARTITION BY q_id
+         |         ORDER BY rrf DESC, doc_id) AS INT) AS rk,
+         |       doc_id, round(rrf, 6) AS rrf
+         |FROM fused QUALIFY rk <= $TopK
+         |ORDER BY q_id, rk""".stripMargin),
+
     "e01_knn_brute" -> OpDef.sql(
       (s, d) => {
         val emb = Tables.embeddings(s, d)
