@@ -1152,6 +1152,61 @@ object Lake {
       },
       duckChangeFeedSql),
 
+    // l25: SHALLOW CLONE — zero-copy table fork (Delta CLONE): the
+    // clone's v0 manifest is the source's current manifest verbatim,
+    // so forking a 100-TB table costs one manifest write. The gate
+    // proves the ISOLATION contract both ways: after cloning, the
+    // clone takes a DML update and the SOURCE takes a delete — the
+    // clone's answer must reflect its own update over the
+    // clone-instant snapshot and NOTHING of the source's later
+    // divergence (clone writes land in clone directories; the shared
+    // bytes are read-only to both chains). The source-vacuum hazard
+    // and the compact() immunization are spec-pinned
+    // (GraftSourceSpec) — a hazard can't go under an oracle hash, a
+    // loud failure can.
+    "l25_shallow_clone" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l25", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val src = graft.sources.GraftTable.create(s, s"$base/src", docs)
+        src.merge(cdcChangelog(src.read()))
+        val clone = src.cloneTo(s"$base/clone")
+        clone.update(col("source") === "src2",
+          Map("text" -> concat(col("text"), lit(" [cloned]"))))
+        src.delete(pmod(col("doc_id"), lit(3)) === 0) // must not leak in
+        clone.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      {
+        def b(id: String) =
+          s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % 100"
+        s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+           |log AS (
+           |  SELECT 'D' AS op, doc_id, source, text
+           |  FROM v1 WHERE ${b("doc_id")} < 8
+           |  UNION ALL
+           |  SELECT 'U', doc_id, source, text || ' (rev 2)'
+           |  FROM v1 WHERE ${b("doc_id")} >= 8 AND ${b("doc_id")} < 16
+           |  UNION ALL
+           |  SELECT 'U', doc_id + 1000000000, source, text || ' (new)'
+           |  FROM v1 WHERE ${b("doc_id")} >= 16 AND ${b("doc_id")} < 24),
+           |v2 AS (
+           |  SELECT doc_id, source, text FROM v1
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM log)
+           |  UNION ALL
+           |  SELECT doc_id, source, text FROM log WHERE op = 'U'),
+           |v3 AS (
+           |  SELECT doc_id, source,
+           |         CASE WHEN source = 'src2' THEN text || ' [cloned]'
+           |              ELSE text END AS text
+           |  FROM v2)
+           |SELECT doc_id, source, md5(text) AS fp
+           |FROM v3 ORDER BY doc_id""".stripMargin
+      }),
+
 
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a

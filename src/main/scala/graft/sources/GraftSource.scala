@@ -122,12 +122,15 @@ final class GraftSource extends RelationProvider
 }
 
 object GraftSource {
+  private[graft] val NoopPrune: (String, Int, Int) => Unit = (_, _, _) => ()
+
   /** Test seam: invoked after every manifest admission with
     * (table dir, admitted file count, total file count) — lets a spec
     * pin that a selective pushed filter really narrowed the file list.
-    * A no-op in production.
+    * The total requires an extra manifest count, so the scan pays it
+    * ONLY while a seam is registered — production scans never run it.
     */
-  private[graft] var onPrune: (String, Int, Int) => Unit = (_, _, _) => ()
+  private[graft] var onPrune: (String, Int, Int) => Unit = NoopPrune
 }
 
 /** One graft table version as a Spark relation. `buildScan` receives the
@@ -176,7 +179,7 @@ private[graft] final case class GraftRelation(spark: SparkSession,
     val all = m.select("path")
     val admitted = spanPred.fold(all)(p => m.filter(p).select("path"))
       .collect().map(_.getString(0)).toIndexedSeq
-    if (spanPred.isDefined)
+    if (spanPred.isDefined && (GraftSource.onPrune ne GraftSource.NoopPrune))
       GraftSource.onPrune(table.dir, admitted.size, m.count().toInt)
     val base =
       if (admitted.isEmpty)

@@ -628,6 +628,35 @@ final class GraftTable private (s: SparkSession, val dir: String,
     next
   }
 
+  /** SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`): a NEW
+    * table at `destDir` whose v0 manifest is this table's CURRENT
+    * manifest verbatim — zero data bytes copied, so forking a 100-TB
+    * table for a dev/test sandbox or a what-if migration costs one
+    * manifest write. The clone owns its own version chain (merges, DML,
+    * compaction, vacuum — all independent; clone writes land in the
+    * CLONE's directories and never touch the source), but its v0 (and
+    * any scoped descendants) reference the SOURCE's files. The hazard,
+    * stated loudly (Delta's own shallow-clone caveat): the source's
+    * [[vacuum]] is reference-aware only WITHIN its own table — it
+    * cannot see clones, so retiring source versions can delete files a
+    * clone still references (the clone then fails LOUDLY mid-scan, the
+    * reader-vs-vacuum contract — never silent partial data). A clone
+    * meant to outlive the source's retention window calls [[compact]]
+    * once: the compacted version is self-contained (zero cross-table
+    * references), after which the source can vacuum freely.
+    */
+  def cloneTo(destDir: String): GraftTable = {
+    val v = currentVersion
+    val f = fsOf(s, destDir)
+    require(!f.exists(markerPath(destDir, 0)),
+      s"cloneTo: $destDir already holds a committed graft table")
+    manifest(v).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$destDir/v0/_manifest")
+    writeSchema(s, destDir, 0, schemaAsOf(v))
+    commit(s, destDir, 0)
+    GraftTable.open(s, destDir, key)
+  }
+
   /** The newest version committed at or before `ts` — `timestampAsOf`'s
     * resolution. The commit markers' payloads (written at commit time)
     * ARE the commit log, so this is one metadata pass over the retained

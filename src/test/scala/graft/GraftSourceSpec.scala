@@ -77,7 +77,7 @@ class GraftSourceSpec extends AnyFunSuite with SparkFixture {
       val none = load().filter(col("doc_id") > mx + 2000000000L)
       assert(none.count() == 0 && pruned._1 == 0)
       assert(none.schema.fieldNames.toSeq == Seq("doc_id", "source", "text"))
-    } finally GraftSource.onPrune = (_, _, _) => ()
+    } finally GraftSource.onPrune = GraftSource.NoopPrune
 
     // filters the manifest can't serve (non-span column) stay correct
     val bySource = load().filter(col("source") === "web")
@@ -302,6 +302,50 @@ class GraftSourceSpec extends AnyFunSuite with SparkFixture {
       }
       assert(e.getMessage.contains("gave up after 2"))
     } finally GraftTable.onBeforeCommit = (_, _) => ()
+  }
+
+  test("shallow clone: zero-copy, two-way isolation, hazard + immunization") {
+    val dir = tmp("src_clone")
+    val src = GraftTable.create(spark, s"$dir/src", docs)
+    src.merge(Lake.cdcChangelog(src.read()))
+    val atClone = collectSorted(src.read())
+
+    val a = src.cloneTo(s"$dir/cloneA")
+    val b = src.cloneTo(s"$dir/cloneB")
+    intercept[IllegalArgumentException] { src.cloneTo(s"$dir/cloneA") }
+
+    // zero-copy: the clone directory holds only metadata
+    val v0files = new java.io.File(s"$dir/cloneA/v0").listFiles()
+      .map(_.getName).filterNot(_.startsWith("."))
+    assert(v0files.toSet == Set("_manifest", "_graft_schema.json",
+      "_GRAFT_COMMITTED"), v0files.mkString(","))
+    assert(collectSorted(a.read()) == atClone)
+
+    // two-way isolation: clone DML invisible to source and vice versa
+    // (key-LOCAL delete: the scoped tick rewrites only the low-key
+    // files, so the clone keeps carrying references into the source —
+    // the hazard leg below needs them to still exist)
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    a.delete(col("doc_id") < mx / 8)
+    assert(collectSorted(src.read()) == atClone)
+    src.merge(Lake.cdcChangelog(src.read()))
+    assert(collectSorted(a.read()) ==
+      collectSorted(a.readAsOf(1))) // clone chain unmoved by src merge
+
+    // B compacts (materializes — zero cross-table references)...
+    b.compact()
+    b.vacuum(keep = 1)
+    val bContent = collectSorted(b.read())
+    // ...then the source compacts and vacuums its whole history away
+    src.compact()
+    src.vacuum(keep = 1)
+    // the un-materialized clone now fails LOUDLY (its files are gone),
+    val aFail = intercept[Exception] { a.read().collect() }
+    assert(aFail.getMessage.contains("does not exist") ||
+      aFail.getMessage.contains("FILE_NOT_EXIST"),
+      s"expected a loud missing-file failure, got: ${aFail.getMessage}")
+    // ...while the materialized clone is immune
+    assert(collectSorted(b.read()) == bContent)
   }
 
   test("restore is metadata-only, auditable, and vacuum-safe") {
