@@ -171,6 +171,15 @@ private[graft] final case class GraftRelation(spark: SparkSession,
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
     filters
 
+  /** The scan below is a real Spark plan producing InternalRow already;
+    * declaring needConversion=false hands its rows straight to the
+    * parent scan node instead of round-tripping every row through an
+    * external Row — the per-row tax a V1 source otherwise pays (the
+    * contract: when false, buildScan's RDD[Row] must actually carry
+    * InternalRow — `queryExecution.toRdd` below is exactly that).
+    */
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val m = table.manifest(version)
@@ -188,7 +197,8 @@ private[graft] final case class GraftRelation(spark: SparkSession,
     // re-apply what translates so parquet row-group stats still skip
     // (unhandledFilters above keeps Spark's own re-check regardless)
     val filtered = filters.flatMap(dataPred).foldLeft(base)(_ filter _)
-    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]] // needConversion=false
   }
 
   /** The manifest span columns backing data column `c`: the table key's
@@ -278,5 +288,8 @@ private[graft] final case class GraftChangeFeedRelation(
 
   override val schema: StructType = feed.schema
 
-  override def buildScan(): RDD[Row] = feed.rdd
+  override def needConversion: Boolean = false // see GraftRelation's note
+
+  override def buildScan(): RDD[Row] =
+    feed.queryExecution.toRdd.asInstanceOf[RDD[Row]]
 }
