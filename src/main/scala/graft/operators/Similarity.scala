@@ -39,6 +39,66 @@ object Similarity {
   private[graft] val HybridLegK = 20
   private[graft] val RrfK = 60
 
+  /** e15's oracle: both legs and the fused RRF order re-derived in
+    * DuckDB. Shared with s31 (the same fusion streamed at the wire) —
+    * batch and stream answers are held to one truth.
+    */
+  private[graft] val e15Sql: String =
+    s"""WITH tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
+         |        FROM documents)
+         |  WHERE length(term) > 0 GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY doc_id),
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                 avg(dl) AS avgdl FROM dl),
+         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY term),
+         |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf
+         |      WHERE doc_id < $HybridQueries AND length(term) >= 4),
+         |lex AS (
+         |  SELECT q.q_id, tf.doc_id,
+         |         sum(round(((n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+         |               ((tf.tf * 2.2) / (tf.tf + 1.2 *
+         |                 (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl))))
+         |               + 1e-9, 8)::DECIMAL(20,8)) AS score
+         |  FROM tf JOIN q USING (term) JOIN dft USING (term)
+         |       JOIN dl ON tf.doc_id = dl.doc_id, stats
+         |  WHERE tf.doc_id <> q.q_id
+         |  GROUP BY q.q_id, tf.doc_id),
+         |lexr AS (
+         |  SELECT q_id, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY score DESC, doc_id) AS INT) AS lex_rk
+         |  FROM lex QUALIFY lex_rk <= $HybridLegK),
+         |qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
+         |       FROM embeddings WHERE vec_id < $HybridQueries),
+         |vecs AS (
+         |  SELECT qv.q_id, e.vec_id AS doc_id,
+         |         round(list_cosine_similarity(e.embedding::DOUBLE[],
+         |               qv.q_vec) + 1e-10, 6) AS sim
+         |  FROM embeddings e JOIN qv ON e.vec_id <> qv.q_id),
+         |vecr AS (
+         |  SELECT q_id, doc_id,
+         |         CAST(row_number() OVER (PARTITION BY q_id
+         |           ORDER BY sim DESC, doc_id) AS INT) AS vec_rk
+         |  FROM vecs QUALIFY vec_rk <= $HybridLegK),
+         |fused AS (
+         |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
+         |         coalesce(1.0::DOUBLE / ($RrfK + l.lex_rk), 0.0) +
+         |         coalesce(1.0::DOUBLE / ($RrfK + v.vec_rk), 0.0) AS rrf
+         |  FROM lexr l FULL OUTER JOIN vecr v
+         |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
+         |SELECT q_id,
+         |       CAST(row_number() OVER (PARTITION BY q_id
+         |         ORDER BY rrf DESC, doc_id) AS INT) AS rk,
+         |       doc_id, round(rrf, 6) AS rrf
+         |FROM fused QUALIFY rk <= $TopK
+         |ORDER BY q_id, rk""".stripMargin
+
+
   /** e14's oracle: the definitional filtered brute force. Shared with
     * s28 (the same search streamed at the wire) — batch and stream
     * answers are held to one truth.
@@ -1044,6 +1104,20 @@ object Similarity {
     * (exact in doubles), so the fused order is engine-independent.
     */
   private[graft] def hybridSearch(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    hybridSearchIds(s, d,
+      emb.filter(col("vec_id") < HybridQueries)
+        .select(col("vec_id").as("q_id")))
+  }
+
+  /** [[hybridSearch]] for an arbitrary query-id frame — the streaming
+    * face's entry point (s31): queries are independent (each leg's
+    * ranks are per-query; RRF fuses per-query ranks), so batch
+    * composition cannot change any answer — a drained stream of query
+    * batches equals the one-shot batch run row for row.
+    */
+  private[graft] def hybridSearchIds(s: SparkSession, d: String,
+      qids: DataFrame): DataFrame = {
     GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
@@ -1056,7 +1130,8 @@ object Similarity {
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
     val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val qterms = tf
-      .filter(col("doc_id") < HybridQueries && length(col("term")) >= 4)
+      .join(broadcast(qids), col("doc_id") === col("q_id"), "left_semi")
+      .filter(length(col("term")) >= 4)
       .select(col("doc_id").as("q_id"), col("term")).distinct()
     val lex = tf.join(broadcast(qterms), "term")
       .filter(col("doc_id") =!= col("q_id"))
@@ -1077,7 +1152,8 @@ object Similarity {
       .filter(col("lex_rk") <= HybridLegK)
       .select("q_id", "doc_id", "lex_rk")
     // dense leg — e01's kernel, shortlist width HybridLegK
-    val qv = emb.filter(col("vec_id") < HybridQueries)
+    val qv = emb
+      .join(broadcast(qids), col("vec_id") === col("q_id"), "left_semi")
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     val vecRank = emb.join(broadcast(qv), col("vec_id") =!= col("q_id"))
       .withColumn("sim",
@@ -1373,59 +1449,7 @@ object Similarity {
     // term sums + 6dp sims + doc_id tiebreaks everywhere).
     "e15_hybrid_search" -> OpDef.sql(
       (s, d) => hybridSearch(s, d),
-      s"""WITH tf AS (
-         |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |  FROM (SELECT doc_id, unnest(string_split_regex(text, '\\s+')) AS term
-         |        FROM documents)
-         |  WHERE length(term) > 0 GROUP BY doc_id, term),
-         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
-         |       FROM tf GROUP BY doc_id),
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |                 avg(dl) AS avgdl FROM dl),
-         |dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df
-         |        FROM tf GROUP BY term),
-         |q AS (SELECT DISTINCT doc_id AS q_id, term FROM tf
-         |      WHERE doc_id < $HybridQueries AND length(term) >= 4),
-         |lex AS (
-         |  SELECT q.q_id, tf.doc_id,
-         |         sum(round(((n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
-         |               ((tf.tf * 2.2) / (tf.tf + 1.2 *
-         |                 (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / avgdl))))
-         |               + 1e-9, 8)::DECIMAL(20,8)) AS score
-         |  FROM tf JOIN q USING (term) JOIN dft USING (term)
-         |       JOIN dl ON tf.doc_id = dl.doc_id, stats
-         |  WHERE tf.doc_id <> q.q_id
-         |  GROUP BY q.q_id, tf.doc_id),
-         |lexr AS (
-         |  SELECT q_id, doc_id,
-         |         CAST(row_number() OVER (PARTITION BY q_id
-         |           ORDER BY score DESC, doc_id) AS INT) AS lex_rk
-         |  FROM lex QUALIFY lex_rk <= $HybridLegK),
-         |qv AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_vec
-         |       FROM embeddings WHERE vec_id < $HybridQueries),
-         |vecs AS (
-         |  SELECT qv.q_id, e.vec_id AS doc_id,
-         |         round(list_cosine_similarity(e.embedding::DOUBLE[],
-         |               qv.q_vec) + 1e-10, 6) AS sim
-         |  FROM embeddings e JOIN qv ON e.vec_id <> qv.q_id),
-         |vecr AS (
-         |  SELECT q_id, doc_id,
-         |         CAST(row_number() OVER (PARTITION BY q_id
-         |           ORDER BY sim DESC, doc_id) AS INT) AS vec_rk
-         |  FROM vecs QUALIFY vec_rk <= $HybridLegK),
-         |fused AS (
-         |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
-         |         coalesce(l.doc_id, v.doc_id) AS doc_id,
-         |         coalesce(1.0::DOUBLE / ($RrfK + l.lex_rk), 0.0) +
-         |         coalesce(1.0::DOUBLE / ($RrfK + v.vec_rk), 0.0) AS rrf
-         |  FROM lexr l FULL OUTER JOIN vecr v
-         |    ON l.q_id = v.q_id AND l.doc_id = v.doc_id)
-         |SELECT q_id,
-         |       CAST(row_number() OVER (PARTITION BY q_id
-         |         ORDER BY rrf DESC, doc_id) AS INT) AS rk,
-         |       doc_id, round(rrf, 6) AS rrf
-         |FROM fused QUALIFY rk <= $TopK
-         |ORDER BY q_id, rk""".stripMargin),
+      e15Sql),
 
     "e01_knn_brute" -> OpDef.sql(
       (s, d) => {

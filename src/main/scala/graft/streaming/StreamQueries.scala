@@ -1035,6 +1035,50 @@ object StreamQueries {
       },
       graft.operators.Similarity.e14Sql),
 
+    // s31: HYBRID SEARCH AT THE WIRE — e15's RRF fusion with the
+    // queries arriving as a stream (the serving topology of a hybrid
+    // retrieval endpoint: corpus text + embeddings static, query
+    // batches flow). Queries are independent — each leg ranks
+    // per-query and RRF fuses per-query ranks — so batch composition
+    // cannot change any answer; each micro-batch runs the SAME fusion
+    // kernel (hybridSearchIds) for its own q_ids and lands under a
+    // batchId-deterministic sink path with Overwrite (s28's
+    // replay-idempotence discipline: a checkpoint replay overwrites
+    // its own slice with the same rows). The drained sink is held to
+    // e15's oracle verbatim — the wire must be invisible to both
+    // legs' rank orders AND the fused order.
+    "s31_stream_hybrid" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.{Lake, Similarity}
+        val base = Lake.scratch("s31", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val sp = s
+        import sp.implicits._
+        val qids = (0L until Similarity.HybridQueries).toDF("q_id")
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/stage"))
+        writeOneFile(qids.filter(pmod(col("q_id"), lit(2)) === 0),
+          java.nio.file.Paths.get(s"$base/stage/tick0.parquet"))
+        writeOneFile(qids.filter(pmod(col("q_id"), lit(2)) === 1),
+          java.nio.file.Paths.get(s"$base/stage/tick1.parquet"))
+        val schema = s.read.parquet(s"$base/stage").schema
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
+          .writeStream
+          .option("checkpointLocation", s"$base/ckpt")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Similarity.hybridSearchIds(s, d, batch)
+              .write.mode("overwrite").parquet(s"$base/out/batch=$batchId")
+            ()
+          }
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$base/out")
+          .select("q_id", "rk", "doc_id", "rrf")
+          .orderBy("q_id", "rk")
+      },
+      graft.operators.Similarity.e15Sql),
+
     // s22: streaming XML intake with quarantine — c04 AT THE WIRE,
     // which is where a quarantine intake actually belongs (damaged
     // records should never land in the lake at all). The line-staged
