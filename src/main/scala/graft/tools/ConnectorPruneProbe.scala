@@ -8,17 +8,26 @@ import graft.sources.{GraftTable, Tables}
 
 /** Measures the claim behind the format("graft") connector (l19): a
   * pushed key-range filter is evaluated against the version MANIFEST at
-  * planning time, so the data scan opens only span-admitted files —
-  * while the same filter over a plain read of the same version's file
-  * set must open every file and rely on row-group stats alone. The
-  * probe lands lineitem as a graft table (range-partitioned on
-  * l_orderkey, so per-file key spans are tight), then runs the same
-  * narrow-range aggregate both ways and reports: admitted vs total
-  * files and bytes (from the manifest — the IO the plan can touch),
-  * and the median wall of each path. The spec (GraftSourceSpec)
-  * already proves answer identity and that the admission narrows; this
-  * artifact is the COST side — admitted bytes track selectivity with a
-  * one-file floor, full-scan bytes track the snapshot.
+  * planning time, so the data scan opens only span-admitted files. The
+  * probe runs the same narrow-range aggregate three ways:
+  *
+  *  - `connector`: format("graft") — manifest admission, then the
+  *    pruned parquet scan;
+  *  - `table_scan`: the facade's plain read + filter — no manifest
+  *    admission, but the table's KEY-CLUSTERED layout lets parquet
+  *    row-group stats reject almost everything (at a handful of files
+  *    this ties or beats the connector, whose fixed cost is the
+  *    metadata reads — the manifest's win over footer stats is
+  *    planning IO at 10M-file counts, not scan bytes on 8);
+  *  - `debris_scan`: the same rows as an ARRIVAL-ORDER lake (no
+  *    layout, every file/row-group spanning the whole key range) —
+  *    what a lake without maintenance actually looks like, where stats
+  *    reject nothing and the filter pays the full snapshot.
+  *
+  * The connector-vs-debris gap is the product claim (layout + manifest
+  * + pushdown vs raw parquet); the connector-vs-table gap is the
+  * connector's fixed overhead. Admitted files/bytes come from the
+  * manifest — the IO bound a 1000-executor scan obeys.
   *
   * Prints one JSON line and writes `bench/BENCH_connector_prune_<tag>.json`.
   *
@@ -60,9 +69,18 @@ object ConnectorPruneProbe {
       df.filter(col("l_orderkey") >= lo && col("l_orderkey") < hi)
         .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
 
+    // the unmaintained twin in its real shape: hundreds of arrival-order
+    // micro-files (ingest debris — l01's before-picture), every one
+    // spanning the whole key range, so stats reject nothing and the
+    // range pays listing + footer + scan for all of them
+    val DebrisFiles = 512
+    cols.repartition(DebrisFiles)
+      .write.mode("overwrite").parquet(s"$base/debris")
+
     val viaConnector = timed(rangeAgg(
       s.read.format("graft").option("key", "l_orderkey").load(s"$base/tbl")))
-    val viaFullScan = timed(rangeAgg(t.read()))
+    val viaTableScan = timed(rangeAgg(t.read()))
+    val viaDebris = timed(rangeAgg(s.read.parquet(s"$base/debris")))
 
     val json =
       s"""{"metric":"connector_prune","sf_dir":"$sfDir","reps":$reps,""" +
@@ -70,7 +88,8 @@ object ConnectorPruneProbe {
       s""""total_files":$totFiles,"total_bytes":$totBytes,""" +
       s""""admitted_files":$admFiles,"admitted_bytes":$admBytes,""" +
       s""""connector_wall_s":${f"$viaConnector%.3f"},""" +
-      s""""fullscan_wall_s":${f"$viaFullScan%.3f"}}"""
+      s""""table_scan_wall_s":${f"$viaTableScan%.3f"},""" +
+      s""""debris_scan_wall_s":${f"$viaDebris%.3f"}}"""
     println(json)
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get("bench"))
     java.nio.file.Files.writeString(
