@@ -127,6 +127,32 @@ final class GraftTable private (s: SparkSession, val dir: String,
     }
   }
 
+  /** The committed marker's payload. The marker's CREATE is the atomic
+    * exclusivity point, but its payload lands in the following write —
+    * so a reader racing the committer (a [[mergeConcurrent]] loser
+    * re-reading the advanced chain microseconds after losing) can
+    * observe the marker existing with zero bytes. A committed marker
+    * always ends with a non-empty payload, so an empty read means
+    * mid-write: spin briefly (bounded — object-store PUTs are atomic
+    * and never hit this; local/HDFS windows are sub-millisecond) and
+    * fail loudly if it never fills (a torn writer, not a race).
+    */
+  private def markerPayload(f: FileSystem, v: Int): String = {
+    var attempt = 0
+    while (attempt < 100) {
+      val p = readFsString(f, markerPath(dir, v))
+      // the terminator frames the payload: only a COMPLETE write ends
+      // with it, so a partially visible payload (timestamp line landed,
+      // token line not yet) can never be mis-parsed as token-less
+      if (p.endsWith(MarkerEnd)) return p.dropRight(MarkerEnd.length).trim
+      attempt += 1
+      Thread.sleep(5)
+    }
+    throw new IllegalStateException(
+      s"commit marker of graft table $dir v$v exists but its payload " +
+        "never completed — torn committer?")
+  }
+
   /** The committed marker's metadata binding for version v: a marker
     * written by [[mergeConcurrent]] carries the winning writer's token
     * on its second line, naming THAT writer's staged manifest/schema —
@@ -136,7 +162,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * paths write no token and resolve to the fixed names.
     */
   private def metaSuffix(v: Int): String =
-    readFsString(fs, markerPath(dir, v)).linesIterator.toSeq
+    markerPayload(fs, v).linesIterator.toSeq
       .drop(1).headOption.map(t => s"_${t.trim}").getOrElse("")
 
   /** Version v's schema, verbatim as committed (survives later
@@ -667,7 +693,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
   def versionAt(ts: java.time.Instant): Int = {
     val f = fs
     val ok = versions.filter(v => !java.time.Instant
-      .parse(readFsString(f, markerPath(dir, v)).linesIterator.next().trim)
+      .parse(markerPayload(f, v).linesIterator.next().trim)
       .isAfter(ts))
     if (ok.isEmpty) throw new java.util.NoSuchElementException(
       s"graft table $dir has no version committed at or before $ts " +
@@ -693,8 +719,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     import sp.implicits._
     val f = fs
     versions.map { v =>
-      val committedAt =
-        readFsString(f, markerPath(dir, v)).linesIterator.next().trim
+      val committedAt = markerPayload(f, v).linesIterator.next().trim
       val m = manifest(v).agg(
         count(lit(1)).as("files"), sum("n_rows").as("rows"),
         sum("n_bytes").as("bytes"),
@@ -840,6 +865,9 @@ object GraftTable {
 
   private val SchemaFile = "_graft_schema.json"
 
+  /** Marker-payload terminator — see [[GraftTable.markerPayload]]. */
+  private val MarkerEnd = "\n#end"
+
   /** Test seam for the concurrent-writer spec: invoked immediately
     * before the commit marker's create-exclusive, so a spec can
     * interleave a second writer into the race window deterministically.
@@ -908,7 +936,7 @@ object GraftTable {
       token: String = null): Unit = {
     onBeforeCommit(dir, v)
     val payload = java.time.Instant.now().toString +
-      Option(token).map("\n" + _).getOrElse("")
+      Option(token).map("\n" + _).getOrElse("") + MarkerEnd
     try writeFsString(fsOf(s, dir), markerPath(dir, v),
       payload, overwrite = false)
     catch {

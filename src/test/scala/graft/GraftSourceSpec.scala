@@ -287,6 +287,23 @@ class GraftSourceSpec extends AnyFunSuite with SparkFixture {
     t.vacuum(keep = 1)
     assert(collectSorted(t.read()) == expected)
 
+    // a torn commit payload (marker exists, terminator never landed —
+    // a committer that died mid-write) is loud after the bounded spin,
+    // never mis-parsed as a token-less commit
+    val tornDir = tmp("src_torn")
+    val torn = GraftTable.create(spark, s"$tornDir/tbl", docs.limit(10))
+    // tear through the Hadoop FS (not nio) so the local-FS checksum
+    // sidecar stays consistent — the failure under test is the missing
+    // terminator, not a corrupt-file ChecksumException
+    val tornFs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"file:$tornDir"), spark.sparkContext.hadoopConfiguration)
+    val tornOut = tornFs.create(new org.apache.hadoop.fs.Path(
+      s"$tornDir/tbl/v0/_GRAFT_COMMITTED"), true)
+    tornOut.write("2026-08-16T00:00:00Z\n".getBytes("UTF-8"))
+    tornOut.close()
+    val tornE = intercept[IllegalStateException] { torn.read() }
+    assert(tornE.getMessage.contains("never completed"))
+
     // retry exhaustion is loud, with the race loss as cause
     var inSeam = false
     GraftTable.onBeforeCommit = (_, _) =>
