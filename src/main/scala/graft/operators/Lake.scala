@@ -124,11 +124,12 @@ object Lake {
       .write.mode(SaveMode.Overwrite).parquet(path)
   }
 
-  /** l18/s29's shared oracle: the deterministic changelog landed as two
-    * parity-split merges, each step's changes derived by full-outer
-    * join, updates emitting both images — the CDF's DuckDB twin.
+  /** l18/s29/s32's shared oracle CTEs: the deterministic changelog
+    * landed as two parity-split merges, each step's changes derived by
+    * full-outer join, updates emitting both images — the CDF's DuckDB
+    * twin up to the final projection (`cf` holds the feed rows).
     */
-  private[graft] val duckChangeFeedSql: String = {
+  private val duckChangeFeedCte: String = {
     def b(id: String) =
       s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % 100"
     s"""WITH v0 AS (SELECT doc_id, source, text FROM documents),
@@ -177,9 +178,25 @@ object Lake {
        |  FROM d2 WHERE a_id IS NOT NULL AND b_id IS NOT NULL
        |  UNION ALL SELECT 2, 'update_postimage', b_id, b_text
        |  FROM d2 WHERE a_id IS NOT NULL AND b_id IS NOT NULL)
-       |SELECT v, ct, doc_id, md5(text) AS fp FROM cf
-       |ORDER BY v, ct, doc_id""".stripMargin
+       |""".stripMargin
   }
+
+  /** l18/s29's oracle: the feed rows for steps 1 and 2. */
+  private[graft] val duckChangeFeedSql: String =
+    duckChangeFeedCte +
+      """SELECT v, ct, doc_id, md5(text) AS fp FROM cf
+        |ORDER BY v, ct, doc_id""".stripMargin
+
+  /** s32's oracle: the stream's `startingVersion=earliest` replay — the
+    * v0 snapshot as 'insert' rows (commit version 0), then the feed.
+    */
+  private[graft] val duckChangeFeedEarliestSql: String =
+    duckChangeFeedCte +
+      """SELECT v, ct, doc_id, fp FROM (
+        |  SELECT 0 AS v, 'insert' AS ct, doc_id, md5(text) AS fp FROM v0
+        |  UNION ALL
+        |  SELECT v, ct, doc_id, md5(text) FROM cf)
+        |ORDER BY v, ct, doc_id""".stripMargin
 
   def defs: Map[String, OpDef] = Map(
     // Small-files compaction + partition-pruned layout, end to end: write

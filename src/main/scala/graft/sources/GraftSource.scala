@@ -4,8 +4,11 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode,
   SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField,
+  StructType}
 
 /** `spark.read.format("graft")` / `df.write.format("graft")` — the
   * [[GraftTable]] facade as a registered Spark data source, so the
@@ -57,13 +60,81 @@ import org.apache.spark.sql.types.StructType
   * `timestampAsOf` (reads only).
   */
 final class GraftSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "graft"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft source requires a path: spark.read.format(\"graft\").load(dir)"))
+
+  // ── streaming: the table as a source (tail the feed) and a sink
+  //    (exactly-once versioned merges) — see GraftStream.scala ──
+
+  /** The stream's fixed schema: the CURRENT table schema at start, plus
+    * the CDF meta columns in feed mode. Fixed-at-start is the streaming
+    * contract (Delta's too) — pre-evolution steps project with typed
+    * nulls, post-start evolutions need a stream restart.
+    */
+  override def sourceSchema(ctx: SQLContext, schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft streaming source derives its schema from the table; drop " +
+        "the user-specified schema")
+    val t = GraftTable.open(ctx.sparkSession, pathOf(parameters),
+      parameters.getOrElse("key", "doc_id"))
+    val base = t.schemaAsOf(t.currentVersion)
+    val s =
+      if (parameters.get("readChangeFeed").exists(_.trim.toBoolean))
+        StructType(base.fields ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_commit_version", IntegerType)))
+      else base
+    (shortName(), s)
+  }
+
+  override def createSource(ctx: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): Source = {
+    val spark = ctx.sparkSession
+    val dir = pathOf(parameters)
+    val t = GraftTable.open(spark, dir, parameters.getOrElse("key", "doc_id"))
+    val cdf = parameters.get("readChangeFeed").exists(_.trim.toBoolean)
+    val startVal = parameters.getOrElse("startingVersion", "earliest")
+      .trim match {
+      case "earliest" => -1L
+      case "latest" => t.currentVersion.toLong
+      case v =>
+        val n = v.toLong
+        require(n >= 0 && n <= t.currentVersion,
+          s"graft stream at $dir: startingVersion $n is not a committed " +
+            s"version (chain is at v${t.currentVersion}); use 'earliest' " +
+            "or 'latest'")
+        n
+    }
+    new GraftStreamSource(spark, t, cdf, startVal,
+      sourceSchema(ctx, None, providerName, parameters)._2)
+  }
+
+  override def createSink(ctx: SQLContext, parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    require(outputMode != OutputMode.Complete(),
+      "graft sink takes Append/Update (rows are keyed upserts, or a CDC " +
+        "changelog when an `op` column is present); Complete mode would " +
+        "rewrite the whole table every batch — use the batch writer's " +
+        "Overwrite instead")
+    require(partitionColumns.isEmpty,
+      "graft sink ignores partitionBy — the table's layout is the " +
+        "facade's (range-clustered on the key, manifest-profiled)")
+    val merge = parameters.getOrElse("merge", "auto").trim
+    require(merge == "auto" || merge == "full",
+      s"graft sink: merge must be 'auto' or 'full', got '$merge'")
+    new GraftStreamSink(ctx.sparkSession, pathOf(parameters),
+      parameters.getOrElse("key", "doc_id"), full = merge == "full")
+  }
 
   override def createRelation(ctx: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

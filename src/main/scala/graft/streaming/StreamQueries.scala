@@ -1079,6 +1079,88 @@ object StreamQueries {
       },
       graft.operators.Similarity.e15Sql),
 
+    // s32: the TABLE AS A STREAMING SOURCE — readStream.format("graft")
+    // tails the version chain through the connector: commit markers are
+    // the offset log (offset = committed version), each micro-batch is
+    // the change-feed slice (lastSeen, current], and startingVersion=
+    // earliest opens with the earliest retained snapshot as 'insert'
+    // rows before the steps — Delta's streaming-CDF shape behind the
+    // format string, no Scala facade. The slice is the SAME distributed
+    // plan l18's changes() builds (churn-sized per step), handed to the
+    // engine through the V1 Source contract so Spark still owns scan /
+    // codegen / shuffle below it. Checkpoint recovery is exact because
+    // offsets name immutable versions (GraftStreamConnectorSpec pins
+    // restart-resumes-at-next-step and all three start positions).
+    // Oracle: the earliest-replay feed — v0's snapshot as inserts plus
+    // l18's two steps, re-derived in DuckDB per-step.
+    "s32_stream_table_source" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Lake
+        val base = Lake.scratch("s32", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = graft.sources.Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = Lake.cdcChangelog(t.read())
+        t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0))
+        t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1))
+        val q = s.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .load(s"$base/tbl")
+          .writeStream.format("parquet")
+          .option("path", s"$base/out")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start()
+        try q.processAllAvailable() finally q.stop()
+        s.read.parquet(s"$base/out")
+          .select(col("_commit_version").cast("int").as("v"),
+                  col("_change_type").as("ct"), col("doc_id"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("v", "ct", "doc_id")
+      },
+      graft.operators.Lake.duckChangeFeedEarliestSql),
+
+    // s33: the TABLE AS A STREAMING SINK — writeStream.format("graft")
+    // is s23's exactly-once loop behind the format string: micro-batch
+    // b lands as version b+1 through mergeAutoAs (replay overwrites its
+    // own version from the same immutable base — convergent; the scoped
+    // arm keeps tick cost ∝ touched files at 100 TB), the sink OWNS the
+    // version chain (a chain that moved off batch↔version fails loudly
+    // instead of rewriting history — spec-pinned), and a frame carrying
+    // an `op` column applies as a CDC changelog verbatim, so DELETES
+    // ride the wire — the one thing the batch writer's Append cannot
+    // express. Same oracle as s23: the final table must be the full CDC
+    // replay, tick composition and the connector surface both
+    // invisible.
+    "s33_stream_table_sink" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Lake
+        val base = Lake.scratch("s33", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = graft.sources.Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val log = Lake.cdcChangelog(t.read())
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(s"$base/stage"))
+        writeOneFile(log.filter(pmod(col("doc_id"), lit(2)) === 0),
+          java.nio.file.Paths.get(s"$base/stage/tick0.parquet"))
+        writeOneFile(log.filter(pmod(col("doc_id"), lit(2)) === 1),
+          java.nio.file.Paths.get(s"$base/stage/tick1.parquet"))
+        val logSchema = s.read.parquet(s"$base/stage").schema
+        val q = s.readStream.schema(logSchema)
+          .option("maxFilesPerTrigger", "1").parquet(s"$base/stage")
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start(s"$base/tbl")
+        try q.processAllAvailable() finally q.stop()
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      graft.operators.Lake.duckCdcSql),
+
     // s22: streaming XML intake with quarantine — c04 AT THE WIRE,
     // which is where a quarantine intake actually belongs (damaged
     // records should never land in the lake at all). The line-staged
