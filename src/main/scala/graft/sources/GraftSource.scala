@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode,
   SparkSession}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, sum}
 import org.apache.spark.sql.execution.streaming.{Sink, Source}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.streaming.OutputMode
@@ -114,7 +114,13 @@ final class GraftSource extends RelationProvider
             "or 'latest'")
         n
     }
-    new GraftStreamSource(spark, t, cdf, startVal,
+    val maxSteps = parameters.get("maxStepsPerTrigger").map { v =>
+      val m = v.trim.toInt
+      require(m >= 1,
+        s"graft stream at $dir: maxStepsPerTrigger must be >= 1, got $m")
+      m
+    }
+    new GraftStreamSource(spark, t, cdf, startVal, maxSteps, metadataPath,
       sourceSchema(ctx, None, providerName, parameters)._2)
   }
 
@@ -217,6 +223,21 @@ private[graft] final case class GraftRelation(spark: SparkSession,
   override def sqlContext: SQLContext = spark.sqlContext
 
   override val schema: StructType = table.schemaAsOf(version)
+
+  /** The version's REAL byte size, from the manifest's n_bytes sum — one
+    * metadata-sized scan, no file listing. Without this a V1 relation
+    * reports `spark.sql.defaultSizeInBytes` (effectively infinite), so
+    * Catalyst would never auto-broadcast a small graft table into a
+    * join; with it, a dimension-sized version joins the way the same
+    * data would as a plain parquet scan. Lazy: planned once per
+    * relation, and only when the optimizer asks.
+    */
+  override lazy val sizeInBytes: Long = {
+    val m = table.manifest(version)
+    if (m.columns.contains("n_bytes"))
+      m.agg(sum("n_bytes")).head().getLong(0)
+    else super.sizeInBytes // a pre-n_bytes manifest: stay conservative
+  }
 
   /** SQL DML through the catalog: `INSERT INTO` is the keyed upsert,
     * `INSERT OVERWRITE` the whole-table replace — the same mapping the

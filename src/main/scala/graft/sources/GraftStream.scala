@@ -29,6 +29,11 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   *    both update images, `_commit_version`) — Delta's streaming CDF
   *    shape.
   *
+  * `maxStepsPerTrigger` bounds a micro-batch to that many version
+  * steps (the opening earliest-snapshot counts as one) — the Delta
+  * maxFilesPerTrigger move: a consumer resuming after downtime drains
+  * its backlog in bounded batches instead of one monster slice.
+  *
   * `startingVersion`: `"earliest"` (default) replays history — the
   * first batch opens with the EARLIEST RETAINED version's snapshot as
   * 'insert' rows (commit version = that version), then every retained
@@ -55,17 +60,74 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
   */
 private[graft] final class GraftStreamSource(spark: SparkSession,
     table: GraftTable, cdf: Boolean, startVal: Long,
+    maxSteps: Option[Int], metadataPath: String,
     override val schema: StructType) extends Source {
 
   private def ver(o: OffsetV1): Long = o.json.trim.toLong
 
-  /** Newest committed version — the available offset. None until the
-    * chain moves past what the start position already covers ("latest"
-    * starts with nothing to read; "earliest" always has the snapshot).
+  // ── rate limiting (maxStepsPerTrigger) ──────────────────────────────
+  // The engine's offset log records what was PLANNED, but a V1 source's
+  // getOffset cannot see it — so a rate-limited source must remember its
+  // own high-water mark across restarts or a restart would re-plan from
+  // the start position and log offsets BACKWARD (re-emitting committed
+  // slices). The mark lives as create-exclusive `planned.<v>` files
+  // under the source's checkpoint metadata dir (recovery reads the max;
+  // stale marks are swept after a newer one lands, so there is never a
+  // window with no mark on disk — the FileStreamSource discipline,
+  // sized to one long). Inert when the option is unset: no per-trigger
+  // metadata IO on the unlimited path.
+  private lazy val metaFs = {
+    val p = new org.apache.hadoop.fs.Path(metadataPath)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(p)
+    f
+  }
+
+  @volatile private var planned: Long = Long.MinValue
+
+  private def loadPlanned(): Long = {
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val marks = metaFs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.startsWith("planned.")).map(_.drop(8).toLong)
+    if (marks.isEmpty) startVal else marks.max
+  }
+
+  private def advancePlanned(v: Long): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(metadataPath)
+    val mark = new org.apache.hadoop.fs.Path(dir, s"planned.$v")
+    metaFs.create(mark, false).close() // exclusive: double-create is loud
+    metaFs.listStatus(dir).map(_.getPath)
+      .filter(p => p.getName.startsWith("planned.") &&
+        p.getName.drop(8).toLong < v)
+      .foreach(p => metaFs.delete(p, false))
+    planned = v
+  }
+
+  /** Newest available offset, capped at `maxStepsPerTrigger` steps past
+    * the high-water mark (the opening earliest-snapshot batch counts as
+    * one step). None until the chain moves past what the start position
+    * already covers ("latest" starts with nothing to read; "earliest"
+    * always has the snapshot).
     */
   override def getOffset: Option[OffsetV1] = {
     val cur = table.currentVersion.toLong
-    if (cur <= startVal) None else Some(LongOffset(cur))
+    if (cur <= startVal) return None
+    maxSteps match {
+      case None => Some(LongOffset(cur))
+      case Some(m) =>
+        if (planned == Long.MinValue) planned = loadPlanned()
+        val base = planned
+        val capped =
+          if (base < 0) math.min(cur, table.versions.head.toLong + m - 1)
+          else math.min(cur, base + m)
+        if (capped <= base) None
+        else {
+          // persist BEFORE the engine can log it: the mark on disk is
+          // always ≥ any offset in the engine's log
+          advancePlanned(capped)
+          Some(LongOffset(capped))
+        }
+    }
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {

@@ -826,6 +826,25 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * else — marker, manifest, schema, unreferenced files — goes.
     * Returns the retired version numbers.
     */
+  /** Time-based retention (Delta's `RETAIN n HOURS` shape): retire every
+    * version committed strictly BEFORE `cutoff`, always keeping the
+    * current version. Evaluated metadata-only — the marker payloads are
+    * the commit log — then delegated to [[vacuum]]'s reference-aware
+    * sweep, so a scoped successor still keeps the bytes it references
+    * alive. The operational contract this enables: "readers and
+    * streaming consumers may lag up to D" becomes
+    * `vacuumOlderThan(now - D)` on a schedule, independent of how many
+    * versions a bursty writer landed within D.
+    */
+  def vacuumOlderThan(cutoff: java.time.Instant): Seq[Int] = {
+    val f = fs
+    val vs = versions
+    val keepFrom = vs.indexWhere(v => !java.time.Instant
+      .parse(markerPayload(f, v).linesIterator.next().trim)
+      .isBefore(cutoff))
+    vacuum(if (keepFrom < 0) 1 else vs.length - keepFrom)
+  }
+
   def vacuum(keep: Int): Seq[Int] = {
     val f = fs
     def qual(p: String) = f.makeQualified(new HPath(p)).toString

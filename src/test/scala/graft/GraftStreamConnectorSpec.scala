@@ -125,6 +125,93 @@ class GraftStreamConnectorSpec extends AnyFunSuite with SparkFixture {
     assert(e.getMessage != null)
   }
 
+  test("maxStepsPerTrigger bounds every micro-batch to one step and " +
+      "loses nothing across the drain") {
+    val dir = tmp("gstream_rate")
+    val t = GraftTable.create(spark, s"$dir/tbl", docs)
+    val log = Lake.cdcChangelog(t.read())
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0))
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1))
+
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Int]]
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("maxStepsPerTrigger", "1")
+      .load(s"$dir/tbl")
+      .writeStream
+      .option("checkpointLocation", s"$dir/ckpt")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        batches.synchronized {
+          batches += b.select("_commit_version").distinct()
+            .collect().map(_.getInt(0)).toSet
+        }
+        b.write.mode("append").parquet(s"$dir/out")
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // three micro-batches — snapshot (v0), step 1, step 2 — one version
+    // step each, and the drained union is the full earliest replay
+    assert(batches.toSeq == Seq(Set(0), Set(1), Set(2)), batches)
+    assert(norm(spark.read.parquet(s"$dir/out")) ==
+      norm(snapshotAsInserts(t, 0)
+        .unionByName(t.changes(0, 2), allowMissingColumns = true)))
+  }
+
+  test("replication: CDF source → op changelog → graft sink converges " +
+      "a follower table, format strings only") {
+    val dir = tmp("gstream_repl")
+    val t = GraftTable.create(spark, s"$dir/src", docs)
+    val log = Lake.cdcChangelog(t.read())
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0))
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1))
+
+    // follower starts from the leader's v0 snapshot; the stream then
+    // replays each step as a CDC changelog batch. maxStepsPerTrigger=1
+    // keeps per-batch keys unique (one step per batch), which is what
+    // makes the feed→changelog projection sound.
+    GraftTable.create(spark, s"$dir/dst", t.readAsOf(0))
+    val follower = GraftTable.open(spark, s"$dir/dst")
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0") // the follower owns v0 already
+      .option("maxStepsPerTrigger", "1")
+      .load(s"$dir/src")
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("op",
+        when(col("_change_type") === "delete", "D").otherwise("U"))
+      .drop("_change_type", "_commit_version")
+      .writeStream.format("graft")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start(s"$dir/dst")
+    try q.processAllAvailable() finally q.stop()
+
+    // the follower converges to the leader, step for step
+    assert(follower.currentVersion == 2)
+    assert(follower.read().orderBy("doc_id").collect().toSeq ==
+      t.read().orderBy("doc_id").collect().toSeq)
+  }
+
+  test("batch relation reports the manifest's real byte size, so small " +
+      "graft tables auto-broadcast") {
+    val dir = tmp("gstream_size")
+    val t = GraftTable.create(spark, s"$dir/tbl", docs.limit(200))
+    val rel = spark.read.format("graft").load(s"$dir/tbl")
+    val manifestBytes = t.manifest(t.currentVersion)
+      .agg(sum("n_bytes")).head().getLong(0)
+    // the optimizer's view of the relation is the manifest sum — real
+    // bytes, not spark.sql.defaultSizeInBytes
+    val stats = rel.queryExecution.optimizedPlan.stats.sizeInBytes
+    assert(stats.toLong == manifestBytes,
+      s"optimizer sees $stats, manifest says $manifestBytes")
+    // and a join against a big frame picks the broadcast side unhinted
+    val big = docs.withColumnRenamed("text", "t2")
+    val plan = big.join(rel.select("doc_id", "text"), "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("sink: batch b lands as version b+1, op column applies as CDC, " +
       "moved chain and Complete mode refuse loudly") {
     val dir = tmp("gstream_sink")

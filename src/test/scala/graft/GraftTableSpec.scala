@@ -99,6 +99,34 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(empty))
   }
 
+  test("vacuumOlderThan retires by commit time, keeps current, " +
+      "composes with the reference-aware sweep") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_vt").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    val log = Lake.cdcChangelog(t.read())
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0))
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1))
+    // materialize BEFORE vacuuming: `log` was planned over v0's files,
+    // which the vacuum below retires (the reader-vs-vacuum contract)
+    val expected = collectSorted(Lake.cdcMerge(docs, log))
+
+    def committedAt(v: Int) = java.time.Instant.parse(
+      t.history().filter(col("version") === v)
+        .select("committed_at").head().getString(0))
+
+    // cutoff at v1's own commit instant: strictly-before retires v0 only
+    assert(t.vacuumOlderThan(committedAt(1)) == Seq(0))
+    assert(t.versions == Seq(1, 2))
+    // idempotent at the same cutoff
+    assert(t.vacuumOlderThan(committedAt(1)).isEmpty)
+    // a cutoff after everything keeps only the current version
+    assert(t.vacuumOlderThan(committedAt(2).plusSeconds(3600)) == Seq(1))
+    assert(t.versions == Seq(2))
+    assert(collectSorted(t.read()) == expected)
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("manifest-planned range reads prune to admitted files, per version") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl_m").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
