@@ -1,6 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2,
+  ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
@@ -61,7 +63,8 @@ import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructT
 private[graft] final class GraftStreamSource(spark: SparkSession,
     table: GraftTable, cdf: Boolean, startVal: Long,
     maxSteps: Option[Int], metadataPath: String,
-    override val schema: StructType) extends Source {
+    override val schema: StructType) extends Source
+    with SupportsTriggerAvailableNow {
 
   private def ver(o: OffsetV1): Long = o.json.trim.toLong
 
@@ -103,14 +106,31 @@ private[graft] final class GraftStreamSource(spark: SparkSession,
     planned = v
   }
 
+  // Trigger.AvailableNow: the engine asks the source to latch "all the
+  // data that exists right now" and drain exactly that, rate limits
+  // still applying per batch. Implementing the interface ourselves (the
+  // FileStreamSource move) matters because the engine's fallback
+  // wrapper latches the source's FIRST getOffset answer — which under
+  // maxStepsPerTrigger is the capped offset, so a wrapped drain would
+  // stop one rate-limited batch in. MaxValue = no latch (continuous
+  // triggers).
+  @volatile private var availableNowTarget: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = table.currentVersion.toLong
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxSteps.map(m => ReadLimit.maxRows(m.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
   /** Newest available offset, capped at `maxStepsPerTrigger` steps past
     * the high-water mark (the opening earliest-snapshot batch counts as
-    * one step). None until the chain moves past what the start position
-    * already covers ("latest" starts with nothing to read; "earliest"
-    * always has the snapshot).
+    * one step) and at the AvailableNow latch. None until the chain
+    * moves past what the start position already covers ("latest"
+    * starts with nothing to read; "earliest" always has the snapshot).
     */
   override def getOffset: Option[OffsetV1] = {
-    val cur = table.currentVersion.toLong
+    val cur = math.min(table.currentVersion.toLong, availableNowTarget)
     if (cur <= startVal) return None
     maxSteps match {
       case None => Some(LongOffset(cur))
@@ -129,6 +149,18 @@ private[graft] final class GraftStreamSource(spark: SparkSession,
         }
     }
   }
+
+  /** The admission-control form of [[getOffset]] — the engine prefers
+    * this once [[SupportsTriggerAvailableNow]] is implemented. The
+    * passed start/limit are ignored in favor of the source's own
+    * high-water mark and option (the FileStreamSource discipline: the
+    * mark survives restarts; the engine's view may not).
+    */
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 =
+    getOffset.orNull
+
+  override def reportLatestOffset(): OffsetV2 =
+    LongOffset(math.min(table.currentVersion.toLong, availableNowTarget))
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     val from = start.map(ver).getOrElse(startVal)

@@ -159,6 +159,31 @@ class GraftStreamConnectorSpec extends AnyFunSuite with SparkFixture {
         .unionByName(t.changes(0, 2), allowMissingColumns = true)))
   }
 
+  test("Trigger.AvailableNow drains the backlog in rate-limited batches " +
+      "and terminates") {
+    val dir = tmp("gstream_avail")
+    val t = GraftTable.create(spark, s"$dir/tbl", docs)
+    val log = Lake.cdcChangelog(t.read())
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0))
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1))
+
+    val q = spark.readStream.format("graft")
+      .option("readChangeFeed", "true")
+      .option("maxStepsPerTrigger", "1")
+      .load(s"$dir/tbl")
+      .writeStream.format("parquet")
+      .option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // AvailableNow must self-terminate after draining what existed at
+    // start — the scheduled-batch shape (cron-driven catch-up runs)
+    assert(q.awaitTermination(120000), "AvailableNow did not terminate")
+    assert(norm(spark.read.parquet(s"$dir/out")) ==
+      norm(snapshotAsInserts(t, 0)
+        .unionByName(t.changes(0, 2), allowMissingColumns = true)))
+  }
+
   test("replication: CDF source → op changelog → graft sink converges " +
       "a follower table, format strings only") {
     val dir = tmp("gstream_repl")
