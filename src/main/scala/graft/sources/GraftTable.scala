@@ -266,12 +266,109 @@ final class GraftTable private (s: SparkSession, val dir: String,
       df.withColumn(c, lit(null).cast(log.schema(c).dataType)))
   }
 
+  // ── CHECK constraints (Delta invariants) ─────────────────────────────
+
+  /** The table's CHECK constraints, name → SQL expression. Every write
+    * path that lands rows (merges in all forms, DML updates, replace,
+    * the connector's writer modes, the streaming sink) validates its
+    * incoming rows against the full set BEFORE anything lands — one
+    * changelog-sized aggregate, never a snapshot scan — and fails
+    * loudly, naming the constraint and the violation count, leaving the
+    * chain untouched. SQL CHECK semantics: a row fails only when the
+    * expression evaluates to FALSE — a NULL passes (so additive schema
+    * evolution's null backfill composes with constraints on the new
+    * column). Two stated non-gates, both metadata-only by design:
+    * [[restore]] can resurrect rows that predate a constraint, and a
+    * [[cloneTo]] clone inherits the constraint SET as of clone time but
+    * diverges thereafter.
+    */
+  def constraints: Map[String, String] = {
+    val p = new HPath(s"$dir/${GraftTable.ConstraintsFile}")
+    if (!fs.exists(p)) Map.empty
+    else readFsString(fs, p).linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(n, e) = l.split("=", 2)
+      decodeC(n) -> decodeC(e)
+    }.toMap
+  }
+
+  /** Add a CHECK constraint (Delta's `ALTER TABLE ... ADD CONSTRAINT`):
+    * `check` is any boolean SQL expression over the table's columns.
+    * The CURRENT snapshot must already satisfy it (validated here, one
+    * snapshot-sized pass — the one-time admission price of a gate that
+    * then costs changelog-sized per write); from then on every write
+    * validates. Loud on duplicate names and on a snapshot violation
+    * (nothing is persisted in that case).
+    */
+  def addConstraint(name: String, check: String): Unit = {
+    val cs = constraints
+    require(!cs.contains(name),
+      s"graft table $dir already has constraint '$name' " +
+        s"(${cs(name)}) — drop it first")
+    validateAgainst(read(), Seq(name -> check),
+      s"the current snapshot (v$currentVersion)")
+    writeConstraints(cs.toSeq :+ (name -> check))
+  }
+
+  /** Remove a CHECK constraint; loud when it doesn't exist. */
+  def dropConstraint(name: String): Unit = {
+    val cs = constraints
+    require(cs.contains(name),
+      s"graft table $dir has no constraint '$name' " +
+        s"(has: ${cs.keys.toSeq.sorted.mkString(", ")})")
+    writeConstraints((cs - name).toSeq)
+  }
+
+  /** One-line-per-constraint storage, both sides URL-encoded so any SQL
+    * text round-trips; the file is table-level (not versioned) — the
+    * constraint set gates writes from the moment it lands.
+    */
+  private def writeConstraints(cs: Seq[(String, String)]): Unit =
+    GraftTable.writeFsString(fs,
+      new HPath(s"$dir/${GraftTable.ConstraintsFile}"),
+      cs.map { case (n, e) => s"${encodeC(n)}=${encodeC(e)}" }
+        .mkString("\n"),
+      overwrite = true)
+
+  private def encodeC(v: String): String =
+    java.net.URLEncoder.encode(v, "UTF-8")
+  private def decodeC(v: String): String =
+    java.net.URLDecoder.decode(v, "UTF-8")
+
+  /** Gate a changelog (or full frame) about to land: 'D' rows are
+    * exempt (they carry the OLD row's payload — deleting a bad row must
+    * not re-validate it), everything else must pass every constraint.
+    * One aggregate job over the incoming rows when constraints exist;
+    * free when none do.
+    */
+  private def validateIncoming(rows: DataFrame): Unit = {
+    val cs = constraints.toSeq
+    if (cs.isEmpty) return
+    val live =
+      if (rows.columns.contains("op")) rows.filter(col("op") =!= "D")
+      else rows
+    validateAgainst(live, cs, "incoming rows")
+  }
+
+  private def validateAgainst(df: DataFrame, cs: Seq[(String, String)],
+      what: String): Unit = {
+    val aggs = cs.zipWithIndex.map { case ((_, e), i) =>
+      sum(when(!expr(e), 1L).otherwise(0L)).as(s"_c$i") }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    cs.zipWithIndex.foreach { case ((n, e), i) =>
+      val bad = if (row.isNullAt(i)) 0L else row.getLong(i) // empty frame
+      if (bad > 0) throw new IllegalArgumentException(
+        s"CHECK constraint '$n' ($e) violated by $bad incoming row(s) " +
+          s"in $what on graft table $dir — nothing was written")
+    }
+  }
+
   /** Apply a changelog (`op` = 'D' | 'U' + the table's columns, plus any
     * NEW columns — see schema evolution above) as one new committed
     * FULL version; returns the new version number. Delta-size dispatch
     * picks the broadcast or bucketed-SMJ merge form.
     */
   def merge(log: DataFrame): Int = {
+    validateIncoming(log)
     val n = currentVersion
     val next = n + 1
     landVersion(s, dir, next, key,
@@ -338,6 +435,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
 
   private def mergeScopedOn(n: Int, touched: Seq[String],
       log: DataFrame): Int = {
+    validateIncoming(log)
     val next = n + 1
     val base = manifest(n)
     val baseSchema = schemaAsOf(n)
@@ -427,6 +525,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * single-writer streams land full versions and never hit this).
     */
   def mergeAs(log: DataFrame, v: Int): Int = {
+    validateIncoming(log)
     requireReplayable("mergeAs", v)
     uncommit(s, dir, v) // replay: invisible for the rewrite's duration
     landVersion(s, dir, v, key,
@@ -468,6 +567,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     val touched = touchedPaths(v - 1, log)
     val total = manifest(v - 1).count()
     if (touched.size * 2 >= total) {
+      validateIncoming(log) // the scoped arm validates in mergeScopedOn
       landVersion(s, dir, v, key,
         Lake.cdcMergeAuto(alignForMerge(readAsOf(v - 1), log), log,
           key = key))
@@ -508,6 +608,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * cause, never a silent partial commit.
     */
   def mergeConcurrent(log: DataFrame, maxAttempts: Int = 8): Int = {
+    validateIncoming(log) // once — retries recompute the merge, not the log
     val f = fs
     var attempt = 0
     var lastLoss: Throwable = null
@@ -626,6 +727,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * event, not an erasure.
     */
   def replace(df: DataFrame): Int = {
+    validateIncoming(df)
     val next = currentVersion + 1
     landVersion(s, dir, next, key, df)
     commit(s, dir, next)
@@ -679,6 +781,14 @@ final class GraftTable private (s: SparkSession, val dir: String,
     manifest(v).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$destDir/v0/_manifest")
     writeSchema(s, destDir, 0, schemaAsOf(v))
+    // the clone inherits the constraint SET as of clone time (it is
+    // part of the table definition); the two sets diverge thereafter
+    val cs = constraints
+    if (cs.nonEmpty)
+      GraftTable.writeFsString(f,
+        new HPath(s"$destDir/${GraftTable.ConstraintsFile}"),
+        readFsString(fs, new HPath(s"$dir/${GraftTable.ConstraintsFile}")),
+        overwrite = true)
     commit(s, destDir, 0)
     GraftTable.open(s, destDir, key)
   }
@@ -883,6 +993,8 @@ final class GraftTable private (s: SparkSession, val dir: String,
 object GraftTable {
 
   private val SchemaFile = "_graft_schema.json"
+
+  private[sources] val ConstraintsFile = "_graft_constraints"
 
   /** Marker-payload terminator — see [[GraftTable.markerPayload]]. */
   private val MarkerEnd = "\n#end"

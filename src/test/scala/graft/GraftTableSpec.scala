@@ -127,6 +127,68 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("CHECK constraints gate every write path, exempt deletes, and " +
+      "follow clones") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_ck").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, s"$dir/tbl", docs)
+
+    // adding a constraint the snapshot violates is loud and not persisted
+    val bad = intercept[IllegalArgumentException] {
+      t.addConstraint("impossible", "doc_id < 0")
+    }
+    assert(bad.getMessage.contains("impossible") &&
+      bad.getMessage.contains("current snapshot"))
+    assert(t.constraints.isEmpty)
+
+    t.addConstraint("has_text", "length(text) > 0")
+    t.addConstraint("id_range", "doc_id >= 0 AND doc_id < 2000000000")
+    assert(t.constraints.keySet == Set("has_text", "id_range"))
+    intercept[IllegalArgumentException] {
+      t.addConstraint("has_text", "true")
+    }
+
+    // a violating merge is loud, names the constraint, and lands nothing
+    val v0 = t.currentVersion
+    val violation = docs.limit(3)
+      .select(lit("U").as("op"), col("doc_id"), col("source"),
+        lit("").as("text"))
+    val e = intercept[IllegalArgumentException] { t.merge(violation) }
+    assert(e.getMessage.contains("has_text") &&
+      e.getMessage.contains("3 incoming row(s)"))
+    assert(t.currentVersion == v0)
+    // ...on the scoped path and the connector writer too
+    intercept[IllegalArgumentException] { t.mergeScoped(violation) }
+    intercept[IllegalArgumentException] {
+      t.update(col("doc_id") < 5, Map("text" -> lit("")))
+    }
+    intercept[Exception] {
+      violation.drop("op").write.format("graft").mode("append")
+        .save(s"$dir/tbl")
+    }
+    assert(t.currentVersion == v0)
+
+    // passing writes land; deletes are exempt (D rows carry old payloads)
+    val log = Lake.cdcChangelog(t.read())
+    t.merge(log)
+    t.delete(col("doc_id") % 7 === 0)
+    assert(t.currentVersion == v0 + 2)
+
+    // a clone inherits the constraint set and enforces it independently
+    val c = t.cloneTo(s"$dir/clone")
+    assert(c.constraints == t.constraints)
+    intercept[IllegalArgumentException] { c.merge(violation) }
+    c.dropConstraint("has_text")
+    c.merge(violation) // the clone diverged; the source still enforces
+    intercept[IllegalArgumentException] { t.merge(violation) }
+
+    // drop is loud on unknowns and lifts the gate
+    intercept[IllegalArgumentException] { t.dropConstraint("nope") }
+    t.dropConstraint("has_text")
+    t.merge(violation)
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("manifest-planned range reads prune to admitted files, per version") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl_m").toString
     val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
