@@ -511,6 +511,45 @@ final class GraftTable private (s: SparkSession, val dir: String,
     next
   }
 
+  /** BINPACK compaction — what a scheduled Delta OPTIMIZE actually does:
+    * rewrite ONLY the files smaller than `smallBytes` (trickle-tick
+    * debris, tiny stream batches), coalescing them into scan-sized
+    * files, while every file already at size carries forward VERBATIM —
+    * so the maintenance cost is ∝ small-file debris, never the
+    * snapshot. At 100 TB this is the difference between an hourly
+    * housekeeping job that rewrites megabytes and [[compact]]'s full
+    * re-layout (which stays the right call when the GOAL is a layout
+    * reset: globally tight key spans, zero carried references, z-order).
+    * The new version's manifest composes carried rows with the packed
+    * files' fresh spans — packed spans may overlap carried ones, which
+    * manifest-planned reads already admit by interval overlap (the
+    * scoped-merge property). Returns the new version, or the CURRENT
+    * version untouched when fewer than two small files exist (packing
+    * one file buys nothing — no version event, no churn).
+    */
+  def compactSmall(smallBytes: Long = 32L << 20): Int = {
+    val n = currentVersion
+    val m = manifest(n)
+    val small = m.filter(col("n_bytes") < smallBytes)
+      .select("path").collect().map(_.getString(0)).toSeq
+    if (small.size < 2) return n
+    val next = n + 1
+    val schema = schemaAsOf(n)
+    val rows = s.read.schema(schema).parquet(small: _*)
+    val vdir = s"$dir/v$next"
+    writeFiles(s, vdir, key, rows)
+    val sp = s
+    import sp.implicits._
+    val carried = m.join(small.toDF("path"), Seq("path"), "left_anti")
+    carried.unionByName(fileStats(s, vdir, key, schema),
+        allowMissingColumns = true)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
+    writeSchema(s, dir, next, schema)
+    commit(s, dir, next)
+    next
+  }
+
   /** The EXACTLY-ONCE merge form for streaming writers (s19's versioned
     * idempotence lifted into the facade): batch b lands as version
     * `v = b + 1`, always computed from v-1, always FULL (self-contained

@@ -127,6 +127,43 @@ class GraftTableSpec extends AnyFunSuite with SparkFixture {
     Lake.deleteTree(java.nio.file.Paths.get(dir))
   }
 
+  test("compactSmall binpacks only the small-file debris; sized files " +
+      "carry forward byte-identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl_bp").toString
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "source", "text")
+    val t = GraftTable.create(spark, dir, docs)
+    // three trickle ticks leave small per-tick files in the manifest
+    (0 until 3).foreach { i =>
+      t.mergeScoped(docs.filter(col("doc_id") % 97 === i)
+        .select(lit("U").as("op"), col("doc_id"), col("source"),
+          concat(col("text"), lit(s" (tick $i)")).as("text")))
+    }
+    val before = collectSorted(t.read())
+    val m = t.manifest(t.currentVersion)
+    // dynamic threshold: everything below v0's smallest file is debris
+    val th = t.manifest(0).agg(min("n_bytes")).head().getLong(0)
+    val smallBefore = m.filter(col("n_bytes") < th).count()
+    val bigBefore = m.filter(col("n_bytes") >= th)
+      .select("path", "n_bytes").collect().map(_.toString).toSet
+    assert(smallBefore >= 2, s"setup: expected debris, got $smallBefore")
+
+    val v = t.compactSmall(th)
+    assert(v == t.currentVersion)
+    // content is untouched; the debris collapsed; sized files carried
+    // forward as the SAME manifest rows (same paths, same bytes)
+    assert(collectSorted(t.read()) == before)
+    val after = t.manifest(v)
+    assert(after.filter(col("n_bytes") < th).count() < smallBefore)
+    assert(after.filter(col("n_bytes") >= th)
+      .select("path", "n_bytes").collect().map(_.toString).toSet
+      .intersect(bigBefore) == bigBefore)
+    // idempotent-ish: with at most one small file left, no version event
+    val v2 = t.compactSmall(th)
+    if (after.filter(col("n_bytes") < th).count() < 2)
+      assert(v2 == v)
+    Lake.deleteTree(java.nio.file.Paths.get(dir))
+  }
+
   test("CHECK constraints gate every write path, exempt deletes, and " +
       "follow clones") {
     val dir = java.nio.file.Files.createTempDirectory("graft_tbl_ck").toString
