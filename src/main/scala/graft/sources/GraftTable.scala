@@ -280,7 +280,10 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * column). Two stated non-gates, both metadata-only by design:
     * [[restore]] can resurrect rows that predate a constraint, and a
     * [[cloneTo]] clone inherits the constraint SET as of clone time but
-    * diverges thereafter.
+    * diverges thereafter. Constraint ADMIN (add/drop) is a
+    * single-administrator operation — the file write is last-wins, not
+    * OCC-protected like version commits; concurrent WRITERS always read
+    * the set atomically per merge.
     */
   def constraints: Map[String, String] = {
     val p = new HPath(s"$dir/${GraftTable.ConstraintsFile}")
