@@ -1224,6 +1224,113 @@ object Lake {
            |FROM v3 ORDER BY doc_id""".stripMargin
       }),
 
+    // l26: MERGE INTO — Delta's general upsert statement for sources
+    // that don't arrive op-tagged: matched rows take the FIRST
+    // when-matched clause whose condition passes (delete or update
+    // with SET expressions over the t/s aliases), unmatched source
+    // rows insert. The gate drives all three clause kinds from one
+    // action-tagged source (the cdcChangelog derivation reshaped as a
+    // clause-routed source — same buckets, no op column), which also
+    // exercises schema evolution: `action` is a source-only column,
+    // so the table gains it (null for survivors and updated rows,
+    // 'ins' for inserted ones). Execution is two passes over TOUCHED
+    // files only (manifest interval-join admission, then the scoped
+    // merge) — write cost ∝ touched + source at any table size.
+    // Oracle: the merge statement replayed as joins in DuckDB.
+    "l26_merge_into" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l26", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        val bk = Dedup.splitBucket(col("doc_id"))
+        val src = docs.filter(bk < 8)
+          .select(col("doc_id"), col("source"), col("text"),
+            lit("del").as("action"))
+          .unionByName(docs.filter(bk >= 8 && bk < 16)
+            .select(col("doc_id"), col("source"), col("text"),
+              lit("upd").as("action")))
+          .unionByName(docs.filter(bk >= 16 && bk < 24)
+            .select((col("doc_id") + lit(1000000000L)).as("doc_id"),
+              col("source"),
+              concat(col("text"), lit(" (new)")).as("text"),
+              lit("ins").as("action")))
+        t.mergeInto(src)
+          .whenMatchedDelete("s.action = 'del'")
+          .whenMatchedUpdate(Map("text" -> "concat(t.text, ' (rev 2)')"),
+            "s.action = 'upd'")
+          .whenNotMatchedInsertAll()
+          .execute()
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"), col("action"))
+          .orderBy("doc_id")
+      },
+      {
+        def b(id: String) =
+          s"('0x' || substr(md5(CAST($id AS VARCHAR)), 1, 15))::BIGINT % 100"
+        s"""WITH v1 AS (SELECT doc_id, source, text FROM documents),
+           |src AS (
+           |  SELECT doc_id, source, text, 'del' AS action
+           |  FROM v1 WHERE ${b("doc_id")} < 8
+           |  UNION ALL
+           |  SELECT doc_id, source, text, 'upd'
+           |  FROM v1 WHERE ${b("doc_id")} >= 8 AND ${b("doc_id")} < 16
+           |  UNION ALL
+           |  SELECT doc_id + 1000000000, source, text || ' (new)', 'ins'
+           |  FROM v1 WHERE ${b("doc_id")} >= 16 AND ${b("doc_id")} < 24),
+           |v2 AS (
+           |  SELECT t.doc_id, t.source,
+           |         CASE WHEN s.action = 'upd' THEN t.text || ' (rev 2)'
+           |              ELSE t.text END AS text,
+           |         CAST(NULL AS VARCHAR) AS action
+           |  FROM v1 t LEFT JOIN src s ON t.doc_id = s.doc_id
+           |  WHERE s.doc_id IS NULL OR s.action <> 'del'
+           |  UNION ALL
+           |  SELECT doc_id, source, text, action FROM src
+           |  WHERE doc_id NOT IN (SELECT doc_id FROM v1))
+           |SELECT doc_id, source, md5(text) AS fp, action
+           |FROM v2 ORDER BY doc_id""".stripMargin
+      }),
+
+    // l27: DELETION VECTORS — Delta's DV-backed DELETE: the matching
+    // rows are soft-deleted by landing their (file, key) identities as
+    // a churn-sized tombstone table in the new version — the manifest
+    // carries forward VERBATIM and ZERO data files are written, so a
+    // scattered delete (one row in each of 10k files at 100 TB) costs
+    // one predicate scan + a tombstone write instead of 10k file
+    // rewrites (the l22 delete's scoped-merge cost). Readers pay one
+    // broadcast anti-join on (file, key) until compaction collects the
+    // DVs; the per-FILE half of the identity is what makes re-insertion
+    // sound — the gate interleaves a DV delete, a scoped upsert that
+    // RE-INSERTS a subset of the deleted keys (new files, which no
+    // tombstone names), and a second DV delete spanning both vintages.
+    // Oracle: the three statements replayed logically.
+    "l27_deletion_vectors" -> OpDef.sql(
+      (s, d) => {
+        val base = scratch("l27", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+        val t = graft.sources.GraftTable.create(s, s"$base/tbl", docs)
+        t.deleteVectored(pmod(col("doc_id"), lit(10)) === 3)
+        t.mergeScoped(docs.filter(pmod(col("doc_id"), lit(20)) === 3)
+          .select(lit("U").as("op"), col("doc_id"), col("source"),
+            concat(col("text"), lit(" (back)")).as("text")))
+        t.deleteVectored(pmod(col("doc_id"), lit(7)) === 1)
+        t.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      """WITH v1 AS (SELECT doc_id, source, text FROM documents),
+        |v2 AS (SELECT * FROM v1 WHERE doc_id % 10 <> 3),
+        |v3 AS (SELECT * FROM v2
+        |       UNION ALL
+        |       SELECT doc_id, source, text || ' (back)'
+        |       FROM v1 WHERE doc_id % 20 = 3),
+        |v4 AS (SELECT * FROM v3 WHERE doc_id % 7 <> 1)
+        |SELECT doc_id, source, md5(text) AS fp
+        |FROM v4 ORDER BY doc_id""".stripMargin),
 
     // l09: FILE-STATS MANIFEST pruning — the lake-metadata layer. Spark
     // already skips row groups whose parquet footer stats reject a

@@ -285,7 +285,8 @@ private[graft] final case class GraftRelation(spark: SparkSession,
     val base =
       if (admitted.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
-      else spark.read.schema(schema).parquet(admitted: _*)
+      else table.minusDv(version,
+        spark.read.schema(schema).parquet(admitted: _*))
     // re-apply what translates so parquet row-group stats still skip
     // (unhandledFilters above keeps Spark's own re-check regardless)
     val filtered = filters.flatMap(dataPred).foldLeft(base)(_ filter _)

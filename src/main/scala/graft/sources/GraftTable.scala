@@ -197,7 +197,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     val paths = manifest(v).select("path").collect().map(_.getString(0))
     if (paths.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-    else s.read.schema(schema).parquet(paths.toIndexedSeq: _*)
+    else minusDv(v, s.read.schema(schema).parquet(paths.toIndexedSeq: _*))
   }
 
   /** Manifest-planned key-range read `[lo, hi)` at version `v`: one
@@ -215,7 +215,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     val src =
       if (admitted.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-      else s.read.schema(schema).parquet(admitted: _*)
+      else minusDv(v, s.read.schema(schema).parquet(admitted: _*))
     src.filter(col(key) >= lo && col(key) < hi)
   }
 
@@ -245,8 +245,109 @@ final class GraftTable private (s: SparkSession, val dir: String,
     val src =
       if (admitted.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
-      else s.read.schema(schema).parquet(admitted: _*)
+      else minusDv(v, s.read.schema(schema).parquet(admitted: _*))
     src.filter(col(c) >= lo && col(c) < hi)
+  }
+
+  // ── Deletion vectors (Delta DVs) ─────────────────────────────────────
+
+  /** Version v's deletion-vector table: one (path, <key>) row per
+    * soft-deleted row — the row is identified by the FILE that holds it
+    * plus its key, Delta's per-file DV re-expressed relationally. The
+    * per-file half is what makes re-insertion sound: a later upsert of a
+    * DV-deleted key lands in a NEW file, which no DV row names — a
+    * key-only tombstone would kill the new row too. Stored as one small
+    * parquet under the version's own directory (`v{N}/_graft_dv`),
+    * carried forward by each landing path restricted to the paths its
+    * manifest still references, absent on self-contained versions.
+    */
+  private def dvPath(v: Int): HPath = new HPath(s"$dir/v$v/_graft_dv")
+
+  private def dvOf(v: Int): Option[DataFrame] = {
+    val p = dvPath(v)
+    if (fs.exists(p)) Some(s.read.parquet(p.toString)) else None
+  }
+
+  /** Crash debris guard: every landing path clears any stale DV at its
+    * target version FIRST — a crashed [[deleteVectored]] leaves an
+    * uncommitted `_graft_dv` that a later (re)land of the same number
+    * must not inherit.
+    */
+  private def clearDv(v: Int): Unit = { fs.delete(dvPath(v), true); () }
+
+  /** Apply version v's deletion vector to `src` — a raw parquet scan of
+    * (a subset of) v's manifest files: one broadcast anti-join on
+    * (file, key), churn-sized build side, zero cost when no DV exists.
+    * `_metadata.file_path` is referenced on the file-source frame
+    * directly (it resolves nowhere else), matching the manifest's own
+    * path spelling (both derive from the same metadata column).
+    */
+  private[sources] def minusDv(v: Int, src: DataFrame): DataFrame =
+    dvOf(v) match {
+      case None => src
+      case Some(dv) =>
+        src.withColumn("_graft_fp", col("_metadata.file_path"))
+          .join(broadcast(dv.withColumnRenamed("path", "_graft_fp")),
+            Seq("_graft_fp", key), "left_anti")
+          .drop("_graft_fp")
+    }
+
+  /** Carry the base version's DV into `next`, restricted to the paths
+    * `carried` still references — DV rows naming rewritten files are
+    * dropped with the files. Call before [[commit]].
+    */
+  private def carryDv(n: Int, next: Int, carried: DataFrame): Unit =
+    dvOf(n).foreach { dv =>
+      val keep = dv.join(carried.select("path"), Seq("path"), "left_semi")
+      if (keep.limit(1).count() > 0)
+        keep.coalesce(1).write.mode(SaveMode.Overwrite)
+          .parquet(dvPath(next).toString)
+    }
+
+  /** DELETE backed by a DELETION VECTOR (Delta's DV-backed `DELETE`):
+    * the matching rows are soft-deleted by writing their (file, key)
+    * identities into the new version's DV — the version's manifest is
+    * the predecessor's VERBATIM and **zero data files are written or
+    * rewritten** at any table size. This is the other end of the delete
+    * cost spectrum from [[delete]] (which rewrites every touched file
+    * through the scoped merge): a scattered delete — one row in each of
+    * 10k files at 100 TB — costs one predicate scan plus a churn-sized
+    * tombstone write here, vs 10k file rewrites there. The trade is
+    * read-side: every reader pays one broadcast anti-join against the
+    * accumulated DV until a [[compact]]/[[compactSmall]]/full merge
+    * materializes the deletes away (rewritten files drop their DV rows;
+    * a self-contained version drops the DV entirely) — Delta's own
+    * rule: DVs are a write-time deferral, compaction collects them.
+    * Composes with everything downstream of [[readAsOf]]: time travel
+    * reads the pre-delete state, [[diff]]/[[changes]] emit the
+    * soft-deleted rows as ordinary 'delete' events, the connector and
+    * both streaming halves see them, and a later upsert of a deleted
+    * key re-inserts it cleanly (per-file DV — see [[minusDv]]).
+    * Single-writer form, like [[delete]]. Returns the new version
+    * (the current one when the table is empty).
+    */
+  def deleteVectored(cond: Column): Int = {
+    val n = currentVersion
+    val next = n + 1
+    val schema = schemaAsOf(n)
+    val paths = manifest(n).select("path").collect().map(_.getString(0))
+    if (paths.isEmpty) return n // nothing to delete from
+    val src = s.read.schema(schema).parquet(paths.toIndexedSeq: _*)
+      .withColumn("_graft_fp", col("_metadata.file_path"))
+    val live = dvOf(n).fold(src)(dv =>
+      src.join(broadcast(dv.withColumnRenamed("path", "_graft_fp")),
+        Seq("_graft_fp", key), "left_anti"))
+    val matches = live.filter(cond)
+      .select(col("_graft_fp").as("path"), col(key))
+    val dvNew = dvOf(n).fold(matches)(_.unionByName(matches))
+    clearDv(next)
+    manifest(n).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/v$next/_manifest")
+    dvNew.coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dvPath(next).toString)
+    writeSchema(s, dir, next, schema)
+    commit(s, dir, next)
+    next
   }
 
   /** Schema-align a merge: columns the changelog ADDS extend the base
@@ -445,10 +546,11 @@ final class GraftTable private (s: SparkSession, val dir: String,
     val touchedRows =
       if (touched.isEmpty)
         s.createDataFrame(s.sparkContext.emptyRDD[Row], baseSchema)
-      else s.read.schema(baseSchema).parquet(touched: _*)
+      else minusDv(n, s.read.schema(baseSchema).parquet(touched: _*))
     val merged =
       Lake.cdcMergeAuto(alignForMerge(touchedRows, log), log, key = key)
     val vdir = s"$dir/v$next"
+    clearDv(next)
     writeFiles(s, vdir, key, merged)
     val sp = s
     import sp.implicits._
@@ -461,6 +563,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
         allowMissingColumns = true)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
+    carryDv(n, next, carried) // DV rows on rewritten files drop with them
     writeSchema(s, dir, next, merged.schema)
     commit(s, dir, next)
     next
@@ -504,6 +607,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
         s"compact(zorderBy) interleaves exactly two columns, got " +
           s"${zorderBy.mkString("[", ", ", "]")}")
       val vdir = s"$dir/v$next"
+      clearDv(next)
       writeFilesZ(s, vdir, zorderBy, snap)
       fileStats(s, vdir, key, snap.schema, statCols = zorderBy)
         .coalesce(1)
@@ -538,8 +642,9 @@ final class GraftTable private (s: SparkSession, val dir: String,
     if (small.size < 2) return n
     val next = n + 1
     val schema = schemaAsOf(n)
-    val rows = s.read.schema(schema).parquet(small: _*)
+    val rows = minusDv(n, s.read.schema(schema).parquet(small: _*))
     val vdir = s"$dir/v$next"
+    clearDv(next)
     writeFiles(s, vdir, key, rows)
     val sp = s
     import sp.implicits._
@@ -548,6 +653,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
         allowMissingColumns = true)
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
+    carryDv(n, next, carried)
     writeSchema(s, dir, next, schema)
     commit(s, dir, next)
     next
@@ -666,6 +772,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
         f.delete(new HPath(s"$vdir/_manifest_$token"), true)
         f.delete(new HPath(s"$vdir/_graft_schema_$token.json"), false)
       }
+      clearDv(next) // debris from a crashed deleteVectored at this number
       val merged =
         Lake.cdcMergeAuto(alignForMerge(readAsOf(n), log), log, key = key)
       writeFiles(s, dataDir, key, merged)
@@ -760,6 +867,161 @@ final class GraftTable private (s: SparkSession, val dir: String,
     mergeScoped(base.filter(cond).select(lit("U").as("op") +: cols: _*))
   }
 
+  /** Delta's `MERGE INTO` as a builder — the general upsert statement
+    * for sources that DON'T arrive as op-tagged changelogs: rows are
+    * matched BY KEY against the current snapshot, matched rows take the
+    * first when-matched clause whose condition passes (update with SET
+    * expressions or delete — Delta's first-match-wins rule), unmatched
+    * source rows insert. Conditions and SET expressions are SQL strings
+    * over the aliases `t` (target) and `s` (source) — Delta's own
+    * spelling:
+    *
+    * {{{
+    * table.mergeInto(src)
+    *   .whenMatchedDelete("s.action = 'del'")
+    *   .whenMatchedUpdate(Map("text" -> "concat(t.text, s.suffix)"),
+    *                      "s.action = 'upd'")
+    *   .whenNotMatchedInsertAll()
+    *   .execute()
+    * }}}
+    *
+    * Execution is two passes over the TOUCHED files only (the Delta
+    * find-touched-then-rewrite shape): the manifest's interval join
+    * against the source keys admits the files any match could live in,
+    * the clause derivation runs as ONE full-outer join of those files
+    * against the (broadcast-able, churn-sized) source, and the derived
+    * changelog lands through the scoped merge — write cost ∝ touched
+    * files + source, never snapshot. Schema evolution composes: source
+    * columns the table lacks are ADDED (old rows read null), matching
+    * the merge forms' evolution rule. Loud guards: a source with
+    * multiple rows per key is refused up front (Delta's
+    * multiple-matches error — which target image wins would be
+    * nondeterministic), SET cannot rewrite the key, and insertAll
+    * requires the source to carry every current column.
+    */
+  def mergeInto(source: DataFrame): MergeInto = new MergeInto(source)
+
+  final class MergeInto private[sources] (source: DataFrame) {
+    private var matched = Vector.empty[MergeClause]
+    private var insertCond: Option[String] = None
+
+    /** When matched (and `condition` holds), update the target row:
+      * `set` maps column name → SQL expression over `t`/`s`; unset
+      * columns keep their target values.
+      */
+    def whenMatchedUpdate(set: Map[String, String],
+        condition: String = "true"): MergeInto = {
+      require(!set.contains(key),
+        s"mergeInto cannot rewrite the table key '$key' (a row's " +
+          "identity is its key — a key move is a delete + insert)")
+      require(set.nonEmpty, "whenMatchedUpdate needs a non-empty SET")
+      matched :+= MergeClause(delete = false, condition, set); this
+    }
+
+    /** When matched (and `condition` holds), delete the target row. */
+    def whenMatchedDelete(condition: String = "true"): MergeInto = {
+      matched :+= MergeClause(delete = true, condition, Map.empty); this
+    }
+
+    /** Insert unmatched source rows (that satisfy `condition`) with the
+      * source's own column values.
+      */
+    def whenNotMatchedInsertAll(condition: String = "true"): MergeInto = {
+      require(insertCond.isEmpty,
+        "mergeInto already has a whenNotMatched clause")
+      insertCond = Some(condition); this
+    }
+
+    /** Run the merge; returns the new version number. */
+    def execute(): Int = runMergeInto(source, matched, insertCond)
+  }
+
+  private case class MergeClause(delete: Boolean, cond: String,
+      set: Map[String, String])
+
+  private def runMergeInto(source: DataFrame, matched: Seq[MergeClause],
+      insertCond: Option[String]): Int = {
+    require(matched.nonEmpty || insertCond.nonEmpty,
+      s"mergeInto on graft table $dir has no clauses")
+    val srcCols = source.columns.toSeq
+    require(srcCols.contains(key),
+      s"mergeInto source must carry the table key '$key'")
+    val n = currentVersion
+    val baseSchema = schemaAsOf(n)
+    val baseCols = baseSchema.fields.map(_.name).toSeq
+    // Delta's multiple-matches rule, checked up front (churn-sized agg):
+    // two source rows hitting one target row would make the surviving
+    // image nondeterministic
+    require(source.groupBy(col(key)).count()
+        .filter(col("count") > 1).limit(1).count() == 0,
+      s"mergeInto source for graft table $dir has multiple rows per " +
+        s"'$key' — which row should win is ambiguous (Delta's " +
+        "multiple-matches error); de-duplicate the source first")
+    insertCond.foreach { _ =>
+      val miss = baseCols.filterNot(srcCols.contains)
+      require(miss.isEmpty,
+        s"whenNotMatchedInsertAll on graft table $dir: source is " +
+          s"missing table column(s) ${miss.mkString("[", ", ", "]")}")
+    }
+    matched.foreach(_.set.keys.foreach(c =>
+      require(baseCols.contains(c) || srcCols.contains(c),
+        s"mergeInto SET names unknown column '$c' (neither the table " +
+          "nor the source carries it)")))
+    // output columns: the table's, plus source additions (evolution)
+    val outCols = (baseCols ++ srcCols.filterNot(baseCols.contains))
+      .filterNot(_ == key)
+
+    val touched = touchedPaths(n, source)
+    val tRows =
+      if (touched.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], baseSchema)
+      else minusDv(n, s.read.schema(baseSchema).parquet(touched: _*))
+    val joined = tRows.withColumn("_graft_t_in", lit(true)).alias("t")
+      .join(source.withColumn("_graft_s_in", lit(true)).alias("s"),
+        col(s"t.$key") === col(s"s.$key"), "full_outer")
+
+    def typeOf(c: String) =
+      if (baseCols.contains(c)) baseSchema(c).dataType
+      else source.schema(c).dataType
+    def tVal(c: String): Column =
+      if (baseCols.contains(c)) col(s"t.$c")
+      else lit(null).cast(typeOf(c))
+    def sVal(c: String): Column =
+      if (srcCols.contains(c)) col(s"s.$c")
+      else lit(null).cast(typeOf(c))
+
+    // first-match-wins: clause index per matched row, -1 = no clause
+    val cl = matched.zipWithIndex
+    val clauseIdx = cl.foldRight(lit(-1): Column) { case ((c, i), acc) =>
+      when(expr(c.cond), lit(i)).otherwise(acc) }
+    val opCol = cl.foldRight(lit(null).cast("string")) {
+      case ((c, i), acc) =>
+        when(col("_graft_cl") === i, lit(if (c.delete) "D" else "U"))
+          .otherwise(acc) }
+    def updVal(c0: String): Column = cl.foldRight(tVal(c0)) {
+      case ((c, i), acc) =>
+        when(col("_graft_cl") === i,
+          if (c.delete) tVal(c0) // 'D' carries the old payload
+          else c.set.get(c0).map(expr).getOrElse(tVal(c0)))
+          .otherwise(acc) }
+    val matchedLog = joined
+      .filter(col("t._graft_t_in").isNotNull &&
+        col("s._graft_s_in").isNotNull)
+      .withColumn("_graft_cl", clauseIdx)
+      .filter(col("_graft_cl") >= 0)
+      .select(opCol.as("op") +: col(s"t.$key").as(key) +:
+        outCols.map(c0 => updVal(c0).as(c0)): _*)
+    val log = insertCond.fold(matchedLog) { ic =>
+      matchedLog.unionByName(joined
+        .filter(col("t._graft_t_in").isNull &&
+          col("s._graft_s_in").isNotNull)
+        .filter(expr(ic))
+        .select(lit("U").as("op") +: col(s"s.$key").as(key) +:
+          outCols.map(c0 => sVal(c0).as(c0)): _*))
+    }
+    mergeScopedOn(n, touched, log)
+  }
+
   /** Land `df` as a fresh SELF-CONTAINED version — the whole-table
     * REPLACE (the connector's `SaveMode.Overwrite`): version n+1 IS the
     * frame, range-partitioned + key-sorted like any full merge, with no
@@ -791,8 +1053,13 @@ final class GraftTable private (s: SparkSession, val dir: String,
   def restore(v: Int): Int = {
     validate(v)
     val next = currentVersion + 1
+    clearDv(next)
     manifest(v).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/v$next/_manifest")
+    // the restored state includes v's soft deletes: the DV is part of
+    // the version's metadata and copies with the manifest
+    dvOf(v).foreach(_.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(dvPath(next).toString))
     writeSchema(s, dir, next, schemaAsOf(v))
     commit(s, dir, next)
     next
@@ -822,6 +1089,9 @@ final class GraftTable private (s: SparkSession, val dir: String,
       s"cloneTo: $destDir already holds a committed graft table")
     manifest(v).coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(s"$destDir/v0/_manifest")
+    // the clone-instant snapshot includes the source's soft deletes
+    dvOf(v).foreach(_.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(s"$destDir/v0/_graft_dv"))
     writeSchema(s, destDir, 0, schemaAsOf(v))
     // the clone inherits the constraint SET as of clone time (it is
     // part of the table definition); the two sets diverge thereafter
@@ -878,10 +1148,15 @@ final class GraftTable private (s: SparkSession, val dir: String,
         sum(when(!col("path").contains(s"/v$v/"), 1L).otherwise(0L))
           .as("carried")).head()
       def long(i: Int) = if (m.isNullAt(i)) 0L else m.getLong(i) // empty version
+      // n_rows counts PHYSICAL rows (the manifest's write-time stats);
+      // dv_rows is how many of them the version's deletion vector hides
+      // — live rows = n_rows - dv_rows (Delta reports DV'd files the
+      // same way). One tombstone-sized parquet count per DV'd version.
+      val dvRows = dvOf(v).map(_.count()).getOrElse(0L)
       (v, committedAt, m.getLong(0), long(1), long(2), long(3),
-        schemaAsOf(v).fields.length)
+        schemaAsOf(v).fields.length, dvRows)
     }.toDF("version", "committed_at", "n_files", "n_rows", "bytes",
-      "carried_files", "n_columns")
+      "carried_files", "n_columns", "dv_rows")
   }
 
   /** Changelog BETWEEN two committed versions — time travel's other
@@ -1214,6 +1489,9 @@ object GraftTable {
   private def landVersion(s: SparkSession, dir: String, v: Int,
       key: String, df: DataFrame): Unit = {
     val vdir = s"$dir/v$v"
+    // a full version is self-contained: no DV — and must not inherit
+    // one from a crashed deleteVectored at this number
+    fsOf(s, dir).delete(new HPath(s"$vdir/_graft_dv"), true)
     writeFiles(s, vdir, key, df)
     fileStats(s, vdir, key, df.schema)
       .coalesce(1)

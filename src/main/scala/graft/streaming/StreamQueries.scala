@@ -1161,6 +1161,61 @@ object StreamQueries {
       },
       graft.operators.Lake.duckCdcSql),
 
+    // s34: TABLE→TABLE CDC REPLICATION — the composition the connector's
+    // two streaming halves exist for: `readStream.format("graft")` tails
+    // the source table's change feed (earliest replay: the v0 snapshot
+    // as inserts, then one version step per micro-batch —
+    // maxStepsPerTrigger=1, so in-batch cross-step key collisions are
+    // structurally impossible and steps apply IN ORDER), a stateless
+    // projection maps CDF rows to the sink's op changelog (insert /
+    // update_postimage → 'U', delete → 'D', preimages dropped — deletes
+    // ride the wire, which a plain append replication cannot express),
+    // and `writeStream.format("graft")` lands each batch exactly-once
+    // as a replica version (batch b ↔ version b+1 on a replica created
+    // empty at v0). Both ends converge under checkpoint replay (offsets
+    // name immutable versions; the sink overwrites its own version), so
+    // the composed pipeline is exactly-once end to end. The replica's
+    // final state must equal the source's — the full CDC replay, every
+    // hop of the wire invisible. The 100-TB posture: per-tick cost is
+    // the step's churn (the feed is churn-sized by construction) plus
+    // the sink's auto-dispatched merge (scoped arm: touched files
+    // only); nothing ever re-reads either snapshot.
+    "s34_stream_replicate" -> OpDef.sql(
+      (s, d) => {
+        import graft.operators.Lake
+        val base = Lake.scratch("s34", d)
+        deleteTree(java.nio.file.Paths.get(base))
+        val docs = graft.sources.Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+        val src = graft.sources.GraftTable.create(s, s"$base/src", docs)
+        val log = Lake.cdcChangelog(src.read())
+        src.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0))
+        src.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1))
+        // the replica starts EMPTY: everything it ever holds arrived
+        // over the wire
+        graft.sources.GraftTable.create(s, s"$base/replica", docs.limit(0))
+        val cdf = s.readStream.format("graft")
+          .option("readChangeFeed", "true")
+          .option("startingVersion", "earliest")
+          .option("maxStepsPerTrigger", "1")
+          .load(s"$base/src")
+        val q = cdf
+          .filter(col("_change_type") =!= "update_preimage")
+          .withColumn("op",
+            when(col("_change_type") === "delete", "D").otherwise("U"))
+          .drop("_change_type", "_commit_version")
+          .writeStream.format("graft")
+          .option("checkpointLocation", s"$base/ckpt")
+          .start(s"$base/replica")
+        try q.processAllAvailable() finally q.stop()
+        val replica = graft.sources.GraftTable.open(s, s"$base/replica")
+        replica.read()
+          .select(col("doc_id"), col("source"),
+                  md5(col("text").cast("binary")).as("fp"))
+          .orderBy("doc_id")
+      },
+      graft.operators.Lake.duckCdcSql),
+
     // s22: streaming XML intake with quarantine — c04 AT THE WIRE,
     // which is where a quarantine intake actually belongs (damaged
     // records should never land in the lake at all). The line-staged
