@@ -1317,6 +1317,10 @@ object Lake {
           .select(lit("U").as("op"), col("doc_id"), col("source"),
             concat(col("text"), lit(" (back)")).as("text")))
         t.deleteVectored(pmod(col("doc_id"), lit(7)) === 1)
+        // targeted collection (Delta REORG APPLY PURGE): rewrite only
+        // DV-heavy files, dropping their tombstones — a pure layout
+        // change, invisible under the oracle hash
+        t.reorgPurge()
         t.read()
           .select(col("doc_id"), col("source"),
                   md5(col("text").cast("binary")).as("fp"))

@@ -24,7 +24,9 @@ import graft.operators.Lake
   * spans for its clustering keys), its `_graft_schema.json` (the
   * version's schema — what makes a mixed-vintage file set read with null
   * backfill, and time travel return the OLD schema verbatim after an
-  * evolution), and `_GRAFT_COMMITTED`, written AFTER everything else —
+  * evolution), optionally a `_graft_dv` tombstone table (the version's
+  * deletion vector — see [[deleteVectored]]), and `_GRAFT_COMMITTED`,
+  * written AFTER everything else —
   * readers only believe marked versions, so a writer crash mid-version
   * leaves an invisible (and overwritable) directory, never a torn read.
   * Every read plans from the manifest: the file list IS the version.
@@ -345,6 +347,67 @@ final class GraftTable private (s: SparkSession, val dir: String,
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/v$next/_manifest")
     dvNew.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(dvPath(next).toString)
+    writeSchema(s, dir, next, schema)
+    commit(s, dir, next)
+    next
+  }
+
+  /** Dispatch between the two delete cost models by MEASURED spread
+    * (the mergeAuto discipline on the delete axis — the trade runs the
+    * OPPOSITE way): a delete whose matches are spread across MANY files
+    * (≥ half the snapshot) would rewrite most of the table through the
+    * scoped path, so it lands as a deletion vector (tombstone write,
+    * zero data IO); a concentrated delete rewrites its few touched
+    * files and keeps the read path anti-join-free. The spread is
+    * measured from the manifest alone — the same interval join the
+    * scoped path would run anyway, against the (broadcast, churn-sized)
+    * distinct match keys.
+    */
+  def deleteAuto(cond: Column): Int = {
+    val n = currentVersion
+    val touched = touchedPaths(n, read().filter(cond)
+      .select(col(key)))
+    val total = manifest(n).count()
+    if (touched.size * 2 >= total) deleteVectored(cond) else delete(cond)
+  }
+
+  /** Targeted DV collection (Delta's `REORG TABLE ... APPLY (PURGE)`):
+    * rewrite ONLY the files whose tombstoned-row fraction is at least
+    * `minDvFraction`, landing their LIVE rows as fresh files — the
+    * rewritten files' DV rows drop with them, lightly-deleted files
+    * carry forward verbatim (tombstones included). This is the third
+    * point on the DV cost curve: [[deleteVectored]] defers all rewrite
+    * IO to write time zero, readers pay the anti-join, and reorgPurge
+    * collects exactly where the tax concentrates — cost ∝ heavily-
+    * deleted files, never snapshot ([[compact]] remains the full
+    * reset). Returns the new version, or the CURRENT version untouched
+    * when no file crosses the threshold (no version event, no churn).
+    */
+  def reorgPurge(minDvFraction: Double = 0.05): Int = {
+    val n = currentVersion
+    val dvO = dvOf(n)
+    if (dvO.isEmpty) return n
+    val dv = dvO.get
+    val m = manifest(n)
+    val targets = m.join(
+        dv.groupBy("path").agg(count(lit(1)).as("_graft_dv_n")), "path")
+      .filter(col("_graft_dv_n") >= col("n_rows") * minDvFraction)
+      .select("path").collect().map(_.getString(0)).toSeq
+    if (targets.isEmpty) return n
+    val next = n + 1
+    val schema = schemaAsOf(n)
+    val rows = minusDv(n, s.read.schema(schema).parquet(targets: _*))
+    val vdir = s"$dir/v$next"
+    clearDv(next)
+    writeFiles(s, vdir, key, rows)
+    val sp = s
+    import sp.implicits._
+    val carried = m.join(targets.toDF("path"), Seq("path"), "left_anti")
+    carried.unionByName(fileStats(s, vdir, key, schema),
+        allowMissingColumns = true)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
+    carryDv(n, next, carried)
     writeSchema(s, dir, next, schema)
     commit(s, dir, next)
     next

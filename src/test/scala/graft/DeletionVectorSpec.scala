@@ -129,6 +129,60 @@ class DeletionVectorSpec extends AnyFunSuite with SparkFixture {
     assert(collectSorted(t.read()) == expected)
   }
 
+  test("reorgPurge collects tombstones only where they concentrate") {
+    val dir = tmp()
+    val docs = freshDocs()
+    val t = GraftTable.create(spark, dir, docs)
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    // concentrated deletes in the low key range (heavy DV fraction in a
+    // few files) plus a genuinely scattered sprinkle (light everywhere)
+    t.deleteVectored(col("doc_id") < mx / 8)
+    t.deleteVectored(pmod(col("doc_id"), lit(97)) === 1)
+    val expected = collectSorted(t.read())
+    val dvBefore = t.history().orderBy(col("version").desc).head()
+    val before = dvBefore.getLong(dvBefore.fieldIndex("dv_rows"))
+
+    // threshold 0.5: only the heavily-deleted files rewrite; the
+    // sprinkle's tombstones stay
+    val v = t.reorgPurge(minDvFraction = 0.5)
+    assert(v > 0 && t.currentVersion == v)
+    assert(collectSorted(t.read()) == expected, "purge changed content")
+    val hAfter = t.history().filter(col("version") === v).head()
+    val after = hAfter.getLong(hAfter.fieldIndex("dv_rows"))
+    assert(after > 0 && after < before,
+      s"expected partial collection, got $before -> $after")
+
+    // threshold 0 collects everything DV'd; below it, purge is a no-op
+    val v2 = t.reorgPurge(minDvFraction = 0.0)
+    assert(collectSorted(t.read()) == expected)
+    val h2 = t.history().filter(col("version") === v2).head()
+    assert(h2.getLong(h2.fieldIndex("dv_rows")) == 0)
+    assert(t.reorgPurge() == v2, "purge without DVs must not version")
+  }
+
+  test("deleteAuto dispatches by measured spread") {
+    val docs = freshDocs()
+    val dir1 = tmp()
+    val t1 = GraftTable.create(spark, dir1, docs)
+    // scattered: matches in (virtually) every file -> the DV arm
+    val v1 = t1.deleteAuto(pmod(col("doc_id"), lit(13)) === 0)
+    assert(vdirNames(dir1, v1).contains("_graft_dv"))
+    assert(collectSorted(t1.read()) == collectSorted(
+      docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)))
+
+    val dir2 = tmp()
+    val t2 = GraftTable.create(spark, dir2, docs)
+    // concentrated: one key-local slice -> the scoped-rewrite arm
+    val mx = docs.agg(max("doc_id")).head().getLong(0)
+    val v2 = t2.deleteAuto(col("doc_id") < mx / 64)
+    assert(!vdirNames(dir2, v2).contains("_graft_dv"))
+    val h = t2.history().filter(col("version") === v2).head()
+    assert(h.getLong(h.fieldIndex("carried_files")) > 0,
+      "concentrated deleteAuto rewrote every file")
+    assert(collectSorted(t2.read()) == collectSorted(
+      docs.filter(col("doc_id") >= mx / 64)))
+  }
+
   test("connector and change feed see DV deletes; replay clears them") {
     val dir = tmp()
     val docs = freshDocs()
