@@ -165,7 +165,16 @@ final class GraftTable private (s: SparkSession, val dir: String,
     */
   private def metaSuffix(v: Int): String =
     markerPayload(fs, v).linesIterator.toSeq
-      .drop(1).headOption.map(t => s"_${t.trim}").getOrElse("")
+      .drop(1).headOption.map(_.trim).filter(_.nonEmpty)
+      .map(t => s"_$t").getOrElse("")
+
+  /** The operation that created version v (the marker payload's third
+    * line); versions committed before the op line existed read WRITE.
+    */
+  private def opOf(f: FileSystem, v: Int): String =
+    markerPayload(f, v).linesIterator.toSeq
+      .drop(2).headOption.map(_.trim).filter(_.nonEmpty)
+      .getOrElse("WRITE")
 
   /** Version v's schema, verbatim as committed (survives later
     * evolutions — time travel's schema half).
@@ -348,7 +357,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     dvNew.coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(dvPath(next).toString)
     writeSchema(s, dir, next, schema)
-    commit(s, dir, next)
+    commit(s, dir, next, op = "DELETE VECTORED")
     next
   }
 
@@ -409,7 +418,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
       .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
     carryDv(n, next, carried)
     writeSchema(s, dir, next, schema)
-    commit(s, dir, next)
+    commit(s, dir, next, op = "REORG PURGE")
     next
   }
 
@@ -540,7 +549,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     val next = n + 1
     landVersion(s, dir, next, key,
       Lake.cdcMergeAuto(alignForMerge(readAsOf(n), log), log, key = key))
-    commit(s, dir, next)
+    commit(s, dir, next, op = "MERGE")
     next
   }
 
@@ -601,7 +610,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
   }
 
   private def mergeScopedOn(n: Int, touched: Seq[String],
-      log: DataFrame): Int = {
+      log: DataFrame, op: String = "MERGE SCOPED"): Int = {
     validateIncoming(log)
     val next = n + 1
     val base = manifest(n)
@@ -628,7 +637,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
       .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
     carryDv(n, next, carried) // DV rows on rewritten files drop with them
     writeSchema(s, dir, next, merged.schema)
-    commit(s, dir, next)
+    commit(s, dir, next, op = op)
     next
   }
 
@@ -677,7 +686,8 @@ final class GraftTable private (s: SparkSession, val dir: String,
         .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
       writeSchema(s, dir, next, snap.schema)
     }
-    commit(s, dir, next)
+    commit(s, dir, next,
+      op = if (zorderBy.isEmpty) "OPTIMIZE" else "OPTIMIZE ZORDER")
     next
   }
 
@@ -718,7 +728,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
       .write.mode(SaveMode.Overwrite).parquet(s"$vdir/_manifest")
     carryDv(n, next, carried)
     writeSchema(s, dir, next, schema)
-    commit(s, dir, next)
+    commit(s, dir, next, op = "OPTIMIZE BINPACK")
     next
   }
 
@@ -741,7 +751,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     uncommit(s, dir, v) // replay: invisible for the rewrite's duration
     landVersion(s, dir, v, key,
       Lake.cdcMergeAuto(alignForMerge(readAsOf(v - 1), log), log, key = key))
-    commit(s, dir, v)
+    commit(s, dir, v, op = "MERGE")
     v
   }
 
@@ -782,7 +792,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
       landVersion(s, dir, v, key,
         Lake.cdcMergeAuto(alignForMerge(readAsOf(v - 1), log), log,
           key = key))
-      commit(s, dir, v)
+      commit(s, dir, v, op = "MERGE")
       v
     } else mergeScopedOn(v - 1, touched, log)
   }
@@ -845,7 +855,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
       writeFsString(f, new HPath(s"$vdir/_graft_schema_$token.json"),
         nullable(merged.schema).json, overwrite = true)
       try {
-        commit(s, dir, next, token)
+        commit(s, dir, next, token, op = "MERGE")
         // on stores where create-exclusive is a checked create, two
         // racers can both pass it — the marker's final content decides
         if (metaSuffix(next) == s"_$token") return next
@@ -900,9 +910,11 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * state until vacuum.
     */
   def delete(cond: Column): Int = {
-    val base = read()
-    mergeScoped(base.filter(cond)
-      .select(lit("D").as("op") +: base.columns.map(col): _*))
+    val n = currentVersion
+    val base = readAsOf(n)
+    val log = base.filter(cond)
+      .select(lit("D").as("op") +: base.columns.map(col): _*)
+    mergeScopedOn(n, touchedPaths(n, log), log, op = "DELETE")
   }
 
   /** Predicate UPDATE (Delta's `UPDATE t SET ... WHERE cond`): matching
@@ -927,7 +939,9 @@ final class GraftTable private (s: SparkSession, val dir: String,
     val cols = base.columns.map(c =>
       set.getOrElse(c, col(c)).as(c)) // old-row semantics: all exprs
     // evaluate against the pre-update row, applied in one projection
-    mergeScoped(base.filter(cond).select(lit("U").as("op") +: cols: _*))
+    val log = base.filter(cond).select(lit("U").as("op") +: cols: _*)
+    val n = currentVersion
+    mergeScopedOn(n, touchedPaths(n, log), log, op = "UPDATE")
   }
 
   /** Delta's `MERGE INTO` as a builder — the general upsert statement
@@ -1082,7 +1096,16 @@ final class GraftTable private (s: SparkSession, val dir: String,
         .select(lit("U").as("op") +: col(s"s.$key").as(key) +:
           outCols.map(c0 => sVal(c0).as(c0)): _*))
     }
-    mergeScopedOn(n, touched, log)
+    // pin the derived changelog: its lineage carries the full-outer
+    // clause join, and the landing path consumes it across several jobs
+    // (dispatch count, the merge's anti-join build, file stats) — the
+    // join should run once, not once per consumer (the streaming sink's
+    // own discipline)
+    log.persist()
+    try {
+      log.count()
+      mergeScopedOn(n, touched, log, op = "MERGE INTO")
+    } finally { log.unpersist(); () }
   }
 
   /** Land `df` as a fresh SELF-CONTAINED version — the whole-table
@@ -1097,7 +1120,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     validateIncoming(df)
     val next = currentVersion + 1
     landVersion(s, dir, next, key, df)
-    commit(s, dir, next)
+    commit(s, dir, next, op = "REPLACE")
     next
   }
 
@@ -1124,7 +1147,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
     dvOf(v).foreach(_.coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(dvPath(next).toString))
     writeSchema(s, dir, next, schemaAsOf(v))
-    commit(s, dir, next)
+    commit(s, dir, next, op = "RESTORE")
     next
   }
 
@@ -1164,7 +1187,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
         new HPath(s"$destDir/${GraftTable.ConstraintsFile}"),
         readFsString(fs, new HPath(s"$dir/${GraftTable.ConstraintsFile}")),
         overwrite = true)
-    commit(s, destDir, 0)
+    commit(s, destDir, 0, op = "CLONE")
     GraftTable.open(s, destDir, key)
   }
 
@@ -1217,9 +1240,9 @@ final class GraftTable private (s: SparkSession, val dir: String,
       // same way). One tombstone-sized parquet count per DV'd version.
       val dvRows = dvOf(v).map(_.count()).getOrElse(0L)
       (v, committedAt, m.getLong(0), long(1), long(2), long(3),
-        schemaAsOf(v).fields.length, dvRows)
+        schemaAsOf(v).fields.length, dvRows, opOf(f, v))
     }.toDF("version", "committed_at", "n_files", "n_rows", "bytes",
-      "carried_files", "n_columns", "dv_rows")
+      "carried_files", "n_columns", "dv_rows", "operation")
   }
 
   /** Changelog BETWEEN two committed versions — time travel's other
@@ -1335,6 +1358,41 @@ final class GraftTable private (s: SparkSession, val dir: String,
     vacuum(if (keepFrom < 0) 1 else vs.length - keepFrom)
   }
 
+  /** DRY RUN of [[vacuum]] (Delta's `VACUUM ... DRY RUN`): what would
+    * `vacuum(keep)` do, without doing it — one row per file under the
+    * to-be-retired version directories, labeled `delete` or `keep`
+    * (kept = a retained manifest still references it, the
+    * reference-aware rule). Metadata-only (version listing, manifest
+    * reads, a directory walk of the doomed versions — no data IO), so
+    * an operator can price a retention change before committing to it;
+    * the real vacuum applies exactly this labeling.
+    */
+  def vacuumPreview(keep: Int): DataFrame = {
+    val sp = s
+    import sp.implicits._
+    val f = fs
+    def qual(p: String) = f.makeQualified(new HPath(p)).toString
+    val vs = versions
+    val doomed = vs.dropRight(math.max(1, keep))
+    val retained = vs.drop(doomed.length)
+    val referenced: Set[String] =
+      if (doomed.isEmpty) Set.empty
+      else retained
+        .flatMap(v => manifest(v).select("path").collect()
+          .map(_.getString(0)))
+        .map(qual).toSet
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, String, String)]()
+    doomed.foreach { v =>
+      def sweep(p: HPath): Unit = f.listStatus(p).foreach { st =>
+        if (st.isDirectory) sweep(st.getPath)
+        else rows += ((v, st.getPath.toString,
+          if (referenced(qual(st.getPath.toString))) "keep" else "delete"))
+      }
+      sweep(new HPath(s"$dir/v$v"))
+    }
+    rows.toSeq.toDF("version", "path", "action")
+  }
+
   def vacuum(keep: Int): Seq[Int] = {
     val f = fs
     def qual(p: String) = f.makeQualified(new HPath(p)).toString
@@ -1405,7 +1463,19 @@ object GraftTable {
     */
   private[graft] def versionFan(df: DataFrame): Int = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val byBytes = (bytes / TargetFileBytes).min(BigInt(Int.MaxValue)).toInt
+    // an UNKNOWN-stats leaf (an RDD-backed frame: the empty-version
+    // read, a rewrapped stream batch) reports defaultSizeInBytes ≈
+    // Long.MaxValue and poisons every estimate above it toward 2^63 —
+    // without this guard a merge into an EMPTY table computed fan =
+    // Int.MaxValue, and repartitionByRange paid a ~1M-point range
+    // sampling plus thousands of bound partitions (measured: 24 s for a
+    // 5000-row first batch through the streaming sink). Unknown means
+    // unknown, not huge: every frame that reaches a landing with
+    // RDD-backed lineage is churn-sized by construction (stream ticks,
+    // merges against an empty base), so the floor fan is correct.
+    val byBytes =
+      if (bytes >= BigInt(Long.MaxValue)) 0
+      else (bytes / TargetFileBytes).min(BigInt(Int.MaxValue)).toInt
     math.max(VersionFilesFloor, byBytes)
   }
 
@@ -1441,13 +1511,17 @@ object GraftTable {
   /** Commit version v: the marker is created CREATE-EXCLUSIVE, so of
     * two writers racing the same version number exactly one commits —
     * the loser fails loudly here instead of silently interleaving (the
-    * class comment's concurrent-writer contract).
+    * class comment's concurrent-writer contract). The payload is the
+    * commit-log record: line 1 the commit instant, line 2 the staging
+    * token (empty outside [[GraftTable.mergeConcurrent]]), line 3 the
+    * OPERATION name (Delta's DESCRIBE HISTORY column — what kind of
+    * write created this version), framed by the terminator.
     */
   private def commit(s: SparkSession, dir: String, v: Int,
-      token: String = null): Unit = {
+      token: String = null, op: String = "WRITE"): Unit = {
     onBeforeCommit(dir, v)
     val payload = java.time.Instant.now().toString +
-      Option(token).map("\n" + _).getOrElse("") + MarkerEnd
+      "\n" + Option(token).getOrElse("") + "\n" + op + MarkerEnd
     try writeFsString(fsOf(s, dir), markerPath(dir, v),
       payload, overwrite = false)
     catch {
@@ -1566,7 +1640,7 @@ object GraftTable {
   def create(s: SparkSession, dir: String, df: DataFrame,
       key: String = "doc_id"): GraftTable = {
     landVersion(s, dir, 0, key, df)
-    commit(s, dir, 0)
+    commit(s, dir, 0, op = "CREATE")
     new GraftTable(s, dir, key)
   }
 
