@@ -218,6 +218,43 @@ class GraftStreamConnectorSpec extends AnyFunSuite with SparkFixture {
       t.read().orderBy("doc_id").collect().toSeq)
   }
 
+  test("replication survives a restart: the resumed stream picks up at " +
+      "the next unseen step and converges on later leader writes") {
+    val dir = tmp("gstream_repl_restart")
+    val t = GraftTable.create(spark, s"$dir/src", docs)
+    val log = Lake.cdcChangelog(t.read())
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 0)) // step 1
+    GraftTable.create(spark, s"$dir/dst", t.readAsOf(0))
+    val follower = GraftTable.open(spark, s"$dir/dst")
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxStepsPerTrigger", "1")
+        .load(s"$dir/src")
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn("op",
+          when(col("_change_type") === "delete", "D").otherwise("U"))
+        .drop("_change_type", "_commit_version")
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start(s"$dir/dst")
+      try q.processAllAvailable() finally q.stop()
+    }
+    replicate() // drains step 1, then the stream STOPS
+    assert(follower.currentVersion == 1)
+    // the leader moves on while no replica stream is running
+    t.merge(log.filter(pmod(col("doc_id"), lit(2)) === 1))  // step 2
+    t.delete(pmod(col("doc_id"), lit(9)) === 5)             // step 3
+    // the resumed stream recovers its offset from the checkpoint: it
+    // must apply exactly steps 2..3 (never re-apply 1 — version
+    // ownership would fail loudly on a re-landed batch) and converge
+    replicate()
+    assert(follower.currentVersion == 3)
+    assert(follower.read().orderBy("doc_id").collect().toSeq ==
+      t.read().orderBy("doc_id").collect().toSeq)
+  }
+
   test("batch relation reports the manifest's real byte size, so small " +
       "graft tables auto-broadcast") {
     val dir = tmp("gstream_size")
