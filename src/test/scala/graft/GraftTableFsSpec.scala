@@ -64,8 +64,19 @@ class GraftTableFsSpec extends AnyFunSuite with SparkFixture {
     assert(h.forall(_.getLong(4) > 0), "history bytes missing over mockfs")
     assert(h(1).getLong(5) > 0, "scoped version shows no carried refs")
 
+    // deletion vectors are scheme-clean too: the tombstone table lands
+    // under the version dir on mockfs:, the anti-join reads it back, and
+    // the twin (same delete through the local path) matches
+    assert(t.deleteVectored(pmod(col("doc_id"), lit(11)) === 4) == 3)
+    twin.deleteVectored(pmod(col("doc_id"), lit(11)) === 4)
+    assert(rows(t.read()) == rows(twin.read()),
+      "DV delete over mockfs diverged from the local twin")
+    val h3 = t.history().filter(col("version") === 3).head()
+    assert(h3.getLong(h3.fieldIndex("dv_rows")) > 0 &&
+      h3.getString(h3.fieldIndex("operation")) == "DELETE VECTORED")
+
     // reference-aware vacuum sweeps through the FileSystem API
-    assert(t.vacuum(keep = 2) == Seq(0))
+    assert(t.vacuum(keep = 2) == Seq(0, 1))
     assert(rows(t.read()) == rows(twin.read()),
       "vacuum over mockfs lost rows")
     intercept[java.util.NoSuchElementException](t.readAsOf(0))
