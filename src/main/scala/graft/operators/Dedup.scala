@@ -314,11 +314,16 @@ object Dedup {
     * interpreted and is an order of magnitude slower).
     */
   private def minhashCols(shing: DataFrame): DataFrame = {
+    // pmod(h, P31) is identical across all NumHashes aggregates —
+    // Catalyst does not CSE across aggregate expressions, so hoist it
+    // into the projection below the groupBy (one pmod per shingle
+    // instead of NumHashes of them; values bit-identical)
     val mins = Array.tabulate(NumHashes)(k =>
-      min(pmod(lit(As(k)) * pmod(col("h"), lit(P31)) + lit(Bs(k)), lit(P31)))
+      min(pmod(lit(As(k)) * col("hp") + lit(Bs(k)), lit(P31)))
         .as(s"m$k"))
     shing
       .select(col("doc_id"), explode(col("mh")).as("h"))
+      .select(col("doc_id"), pmod(col("h"), lit(P31)).as("hp"))
       .groupBy("doc_id")
       .agg(mins.head, mins.tail: _*)
   }
@@ -514,9 +519,14 @@ object Dedup {
     // Materialized once: the shingle table feeds the signature path and
     // both sides of the verify join (at 100 TB this is the signature
     // table you'd persist to the lake between pipeline stages).
+    // SORTED at creation: the verify below then runs the merge-scan
+    // sorted_jaccard kernel instead of per-pair hash-set
+    // array_intersect/array_union — the sort is paid once per doc, the
+    // win once per candidate pair. Every other consumer (minhash min
+    // aggregates, explode) is set-semantic, so ordering is free to pick.
     val shing = persistTracked(s"${name}_shingles",
       docsIn
-        .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+        .withColumn("mh", array_sort(expr("md5_shingle3_hashes(text)")))
         .filter(size(col("mh")) > 0)
         .select("doc_id", "mh"))
     val bands = minhashBands(shing)
@@ -528,7 +538,8 @@ object Dedup {
     candidates
       .join(shing.toDF("a_id", "a_sh"), "a_id")
       .join(shing.toDF("b_id", "b_sh"), "b_id")
-      .withColumn("sim_raw", jaccard("a_sh", "b_sh"))
+      // same |∩|/(|a|+|b|-|∩|) quotient as jaccard() over the same sets
+      .withColumn("sim_raw", expr("sorted_jaccard(a_sh, b_sh)"))
       .filter(col("sim_raw") >= 0.3)
       .select(col("a_id"), col("b_id"),
               round(col("sim_raw") + lit(1e-8), 4).as("sim"))
@@ -569,8 +580,11 @@ object Dedup {
     val batch = docs.filter(col("split") === "test")
     // `name` keys the shingle caches so a second consumer in the same
     // session (s10's streaming probe) doesn't evict d24's live entries
+    // sorted at creation — the d24/s10 verify runs the merge-scan
+    // sorted_jaccard kernel (minhash aggregates and explodes are
+    // set-semantic, so the order is free to pick)
     def shingles(side: DataFrame, tag: String) = persistTracked(tag,
-      side.withColumn("mh", expr("md5_shingle3_hashes(text)"))
+      side.withColumn("mh", array_sort(expr("md5_shingle3_hashes(text)")))
         .filter(size(col("mh")) > 0)
         .select("doc_id", "mh"))
     val shIdx = shingles(index, s"${name}_sh_idx")
@@ -594,7 +608,8 @@ object Dedup {
     val verified = persistTracked("d24_verified", cands
       .join(shBat.toDF("b_id", "b_sh"), "b_id")
       .join(shIdx, "i_id")
-      .withColumn("sim_raw", jaccard("b_sh", "i_sh"))
+      // both sides sorted at creation (d24ArtifactsFrom) — merge scan
+      .withColumn("sim_raw", expr("sorted_jaccard(b_sh, i_sh)"))
       .filter(col("sim_raw") >= 0.3)
       .select("b_id", "i_id", "sim_raw"))
     val near = verified.groupBy("b_id").agg(min(col("i_id")).as("near_match"))
@@ -628,14 +643,16 @@ object Dedup {
       fpIdx: DataFrame, bandIdx: DataFrame, shIdx: DataFrame): DataFrame = {
     val probed = arriving
       .withColumn("fp", textFp)
-      .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+      // sorted once per arriving doc so the per-candidate verify below
+      // runs the merge-scan kernel against the (sorted) index arrays
+      .withColumn("mh", array_sort(expr("md5_shingle3_hashes(text)")))
       .join(broadcast(fpIdx), Seq("fp"), "left")
       .withColumn("band", explode_outer(bandArray(col("mh"))))
       .select(col("doc_id"), col("exact_match"), col("mh"),
               col("band.band_id"), col("band.band_sig"))
       .join(broadcast(bandIdx), Seq("band_id", "band_sig"), "left")
       .join(broadcast(shIdx), Seq("i_id"), "left")
-      .withColumn("sim_raw", jaccard("mh", "i_sh"))
+      .withColumn("sim_raw", expr("sorted_jaccard(mh, i_sh)"))
     probed.groupBy("doc_id")
       .agg(first(col("exact_match")).as("exact_match"),
            // min_by ignores rows whose ordering is null, so the CASE

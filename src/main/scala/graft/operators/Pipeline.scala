@@ -245,7 +245,10 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("text"))
       .withColumn("split", Dedup.splitOf(Dedup.splitBucket(col("doc_id"))))
       .withColumn("fp", Dedup.textFp)
-      .withColumn("mh", expr("md5_shingle3_hashes(text)"))
+      // sorted at creation: the pair verifies run the merge-scan
+      // sorted_jaccard kernel; every other consumer (minhash min
+      // aggregates, explode, size) is set-semantic
+      .withColumn("mh", array_sort(expr("md5_shingle3_hashes(text)")))
       .withColumn("n_sh", size(col("mh")).cast("bigint"))
       .withColumn("n_tokens",
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
@@ -323,7 +326,14 @@ object Pipeline {
       base: String): Unit = {
     val q = graft.Caching.persistTracked("p02_q", p02Derive(s, docsIn))
     val shing = q.filter(col("n_sh") > 0).select("doc_id", "mh")
-    val bands = Dedup.minhashBands(shing)
+    // the band index lands on disk FIRST and the self-join reads it
+    // back: the 32-min minhash aggregation runs once instead of once
+    // per self-join side, and the pair chain's lineage roots at a flat
+    // file scan (bands/t0 is a persisted artifact anyway — writing it
+    // before use replaces a cache with a read of work already paid for)
+    Dedup.minhashBands(shing)
+      .write.mode(SaveMode.Overwrite).parquet(s"$base/bands/t0")
+    val bands = s.read.parquet(s"$base/bands/t0")
     // the d02 pair pipeline inline (minhashPairsFrom re-derives shingles
     // from text; build 1 already has them)
     val a = bands.toDF("a_id", "band_id", "band_sig")
@@ -334,7 +344,8 @@ object Pipeline {
     val pairs = graft.Caching.persistTracked("p02_pairs", cands
       .join(shing.toDF("a_id", "a_sh"), "a_id")
       .join(shing.toDF("b_id", "b_sh"), "b_id")
-      .filter(Dedup.jaccard("a_sh", "b_sh") >= 0.3)
+      // p02Derive sorts mh at creation — merge-scan kernel, same verdicts
+      .filter(expr("sorted_jaccard(a_sh, b_sh)") >= 0.3)
       .select("a_id", "b_id"))
     val edges = graft.Caching.persistTracked("p02_edges",
       pairs.union(pairs.select(col("b_id"), col("a_id")))
@@ -351,7 +362,7 @@ object Pipeline {
     val postings = q.filter(col("n_sh") > 0)
       .select(col("doc_id"), col("split"), explode(col("mh")).as("h"))
     postings.write.mode(SaveMode.Overwrite).parquet(s"$base/postings/t0")
-    bands.write.mode(SaveMode.Overwrite).parquet(s"$base/bands/t0")
+    // bands/t0 already landed above (read back for the pair self-join)
     val postP = s.read.parquet(s"$base/postings/t0")
     // bench refcounts: how many test-split SURVIVORS contain each shingle
     val testS1 = preState.filter(s1Flag && col("split") === "test")
@@ -438,7 +449,11 @@ object Pipeline {
     // via posting-intersection counts (same integers as the array
     // kernel → the same IEEE quotient → the same 0.3 verdicts)
     val dsh = dq.filter(col("n_sh") > 0).select("doc_id", "mh", "n_sh")
-    val dBands = Dedup.minhashBands(dsh.select("doc_id", "mh"))
+    // persisted: consumed by both sides of the delta-delta self-join,
+    // the delta-vs-index probe AND the t{b+1} band-index write below —
+    // unpersisted, the 32-min minhash aggregation re-runs per consumer
+    val dBands = graft.Caching.persistTracked("p02_dbands",
+      Dedup.minhashBands(dsh.select("doc_id", "mh")))
     val da = dBands.toDF("a_id", "band_id", "band_sig")
     val db = dBands.toDF("b_id", "band_id", "band_sig")
     val ddPairs = da.join(db, Seq("band_id", "band_sig"))
@@ -446,7 +461,8 @@ object Pipeline {
       .select("a_id", "b_id").distinct()
       .join(dsh.select(col("doc_id").as("a_id"), col("mh").as("a_sh")), "a_id")
       .join(dsh.select(col("doc_id").as("b_id"), col("mh").as("b_sh")), "b_id")
-      .filter(Dedup.jaccard("a_sh", "b_sh") >= 0.3)
+      // p02Derive sorts mh at creation — merge-scan kernel, same verdicts
+      .filter(expr("sorted_jaccard(a_sh, b_sh)") >= 0.3)
       .select("a_id", "b_id")
     val dbCand = dBands.toDF("d_id", "band_id", "band_sig")
       .join(bandIdx.toDF("b_id", "band_id", "band_sig"),
@@ -479,9 +495,15 @@ object Pipeline {
         .toDF("src", "dst"))
     // a pair-free tick (the common production case: most deltas carry
     // no near-dups of anything) skips the fixpoint machinery entirely —
-    // its session-clone + checkpoint setup is ~1-2 s of fixed cost
+    // its session-clone + checkpoint setup is ~1-2 s of fixed cost.
+    // count(), not head(1): cEdges is persisted, and a count
+    // materializes every partition into the cache in ONE pass — the
+    // incremental take ramp (1 → 34 → 100 partitions) re-ran the whole
+    // candidate+verify chain per wave (measured ~31 s of task time per
+    // tick at sf0.1), and the fixpoint's own edges.count() then re-ran
+    // whatever the take never touched
     val relab = (
-      if (cEdges.head(1).isEmpty)
+      if (cEdges.count() == 0L)
         s.range(0).select(col("id").as("doc_id"), col("id").as("canonical_id"))
       else Dedup.propagateLabels(s, cEdges, "p02t"))
       .select(col("doc_id").as("node"), col("canonical_id").as("new_min"))

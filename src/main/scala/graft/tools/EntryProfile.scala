@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 
 /** Per-job wall profile of a gate entry: runs the entry through the
   * bench's noop sink and prints every Spark job's start offset, wall
@@ -30,6 +30,23 @@ object EntryProfile {
           log.add((t0, f"  job ${e.jobId}%4d  ${(e.time - t0) / 1e3}%6.2fs  ${nt}%4dt  $cs"))
         }
     })
+    // executor task-time per stage callsite: walls overlap (broadcast
+    // futures run concurrently), so CPU attribution needs task time
+    val stageTime = new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+    s.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+        // the job callsite is opaque for broadcast/subquery futures
+        // (withThreadLocalCaptured) — dig the first graft frame out of
+        // the stage's full callsite stack instead
+        val graftFrame = e.stageInfo.details.linesIterator
+          .find(l => l.contains("graft.") && !l.contains("EntryProfile"))
+          .map(_.trim.replaceFirst("^at ", ""))
+        val cs = graftFrame.getOrElse(e.stageInfo.name)
+        val rt = e.stageInfo.taskMetrics.executorRunTime
+        stageTime.merge(cs, (rt, 1L),
+          (a, b) => (a._1 + b._1, a._2 + b._2))
+      }
+    })
     val fn = graft.SparkEntry.queries(name)
     // warmup on sf0.001 compiles codegen classes like the bench does
     val warm = "/root/testdata/sf0.001"
@@ -40,6 +57,7 @@ object EntryProfile {
       s.catalog.clearCache()
       System.gc()
       var l = log.poll(); while (l != null) l = log.poll() // drain warmup noise
+      stageTime.clear()
       val t0 = System.nanoTime()
       fn(s, dir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
@@ -51,6 +69,13 @@ object EntryProfile {
         println(f"  @+${(ts - base) / 1e3}%6.2fs" + line)
       }
       println(f"[profile] ${ls.size} jobs in ${wall}%.2f s")
+      println("[profile] executor task-time by stage callsite (top 25):")
+      import scala.jdk.CollectionConverters._
+      stageTime.asScala.toSeq.sortBy(-_._2._1).take(25).foreach {
+        case (cs, (rt, n)) =>
+          println(f"  ${rt / 1e3}%8.2f s  ${n}%4d stages  $cs")
+      }
+      stageTime.clear()
     }
     s.stop()
   }
