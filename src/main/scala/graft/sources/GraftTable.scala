@@ -164,7 +164,10 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * paths write no token and resolve to the fixed names.
     */
   private def metaSuffix(v: Int): String =
-    markerPayload(fs, v).linesIterator.toSeq
+    metaSuffixOf(markerPayload(fs, v))
+
+  private def metaSuffixOf(payload: String): String =
+    payload.linesIterator.toSeq
       .drop(1).headOption.map(_.trim).filter(_.nonEmpty)
       .map(t => s"_$t").getOrElse("")
 
@@ -193,8 +196,34 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * n_bytes, plus `<col>_lo/_hi` spans for a z-order compact's keys).
     */
   def manifest(v: Int): DataFrame = {
+    val (sch, rows) = manifestData(v)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), sch)
+  }
+
+  /** Collected manifest rows of committed version `v`, memoized on this
+    * instance. A manifest is file-count-sized (driver-safe by the same
+    * argument that lets [[touchedPaths]] collect it), yet every consumer
+    * — snapshot reads, range admission, touch admission, the step loops
+    * in [[changes]]/[[history]]/[[vacuum]] — otherwise pays a parquet
+    * footer read plus a collect JOB per call, and the version lifecycle
+    * entries read the same manifests many times over. The memo key
+    * includes the commit marker's PAYLOAD (commit instant + staging
+    * token), so a replay (uncommit → rewrite → commit) can never serve
+    * the superseded manifest: the rewritten commit carries a new
+    * payload. Vacuumed/uncommitted versions never reach the memo —
+    * validate() throws first, exactly as the uncached path did.
+    */
+  private val manifestMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String),
+      (StructType, Array[Row])]
+
+  private def manifestData(v: Int): (StructType, Array[Row]) = {
     validate(v)
-    s.read.parquet(s"$dir/v$v/_manifest${metaSuffix(v)}")
+    val payload = markerPayload(fs, v)
+    manifestMemo.computeIfAbsent((v, payload), _ => {
+      val df = s.read.parquet(s"$dir/v$v/_manifest${metaSuffixOf(payload)}")
+      (df.schema, df.collect())
+    })
   }
 
   /** Time travel: read the snapshot exactly as committed at version `v`
@@ -205,7 +234,9 @@ final class GraftTable private (s: SparkSession, val dir: String,
     */
   def readAsOf(v: Int): DataFrame = {
     val schema = schemaAsOf(v)
-    val paths = manifest(v).select("path").collect().map(_.getString(0))
+    val (msch, rows) = manifestData(v)
+    val pi = msch.fieldIndex("path")
+    val paths = rows.map(_.getString(pi))
     if (paths.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[Row], schema)
     else minusDv(v, s.read.schema(schema).parquet(paths.toIndexedSeq: _*))
