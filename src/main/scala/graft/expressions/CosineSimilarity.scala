@@ -177,6 +177,34 @@ object GraftFunctions {
   /** Register a Bloom-filter membership probe bound to a built filter:
     * `name(BIGINT)` -> BOOLEAN might-contain — see [[BloomContainsLong]].
     */
+  /** Register a single-round BPE merge bound to one (a, b) symbol pair —
+    * `name(array<string>) -> array<string>`. Bound like
+    * [[registerInSortedLongs]] so corpus-derived symbols never pass
+    * through SQL-string quoting; resolution binds the pair at analysis
+    * time, so re-registering for the next round cannot disturb an
+    * already-analyzed plan.
+    */
+  def registerBpeMergeOnce(spark: SparkSession, name: String,
+      a: String, b: String): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BpeMergeOnce(exprs(0),
+        org.apache.spark.unsafe.types.UTF8String.fromString(a),
+        org.apache.spark.unsafe.types.UTF8String.fromString(b)), "built-in")
+
+  /** Register the full K-merge BPE fold bound to a trained merge list
+    * (rank order) — `name(array<string>) -> array<string>`, one codegen
+    * kernel call per word instead of K chained interpreted aggregates.
+    */
+  def registerBpeFold(spark: SparkSession, name: String,
+      merges: Seq[(String, String)]): Unit = {
+    val as = merges.map(m =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(m._1)).toArray
+    val bs = merges.map(m =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(m._2)).toArray
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, exprs => BpeFold(exprs(0), as, bs), "built-in")
+  }
+
   def registerBloomContainsLong(spark: SparkSession, name: String,
       bloom: org.apache.spark.util.sketch.BloomFilter): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

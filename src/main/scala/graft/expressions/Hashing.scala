@@ -314,6 +314,62 @@ object HashKernels {
     }
     cnt
   }
+
+  /** One greedy left-to-right BPE merge of adjacent (a, b) over a symbol
+    * array — bit-identical to the SQL fold it replaces (TextAnalysis.
+    * bpeMergeOnce): the comparison is against the last EMITTED symbol,
+    * so a symbol consumed by a merge can never start another one
+    * ("aaa" under (a,a) → "aa","a"). In-place over one output buffer:
+    * O(L) instead of the interpreted aggregate's O(L²) accumulator
+    * copies.
+    */
+  def bpeMergeOnce(sym: ArrayData, a: UTF8String, b: UTF8String): ArrayData = {
+    val n = sym.numElements()
+    val out = new Array[AnyRef](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val t = sym.getUTF8String(i)
+      if (m > 0 && a.equals(out(m - 1)) && b.equals(t))
+        out(m - 1) = UTF8String.concat(a, b)
+      else { out(m) = t; m += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** The full K-merge BPE fold in rank order, one kernel call per word —
+    * replaces K chained interpreted aggregates (the d35/s18 apply path).
+    * Each round is [[bpeMergeOnce]]'s exact loop over the previous
+    * round's buffer.
+    */
+  def bpeFold(sym: ArrayData, as: Array[UTF8String],
+      bs: Array[UTF8String]): ArrayData = {
+    var n = sym.numElements()
+    var cur = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) { cur(i) = sym.getUTF8String(i); i += 1 }
+    var k = 0
+    while (k < as.length) {
+      val a = as(k)
+      val b = bs(k)
+      var m = 0
+      i = 0
+      while (i < n) {
+        val t = cur(i)
+        if (m > 0 && a.equals(cur(m - 1)) && b.equals(t)) {
+          // safe in place: m - 1 < i always, and cur(i) was read first
+          cur(m - 1) = UTF8String.concat(a, b)
+        } else { cur(m) = t; m += 1 }
+        i += 1
+      }
+      n = m
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(cur, n))
+  }
 }
 
 /** Native shingle-hash expression: text -> array<long> of distinct n-word
@@ -622,5 +678,76 @@ case class BloomContainsLong(child: Expression,
   }
 
   override protected def withNewChildInternal(newChild: Expression): BloomContainsLong =
+    copy(child = newChild)
+}
+
+/** Codegen'd single greedy BPE merge of adjacent (a, b) over an
+  * array<string> symbol column — [[HashKernels.bpeMergeOnce]] bound to
+  * the round's pair. Output type matches the SQL fold it replaces
+  * (array<string>, containsNull = true from the fold's cast), so plans
+  * and schemas are unchanged.
+  */
+case class BpeMergeOnce(child: Expression, a: UTF8String, b: UTF8String)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = true)
+  override def prettyName: String = "bpe_merge_once"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: argument must be ARRAY<STRING>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bpeMergeOnce(input.asInstanceOf[ArrayData], a, b)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("a", a, "org.apache.spark.unsafe.types.UTF8String")
+    val rb = ctx.addReferenceObj("b", b, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashKernels.bpeMergeOnce($c, $ra, $rb)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeOnce =
+    copy(child = newChild)
+}
+
+/** Codegen'd full BPE apply: the K trained merges folded in rank order in
+  * ONE kernel call per word — replaces K chained interpreted aggregate()
+  * lambdas on the tokenizer apply path (d35/s18). Merge semantics are
+  * [[HashKernels.bpeMergeOnce]]'s exact loop per round.
+  */
+case class BpeFold(child: Expression, as: Array[UTF8String],
+    bs: Array[UTF8String]) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = true)
+  override def prettyName: String = "bpe_fold"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: argument must be ARRAY<STRING>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.bpeFold(input.asInstanceOf[ArrayData], as, bs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ra = ctx.addReferenceObj("as", as,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    val rb = ctx.addReferenceObj("bs", bs,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.HashKernels.bpeFold($c, $ra, $rb)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeFold =
     copy(child = newChild)
 }

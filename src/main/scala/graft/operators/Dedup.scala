@@ -519,14 +519,13 @@ object Dedup {
     // Materialized once: the shingle table feeds the signature path and
     // both sides of the verify join (at 100 TB this is the signature
     // table you'd persist to the lake between pipeline stages).
-    // SORTED at creation: the verify below then runs the merge-scan
+    // md5_shingle3_hashes emits SORTED-distinct hashes (TreeSet ascending
+    // in the kernel), so the verify below runs the merge-scan
     // sorted_jaccard kernel instead of per-pair hash-set
-    // array_intersect/array_union — the sort is paid once per doc, the
-    // win once per candidate pair. Every other consumer (minhash min
-    // aggregates, explode) is set-semantic, so ordering is free to pick.
+    // array_intersect/array_union — no extra sort needed anywhere.
     val shing = persistTracked(s"${name}_shingles",
       docsIn
-        .withColumn("mh", array_sort(expr("md5_shingle3_hashes(text)")))
+        .withColumn("mh", expr("md5_shingle3_hashes(text)"))
         .filter(size(col("mh")) > 0)
         .select("doc_id", "mh"))
     val bands = minhashBands(shing)
@@ -580,11 +579,10 @@ object Dedup {
     val batch = docs.filter(col("split") === "test")
     // `name` keys the shingle caches so a second consumer in the same
     // session (s10's streaming probe) doesn't evict d24's live entries
-    // sorted at creation — the d24/s10 verify runs the merge-scan
-    // sorted_jaccard kernel (minhash aggregates and explodes are
-    // set-semantic, so the order is free to pick)
+    // md5_shingle3_hashes emits sorted-distinct hashes, so the d24/s10
+    // verify runs the merge-scan sorted_jaccard kernel directly
     def shingles(side: DataFrame, tag: String) = persistTracked(tag,
-      side.withColumn("mh", array_sort(expr("md5_shingle3_hashes(text)")))
+      side.withColumn("mh", expr("md5_shingle3_hashes(text)"))
         .filter(size(col("mh")) > 0)
         .select("doc_id", "mh"))
     val shIdx = shingles(index, s"${name}_sh_idx")
@@ -643,9 +641,9 @@ object Dedup {
       fpIdx: DataFrame, bandIdx: DataFrame, shIdx: DataFrame): DataFrame = {
     val probed = arriving
       .withColumn("fp", textFp)
-      // sorted once per arriving doc so the per-candidate verify below
-      // runs the merge-scan kernel against the (sorted) index arrays
-      .withColumn("mh", array_sort(expr("md5_shingle3_hashes(text)")))
+      // md5_shingle3_hashes emits sorted-distinct hashes — the verify
+      // below merge-scans them against the (equally sorted) index arrays
+      .withColumn("mh", expr("md5_shingle3_hashes(text)"))
       .join(broadcast(fpIdx), Seq("fp"), "left")
       .withColumn("band", explode_outer(bandArray(col("mh"))))
       .select(col("doc_id"), col("exact_match"), col("mh"),

@@ -245,10 +245,9 @@ object Pipeline {
       .select(col("doc_id"), col("source"), col("text"))
       .withColumn("split", Dedup.splitOf(Dedup.splitBucket(col("doc_id"))))
       .withColumn("fp", Dedup.textFp)
-      // sorted at creation: the pair verifies run the merge-scan
-      // sorted_jaccard kernel; every other consumer (minhash min
-      // aggregates, explode, size) is set-semantic
-      .withColumn("mh", array_sort(expr("md5_shingle3_hashes(text)")))
+      // md5_shingle3_hashes emits SORTED-distinct hashes (TreeSet in the
+      // kernel) — the pair verifies merge-scan them via sorted_jaccard
+      .withColumn("mh", expr("md5_shingle3_hashes(text)"))
       .withColumn("n_sh", size(col("mh")).cast("bigint"))
       .withColumn("n_tokens",
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))

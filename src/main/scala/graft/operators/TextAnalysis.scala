@@ -58,22 +58,20 @@ object TextAnalysis {
               + lit(1)).cast("int")))
 
   /** One greedy left-to-right BPE merge of adjacent (a, b) over a symbol
-    * array, as a fold: the accumulator is the already-emitted prefix, so
-    * a symbol consumed by a merge can't start another one (the merged
-    * symbol, not `a`, is what lands in the prefix). a/b travel as plan
-    * literals — no SQL-string quoting of corpus-derived symbols.
+    * array — the native [[graft.expressions.BpeMergeOnce]] kernel bound
+    * to the round's pair (the comparison is against the last EMITTED
+    * symbol, so a symbol consumed by a merge can't start another one).
+    * a/b bind through the expression constructor, never through SQL
+    * string quoting of corpus-derived symbols; the interpreted
+    * aggregate() fold this replaces copied the accumulator array per
+    * element (O(L²) per word, uncompiled).
     */
-  private def bpeMergeOnce(sym: Column, a: String, b: String): Column =
-    aggregate(sym,
-      array().cast("array<string>"),
-      // CaseWhen evaluates branches lazily, so element_at(acc, -1) only
-      // runs on a non-empty prefix (ANSI mode throws on empty arrays;
-      // SQL && does not short-circuit, so one guarded when() would not
-      // be safe)
-      (acc, t) => when(size(acc) === 0, array(t))
-        .when(element_at(acc, -1) === lit(a) && t === lit(b),
-          concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(t))))
+  private def bpeMergeOnce(s: SparkSession, sym: Column, a: String,
+      b: String): Column = {
+    graft.expressions.GraftFunctions.registerBpeMergeOnce(
+      s, "graft_bpe_merge_once", a, b)
+    call_function("graft_bpe_merge_once", sym)
+  }
 
   /** Train `k` BPE merges on the corpus (see the d34 gate entry's comment
     * for the scale shape). Returns the merge table: one row per learned
@@ -105,7 +103,7 @@ object TextAnalysis {
           val (a, b, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
           merges += ((r, a, b, a + b, n))
           val next = cur
-            .withColumn("sym", bpeMergeOnce(col("sym"), a, b))
+            .withColumn("sym", bpeMergeOnce(s, col("sym"), a, b))
             .persist()
           // materialize the round before dropping its parent, so the next
           // round's aggregate never recomputes the whole merge chain
@@ -151,10 +149,18 @@ object TextAnalysis {
   }
 
   /** The full merge fold for one word column: chars → the K merges in
-    * rank order (BPE apply is rank-ordered by definition).
+    * rank order (BPE apply is rank-ordered by definition). One native
+    * kernel call per word ([[graft.expressions.BpeFold]]) instead of K
+    * chained interpreted aggregate() folds.
     */
-  private def bpeFold(w: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(split(w, "")) { case (c, (a, b)) => bpeMergeOnce(c, a, b) }
+  private def bpeFold(s: SparkSession, w: Column,
+      merges: Seq[(String, String)]): Column =
+    if (merges.isEmpty) split(w, "")
+    else {
+      graft.expressions.GraftFunctions.registerBpeFold(
+        s, "graft_bpe_fold", merges)
+      call_function("graft_bpe_fold", split(w, ""))
+    }
 
   /** The tokenizer's word table: every DISTINCT word of `docs` folded
     * ONCE. This is the model-shaped half of apply — vocabulary-sized
@@ -167,7 +173,8 @@ object TextAnalysis {
     docs
       .select(explode(split(col("text"), "\\s+")).as("w"))
       .filter(length(col("w")) > 0).distinct()
-      .withColumn("n_sym", size(bpeFold(col("w"), merges)))
+      .withColumn("n_sym",
+        size(bpeFold(docs.sparkSession, col("w"), merges)))
 
   /** Tokenize with a trained merge list: corpus words probe the folded
     * vocab by broadcast join; words OUTSIDE the vocab (an arriving
@@ -182,7 +189,8 @@ object TextAnalysis {
       .filter(length(col("w")) > 0)
       .join(broadcast(vocab), Seq("w"), "left")
       .withColumn("n_sym_eff",
-        coalesce(col("n_sym"), size(bpeFold(col("w"), merges))))
+        coalesce(col("n_sym"),
+          size(bpeFold(docs.sparkSession, col("w"), merges))))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sym_eff").as("n_bpe_tokens"))
       .orderBy("doc_id")
