@@ -32,5 +32,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // 48g default on the 128 GiB box: the full 185-entry bench runs in
+  // ONE JVM whose heap accumulates per-entry caches, localCheckpoint
+  // RDDs and codegen classes — at 24g the suite's tail entries ran up
+  // to 6x their isolated walls (d24: 10.8 s in-suite vs 1.7 s alone,
+  // zero code delta) from GC pressure alone. Still env-overridable.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -1731,12 +1731,16 @@ object Lake {
       .select(snap0.columns.map(col): _*)
     val merged = cdcMergeAuto(snapTouched, log)
       .repartition(partCols.map(col): _*)
-    merged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)
-      .parquet(stageDir)
-    // explicit schema: a tick that only DELETES stages zero rows — no
-    // files to infer from — and the read must still resolve so the
-    // empty-partition sweep below runs
-    val staged = s.read.schema(merged.schema).parquet(stageDir)
+    // the staged copy decouples the commit from its own read set (Spark
+    // refuses an Overwrite of a path the plan reads, and the data must
+    // be fully materialized before the touched partitions are
+    // replaced). An eager localCheckpoint provides exactly that —
+    // rows pinned executor-side, lineage cut to a LogicalRDD — without
+    // the extra parquet encode + re-list + footer read a scratch-dir
+    // stage paid per tick (`stageDir` is retained in the signature for
+    // call-site stability; nothing writes there anymore). The staged
+    // copy is churn-sized by the touched-partition admission above.
+    val staged = merged.localCheckpoint()
     val before = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try staged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)

@@ -398,6 +398,17 @@ object Pipeline {
     s.read.parquet(path)
   }
 
+  /** [[stageCut]] for intra-tick SCRATCH stages — consumed only inside
+    * the same tick invocation, never opened by the next tick or a
+    * replay. An eager localCheckpoint gives the same two properties the
+    * parquet round trip bought (materialized once, lineage cut to a
+    * flat leaf) without the encode + re-list + footer read per stage;
+    * the frames are narrow curation metadata, so the executor-side pin
+    * is kilobytes-to-megabytes. Artifacts the NEXT tick opens
+    * (state/v{b+1}, postings/bands/bench) stay on the stageCut path.
+    */
+  private def localCut(df: DataFrame): DataFrame = df.localCheckpoint()
+
   /** One incremental tick: fold `deltaDocs` into the build at `base`.
     * Reads ONLY the persisted metadata artifacts and the delta; patches
     * the lake in place (partition-scoped CDC) and rolls the artifacts
@@ -529,9 +540,8 @@ object Pipeline {
             Seq("doc_id"), "left")
       .withColumn("canonical_id", col("new_min")).drop("new_min")
       .withColumn("n_shared", lit(0L))
-    val state2 = stageCut(s,
-      baseUpd.select(deltaRows.columns.map(col): _*).unionByName(deltaRows),
-      s"$base/tick/state2")
+    val state2 = localCut(
+      baseUpd.select(deltaRows.columns.map(col): _*).unionByName(deltaRows))
 
     // ---- benchmark shingle refcounts: test-split survivorship changes
     // add/remove shingles; only 0↔>0 transitions change membership
@@ -552,13 +562,12 @@ object Pipeline {
       .select(col("h"), lit(-1L).as("d"))
     val rcDelta = addSh.unionByName(remSh).groupBy("h")
       .agg(sum("d").as("d"))
-    val bench2 = stageCut(s,
+    val bench2 = localCut(
       bench.join(rcDelta, Seq("h"), "full_outer")
         .select(col("h"),
                 (coalesce(col("rc"), lit(0L)) +
                  coalesce(col("d"), lit(0L))).as("rc2"),
-                coalesce(col("rc"), lit(0L)).as("rc1")),
-      s"$base/tick/bench2")
+                coalesce(col("rc"), lit(0L)).as("rc1")))
     val hPlus = bench2.filter(col("rc1") === 0 && col("rc2") > 0)
       .select(col("h"), lit(1L).as("d"))
     val hMinus = bench2.filter(col("rc1") > 0 && col("rc2") <= 0)
@@ -612,7 +621,7 @@ object Pipeline {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ladderMoved = Corpus.packShards(sums.getOrElse("v1", 0L)) !=
       Corpus.packShards(sums.getOrElse("s3", 0L))
-    val sharded2 = stageCut(s, p02Sharded(s3n), s"$base/tick/sharded2")
+    val sharded2 = localCut(p02Sharded(s3n))
     // membership diff decides the touched shards (placement can only
     // change where membership changed — untouched shards keep their
     // exact per-shard rows and cumsums)
@@ -641,13 +650,12 @@ object Pipeline {
     val newS = place2.select(col("doc_id"),
       struct(pay.tail.map(col): _*).as("n"))
     val diff = oldS.join(newS, Seq("doc_id"), "full_outer")
-    val log = stageCut(s,
+    val log = localCut(
       diff.filter(col("n").isNull)
         .select(lit("D").as("op"), col("doc_id"), col("o.*"))
         .unionByName(diff.filter(col("n").isNotNull &&
             (col("o").isNull || !(col("o") === col("n"))))
-          .select(lit("U").as("op"), col("doc_id"), col("n.*"))),
-      s"$base/tick/log")
+          .select(lit("U").as("op"), col("doc_id"), col("n.*"))))
     // ---- tail: the lake patch and the three next-tick index/refcount
     // artifacts are mutually independent (all inputs already cut or
     // persisted above), so their jobs run CONCURRENTLY on driver
