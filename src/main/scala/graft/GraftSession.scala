@@ -67,6 +67,16 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
         "64MB")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // The generated-class cache (static conf) holds 100 entries by
+      // default — sized for a handful of long-running queries, not a
+      // 185-entry suite whose operators each compile several
+      // whole-stage-codegen units: at 100 the suite cycles the cache
+      // and re-runs janino on plans the warmup already compiled. A
+      // compiled-class entry is small (bytecode + source key); 5000
+      // covers the full suite with headroom at a few hundred MB worst
+      // case on a 48g heap. Scale-independent: a production job with
+      // fewer distinct plans simply never fills it.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       // The HDFS-backed state store retains `minBatchesToRetain` full
       // in-memory STATE VERSIONS per stateful operator (default 100 —
       // sized for deep lineage recovery, not for a suite that runs 19

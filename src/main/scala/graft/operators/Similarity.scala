@@ -1121,14 +1121,23 @@ object Similarity {
     GraftFunctions.register(s)
     val docs = Tables.documents(s, d)
     val emb = Tables.embeddings(s, d)
-    // lexical leg — d32's BM25 statistics
-    val tf = docs
-      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
-      .filter(length(col("term")) > 0)
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    // lexical leg — d32's BM25 statistics. The corpus-side model
+    // tables (tf/dl/df) are a pure function of the corpus, not of the
+    // query batch — reuse-cached per CONTENT stamp (the cascade-sketch
+    // discipline) so a streaming endpoint (s31) builds them once and
+    // every later micro-batch probes the cached tables instead of
+    // re-aggregating the corpus per batch.
+    val stampKey = Tables.stamp(d, "documents")
+    val tf = graft.Caching.persistTrackedReuse(s"hybrid_tf_$stampKey",
+      docs
+        .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val dl = graft.Caching.persistTrackedReuse(s"hybrid_dl_$stampKey",
+      tf.groupBy("doc_id").agg(sum("tf").as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val dfT = graft.Caching.persistTrackedReuse(s"hybrid_df_$stampKey",
+      tf.groupBy("term").agg(count(lit(1)).as("df")))
     val qterms = tf
       .join(broadcast(qids), col("doc_id") === col("q_id"), "left_semi")
       .filter(length(col("term")) >= 4)
