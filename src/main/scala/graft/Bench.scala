@@ -58,6 +58,52 @@ object Bench {
     dt
   }
 
+  // Corpus content stamp: a digest over the input directory's data
+  // files (sorted relative path, size, first/last 64 KiB — the
+  // Tables.stamp recipe, whole-corpus). Round-over-round comparisons
+  // broke silently when the driver regenerated /root/testdata between
+  // rounds (r15→r16: same paths, different bytes, PERF paired nothing);
+  // the stamp in the summary lets any consumer detect a regen instead
+  // of mis-reading data deltas as code deltas. Additions-only: nothing
+  // existing in the contract line moves.
+  private def corpusStamp(sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val root = java.nio.file.Paths.get(sfDir)
+    if (!java.nio.file.Files.isDirectory(root)) return "absent"
+    val walk = java.nio.file.Files.walk(root)
+    val files =
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .map(p => (root.relativize(p).toString, p)).toSeq.sortBy(_._1)
+      } finally walk.close()
+    files.foreach { case (rel, p) =>
+      val size = java.nio.file.Files.size(p)
+      md.update(rel.getBytes("UTF-8"))
+      md.update(java.nio.ByteBuffer.allocate(8).putLong(size).array())
+      val ch = java.nio.channels.FileChannel.open(p)
+      try {
+        def chunk(pos: Long, len: Int): Unit = {
+          val buf = java.nio.ByteBuffer.allocate(len)
+          var off = pos
+          while (buf.hasRemaining) {
+            val n = ch.read(buf, off)
+            if (n < 0) return
+            off += n
+          }
+          buf.flip(); md.update(buf)
+        }
+        chunk(0L, math.min(size, 65536L).toInt)
+        if (size > 65536L) {
+          val pos = math.max(65536L, size - 65536L)
+          chunk(pos, (size - pos).toInt)
+        }
+      } finally ch.close()
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
+
   // true median: averages the middle pair on even counts (a rep that
   // failed leaves 2 survivors — taking the upper one would bias upward)
   private def median(xs: Seq[Double]): Double = {
@@ -136,16 +182,17 @@ object Bench {
       try w.println(body) finally w.close()
       f.getPath
     }
+    val stamp = corpusStamp(sfDir)
     val qs = results.map { case (k, w, _, _) => f""""$k":$w%.3f""" }
       .mkString("{", ",", "}")
     val queriesFile = writeJson(s"bench/BENCH_queries_$suffix.json",
-      s"""{"sf":"$sfDir","queries":$qs}""")
+      s"""{"sf":"$sfDir","corpus_stamp":"$stamp","queries":$qs}""")
     val diagFile = writeJson(s"bench/BENCH_diag_$suffix.json",
       results
         .map { case (k, w, c, l) =>
           f""""$k":{"wall_sec":$w%.3f,"cpu_sec":$c%.3f,"loadavg":$l%.2f}""" }
         .mkString(
-          f"""{"loadavg_start":$loadStart,"loadavg_end":$loadAvg,"calib_sec":$calib%.3f,"sf":"$sfDir","queries":{""",
+          f"""{"loadavg_start":$loadStart,"loadavg_end":$loadAvg,"calib_sec":$calib%.3f,"sf":"$sfDir","corpus_stamp":"$stamp","queries":{""",
           ",", "}}"))
     val ok = results.filter(_._2 >= 0)
     val failed = results.filter(_._2 < 0).map(_._1)
@@ -163,7 +210,7 @@ object Bench {
     // with `[info] `/`[success]` noise the builder does not control. Any
     // consumer that wants the contract without log scraping reads the
     // summary file (probe runs write *_probe so they never clobber it).
-    val contract = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"calib_sec":$calib%.3f,"sf":"$sfDir","queries_file":"$queriesFile","diag_file":"$diagFile","summary_file":"bench/BENCH_summary_$suffix.json"}"""
+    val contract = f"""{"metric":"total","value":$total%.3f,"unit":"sec","n_queries":${results.size},"n_failed":${failed.size},"failed":$failedJson,"slowest":$slowest,"calib_sec":$calib%.3f,"sf":"$sfDir","corpus_stamp":"$stamp","queries_file":"$queriesFile","diag_file":"$diagFile","summary_file":"bench/BENCH_summary_$suffix.json"}"""
     writeJson(s"bench/BENCH_summary_$suffix.json", contract)
     // printed AFTER spark.stop() so no late executor/log line can land
     // between the contract line and the end of stdout

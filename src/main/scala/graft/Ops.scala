@@ -45,4 +45,26 @@ object Caching {
     if (existing != null) existing
     else persistTracked(name, df)
   }
+
+  /** [[persistTrackedReuse]] for STAMP-KEYED artifacts (`prefix` +
+    * content stamp): caching under a NEW stamp first unpersists and
+    * drops every tracked entry with the same prefix but a different
+    * stamp — a long-lived service cycling corpus versions holds exactly
+    * one live incarnation per artifact instead of leaking one persisted
+    * corpus-sized aggregate per superseded stamp.
+    */
+  def persistTrackedReuseKeyed(prefix: String, stamp: String,
+      df: => DataFrame): DataFrame = {
+    val name = prefix + stamp
+    val existing = tracked.get(name)
+    if (existing != null) existing
+    else {
+      import scala.jdk.CollectionConverters._
+      tracked.keySet.asScala.filter(k => k.startsWith(prefix) && k != name)
+        .toSeq.foreach { k =>
+          Option(tracked.remove(k)).foreach(_.unpersist(blocking = false))
+        }
+      persistTracked(name, df)
+    }
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.OpDef
 import graft.sources.Tables
@@ -753,6 +753,72 @@ object Dedup {
     // backing — drop it (a direct caller, e.g. a spec's synthetic graph,
     // must not leave a stale memoized frame behind)
     labelMemo.remove(name)
+    // DRIVER-SIDE UNION-FIND for small graphs (guide §5: the fixpoint's
+    // rounds are 1-partition jobs on a cloned session — at gate-scale
+    // edge counts the loop's wall is scheduling latency, not compute:
+    // session clone + eager checkpoint + 2 jobs per round to label a
+    // few hundred edges). Under the bound (default 100k edge rows ≈
+    // 1.6 MB collected — far below any driver limit) the edges are
+    // collected, labeled with the same path-compressed union-find the
+    // DupClusterSpec ground truth uses, and returned as a LocalRelation
+    // (broadcast-sized for every downstream join-back). The distributed
+    // loop stays the only path above the bound; LabelLocalSpec pins the
+    // two paths equal on the same graphs. The bound is conf'd so a
+    // cluster deployment (or a spec forcing either path) can move it.
+    val edgeRows = edges.count()
+    val localMax = s.conf.getOption("spark.graft.labels.localMaxEdges")
+      .map(_.toLong).getOrElse(100000L)
+    if (edgeRows <= localMax) {
+      val staleCkptsL: Seq[String] =
+        Option(keptCkpts.remove(name)).map(_.toSeq).getOrElse(Nil)
+      try {
+        val collected = edges
+          .select(col("src").cast("long"), col("dst").cast("long"))
+          .collect()
+        val parent = new java.util.HashMap[java.lang.Long, java.lang.Long](
+          math.max(16, collected.length * 2))
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrDefault(x, x)
+          while (p != x) { x = p; p = parent.getOrDefault(x, x) }
+          val root = x
+          // path compression
+          x = x0
+          while (x != root) { val nx = parent.get(x); parent.put(x, root); x = nx }
+          root
+        }
+        collected.foreach { r =>
+          val (a, b) = (r.getLong(0), r.getLong(1))
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+        }
+        // one row per distinct src — exactly the distributed loop's
+        // output domain (the edge table is symmetric by contract)
+        val srcs = new java.util.LinkedHashSet[java.lang.Long]()
+        collected.foreach(r => srcs.add(r.getLong(0)))
+        import scala.jdk.CollectionConverters._
+        val outRows: java.util.List[Row] = srcs.asScala.toSeq
+          .map(n => Row(n.longValue(), find(n.longValue())))
+          .asJava
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("canonical_id",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        val out = persistTracked(s"${name}_labels",
+          s.createDataFrame(outRows, schema))
+        // the new labels back the tracker entry; the previous run's kept
+        // checkpoints are unreferenced — delete them (this run keeps none)
+        staleCkptsL.foreach(f => dropCkpt(s, Some(f)))
+        return (out, 0)
+      } catch {
+        case t: Throwable =>
+          // the previous labels frame is still the live tracker entry and
+          // may recompute through its kept cuts — put them back
+          if (staleCkptsL.nonEmpty) keptCkpts.put(name, staleCkptsL)
+          throw t
+      }
+    }
     if (s.sparkContext.getCheckpointDir.isEmpty) {
       // a JVM-local temp dir is only a valid checkpoint target when the
       // executors share the driver's filesystem; on a real cluster each
@@ -806,7 +872,7 @@ object Dedup {
     // the loop's tiny value.
     val partsKey = "spark.sql.shuffle.partitions"
     val loopParts = math.max(1L, math.min(s.conf.get(partsKey).toLong,
-      (edges.count() + 99999L) / 100000L)).toString
+      (edgeRows + 99999L) / 100000L)).toString
     val edgesCut = (if (loopParts == "1") edges.coalesce(1) else edges)
       .checkpoint() // eager: materialize, then truncate
     val loopSession = s.newSession()

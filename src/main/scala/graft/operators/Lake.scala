@@ -1713,6 +1713,30 @@ object Lake {
     *     doesn't write — those partitions are removed explicitly (the
     *     one imperative step a declarative overwrite can't express).
     */
+  /** Materialize-and-cut for SCRATCH stages, with a scale-safe policy:
+    * an eager `localCheckpoint()` under the byte bound (blocks pinned in
+    * executor storage, lineage cut to a flat LogicalRDD — no parquet
+    * encode/re-list/footer read), a durable scratch-parquet round trip
+    * above it (an executor loss cannot lose the stage; localCheckpoint
+    * blocks are non-replicated and unrecoverable once lineage is cut).
+    * The decision reads the OPTIMIZED plan's size estimate — driver-side
+    * planning work the stage pays anyway — against
+    * `spark.graft.stage.localMaxBytes` (default 256 MB; a cluster
+    * deployment can lower it to 0 to force every stage durable).
+    * StageCutPolicySpec pins both arms.
+    */
+  private[graft] def stageCutAuto(s: SparkSession, df: DataFrame,
+      spillDir: String): DataFrame = {
+    val bound = s.conf.getOption("spark.graft.stage.localMaxBytes")
+      .map(_.toLong).getOrElse(256L << 20)
+    val est = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (est <= BigInt(bound)) df.localCheckpoint()
+    else {
+      df.write.mode(SaveMode.Overwrite).parquet(spillDir)
+      s.read.parquet(spillDir)
+    }
+  }
+
   private[graft] def cdcApplyPartitioned(s: SparkSession, snapDir: String,
       log: DataFrame, stageDir: String,
       partCols: Seq[String] = Seq("source")): Unit = {
@@ -1734,13 +1758,14 @@ object Lake {
     // the staged copy decouples the commit from its own read set (Spark
     // refuses an Overwrite of a path the plan reads, and the data must
     // be fully materialized before the touched partitions are
-    // replaced). An eager localCheckpoint provides exactly that —
-    // rows pinned executor-side, lineage cut to a LogicalRDD — without
-    // the extra parquet encode + re-list + footer read a scratch-dir
-    // stage paid per tick (`stageDir` is retained in the signature for
-    // call-site stability; nothing writes there anymore). The staged
-    // copy is churn-sized by the touched-partition admission above.
-    val staged = merged.localCheckpoint()
+    // replaced). SIZE-GATED ([[stageCutAuto]]): small churn takes an
+    // eager localCheckpoint (materialized once, lineage cut, no parquet
+    // encode + re-list + footer read per tick); churn above the bound
+    // stages durably to `stageDir` — localCheckpoint pins blocks in
+    // NON-REPLICATED executor storage, so on a cluster an executor loss
+    // mid-commit would lose a TB-scale touched-partition set where the
+    // parquet stage is recoverable.
+    val staged = stageCutAuto(s, merged, s"$stageDir/cdc_staged")
     val before = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
     s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try staged.write.mode(SaveMode.Overwrite).partitionBy(partCols: _*)

@@ -400,14 +400,19 @@ object Pipeline {
 
   /** [[stageCut]] for intra-tick SCRATCH stages — consumed only inside
     * the same tick invocation, never opened by the next tick or a
-    * replay. An eager localCheckpoint gives the same two properties the
-    * parquet round trip bought (materialized once, lineage cut to a
-    * flat leaf) without the encode + re-list + footer read per stage;
-    * the frames are narrow curation metadata, so the executor-side pin
-    * is kilobytes-to-megabytes. Artifacts the NEXT tick opens
-    * (state/v{b+1}, postings/bands/bench) stay on the stageCut path.
+    * replay. SIZE-GATED via [[Lake.stageCutAuto]]: an eager
+    * localCheckpoint gives the same two properties the parquet round
+    * trip bought (materialized once, lineage cut to a flat leaf)
+    * without the encode + re-list + footer read per stage — but its
+    * blocks are non-replicated executor storage, so a stage whose
+    * estimated size crosses the conf'd bound spills to `spillDir`
+    * durably instead. At gate scale the frames are narrow curation
+    * metadata (KBs–MBs → localCheckpoint); at 100 TB a churn-sized
+    * stage takes the recoverable disk path. Artifacts the NEXT tick
+    * opens (state/v{b+1}, postings/bands/bench) stay on [[stageCut]].
     */
-  private def localCut(df: DataFrame): DataFrame = df.localCheckpoint()
+  private def localCut(s: SparkSession, df: DataFrame,
+      spillDir: String): DataFrame = Lake.stageCutAuto(s, df, spillDir)
 
   /** One incremental tick: fold `deltaDocs` into the build at `base`.
     * Reads ONLY the persisted metadata artifacts and the delta; patches
@@ -540,8 +545,9 @@ object Pipeline {
             Seq("doc_id"), "left")
       .withColumn("canonical_id", col("new_min")).drop("new_min")
       .withColumn("n_shared", lit(0L))
-    val state2 = localCut(
-      baseUpd.select(deltaRows.columns.map(col): _*).unionByName(deltaRows))
+    val state2 = localCut(s,
+      baseUpd.select(deltaRows.columns.map(col): _*).unionByName(deltaRows),
+      s"$base/scratch/state2")
 
     // ---- benchmark shingle refcounts: test-split survivorship changes
     // add/remove shingles; only 0↔>0 transitions change membership
@@ -562,12 +568,13 @@ object Pipeline {
       .select(col("h"), lit(-1L).as("d"))
     val rcDelta = addSh.unionByName(remSh).groupBy("h")
       .agg(sum("d").as("d"))
-    val bench2 = localCut(
+    val bench2 = localCut(s,
       bench.join(rcDelta, Seq("h"), "full_outer")
         .select(col("h"),
                 (coalesce(col("rc"), lit(0L)) +
                  coalesce(col("d"), lit(0L))).as("rc2"),
-                coalesce(col("rc"), lit(0L)).as("rc1")))
+                coalesce(col("rc"), lit(0L)).as("rc1")),
+      s"$base/scratch/bench2")
     val hPlus = bench2.filter(col("rc1") === 0 && col("rc2") > 0)
       .select(col("h"), lit(1L).as("d"))
     val hMinus = bench2.filter(col("rc1") > 0 && col("rc2") <= 0)
@@ -621,7 +628,7 @@ object Pipeline {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val ladderMoved = Corpus.packShards(sums.getOrElse("v1", 0L)) !=
       Corpus.packShards(sums.getOrElse("s3", 0L))
-    val sharded2 = localCut(p02Sharded(s3n))
+    val sharded2 = localCut(s, p02Sharded(s3n), s"$base/scratch/sharded2")
     // membership diff decides the touched shards (placement can only
     // change where membership changed — untouched shards keep their
     // exact per-shard rows and cumsums)
@@ -650,12 +657,13 @@ object Pipeline {
     val newS = place2.select(col("doc_id"),
       struct(pay.tail.map(col): _*).as("n"))
     val diff = oldS.join(newS, Seq("doc_id"), "full_outer")
-    val log = localCut(
+    val log = localCut(s,
       diff.filter(col("n").isNull)
         .select(lit("D").as("op"), col("doc_id"), col("o.*"))
         .unionByName(diff.filter(col("n").isNotNull &&
             (col("o").isNull || !(col("o") === col("n"))))
-          .select(lit("U").as("op"), col("doc_id"), col("n.*"))))
+          .select(lit("U").as("op"), col("doc_id"), col("n.*"))),
+      s"$base/scratch/log")
     // ---- tail: the lake patch and the three next-tick index/refcount
     // artifacts are mutually independent (all inputs already cut or
     // persisted above), so their jobs run CONCURRENTLY on driver

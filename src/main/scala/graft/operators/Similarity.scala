@@ -1127,16 +1127,18 @@ object Similarity {
     // discipline) so a streaming endpoint (s31) builds them once and
     // every later micro-batch probes the cached tables instead of
     // re-aggregating the corpus per batch.
+    // keyed reuse: a NEW corpus stamp unpersists the superseded stamp's
+    // tf/dl/df tables (one live model per artifact, no per-update leak)
     val stampKey = Tables.stamp(d, "documents")
-    val tf = graft.Caching.persistTrackedReuse(s"hybrid_tf_$stampKey",
+    val tf = graft.Caching.persistTrackedReuseKeyed("hybrid_tf_", stampKey,
       docs
         .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("term"))
         .filter(length(col("term")) > 0)
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
-    val dl = graft.Caching.persistTrackedReuse(s"hybrid_dl_$stampKey",
+    val dl = graft.Caching.persistTrackedReuseKeyed("hybrid_dl_", stampKey,
       tf.groupBy("doc_id").agg(sum("tf").as("dl")))
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-    val dfT = graft.Caching.persistTrackedReuse(s"hybrid_df_$stampKey",
+    val dfT = graft.Caching.persistTrackedReuseKeyed("hybrid_df_", stampKey,
       tf.groupBy("term").agg(count(lit(1)).as("df")))
     val qterms = tf
       .join(broadcast(qids), col("doc_id") === col("q_id"), "left_semi")

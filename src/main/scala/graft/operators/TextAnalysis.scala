@@ -66,11 +66,28 @@ object TextAnalysis {
     * aggregate() fold this replaces copied the accumulator array per
     * element (O(L²) per word, uncompiled).
     */
+  /** Registered names are UNIQUE PER BINDING (a digest of the bound
+    * symbols): register-then-resolve on the shared FunctionRegistry is
+    * not atomic, so a fixed name raced — two plans built concurrently in
+    * one session with different pairs/merge lists could silently bind
+    * the other's symbols. A deterministic digest-name also makes
+    * re-registration idempotent (same binding → same factory), and the
+    * registry stays bounded by the number of DISTINCT bindings (≤ K per
+    * corpus, mergeCache-capped corpora).
+    */
+  private def bindingName(prefix: String, parts: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { p =>
+      md.update(p.getBytes("UTF-8")); md.update(0.toByte)
+    }
+    prefix + md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
   private def bpeMergeOnce(s: SparkSession, sym: Column, a: String,
       b: String): Column = {
-    graft.expressions.GraftFunctions.registerBpeMergeOnce(
-      s, "graft_bpe_merge_once", a, b)
-    call_function("graft_bpe_merge_once", sym)
+    val name = bindingName("graft_bpe_merge_once_", Seq(a, b))
+    graft.expressions.GraftFunctions.registerBpeMergeOnce(s, name, a, b)
+    call_function(name, sym)
   }
 
   /** Train `k` BPE merges on the corpus (see the d34 gate entry's comment
@@ -157,9 +174,10 @@ object TextAnalysis {
       merges: Seq[(String, String)]): Column =
     if (merges.isEmpty) split(w, "")
     else {
-      graft.expressions.GraftFunctions.registerBpeFold(
-        s, "graft_bpe_fold", merges)
-      call_function("graft_bpe_fold", split(w, ""))
+      val name = bindingName("graft_bpe_fold_",
+        merges.flatMap(m => Seq(m._1, m._2)))
+      graft.expressions.GraftFunctions.registerBpeFold(s, name, merges)
+      call_function(name, split(w, ""))
     }
 
   /** The tokenizer's word table: every DISTINCT word of `docs` folded

@@ -238,8 +238,20 @@ private[graft] final class GraftStreamSource(spark: SparkSession,
 private[graft] final class GraftStreamSink(spark: SparkSession,
     dir: String, key: String, full: Boolean) extends Sink {
 
+  /** ONE table instance for the sink's lifetime: [[GraftTable]] memoizes
+    * collected manifest rows per (version, commit payload), and reopening
+    * per micro-batch threw that memo away every batch — a long-lived
+    * stream paid the manifest parquet read + collect job per consumer
+    * call per batch, forever. The memo self-invalidates on replays (the
+    * commit payload carries a per-commit nonce), so holding the instance
+    * is safe under checkpoint replay. Lazy so a missing table still
+    * fails inside addBatch (the contract's loud path), not at sink
+    * construction.
+    */
+  private lazy val table: GraftTable = GraftTable.open(spark, dir, key)
+
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val t = GraftTable.open(spark, dir, key)
+    val t = table
     val v = Math.toIntExact(batchId + 1)
     val cur = t.currentVersion
     require(cur == v - 1 || cur == v,

@@ -213,9 +213,20 @@ final class GraftTable private (s: SparkSession, val dir: String,
     * payload. Vacuumed/uncommitted versions never reach the memo —
     * validate() throws first, exactly as the uncached path did.
     */
-  private val manifestMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String),
-      (StructType, Array[Row])]
+  private val manifestMemo: java.util.Map[(Int, String),
+      (StructType, Array[Row])] =
+    java.util.Collections.synchronizedMap(
+      // access-ordered LRU, bounded: a long-lived service instance
+      // cycling many versions (history/vacuum loops touch all of them)
+      // must not accumulate one collected manifest per version ever
+      // read. 64 entries covers any retention window the gate exercises;
+      // vacuum additionally evicts the versions it retires.
+      new java.util.LinkedHashMap[(Int, String), (StructType, Array[Row])](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(Int, String), (StructType, Array[Row])])
+            : Boolean = size() > GraftTable.ManifestMemoMax
+      })
 
   private def manifestData(v: Int): (StructType, Array[Row]) = {
     validate(v)
@@ -224,6 +235,14 @@ final class GraftTable private (s: SparkSession, val dir: String,
       val df = s.read.parquet(s"$dir/v$v/_manifest${metaSuffixOf(payload)}")
       (df.schema, df.collect())
     })
+  }
+
+  /** Drop memoized manifests of versions `vs` (vacuum retires them). */
+  private def evictManifestMemo(vs: Seq[Int]): Unit = {
+    val doomed = vs.toSet
+    manifestMemo.synchronized {
+      manifestMemo.keySet.removeIf(k => doomed(k._1))
+    }
   }
 
   /** Time travel: read the snapshot exactly as committed at version `v`
@@ -1455,6 +1474,7 @@ final class GraftTable private (s: SparkSession, val dir: String,
       // files ARE the retained manifests' references, dirs stay for them
       if (!kept) f.delete(vdir, true)
     }
+    evictManifestMemo(doomed)
     doomed
   }
 }
@@ -1467,6 +1487,9 @@ object GraftTable {
 
   /** Marker-payload terminator — see [[GraftTable.markerPayload]]. */
   private val MarkerEnd = "\n#end"
+
+  /** [[GraftTable.manifestMemo]] LRU bound (per table instance). */
+  private[sources] val ManifestMemoMax = 64
 
   /** Test seam for the concurrent-writer spec: invoked immediately
     * before the commit marker's create-exclusive, so a spec can
@@ -1551,8 +1574,13 @@ object GraftTable {
   private def commit(s: SparkSession, dir: String, v: Int,
       token: String = null, op: String = "WRITE"): Unit = {
     onBeforeCommit(dir, v)
+    // line 4 is a per-commit NONCE: no reader parses it; it exists so
+    // the payload — the manifest-memo key — is unique per commit even
+    // when an uncommit -> rewrite -> commit of the same version lands
+    // within the commit instant's clock resolution
     val payload = java.time.Instant.now().toString +
-      "\n" + Option(token).getOrElse("") + "\n" + op + MarkerEnd
+      "\n" + Option(token).getOrElse("") + "\n" + op +
+      "\n" + java.util.UUID.randomUUID().toString + MarkerEnd
     try writeFsString(fsOf(s, dir), markerPath(dir, v),
       payload, overwrite = false)
     catch {
