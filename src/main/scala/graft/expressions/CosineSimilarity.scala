@@ -141,6 +141,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "sorted_jaccard", exprs => SortedSetJaccard(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "lsh_band_keys", exprs => LshBandKeys(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "sorted_intersect_count",
       exprs => SortedIntersectCount(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(

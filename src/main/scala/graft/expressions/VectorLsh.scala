@@ -151,6 +151,69 @@ object LshKernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  // --- MinHash band keys ---------------------------------------------
+  // The SAME Carter-Wegman affine family + polynomial band fold as the
+  // batch path (graft.operators.Dedup.minhashBands): coefficients from
+  // the one [[mix]] scramble, reduction mod p = 2^31 - 1, 8 bands x 4
+  // rows folded mod PolyMod. ONE kernel pass per row replaces the 32
+  // interpreted `transform` lambdas + 8 pmod chains the per-row column
+  // formulation paid per arriving doc (guide §4). StreamIncrDedupSpec
+  // pins the keys bit-identical to minhashBands'.
+  private val MinHashes = 32
+  private val MinBands = 8
+  private val MinRows = MinHashes / MinBands
+  private val P31 = 2147483647L // 2^31 - 1
+  private val BandPolyMod = 1000000000000037L
+  private val MinAs: Array[Long] =
+    Array.tabulate(MinHashes)(i => (mix(2L * i) >>> 33) | 1L)
+  private val MinBs: Array[Long] =
+    Array.tabulate(MinHashes)(i => mix(2L * i + 1) >>> 33)
+
+  private def pmod(x: Long, m: Long): Long = {
+    val r = x % m
+    if (r < 0) r + m else r
+  }
+
+  /** (band_id, band_sig) LSH keys for one shingle-hash set: array of
+    * MinBands `struct<band_id int, band_sig long>`. An EMPTY input
+    * yields null band signatures — exactly the column formulation's
+    * `array_min(empty) = null` propagation, so such rows fall out of
+    * the equality probe identically.
+    */
+  def bandKeys(mh: ArrayData): ArrayData = {
+    val n = mh.numElements()
+    val minh = new Array[Long](MinHashes)
+    java.util.Arrays.fill(minh, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val hp = pmod(mh.getLong(i), P31)
+      var k = 0
+      while (k < MinHashes) {
+        val v = pmod(MinAs(k) * hp + MinBs(k), P31)
+        if (v < minh(k)) minh(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](MinBands)
+    var b = 0
+    while (b < MinBands) {
+      if (n == 0)
+        out(b) = org.apache.spark.sql.catalyst.InternalRow(b, null)
+      else {
+        var acc = 0L
+        var r = 0
+        while (r < MinRows) {
+          acc = pmod(acc * 31L + minh(b * MinRows + r), BandPolyMod)
+          r += 1
+        }
+        out(b) = org.apache.spark.sql.catalyst.InternalRow(b, acc)
+      }
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** The merge scan's intersection COUNT alone (exact integer — d41's
     * containment thresholds must not round-trip through a double).
     */
@@ -169,6 +232,36 @@ object LshKernels {
     }
     inter
   }
+}
+
+/** Codegen'd per-row LSH band keys over an `array<long>` shingle-hash
+  * set — the streaming probe's (s10/d24 verdicts) band computation as
+  * ONE native kernel call instead of 32 interpreted `transform` lambdas
+  * per arriving document. Same (band_id, band_sig) family as the batch
+  * index by construction ([[LshKernels.bandKeys]]).
+  */
+case class LshBandKeys(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, StructField, StructType}
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("band_id", IntegerType, nullable = false),
+      StructField("band_sig", LongType, nullable = true))),
+    containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    GraftTypeChecks.longArrays(prettyName, child)
+
+  override def nullSafeEval(input: Any): Any =
+    LshKernels.bandKeys(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.expressions.LshKernels.bandKeys($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
 }
 
 /** Codegen'd merge-scan intersection COUNT over two sorted-distinct

@@ -347,27 +347,19 @@ object Dedup {
     * probe (s10) requires this shape: a second aggregation ahead of its
     * verdict agg would break streaming's one-stateful-agg rule, and
     * re-attaching doc columns to [[minhashBands]]' output would be a
-    * stream-stream self-join. The transform lambdas run interpreted
-    * (slower per row than the batch explode formulation) — acceptable
-    * because only ARRIVING docs pay it; the corpus-side index is the
-    * batch-built lake table. Same integer arithmetic end to end, so
-    * band keys are bit-identical to minhashBands' (spec-pinned).
+    * stream-stream self-join. One codegen kernel call per row
+    * ([[graft.expressions.LshBandKeys]]) — the previous formulation ran
+    * NumHashes interpreted `transform` lambdas per arriving doc (§4's
+    * anti-pattern). Same integer arithmetic end to end, so band keys
+    * are bit-identical to minhashBands' (spec-pinned).
     *
-    * An empty shingle set yields null minhashes, hence null band_sig —
-    * such rows fall out of the equality probe exactly as the batch
-    * path's len(hs) > 0 filter drops them.
+    * An empty shingle set yields null band_sig — such rows fall out of
+    * the equality probe exactly as the batch path's len(hs) > 0 filter
+    * drops them. (Callers register graft functions already; the binding
+    * is parameterless, so the fixed registry name cannot race.)
     */
-  private[graft] def bandArray(mh: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val minh = Array.tabulate(NumHashes)(k =>
-      array_min(transform(mh,
-        h => pmod(lit(As(k)) * pmod(h, lit(P31)) + lit(Bs(k)), lit(P31)))))
-    array((0 until NumBands).map { b =>
-      var acc: org.apache.spark.sql.Column = lit(0L)
-      for (r <- 0 until RowsPerBand)
-        acc = pmod(acc * lit(31L) + minh(b * RowsPerBand + r), lit(PolyMod))
-      struct(lit(b).as("band_id"), acc.as("band_sig"))
-    }: _*)
-  }
+  private[graft] def bandArray(mh: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("lsh_band_keys", mh)
 
   /** d08's polynomial-fold modulus, reused for the band keys. */
   private val PolyMod = 1000000000000037L

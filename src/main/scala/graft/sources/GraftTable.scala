@@ -1360,20 +1360,70 @@ final class GraftTable private (s: SparkSession, val dir: String,
     // oldest-first, so any retained pair brackets retained versions)
     require(vA < vB,
       s"changes($vA, $vB) on graft table $dir: need vA < vB")
-    (vA until vB).map { v =>
-      val d = diff(v, v + 1)
-      val names = d.columns.filter(_.startsWith("a_")).map(_.drop(2))
-      def image(tag: String, ops: Seq[String], ct: String) =
-        d.filter(col("op").isin(ops: _*))
-          .select((col(key) +:
-            names.map(c => col(s"${tag}_$c").as(c)).toSeq) :+
-            lit(ct).as("_change_type") :+
-            lit(v + 1).as("_commit_version"): _*)
-      image("b", Seq("I"), "insert")
-        .unionByName(image("a", Seq("D"), "delete"))
-        .unionByName(image("a", Seq("U"), "update_preimage"))
-        .unionByName(image("b", Seq("U"), "update_postimage"))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    // ONE shuffle for the whole span, not one full-outer join per step:
+    // the per-step loop scanned every middle version twice and shuffled
+    // each diff's both sides (2N exchanges for N steps). Instead every
+    // snapshot in [vA, vB] is scanned ONCE, tagged with its version, and
+    // the union is windowed per key in version order — each present row
+    // sees its previous presence (lag) and whether a next one exists
+    // (lead), which determines exactly the per-step verdicts:
+    //   first presence at v > vA                  → insert @ v
+    //   consecutive presence, payload changed     → update pre+post @ v
+    //   presence gap (prev < v-1)                 → delete @ prev+1,
+    //                                               insert @ v
+    //   last presence at v < vB                   → delete @ v+1
+    // Equality compares over the CHAIN's column set null-safely — a
+    // column absent from both versions of a step reads null on both
+    // sides, exactly the per-step pair-union compare. Output rows,
+    // images and _commit_version are unchanged (the oracle pins them);
+    // column order reproduces the old step-union reduce (the first
+    // step's columns, then later-introduced columns appended last).
+    val verSchemas = (vA to vB).map(v => v -> schemaAsOf(v))
+    val types: Map[String, DataType] = verSchemas
+      .flatMap(_._2.fields.map(f => f.name -> f.dataType)).toMap
+    val firstPair = (verSchemas(0)._2.fieldNames ++
+      verSchemas(1)._2.fieldNames).distinct.filterNot(_ == key).toSeq
+    val laterCols = verSchemas.drop(2)
+      .flatMap(_._2.fieldNames).distinct
+      .filterNot(c => c == key || firstPair.contains(c))
+    val cols = firstPair ++ laterCols
+    val tagged = verSchemas.map { case (v, sch) =>
+      val present = sch.fieldNames.toSet
+      readAsOf(v).select(col(key) +: lit(v).as("_graft_cdf_v") +:
+        cols.map(c =>
+          (if (present(c)) col(c)
+           else lit(null).cast(types(c))).as(c)): _*)
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(key).orderBy("_graft_cdf_v")
+    val pay = struct(cols.map(col): _*)
+    val v = col("_graft_cdf_v")
+    val pv = col("_graft_cdf_pv")
+    val pp = col("_graft_cdf_pp")
+    val nv = col("_graft_cdf_nv")
+    val changed = cols.map(c => !(col(c) <=> pp.getField(c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    def ev(ct: String, cv: Column, p: Column) = struct(
+      lit(ct).as("ct"), cv.cast("int").as("cv"), p.as("p"))
+    val emit = array(
+      when(pv.isNull && v > vA, ev("insert", v, pay)),
+      when(pv.isNotNull && pv === v - 1 && changed,
+        ev("update_preimage", v, pp)),
+      when(pv.isNotNull && pv === v - 1 && changed,
+        ev("update_postimage", v, pay)),
+      when(pv.isNotNull && pv < v - 1, ev("delete", pv + 1, pp)),
+      when(pv.isNotNull && pv < v - 1, ev("insert", v, pay)),
+      when(nv.isNull && v < vB, ev("delete", v + 1, pay)))
+    tagged
+      .withColumn("_graft_cdf_pv", lag("_graft_cdf_v", 1).over(w))
+      .withColumn("_graft_cdf_pp", lag(pay, 1).over(w))
+      .withColumn("_graft_cdf_nv", lead("_graft_cdf_v", 1).over(w))
+      .select(col(key), explode(array_compact(emit)).as("_graft_cdf_e"))
+      .select(col(key) +:
+        (firstPair.map(c => col(s"_graft_cdf_e.p.$c").as(c)) ++
+          Seq(col("_graft_cdf_e.ct").as("_change_type"),
+              col("_graft_cdf_e.cv").as("_commit_version")) ++
+          laterCols.map(c => col(s"_graft_cdf_e.p.$c").as(c))): _*)
   }
 
   /** Retire all but the newest `keep` committed versions (floored at 1 —
