@@ -484,6 +484,19 @@ object Pipeline {
             Seq("band_id", "band_sig"))
       .select("d_id", "b_id").distinct()
     val dEx = dsh.select(col("doc_id").as("d_id"), explode(col("mh")).as("h"))
+    // the two NEXT-TICK index slices depend only on the delta derivation
+    // (dq/dBands, both persisted above) — launch their writes NOW on
+    // driver threads (§2.6) so they overlap the verdict/bench/pack
+    // chains instead of serializing into the tick's tail. Replay safety
+    // unchanged: per-tick Overwrite subdirs, invisible until the next
+    // tick enumerates t${tick+1}.
+    val dPost = dq.filter(col("n_sh") > 0)
+      .select(col("doc_id"), col("split"), explode(col("mh")).as("h"))
+    val earlyWrites = Seq(
+      Future(dPost.write.mode(SaveMode.Overwrite)
+        .parquet(s"$base/postings/t${tick + 1}")),
+      Future(dBands.write.mode(SaveMode.Overwrite)
+        .parquet(s"$base/bands/t${tick + 1}")))
     val dbPairs = dbCand
       .join(dEx, "d_id")
       .join(postings.select(col("doc_id").as("b_id"), col("h")),
@@ -525,13 +538,16 @@ object Pipeline {
 
     // ---- roll the state forward (keeper flips, canonical relabels,
     // delta rows appended). n_shared is patched after the bench update.
+    // `node` is a pure per-row projection of the SAME state row
+    // (coalesce(canonical_id, doc_id)) — computing it inline removes
+    // the state-vs-c0 SELF-JOIN the previous shape paid per tick.
     val baseUpd = state
       .join(gMin, Seq("fp"), "left")
       .withColumn("is_keeper",
         when(col("g_min").isNotNull, col("doc_id") === col("g_min"))
           .otherwise(col("is_keeper")))
       .drop("g_min")
-      .join(c0.select(col("b_id").as("doc_id"), col("node")), "doc_id")
+      .withColumn("node", coalesce(col("canonical_id"), col("doc_id")))
       .join(relab, Seq("node"), "left")
       .withColumn("canonical_id",
         coalesce(col("new_min"), col("canonical_id")))
@@ -555,8 +571,12 @@ object Pipeline {
       .select("doc_id")
     val newTest = state2.filter(s1Flag && col("split") === "test")
       .select("doc_id")
-    val addedTest = newTest.exceptAll(oldTest)
-    val removedTest = oldTest.exceptAll(newTest)
+    // doc_id is the state key (unique per version), so set difference IS
+    // an anti join — and unlike ExceptAll (always a shuffle on both
+    // sides), an anti join broadcasts the small side at gate scale and
+    // degrades to SMJ only when the survivor list is genuinely large
+    val addedTest = newTest.join(oldTest, Seq("doc_id"), "left_anti")
+    val removedTest = oldTest.join(newTest, Seq("doc_id"), "left_anti")
     // added test docs are delta docs (base docs never regain
     // survivorship); removed ones are base docs — shingles from postings
     val addSh = dsh.join(addedTest, "doc_id")
@@ -664,28 +684,20 @@ object Pipeline {
             (col("o").isNull || !(col("o") === col("n"))))
           .select(lit("U").as("op"), col("doc_id"), col("n.*"))),
       s"$base/scratch/log")
-    // ---- tail: the lake patch and the three next-tick index/refcount
-    // artifacts are mutually independent (all inputs already cut or
-    // persisted above), so their jobs run CONCURRENTLY on driver
-    // threads — four sequential ~0.2-0.5 s writes become one window.
-    // Replay safety is unchanged: each write is a versioned/per-tick
-    // Overwrite, so a crash between any of them replays convergently.
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration.Duration
-    import scala.concurrent.ExecutionContext.Implicits.global
-    val dPost = dq.filter(col("n_sh") > 0)
-      .select(col("doc_id"), col("split"), explode(col("mh")).as("h"))
+    // ---- tail: the lake patch and the bench refcount artifact are
+    // mutually independent (all inputs already cut or persisted above),
+    // so their jobs run CONCURRENTLY on driver threads; the two index
+    // writes were launched at derivation time above and are harvested
+    // here. Replay safety is unchanged: each write is a versioned/
+    // per-tick Overwrite, so a crash between any of them replays
+    // convergently.
     val tail = Seq(
       Future(Lake.cdcApplyPartitioned(s, s"$base/lake", log, s"$base/stage",
         Seq("split", "source"))),
-      Future(dPost.write.mode(SaveMode.Overwrite)
-        .parquet(s"$base/postings/t${tick + 1}")),
-      Future(dBands.write.mode(SaveMode.Overwrite)
-        .parquet(s"$base/bands/t${tick + 1}")),
       // state v{tick+1} already landed via state3's stage cut
       Future(bench2.filter(col("rc2") > 0).select(col("h"), col("rc2").as("rc"))
         .write.mode(SaveMode.Overwrite).parquet(s"$base/bench/v${tick + 1}")))
-    tail.foreach(Await.result(_, Duration.Inf))
+    (tail ++ earlyWrites).foreach(Await.result(_, Duration.Inf))
   }
 
   val defs: Map[String, OpDef] = Map(
